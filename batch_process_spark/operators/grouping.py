@@ -1,0 +1,108 @@
+"""Grouping operators: group-split, exporter merges, per-level dir aggs.
+
+Reference semantics preserved:
+
+- ``split_dataframe_by_groups`` (``utils/adapters/df_helpers.py:80-123``):
+  ``groupby(cols, dropna=False)`` — NULL group keys are KEPT (Spark's
+  default groupBy already keeps NULL keys); empty key list means one
+  global group.
+- per-file result merge (``utils/exporters.py:34-53``): fixed agg recipe
+  max/sum/sum/first/list/max. ``first`` is made deterministic with
+  ``min_by`` on an ordering column (distributed "first" is undefined
+  otherwise), and the status list is sorted so results are stable
+  across partitionings.
+- per-directory accumulation on dir exit (``utils/pipeline.py:91-95``,
+  demo pipelines): expressed as groupBy over path-hierarchy level
+  columns at each depth — the scalable rewrite of the reference's
+  order-dependent context mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_by_groups(df: DataFrame, keys: Sequence[str]):
+    """Return (key_row_dict, sub_df) per group, NULL keys kept.
+
+    The reference materializes a list of pandas frames; distributed we
+    expose the same shape lazily: the distinct key set is collected
+    (small by construction — it is a grouping key set), and each sub-df
+    is a filtered view that Catalyst prunes via partition/predicate
+    pushdown. For bulk per-group processing prefer
+    ``df.groupBy(*keys).applyInPandas`` instead of iterating.
+    """
+    keys = list(keys)
+    if not keys:
+        return [({}, df)]
+    out = []
+    for row in df.select(*keys).distinct().collect():
+        kd = row.asDict()
+        pred = None
+        for k, v in kd.items():
+            p = F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+            pred = p if pred is None else (pred & p)
+        out.append((kd, df.filter(pred).drop(*keys)))
+    return out
+
+
+def grouped_counts(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """NULL-keeping group sizes (the cheap aggregate form of split)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def merge_results(
+    df: DataFrame,
+    file_col: str = "file",
+    order_col: str = "timestamp",
+    lines_col: str = "lines",
+    words_col: str = "words",
+    chars_col: str = "chars",
+    lang_col: str = "lang",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-file merge of execution records (``utils/exporters.py:34-53``):
+    lines->max, words->sum, chars->sum, lang->first-by-time,
+    status->sorted list, timestamp->max."""
+    return df.groupBy(file_col).agg(
+        F.max(lines_col).alias("max_lines"),
+        F.sum(words_col).alias("sum_words"),
+        F.sum(chars_col).alias("sum_chars"),
+        F.min_by(lang_col, order_col).alias("first_lang"),
+        F.array_sort(F.collect_list(status_col)).alias("statuses"),
+        F.max(order_col).alias("last_ts"),
+    )
+
+
+def dir_level_aggregate(
+    df: DataFrame,
+    level: int,
+    aggs: Mapping[str, Column] | None = None,
+    level_prefix: str = "level",
+) -> DataFrame:
+    """Aggregate file rows at directory depth ``level`` — the distributed
+    equivalent of the reference's on-dir-exit accumulation (§4a of
+    SURVEY): groupBy(level0..levelK).
+
+    ``aggs`` maps output name -> aggregate Column; default counts rows
+    and flattens a ``values`` array column if present.
+    """
+    keys = [f"{level_prefix}{i}" for i in range(level + 1)]
+    if aggs is None:
+        aggs = {"n_files": F.count(F.lit(1))}
+        if "values" in df.columns:
+            aggs["all_values"] = F.flatten(F.collect_list("values"))
+    return df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def summary_stats(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """count/mean/min/max per group (``complex_demo_processor.py:333-341``)."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("n"),
+        F.avg(value_col).alias("mean"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+    )

@@ -1,0 +1,227 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, trading recall for scale:
+
+- **brute-force cosine top-k** — exact; queries broadcast, scores via
+  JVM-side array expressions (``zip_with`` + ``aggregate``), top-k via
+  window. Cost O(N·Q·d) but embarrassingly parallel: the corpus never
+  shuffles, only the (tiny) per-query top-k heap does.
+- **random-hyperplane LSH** — sign-bit buckets from fixed seeded
+  hyperplanes; probe only matching buckets. Sub-linear candidate sets;
+  recall tunable by bits/tables.
+- **IVF (inverted file)** — KMeans coarse centroids; vectors partition
+  by nearest centroid, queries probe ``nprobe`` nearest centroids.
+  The scale path for 100 TB: the corpus is bucketed once (one shuffle)
+  and each query touches a small fraction of partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over two numeric arrays (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    ``queries`` (query_id, vec) is broadcast; the corpus is scanned once
+    with no shuffle except the final per-query top-k (window over
+    query_id — Q partitions). Deterministic tie-break on corpus id.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = scored.withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def _seeded_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim)).astype(float).tolist()
+
+
+def lsh_bucket(vec_col: Column, hyperplanes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: one char per hyperplane ('1' if v·h > 0)."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in h])) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for h in hyperplanes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    The corpus is bucketed map-side (no shuffle until the equi-join on
+    bucket). With b bits the candidate set is ~N/2^b per query.
+    """
+    planes = _seeded_hyperplanes(dim, n_bits, seed)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+):
+    """Build an IVF coarse index: KMeans centroids + assigned corpus.
+
+    Returns (assigned_df with ``centroid_id``, centroids list). The
+    corpus is written partitioned by centroid in a real deployment so a
+    query reads only probed partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_centroids, seed=seed, maxIter=20, featuresCol="features", predictionCol="centroid_id")
+    model = km.fit(ml_df)
+    assigned = model.transform(ml_df).select(id_col, vec_col, "centroid_id")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroids per query, exact-rank the
+    candidates. Join is centroid_id-equi (broadcast on the query side)."""
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    q = q.withColumn(
+        "__dists",
+        F.transform(cent_arr, lambda c: -cosine(F.col("__qvec"), c)),
+    )
+    # rank centroids per query: argsort via array_position over sorted copy
+    q = q.withColumn(
+        "centroid_id",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda i: F.struct(
+                                F.element_at("__dists", i + 1).alias("d"), i.alias("i")
+                            ),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1,
+                nprobe,
+            )
+        ),
+    ).select(query_id_col, "__qvec", "centroid_id")
+    scored = assigned.join(F.broadcast(q), "centroid_id").withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: vectors
+    in the same sign-bucket are compared exactly; pairs >= threshold
+    survive. (High-cosine pairs collide with high probability; raise
+    recall by unioning several seeds.)"""
+    planes = _seeded_hyperplanes(dim, n_bits, seed)
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn("score", F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            "score",
+        )
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd, zero Python in the
+hot path): language ID, quality scoring, token counting, document
+fingerprinting. Designed map-only — none of these shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.dedup import tokens_col
+
+# small, public stopword lists (top function words per language)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pas", "pour"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es", "no", "para"],
+}
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs (a cheap proxy for subword tokenizers, one regex pass)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"), 0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are ``lang`` stopwords."""
+    toks = tokens_col(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax stopword ratio across known
+    languages; 'und' (undetermined) when every ratio is 0."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    scores = []
+    for code, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct((hits / F.greatest(n, F.lit(1))).alias("score"), F.lit(code).alias("code")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns used by corpus filters:
+
+    - n_chars / n_tokens / mean_token_len
+    - punct_ratio, digit_ratio, upper_ratio (char classes)
+    - stopword_ratio_en
+    - quality_score in [0,1]: penalizes extreme length, high punct or
+      digit density, and missing stopwords (boilerplate/code smell) —
+      the classic Gopher/C4-style heuristic family.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    swr = stopword_ratio(t, "en")
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, uppers / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.4))
+        - F.least(digit_ratio * 2, F.lit(0.3))
+        - F.when((n_tokens < 5) | (n_tokens > 100000), 0.3).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", F.round(mean_tok, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("digit_ratio", F.round(digit_ratio, 6))
+        .withColumn("upper_ratio", F.round(upper_ratio, 6))
+        .withColumn("stopword_ratio_en", F.round(swr, 6))
+        .withColumn("quality_score", F.round(F.greatest(score, F.lit(0.0)), 6))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set. Robust to shuffling/whitespace; used as a
+    cheap near-dup blocking key."""
+    toks = F.array_sort(F.array_distinct(tokens_col(text)))
+    return F.md5(F.array_join(toks, " "))
+
+
+def rolling_fingerprint(text: Column | str, k: int = 5, keep: int = 4) -> Column:
+    """Winnowing-style fingerprint: the ``keep`` smallest md5 hashes of
+    the doc's k-gram shingles, joined. Local edits change few shingles,
+    so near-identical docs share most of the fingerprint."""
+    from batch_process_spark.operators.dedup import shingles_col
+
+    hashes = F.array_sort(F.transform(shingles_col(text, k), lambda s: F.md5(s)))
+    return F.array_join(F.slice(hashes, 1, keep), "|")

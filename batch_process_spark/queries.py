@@ -1,0 +1,485 @@
+"""Query catalog: every implemented operator exposed as a named query.
+
+Each entry pairs a Spark implementation (exercising the
+``batch_process_spark`` operator library) with an ANSI-SQL oracle that
+DuckDB runs on the same parquet tables. Column names/aliases match
+exactly; nondeterministic parts (float agg order, collect order, rank
+ties) are pinned by rounding + explicit sort keys in BOTH sides.
+
+Query ids map to SURVEY §2 operators; see each docstring.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_process_spark.catalog import TableStore
+from batch_process_spark.operators import dedup, similarity, text
+from batch_process_spark.operators.columns import prepend_columns
+from batch_process_spark.operators.filtering import filter_dataframe, select_records
+from batch_process_spark.operators.grouping import grouped_counts, merge_results, summary_stats
+from batch_process_spark.operators.joins import enrich_labels
+from batch_process_spark.operators.multimodal import attach_binary, decode_features
+from batch_process_spark.operators.sets import except_keys, intersect_keys, union_align
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: these queries may run under the driver's own session.
+    # Pin the runtime-settable confs correctness depends on (oracle
+    # comparison assumes UTC timestamps and lenient/NULL semantics).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to micros
+        # (integer DIV — matches DuckDB's ns->us truncation exactly).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# T P C - H - s t y l e   r e l a t i o n a l   c o r e
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 pricing summary (SURVEY A2/A3 agg family).
+
+    Scale: single shuffle on two low-cardinality keys; partial (map-side)
+    aggregation makes the shuffle tiny regardless of input size.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q02_filter_multi",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_linestatus IN ('F', 'O')
+      AND l_quantity > 30
+      AND nullif(l_discount, 0.0) IS NOT NULL
+    """,
+)
+def q02_filter_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 multi-condition filter: eq + isin + callable + null-check,
+    compiled to one Catalyst predicate (fully pushdown-eligible)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "disc_nn", F.nullif(F.col("l_discount"), F.lit(0.0))
+    )
+    out = filter_dataframe(
+        li,
+        {
+            "l_returnflag": "R",
+            "l_linestatus": ["F", "O"],
+            "l_quantity": lambda c: c > 30,
+            "disc_nn": lambda c: c.isNotNull(),
+        },
+        combine="and",
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@_q(
+    "q03_group_project_defaults",
+    """
+    SELECT o_orderpriority,
+           count(*)                      AS n_rows,
+           round(sum(o_totalprice), 4)   AS sum_total,
+           round(avg(o_totalprice), 4)   AS avg_total,
+           max(o_orderdate)              AS max_date
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q03_group_project_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: TableStore read with metadata defaults — group_keys default to
+    table_keys minus filtered columns (filtering on o_orderstatus leaves
+    o_orderpriority as the grouping key)."""
+    store = TableStore(spark)
+    store.write(
+        "orders",
+        _t(spark, sf_dir, "orders"),
+        table_keys=["o_orderstatus", "o_orderpriority"],
+    )
+    return store.read(
+        "orders",
+        filter_dict={"o_orderstatus": "O"},
+        out_option="groups",
+        aggs={
+            "n_rows": F.count(F.lit(1)),
+            "sum_total": F.round(F.sum("o_totalprice"), 4),
+            "avg_total": F.round(F.avg("o_totalprice"), 4),
+            "max_date": F.max("o_orderdate"),
+        },
+    )
+
+
+@_q(
+    "q04_union_align",
+    """
+    WITH u AS (
+      SELECT l_orderkey, l_quantity, 'small' AS batch, l_discount AS disc, NULL::DOUBLE AS tax
+      FROM lineitem WHERE l_quantity < 10
+      UNION ALL BY NAME
+      SELECT l_orderkey, l_quantity, 'large' AS batch, NULL::DOUBLE AS disc, l_tax AS tax
+      FROM lineitem WHERE l_quantity >= 45
+    )
+    SELECT batch,
+           count(*)                   AS n_rows,
+           round(sum(l_quantity), 4)  AS sum_qty,
+           count(disc)                AS n_disc,
+           count(tax)                 AS n_tax
+    FROM u GROUP BY batch
+    """,
+)
+def q04_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: union with schema alignment — batches carry disjoint extra
+    columns; missing columns NULL-fill. Zero-shuffle union."""
+    li = _t(spark, sf_dir, "lineitem")
+    small = (
+        li.filter(F.col("l_quantity") < 10)
+        .select("l_orderkey", "l_quantity", F.lit("small").alias("batch"), F.col("l_discount").alias("disc"))
+    )
+    large = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_quantity", F.lit("large").alias("batch"), F.col("l_tax").alias("tax"))
+    )
+    u = union_align([small, large])
+    return u.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("disc").alias("n_disc"),
+        F.count("tax").alias("n_tax"),
+    )
+
+
+@_q(
+    "q05_group_split_nullkeys",
+    """
+    SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+           count(*)                 AS n_rows,
+           round(sum(c_acctbal), 4) AS sum_bal
+    FROM customer
+    GROUP BY nullif(c_mktsegment, 'BUILDING')
+    """,
+)
+def q05_group_split_nullkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: NULL-keeping group keys (pandas dropna=False semantics ==
+    Spark/SQL default: the NULL group is a real group)."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "seg", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+    return cust.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+    )
+
+
+@_q(
+    "q06_label_enrich_join",
+    """
+    SELECT coalesce(n.n_name, 'UNKNOWN') AS label,
+           count(*)                      AS n_customers,
+           round(sum(c.c_acctbal), 4)    AS sum_bal
+    FROM customer c
+    LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 3) n
+      ON c.c_nationkey = n.n_nationkey
+    GROUP BY coalesce(n.n_name, 'UNKNOWN')
+    """,
+)
+def q06_label_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: label enrichment = broadcast left join + coalesce default
+    (the reference's dict.get(name, default)). Fact side never shuffles."""
+    cust = _t(spark, sf_dir, "customer")
+    dim = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") < 3)
+        .select(F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("label"))
+    )
+    out = enrich_labels(cust, dim, on="c_nationkey", label_col="label", default_value="UNKNOWN")
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+    )
+
+
+@_q(
+    "q07_result_merge",
+    """
+    SELECT concat('u', user_id)          AS file,
+           max(CAST(floor(value) AS BIGINT)) AS max_lines,
+           sum(event_id)                 AS sum_words,
+           sum(CAST(floor(value) AS BIGINT)) AS sum_chars,
+           arg_min(event_type, ts)       AS first_lang,
+           list(event_type ORDER BY event_type) AS statuses,
+           max(ts)                       AS last_ts
+    FROM events
+    GROUP BY concat('u', user_id)
+    """,
+)
+def q07_result_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-file execution-record merge (max/sum/sum/first-by-time/
+    sorted list/max) over an events-derived results table."""
+    ev = _t(spark, sf_dir, "events")
+    results = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("file"),
+        F.floor("value").cast("bigint").alias("lines"),
+        F.col("event_id").alias("words"),
+        F.floor("value").cast("bigint").alias("chars"),
+        F.col("event_type").alias("lang"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("timestamp"),
+    )
+    return merge_results(results)
+
+
+@_q(
+    "q08_selector_language",
+    """
+    SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice), 4) AS sum_price
+    FROM part
+    WHERE regexp_matches(p_type, '^(ECONOMY|STANDARD)')
+      AND contains(p_name, 'e')
+      AND regexp_matches(p_brand, '^Brand#1.$')
+      AND p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand
+    """,
+)
+def q08_selector_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 selector mini-language: re:/in:/glob/membership selectors
+    compiled to one Catalyst predicate."""
+    part = _t(spark, sf_dir, "part")
+    out = select_records(
+        part,
+        {
+            "p_type": "re:^(ECONOMY|STANDARD)",
+            "p_name": "in:e",
+            "p_brand": "Brand#1?",  # glob
+            "p_size": [5, 10, 15, 20],
+        },
+    )
+    return out.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 4).alias("sum_price"),
+    )
+
+
+@_q(
+    "q09_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q09_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O: top-k with deterministic tie-break. Spark runs this as
+    TakeOrderedAndProject — per-partition heaps, no full sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total"))
+    )
+
+
+@_q(
+    "q10_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def q10_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 window surface: latest row per key via row_number (the
+    standard top-1-per-group; one shuffle on the partition key)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@_q(
+    "q11_distinct_flags",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q11_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 distinct (partial-agg dedup before shuffle)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@_q(
+    "q12_set_ops",
+    """
+    WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         with_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT 'both' AS tag, c_custkey FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM with_orders)
+    UNION ALL
+    SELECT 'rich_only' AS tag, c_custkey FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM with_orders)
+    """,
+)
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 intersect/except (generalization the reference lacks)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    both = intersect_keys(cust, orders, ["c_custkey"]).select(F.lit("both").alias("tag"), "c_custkey")
+    rich_only = except_keys(cust, orders, ["c_custkey"]).select(F.lit("rich_only").alias("tag"), "c_custkey")
+    return union_align([both, rich_only])
+
+
+@_q(
+    "q13_scalar_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_u,
+           substr(p_type, 1, 6)                             AS type6,
+           concat_ws('|', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+           round(p_retailprice * 1.1, 2)                    AS marked_up,
+           length(p_name)                                   AS name_len,
+           md5(p_name)                                      AS name_md5
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar family: string/math/hash functions, JVM-side."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_type", 1, 6).alias("type6"),
+            F.concat_ws("|", F.col("p_brand"), F.col("p_size").cast("string")).alias("brand_size"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+            F.length("p_name").alias("name_len"),
+            F.md5("p_name").alias("name_md5"),
+        )
+    )
+
+
+@_q(
+    "q14_json_extract",
+    """
+    SELECT event_type,
+           count(*)                 AS n_events,
+           sum(CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)) AS sum_k,
+           max(CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 JSON family: extract a field from a JSON-string column and
+    aggregate. (Regex form keeps the oracle engine-portable; Spark's
+    get_json_object compiles to the same result.)"""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.regexp_extract(F.col("props"), r'"k"\s*:\s*(-?\d+)', 1).cast("bigint")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@_q(
+    "q15_path_hierarchy",
+    """
+    WITH files AS (
+      SELECT doc_id,
+             concat('corpus/', lang, '/', source, '/doc_', doc_id, '.txt') AS path
+      FROM documents
+    )
+    SELECT string_split(path, '/')[2] AS level0,
+           string_split(path, '/')[3] AS level1,
+           count(*)                   AS n_files,
+           count(DISTINCT string_split(path, '/')[4]) AS n_names
+    FROM files
+    GROUP BY 1, 2
+    """,
+)
+def q15_path_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/§4a: path-hierarchy levels as columns; per-directory rollup =
+    groupBy(level0..levelK) — the scalable rewrite of on-dir-exit
+    accumulation."""
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("corpus/"), F.col("lang"), F.lit("/"), F.col("source"),
+            F.lit("/doc_"), F.col("doc_id"), F.lit(".txt"),
+        ).alias("path"),
+    )
+    parts = F.split(F.col("path"), "/")
+    return (
+        files.withColumn("level0", F.element_at(parts, 2))
+        .withColumn("level1", F.element_at(parts, 3))
+        .withColumn("name", F.element_at(parts, 4))
+        .groupBy("level0", "level1")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("name").alias("n_names"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""SparkSession factory.
+
+Defaults are tuned so that the same code runs correctly on local[N]
+(tests, bench) and would scale on a multi-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join strategy).
+- Shuffle partitions sized to the local core count instead of the 200
+  default; on a real cluster this is overridden by AQE coalescing.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB correctness oracle.
+- Arrow enabled for all pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = max(8, os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "batch_process_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    ``master`` defaults to ``local[*]`` only when no master is configured
+    (so spark-submit on a cluster wins).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]" if cpus else "local[*]")
+
+    n_shuffle = shuffle_partitions or (int(cpus) if cpus else DEFAULT_SHUFFLE_PARTITIONS)
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # lenient semantics (reference is errors-as-data; also aligns
+        # element_at/cast out-of-range with DuckDB NULL behavior)
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "spark.ui.enabled": "false",
+        # local mode: shuffle spill compresses to driver-local disk
+        "spark.shuffle.compress": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the star-schema parquet tables under ``sf_dir`` and register
+    each as a temp view. Returns {name: DataFrame}."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
