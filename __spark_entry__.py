@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from batch_process_spark.queries import ORACLES, QUERIES
+import batch_process_spark.queries_ext  # noqa: F401  (registers part-2 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -256,9 +256,13 @@ def simhash_bits(text: Column | str, n_bits: int = 64) -> Column:
         nib = _hex_nibble_value(F.substring(h, j // 4 + 1, 1))
         return F.shiftright(nib, 3 - j % 4) % 2
 
+    def merge_for(jj: int):
+        # nb: a `jj=j` default arg would change the lambda's arity and
+        # break PySpark's higher-order-function binding — use a closure.
+        return lambda acc, h: acc + bit_of(h, jj)
+
     bits = [
-        (F.aggregate(hashes, F.lit(0), lambda acc, h, jj=j: acc + bit_of(h, jj)) * 2 > n_tok)
-        .cast("int")
+        (F.aggregate(hashes, F.lit(0), merge_for(j)) * 2 > n_tok).cast("int")
         for j in range(n_bits)
     ]
     return F.array(*bits)

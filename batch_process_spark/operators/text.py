@@ -71,7 +71,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(t)
     n_tokens = F.size(toks)
     mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
-    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    # explicit ASCII punct ranges (portable across Java regex and RE2)
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     uppers = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
     swr = stopword_ratio(t, "en")
