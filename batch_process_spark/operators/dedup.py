@@ -26,6 +26,18 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up if the input arrived in fewer partitions than the
+    cluster has cores (e.g. one small parquet file). CPU-bound map
+    stages (hashing, shingling) otherwise run on a fraction of the
+    machine; the shuffle cost is trivial relative to the win. No-op
+    when the input is already parallel enough (the 100 TB case)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -81,28 +93,73 @@ def tokens_col(text: Column | str) -> Column:
 
 def shingles_col(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string> — pure array
-    expressions, evaluated JVM-side with zero shuffle."""
+    expressions, evaluated JVM-side with zero shuffle.
+
+    Built from shifted slices zipped together rather than indexed
+    lookups: higher-order functions are interpreted (no codegen), so a
+    lambda that captures the token array re-evaluates it per element —
+    O(n^2) per row. Slices + zip_with evaluate the token array a
+    constant number of times. Short docs (< k tokens) yield one shingle
+    of all available tokens (zip_with NULL-pads, concat_ws skips NULLs).
+    """
     w = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]))
-    return F.array_distinct(sh)
+    n = F.size(w)
+    length = F.greatest(n - (k - 1), F.lit(1))
+    out = F.slice(w, 1, length)
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(w, j + 1, length), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(out)
+
+
+# Universal-hash family for MinHash: h_j(x) = (a_j * x + b_j) mod P with
+# x a 32-bit fingerprint of the shingle (first 8 md5 hex chars). One md5
+# per shingle; permutations are integer ops. Deterministic constants
+# from a fixed LCG so the DuckDB oracle reproduces them exactly.
+# a < 2^31, x < 2^32 => a*x + b < 2^63 (no overflow in either engine).
+MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _lcg_constants(n: int, seed: int) -> list[int]:
+    out, state = [], seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(state % ((1 << 31) - 1) + 1)
+    return out
+
+
+MINHASH_A = _lcg_constants(64, 42)
+MINHASH_B = _lcg_constants(64, 1337)
+
+
+def shingle_fingerprint(s: Column) -> Column:
+    """32-bit integer fingerprint of a shingle: first 8 md5 hex chars."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """Array of ``num_hashes`` minhash values (md5-hex strings).
+    """Array of ``num_hashes`` minhash values (int64).
 
-    Permutation ``j`` is the md5 family member ``md5(j ":" shingle)``;
-    the minhash is the lexicographic min over the doc's shingles.
-    Map-only: no explode, no shuffle.
+    Two passes, both map-only array expressions (no explode/shuffle):
+    (1) fingerprint every shingle once (the only md5); (2) a single
+    aggregate whose accumulator is the running per-permutation minimum,
+    merged via zip_with(least) over the cheap integer hash family.
+    Structured so no lambda captures an expensive outer expression —
+    interpreted higher-order functions re-evaluate captures per element.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
-            )
-            for j in range(num_hashes)
-        ]
-    )
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]])
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    xs = F.transform(shingles, shingle_fingerprint)
+    init = F.array_repeat(F.lit(MINHASH_P), num_hashes)
+
+    def merge(acc: Column, x: Column) -> Column:
+        hashes = F.transform(
+            seeds,
+            lambda j: (F.element_at(a_arr, j + 1) * x + F.element_at(b_arr, j + 1)) % MINHASH_P,
+        )
+        return F.zip_with(acc, hashes, lambda p, q: F.least(p, q))
+
+    return F.aggregate(xs, init, merge)
 
 
 def minhash_docs(
@@ -112,11 +169,27 @@ def minhash_docs(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, shingles, sig) per doc."""
-    return df.select(
-        F.col(id_col),
-        shingles_col(text_col, k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    """(id, sig) per doc via explode + partial aggregation.
+
+    The array-expression form (``minhash_signature``) evaluates lambdas
+    in Spark's interpreted mode — fine for small rows, but the explode
+    form keeps everything inside whole-stage codegen: one row per
+    shingle, one md5, ``num_hashes`` integer min-aggregates with
+    map-side combine, so the shuffle carries only (id, 16 longs) per
+    doc. This is the 100 TB-shaped plan.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("__s")
+    ).withColumn("__x", shingle_fingerprint(F.col("__s")))
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("__x") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -134,7 +207,11 @@ def lsh_candidate_pairs(
     rows = num_hashes // bands
     band_cols = [
         F.md5(
-            F.concat_ws("|", F.lit(str(b)), *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
+            )
         ).alias("band_key")
         for b in range(bands)
     ]
@@ -153,6 +230,43 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def shingle_frame(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) via an Arrow-batched kernel.
+
+    Semantics identical to ``shingles_col`` (regex token split, lower,
+    distinct k-grams; <k tokens => one shingle of all tokens), but
+    computed in vectorized Python instead of Spark's interpreted
+    higher-order expressions — ~10x faster per pass on wide text and
+    the natural place to run at 100 TB (map-only, no shuffle).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    id_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[id_col]
+    pat = _re.compile(r"[^0-9a-zA-Z]+")
+
+    def batches(it):
+        for pdf in it:
+            shingles = []
+            for t in pdf[text_col]:
+                toks = [w for w in pat.split((t or "").strip().lower()) if w]
+                if not toks:
+                    shingles.append([])
+                elif len(toks) < k:
+                    shingles.append([" ".join(toks)])
+                else:
+                    seen = dict.fromkeys(
+                        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                    )
+                    shingles.append(list(seen))
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": shingles})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, shingles array<string>"
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -177,9 +291,29 @@ def minhash_near_dup_pairs(
     verified, so the expensive exact step touches a tiny fraction of
     the corpus-squared space.
     """
-    docs = minhash_docs(df, id_col, text_col, k, num_hashes).cache()
-    cands = lsh_candidate_pairs(docs.select(id_col, "sig"), id_col, num_hashes, bands)
-    sh = docs.select(F.col(id_col), F.col("shingles"))
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    # One Arrow-batched shingle pass, persisted: feeds both the
+    # signature aggregation and the two verify probes.
+    sh = shingle_frame(base, id_col, text_col, k).persist()
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("__s")).withColumn(
+        "__x", shingle_fingerprint(F.col("__s"))
+    )
+    sigs = (
+        exploded.groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[j]) * F.col("__x") + F.lit(MINHASH_B[j])) % MINHASH_P
+                ).alias(f"__m{j}")
+                for j in range(num_hashes)
+            ]
+        )
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig"),
+        )
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     verified = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")

@@ -51,20 +51,49 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query.
 
-    ``queries`` (query_id, vec) is broadcast; the corpus is scanned once
-    with no shuffle except the final per-query top-k (window over
-    query_id — Q partitions). Deterministic tie-break on corpus id.
+    The scale-shaped plan: queries are collected (Q is small by
+    definition) and closed over by an Arrow-batched ``mapInPandas``
+    kernel that scores each corpus batch with one BLAS matmul and keeps
+    a per-partition top-k per query. Only partitions x Q x k candidate
+    rows ever shuffle; the global window merges them exactly (top-k of
+    a union of per-partition top-ks == global top-k). Deterministic
+    tie-break on corpus id. The corpus is never broadcast, never
+    crossJoined, and scanned exactly once.
     """
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
-    scored = scored.withColumn(
-        "score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
-    )
+    import numpy as np
+    import pandas as pd
+
+    from batch_process_spark.operators.dedup import ensure_parallelism
+
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # Q x d
+    qnorm = np.linalg.norm(qmat, axis=1)  # Q
+
+    c = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
+
+    def score_batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # N x d
+            sims = (mat @ qmat.T) / (np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :])
+            sims = np.round(sims, 6)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(qids)):
+                col = sims[:, qi]
+                n = min(k, len(ids))
+                # top-k by (score desc, id asc): lexsort on (-score, id)
+                idx = np.lexsort((ids, -col))[:n]
+                out_q.extend([qids[qi]] * n)
+                out_id.extend(ids[idx])
+                out_s.extend(col[idx])
+            yield pd.DataFrame({query_id_col: out_q, id_col: out_id, "score": out_s})
+
+    schema = f"{query_id_col} long, {id_col} long, score double"
+    local = c.mapInPandas(score_batches, schema=schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )

@@ -138,8 +138,9 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
     rows = num_hashes // bands
     sh = duck_shingles("text", 3)
+    P = dedup.MINHASH_P
     minhashes = ", ".join(
-        f"(SELECT min(md5(concat('{j}:', s))) FROM unnest(shingles) AS u(s)) AS m{j}"
+        f"list_aggregate(list_transform(xs, x -> ({dedup.MINHASH_A[j]} * x + {dedup.MINHASH_B[j]}) % {P}), 'min') AS m{j}"
         for j in range(num_hashes)
     )
     band_exprs = ", ".join(
@@ -149,7 +150,10 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7
     return f"""
     WITH corpus AS ({_NEAR_DUP_CORPUS}),
     docs AS (SELECT doc_id, {sh} AS shingles FROM corpus),
-    sigs AS (SELECT doc_id, shingles, {minhashes} FROM docs),
+    fps AS (SELECT doc_id, shingles,
+                   list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
+            FROM docs),
+    sigs AS (SELECT doc_id, shingles, {minhashes} FROM fps),
     banded AS (
       SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs
     ),

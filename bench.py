@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink so timings measure plan
+execution, not driver-side row serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # one representative per SURVEY §2 / BASELINE.md §2 family
+    "q01_pricing_summary",        # B2 agg family (TPC-H Q1)
+    "q02_filter_multi",           # B1 filter+project
+    "q04_union_align",            # B3 union alignment
+    "q05_group_split_nullkeys",   # B4 NULL-keeping groups
+    "q06_label_enrich_join",      # B5 broadcast enrichment join
+    "q07_result_merge",           # B7 per-file merge
+    "q16_report_roundtrip",       # B6 regex extraction
+    "q17_dedup_exact",            # B8 exact dedup
+    "q18_minhash_lsh_neardup",    # B8 near-dup (MinHash-LSH)
+    "q21_token_stats",            # text analysis
+    "q25_embedding_topk",         # similarity search
+    "q29_shipping_priority",      # join+topk (TPC-H Q3)
+    "q30_local_supplier_volume",  # star join (TPC-H Q5)
+    "q31_revenue_forecast",       # scan+agg (TPC-H Q6)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from batch_process_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    qs = entrymod.queries()
+
+    # Warmup pass at the smallest sf: triggers Janino/whole-stage-codegen
+    # compilation per plan so the timed pass measures steady-state
+    # execution (codegen is cached by generated-source hash per session).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # warmup must never sink the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
