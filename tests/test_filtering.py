@@ -1,0 +1,117 @@
+"""filter_dataframe + selector language tests.
+
+Mirrors the reference's case list in ``test/test_df_helpers.py:19-168``
+(exact / callable / membership / None / or-combine / error types) and
+the selector variants of ``test_pipeline_helpers.py:167-210``.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.filtering import (
+    filter_dataframe,
+    glob_to_regex,
+    select_records,
+)
+from tests.conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark):
+    # the reference's sample_df fixture (FIXTURES.md §1)
+    return spark.createDataFrame(
+        [
+            (10.0, 1, "x", None),
+            (20.0, -1, "y", "val"),
+            (10.0, 5, "x", "val"),
+            (30.0, 6, "z", None),
+            (None, 0, "y", "val"),
+        ],
+        "A double, B long, C string, D string",
+    )
+
+
+def test_exact_match(sample_df):
+    out = filter_dataframe(sample_df, {"A": 10.0})
+    assert out.count() == 2
+
+
+def test_callable_condition(sample_df):
+    out = filter_dataframe(sample_df, {"B": lambda c: c > 0})
+    assert sorted(r["B"] for r in out.collect()) == [1, 5, 6]
+
+
+def test_membership(sample_df):
+    out = filter_dataframe(sample_df, {"C": ["x", "z"]})
+    assert out.count() == 3
+
+
+def test_none_means_null(sample_df):
+    out = filter_dataframe(sample_df, {"D": None})
+    assert sorted(r["B"] for r in out.collect()) == [1, 6]
+
+
+def test_and_combine(sample_df):
+    out = filter_dataframe(sample_df, {"A": 10.0, "C": "x"})
+    assert out.count() == 2
+
+
+def test_or_combine_null_safe(sample_df):
+    # NULL in A must not poison the OR
+    out = filter_dataframe(sample_df, {"A": 30.0, "B": 0}, combine="or")
+    assert sorted(r["B"] for r in out.collect()) == [0, 6]
+
+
+def test_unknown_column_raises(sample_df):
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        filter_dataframe(sample_df, {"nope": 1})
+
+
+def test_bad_combine_raises(sample_df):
+    with pytest.raises(ValueError, match="combine"):
+        filter_dataframe(sample_df, {"A": 1}, combine="xor")
+
+
+def test_empty_conditions_noop(sample_df):
+    assert filter_dataframe(sample_df, {}).count() == 5
+
+
+# -- selector mini-language -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def kv_df(spark):
+    return spark.createDataFrame(
+        [("a", "red", "k1"), ("b", "blue", "k2"), ("c", "green", "k3"), ("d", "grey", "k4")],
+        "name string, color string, k string",
+    )
+
+
+def test_selector_exact(kv_df):
+    assert rows_set(select_records(kv_df, {"color": "blue"})) == [("b", "blue", "k2")]
+
+
+def test_selector_membership(kv_df):
+    assert select_records(kv_df, {"color": ["red", "green"]}).count() == 2
+
+
+def test_selector_regex(kv_df):
+    assert sorted(r["name"] for r in select_records(kv_df, {"color": "re:^gr"}).collect()) == ["c", "d"]
+
+
+def test_selector_substring(kv_df):
+    assert select_records(kv_df, {"color": "in:ree"}).count() == 1
+
+
+def test_selector_glob(kv_df):
+    assert select_records(kv_df, {"color": "g*"}).count() == 2
+    assert select_records(kv_df, {"color": "gre?"}).count() == 1
+
+
+def test_selector_none_matches_all(kv_df):
+    assert select_records(kv_df, {"color": None}).count() == 4
+
+
+def test_glob_to_regex_classes():
+    assert glob_to_regex("a[bc]d") == "^a[bc]d$"
+    assert glob_to_regex("a[!bc]d") == "^a[^bc]d$"
+    assert glob_to_regex("*.txt") == r"^.*\.txt$"
