@@ -1,0 +1,154 @@
+"""Pipeline compiler tests: rule matching, priority order, duplicate
+preservation, simulate, errors-as-data execution, history sink.
+
+Mirrors the reference's end-to-end engine test
+(``test/test_validate.py:26-67``) and the priority/duplication
+guarantees (``core/engine.py:403-412``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.plans.compiler import Pipeline
+from batch_process_spark.plans.registry import Registry, retry
+from batch_process_spark.sources.filetree import file_tree_df
+
+
+@pytest.fixture(scope="module")
+def reg():
+    r = Registry()
+
+    @r.register(name="count_rows")
+    def count_rows(df, **cfg):
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    @r.register(name="txt_only", priority=5)
+    def txt_only(df, **cfg):
+        return df.filter(F.col("ext") == "txt").select("relpath")
+
+    @r.register(name="boom")
+    def boom(df, **cfg):
+        raise RuntimeError("kaboom")
+
+    @r.register(name="tag", phase="post")
+    def tag(df, label="x", **cfg):
+        return df.withColumn("tag", F.lit(label))
+
+    return r
+
+
+@pytest.fixture(scope="module")
+def tree(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ptree")
+    (root / "a").mkdir()
+    (root / "a" / "one.txt").write_text("1")
+    (root / "a" / "two.log").write_text("2")
+    (root / "three.txt").write_text("3")
+    return file_tree_df(spark, str(root))
+
+
+CONFIG = {
+    "rules": {
+        "**/*.txt": {
+            "processors": ["txt_only", "txt_only"],  # duplicate preserved
+            "priority": 1,
+        },
+        "**/*.log": {
+            "processors": [{"name": "count_rows", "config": {}}],
+            "priority": 9,
+        },
+        "a/": {"post_processors": [{"name": "tag", "config": {"label": "dirs"}}]},
+    },
+    "pre_process": ["count_rows"],
+    "post_process": ["count_rows"],
+}
+
+
+def test_compile_order_and_duplicates(reg):
+    p = Pipeline(CONFIG, reg)
+    descr = [(s.phase, s.op_name, s.pattern) for s in p.stages]
+    # global pre first, then inline by priority desc (log rule prio 9
+    # before txt prio 1), duplicates preserved, then post, then global
+    assert descr[0] == ("global_pre", "count_rows", None)
+    assert descr[1] == ("inline", "count_rows", "**/*.log")
+    assert descr[2] == ("inline", "txt_only", "**/*.txt")
+    assert descr[3] == ("inline", "txt_only", "**/*.txt")
+    assert descr[4] == ("post", "tag", "a/")
+    assert descr[5] == ("global_post", "count_rows", None)
+    assert [s.step for s in p.stages] == list(range(6))
+
+
+def test_simulate_with_match_counts(reg, tree):
+    p = Pipeline(CONFIG, reg)
+    plan = p.simulate(tree)
+    by_step = {d["step"]: d for d in plan}
+    assert by_step[2]["n_matches"] == 2  # one.txt, three.txt
+    assert by_step[1]["n_matches"] == 1  # two.log
+    assert by_step[4]["n_matches"] == 1  # dir a
+    plan2 = p.simulate(tree, max_items=2)
+    assert len(plan2) == 2
+
+
+def test_run_outputs_and_results(reg, tree):
+    p = Pipeline(CONFIG, reg)
+    res = p.run(tree)
+    assert res.results.filter(F.col("status") == "failed").count() == 0
+    txt_out = res.outputs[2]
+    assert sorted(r["relpath"] for r in txt_out.collect()) == ["a/one.txt", "three.txt"]
+    tag_out = res.outputs[4]
+    assert tag_out.collect()[0]["tag"] == "dirs"
+
+
+def test_run_errors_as_data(reg, tree):
+    cfg = {"rules": {"**/*.txt": {"processors": ["boom", "txt_only"]}}}
+    p = Pipeline(cfg, reg)
+    res = p.run(tree)
+    rows = {r["processor"]: r for r in res.results.collect()}
+    assert rows["boom"]["status"] == "failed"
+    assert "kaboom" in rows["boom"]["error"]
+    assert rows["txt_only"]["status"] == "success"  # run continued
+
+
+def test_unknown_operator_is_recorded(reg, tree):
+    p = Pipeline({"rules": {"**/*.txt": {"processors": ["nope"]}}}, reg)
+    res = p.run(tree)
+    assert res.results.collect()[0]["status"] == "failed"
+
+
+def test_history_sink(reg, tree, tmp_path):
+    p = Pipeline(CONFIG, reg)
+    res = p.run(tree)
+    hist = str(tmp_path / "history")
+    res.write_history(hist)
+    res.write_history(hist)  # append
+    spark = tree.sparkSession
+    assert spark.read.parquet(hist).count() == 12  # 6 stages x 2 runs
+
+
+def test_explain(reg, tree):
+    p = Pipeline({"rules": {"**/*.txt": {"processors": ["txt_only"]}}}, reg)
+    plans = p.explain(tree)
+    assert len(plans) == 1
+    assert "Filter" in plans[0][1] or "filter" in plans[0][1].lower()
+
+
+def test_retry_returns_error_record():
+    calls = []
+
+    @retry(max_attempts=3, delay=0.001)
+    def flaky():
+        calls.append(1)
+        raise ValueError("nope")
+
+    out = flaky()
+    assert len(calls) == 3
+    assert out["status"] == "failed" and "nope" in out["error"]
+
+    @retry(max_attempts=3, delay=0.001)
+    def eventually():
+        calls.append(1)
+        if len(calls) < 5:
+            raise ValueError("again")
+        return "ok"
+
+    assert eventually() == "ok"

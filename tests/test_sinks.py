@@ -1,0 +1,90 @@
+"""Sink tests: writers, content-hash cache, report adapters."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.sinks.report import docx_report, plot_from_spec, validate_plot_spec
+from batch_process_spark.sinks.writers import cache_key, cached_parquet, write_csv, write_json, write_parquet
+
+
+@pytest.fixture()
+def small(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b")], "x long, s string")
+
+
+def test_write_csv_single_file(spark, small, tmp_path):
+    out = str(tmp_path / "csv_out")
+    write_csv(small, out, single_file=True)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+    assert spark.read.csv(out, header=True).count() == 2
+
+
+def test_write_parquet_json(spark, small, tmp_path):
+    p, j = str(tmp_path / "pq"), str(tmp_path / "js")
+    write_parquet(small, p)
+    write_json(small, j)
+    assert spark.read.parquet(p).count() == 2
+    assert spark.read.json(j).count() == 2
+
+
+def test_cache_key_stable():
+    assert cache_key("a", "b") == cache_key("a", "b")
+    assert cache_key("a", "b") != cache_key("a", "c")
+    assert len(cache_key("x")) == 16
+
+
+def test_cached_parquet_builds_once(spark, small, tmp_path):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return small
+
+    d = str(tmp_path / "cache")
+    a = cached_parquet(spark, build, d, "t", "q1")
+    b = cached_parquet(spark, build, d, "t", "q1")
+    assert len(calls) == 1  # second call served from cache
+    assert a.count() == b.count() == 2
+
+
+def test_plot_spec_validation(small):
+    with pytest.raises(ValueError, match="series"):
+        validate_plot_spec({})
+    with pytest.raises(ValueError, match="missing 'y'"):
+        validate_plot_spec({"series": [{"x": "x"}]})
+
+
+def test_plot_from_spec_writes_artifact(small, tmp_path):
+    out = plot_from_spec(
+        small, {"title": "t", "series": [{"x": "x", "y": "x", "label": "v"}]},
+        str(tmp_path / "p.png"),
+    )
+    assert os.path.exists(out)
+    if out.endswith(".json"):  # matplotlib absent -> sidecar path
+        side = json.load(open(out))
+        assert side["n_rows"] == 2 and side["spec"]["title"] == "t"
+
+
+def test_docx_report_fallback(small, tmp_path):
+    out = docx_report(small, "Results", str(tmp_path / "r.docx"))
+    assert os.path.exists(out)
+    if out.endswith(".md"):
+        text = open(out).read()
+        assert "# Results" in text and "| x | s |" in text
+
+
+def test_report_rejects_big_frames(spark, tmp_path):
+    import batch_process_spark.sinks.report as report
+
+    old = report.MAX_REPORT_ROWS
+    report.MAX_REPORT_ROWS = 5
+    try:
+        big = spark.range(100).withColumnRenamed("id", "x")
+        with pytest.raises(ValueError, match="aggregated results"):
+            plot_from_spec(big, {"series": [{"y": "x"}]}, str(tmp_path / "x.png"))
+    finally:
+        report.MAX_REPORT_ROWS = old
