@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from batch_process_spark.queries import ORACLES, QUERIES
 import batch_process_spark.queries_ext  # noqa: F401  (registers part-2 queries)
+import batch_process_spark.queries_ext2  # noqa: F401  (registers part-3 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

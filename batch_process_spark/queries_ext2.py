@@ -1,0 +1,368 @@
+"""Query catalog part 3: window functions, grouping sets family,
+pivot/unpivot, time windows + sessionization, as-of join, semi/anti
+joins, date/string scalar families, streaming demo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.asof import asof_join
+from batch_process_spark.queries import _q, _t
+from batch_process_spark.streaming.windows import session_agg, tumbling_window_agg
+
+
+@_q(
+    "q32_running_totals",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 4) AS running_total,
+           round(o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS delta_prev,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def q32_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 window surface: running sum, lag delta, rank — one shuffle
+    on the partition key serves all three frames."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("running_total"),
+            F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 4).alias("delta_prev"),
+            F.rank().over(wr).alias("price_rank"),
+        )
+    )
+
+
+@_q(
+    "q33_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 rollup (subtotal hierarchy — free Spark generalization)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+@_q(
+    "q34_cube",
+    """
+    SELECT p_brand, p_size, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part WHERE p_size <= 10
+    GROUP BY CUBE (p_brand, p_size)
+    """,
+)
+def q34_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 cube (all grouping-set combinations)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .cube("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+@_q(
+    "q35_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: status values become columns (explicit value list keeps
+    the schema stable — never let pivot scan for distinct values on a
+    100 TB input)."""
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag", F.round("F", 4).alias("F"), F.round("O", 4).alias("O")
+    )
+
+
+@_q(
+    "q36_unpivot",
+    """
+    SELECT o_orderkey, 'total' AS metric, round(o_totalprice, 4) AS val
+    FROM orders WHERE o_orderkey <= 200
+    UNION ALL
+    SELECT o_orderkey, 'key100' AS metric, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q36_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — wide metrics to long rows, map-only."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "stack(2, 'total', round(o_totalprice, 4), 'key100', cast(o_custkey as double))"
+            ).alias("metric", "val"),
+        )
+    )
+
+
+@_q(
+    "q37_tumbling_windows",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q37_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed aggregation (batch twin of the streaming path —
+    same code runs over readStream with a watermark)."""
+    return tumbling_window_agg(
+        _t(spark, sf_dir, "events"), width="1 hour", keys=["event_type"]
+    )
+
+
+@_q(
+    "q38_sessionization",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM d
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q38_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap-break lag + running sum (one shuffle on the
+    user key; the streaming twin is session_window + watermark)."""
+    return session_agg(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@_q(
+    "q39_asof_join",
+    """
+    WITH ord AS (
+      SELECT o_custkey AS ckey, o_orderdate,
+             max(o_orderkey) AS last_orderkey,
+             round(sum(o_totalprice), 4) AS day_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    ev AS (SELECT event_id, user_id + 1 AS ckey, ts FROM events WHERE event_id < 2000)
+    SELECT ev.event_id, ev.ckey,
+           ord.last_orderkey AS last_orderkey_r,
+           ord.day_total     AS day_total_r
+    FROM ev ASOF LEFT JOIN ord
+      ON ev.ckey = ord.ckey AND ev.ts >= ord.o_orderdate
+    """,
+)
+def q39_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest prior order per event) via the union +
+    last-value-forward window rewrite — exact, one shuffle, no
+    per-group memory constraint. Oracle: DuckDB's native ASOF JOIN."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ckey"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.round(F.sum("o_totalprice"), 4).alias("day_total"),
+        )
+        .withColumn("t", F.col("o_orderdate"))
+        .drop("o_orderdate")
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", (F.col("user_id") + 1).alias("ckey"), F.col("ts").alias("t"))
+    )
+    out = asof_join(events, orders, on="t", by="ckey")
+    return out.select("event_id", "ckey", "last_orderkey_r", "day_total_r")
+
+
+@_q(
+    "q40_semi_anti",
+    """
+    SELECT 'with_orders' AS tag, c_mktsegment, count(*) AS n
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'no_orders' AS tag, c_mktsegment, count(*) AS n
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q40_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS) — no payload duplication,
+    the join only tests key presence."""
+    from batch_process_spark.operators.joins import anti, semi
+    from batch_process_spark.operators.sets import union_align
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_o = (
+        semi(cust, orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("tag"), "c_mktsegment", "n")
+    )
+    without = (
+        anti(cust, orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("no_orders").alias("tag"), "c_mktsegment", "n")
+    )
+    return union_align([with_o, without])
+
+
+@_q(
+    "q41_date_functions",
+    """
+    SELECT year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           count(*) AS n_orders,
+           CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start,
+           max(datediff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate)) AS max_days_since
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def q41_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date/time family: extract, truncate, difference."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+            F.max(
+                F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp"))
+            ).alias("max_days_since"),
+        )
+    )
+
+
+@_q(
+    "q42_string_functions",
+    """
+    SELECT s_suppkey,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0')       AS padded,
+           replace(s_name, '#', '-')                      AS renamed,
+           reverse(s_name)                                AS rev,
+           strpos(s_name, '#')                            AS hash_pos,
+           substr(s_name, 1, 8)                           AS prefix,
+           repeat('ab', 3)                                AS rep
+    FROM supplier WHERE s_suppkey <= 50
+    """,
+)
+def q42_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 string family round 2."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 50)
+        .select(
+            "s_suppkey",
+            F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded"),
+            F.replace(F.col("s_name"), F.lit("#"), F.lit("-")).alias("renamed"),
+            F.reverse("s_name").alias("rev"),
+            F.instr("s_name", "#").alias("hash_pos"),
+            F.substring("s_name", 1, 8).alias("prefix"),
+            F.repeat(F.lit("ab"), 3).alias("rep"),
+        )
+    )
+
+
+@_q(
+    "q43_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear
+    interpolation). At 100 TB swap for approx_percentile — exact
+    percentile requires a per-group sort."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        )
+    )
+
+
+@_q("q44_streaming_tumbling")  # rows-only: exercises the real streaming path
+def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming smoke: the SAME tumbling aggregation as
+    q37, driven through readStream -> memory sink to completion.
+    (rows-only check: streaming query results are not SQL-expressible
+    through the driver's oracle harness, but q37 pins the semantics.)"""
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def transform(stream):
+        ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return tumbling_window_agg(ev, width="1 hour", keys=["event_type"])
+
+    # streaming file sources take a directory; stage the single-file
+    # table behind a symlink
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    return run_stream_to_memory(spark, d, schema, transform, query_name="q44_out")

@@ -1,0 +1,115 @@
+"""Time-window aggregations — batch/stream unified.
+
+Each aggregation is written once against a DataFrame and works for
+both ``spark.read`` (batch, oracle-checkable) and ``spark.readStream``
+(incremental with watermark) inputs — Spark's unified semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window count/sum/avg. Streaming input: pass ``watermark`` to
+    bound state and admit late data up to the delay."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = keys or []
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "n_events")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Sessionization (batch form): a session breaks when the gap to
+    the previous event exceeds the threshold; classic lag + running sum
+    of break flags. One shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    df = events.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        df.groupBy(key, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark,
+    source_dir: str,
+    schema,
+    transform,
+    query_name: str = "stream_out",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a parquet-source streaming query to completion against a
+    static directory (local smoke path: real deployments swap the
+    source for kafka/files with triggers). Returns the result table."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_dir)
+    )
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

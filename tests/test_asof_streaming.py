@@ -1,0 +1,124 @@
+"""As-of join + streaming window tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.asof import asof_join, asof_join_pandas
+from batch_process_spark.streaming.windows import session_agg, tumbling_window_agg
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", 1, 10.0),
+            ("A", 5, 11.0),
+            ("A", 9, 12.0),
+            ("B", 3, 99.0),
+        ],
+        "sym string, t long, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", 0, 100),   # before any quote -> NULL
+            ("A", 5, 200),   # exactly at quote t=5 -> 11.0 (ties include right)
+            ("A", 7, 300),   # -> 11.0
+            ("A", 20, 400),  # -> 12.0
+            ("B", 4, 500),   # -> 99.0
+            ("C", 1, 600),   # key with no quotes -> NULL
+        ],
+        "sym string, t long, qty long",
+    )
+
+
+EXPECTED = {100: None, 200: 11.0, 300: 11.0, 400: 12.0, 500: 99.0, 600: None}
+
+
+def test_asof_join_window_rewrite(quotes, trades):
+    out = asof_join(trades, quotes, on="t", by="sym")
+    got = {r["qty"]: r["px_r"] for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_asof_join_pandas(quotes, trades):
+    out = asof_join_pandas(trades, quotes, on="t", by="sym")
+    got = {r["qty"]: r["px_r"] for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_asof_implementations_agree_on_random(spark):
+    import random
+
+    rnd = random.Random(7)
+    left = spark.createDataFrame(
+        [(rnd.choice("xyz"), rnd.randint(0, 1000), i) for i in range(200)],
+        "k string, t long, i long",
+    )
+    right = spark.createDataFrame(
+        [(rnd.choice("xyz"), rnd.randint(0, 1000) * 10, float(i)) for i in range(50)],
+        "k string, t long, v double",
+    )
+    # dedupe right per (k, t) so both implementations are deterministic
+    right = right.groupBy("k", "t").agg(F.max("v").alias("v"))
+    a = {r["i"]: r["v_r"] for r in asof_join(left, right, on="t", by="k").collect()}
+    b = {r["i"]: r["v_r"] for r in asof_join_pandas(left, right, on="t", by="k").collect()}
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (1, "2024-01-01 10:05:00", 1, "a", 1.0),
+        (2, "2024-01-01 10:20:00", 1, "a", 2.0),
+        (3, "2024-01-01 11:30:00", 1, "b", 3.0),  # > 30 min gap -> new session
+        (4, "2024-01-01 10:10:00", 2, "a", 4.0),
+    ]
+    return (
+        spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string, value double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_tumbling_window_agg(events):
+    out = tumbling_window_agg(events, width="1 hour", keys=["event_type"])
+    got = {(str(r["bucket_start"]), r["event_type"]): r["n_events"] for r in out.collect()}
+    assert got[("2024-01-01 10:00:00", "a")] == 3
+    assert got[("2024-01-01 11:00:00", "b")] == 1
+
+
+def test_sessionization(events):
+    out = session_agg(events, gap_minutes=30)
+    u1 = sorted(
+        [(r["session_idx"], r["n_events"]) for r in out.filter(F.col("user_id") == 1).collect()]
+    )
+    assert u1 == [(1, 2), (2, 1)]  # 10:05+10:20 together, 11:30 alone
+
+
+def test_streaming_matches_batch(spark, events, tmp_path):
+    """The same aggregation through readStream == batch result."""
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    batch = {
+        (str(r["bucket_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_window_agg(events, width="1 hour", keys=["event_type"]).collect()
+    }
+    out = run_stream_to_memory(
+        spark,
+        src,
+        events.schema,
+        lambda s: tumbling_window_agg(
+            s.withWatermark("ts", "1 minute"), width="1 hour", keys=["event_type"]
+        ),
+        query_name="t_stream_out",
+    )
+    stream = {
+        (str(r["bucket_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert stream == batch
