@@ -1,0 +1,84 @@
+"""CLI: run or preview a rule-config pipeline over a directory tree.
+
+Mirrors the reference's ``python -m batch_process.cli <root> -c
+config.yaml`` lifecycle (SURVEY §3.1):
+
+    python -m batch_process_spark.cli run <root> -c config.yaml
+    python -m batch_process_spark.cli simulate <root> -c config.yaml
+    python -m batch_process_spark.cli ops            # operator listing
+
+Plugins: ``--plugins <dir>`` imports every ``*.py`` there; modules
+self-register via the ``@operator`` decorator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+
+def load_plugins(plugin_dir: str) -> None:
+    for py in sorted(Path(plugin_dir).glob("*.py")):
+        spec = importlib.util.spec_from_file_location(py.stem, py)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # type: ignore[union-attr]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="batch_process_spark")
+    ap.add_argument("command", choices=["run", "simulate", "ops"])
+    ap.add_argument("root", nargs="?", help="directory tree to process")
+    ap.add_argument("-c", "--config", help="YAML/JSON rule config")
+    ap.add_argument("--plugins", help="directory of plugin modules")
+    ap.add_argument("--history", help="parquet dir for the run history sink")
+    ap.add_argument("--with-text", action="store_true", help="read file contents (text) for stages")
+    args = ap.parse_args(argv)
+
+    import batch_process_spark.plans.builtin_ops  # noqa: F401  (registers built-ins)
+    from batch_process_spark.plans.registry import REGISTRY
+
+    if args.plugins:
+        load_plugins(args.plugins)
+
+    if args.command == "ops":
+        for op in REGISTRY.all():
+            print(f"{op.phase:>8}  prio={op.priority:<3} {op.name}  {op.metadata or ''}")
+        return 0
+
+    if not args.root or not args.config:
+        ap.error("run/simulate need <root> and --config")
+
+    from batch_process_spark.plans.compiler import Pipeline, load_config
+    from batch_process_spark.session import get_spark
+    from batch_process_spark.sources.filetree import file_tree_df, read_tree_texts
+
+    spark = get_spark("batch_process_spark.cli")
+    tree = (
+        read_tree_texts(spark, args.root)
+        if args.with_text
+        else file_tree_df(spark, args.root)
+    )
+    pipeline = Pipeline(load_config(args.config), REGISTRY)
+
+    if args.command == "simulate":
+        print(json.dumps(pipeline.simulate(tree), indent=2, default=str))
+        return 0
+
+    result = pipeline.run(tree)
+    records = result.results.collect()
+    for r in records:
+        line = f"[{r['step']}] {r['phase']:<12} {r['processor']:<20} {r['status']}"
+        if r["error"]:
+            line += f"  {r['error']}"
+        print(line)
+    if args.history:
+        result.write_history(args.history)
+    n_failed = sum(1 for r in records if r["status"] == "failed")
+    return 1 if n_failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,52 @@
+"""Built-in pipeline operators (the reference's ``processors/`` set,
+re-expressed as DataFrame stages and registered on import)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.textops import count_code_lines, count_lines, word_char_counts
+from batch_process_spark.plans.registry import operator
+
+
+@operator(name="count_files")
+def count_files(df, **cfg):
+    return df.agg(F.count(F.lit(1)).alias("n_files"))
+
+
+@operator(name="select_ext")
+def select_ext(df, ext="txt", **cfg):
+    return df.filter(F.col("ext") == ext)
+
+
+@operator(name="line_counts")
+def line_counts(df, text_col="text", **cfg):
+    return df.withColumn("lines", count_lines(text_col)).withColumn(
+        "code_lines", count_code_lines(text_col)
+    )
+
+
+@operator(name="word_char_counts")
+def word_char_counts_op(df, text_col="text", **cfg):
+    return word_char_counts(df, text_col)
+
+
+@operator(name="extract_numbers")
+def extract_numbers(df, **cfg):
+    from batch_process_spark.sources.readers import sniff_numeric_values
+
+    return sniff_numeric_values(df)
+
+
+@operator(name="dir_rollup", phase="post")
+def dir_rollup(df, level=0, **cfg):
+    from batch_process_spark.operators.grouping import dir_level_aggregate
+
+    return dir_level_aggregate(df, level)
+
+
+@operator(name="backup", phase="post")
+def backup(df, root=".", backup_dir="backup", **cfg):
+    from batch_process_spark.sinks.fileops import backup_files
+
+    return backup_files(df.filter(~F.col("is_dir")), root, backup_dir)

@@ -1,0 +1,65 @@
+"""CLI lifecycle test (SURVEY §3.1): simulate + run + plugins."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parents[1])
+
+
+def run_cli(*args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "batch_process_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env={"PYTHONPATH": REPO, "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+        timeout=300,
+    )
+
+
+def test_cli_simulate_run_and_plugin(tmp_path):
+    tree = tmp_path / "tree"
+    (tree / "sub").mkdir(parents=True)
+    (tree / "a.txt").write_text("1 2 3")
+    (tree / "sub" / "b.txt").write_text("4 5")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        json.dumps(
+            {
+                "rules": {
+                    "**/*.txt": {"processors": ["extract_numbers", "my_plugin_op"], "priority": 2}
+                },
+                "pre_process": ["count_files"],
+            }
+        )
+    )
+    plugins = tmp_path / "plugins"
+    plugins.mkdir()
+    (plugins / "myplug.py").write_text(
+        "from batch_process_spark.plans.registry import operator\n"
+        "from pyspark.sql import functions as F\n"
+        "@operator(name='my_plugin_op')\n"
+        "def my_plugin_op(df, **cfg):\n"
+        "    return df.withColumn('plugged', F.lit(True))\n"
+    )
+
+    sim = run_cli("simulate", str(tree), "-c", str(cfg), "--plugins", str(plugins), cwd=tmp_path)
+    assert sim.returncode == 0, sim.stderr[-2000:]
+    plan = json.loads(sim.stdout)
+    assert [p["proc_name"] for p in plan] == ["count_files", "extract_numbers", "my_plugin_op"]
+    assert plan[1]["n_matches"] == 2
+
+    run = run_cli(
+        "run", str(tree), "-c", str(cfg), "--plugins", str(plugins), "--with-text",
+        "--history", str(tmp_path / "hist"), cwd=tmp_path,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "my_plugin_op" in run.stdout and "failed" not in run.stdout
+    assert (tmp_path / "hist").exists()
+
+    ops = run_cli("ops", cwd=tmp_path)
+    assert ops.returncode == 0
+    assert "extract_numbers" in ops.stdout
