@@ -133,6 +133,11 @@ def read_tree_texts(
     Uses the binaryFile source (pushdown on pathGlobFilter) + UTF-8
     decode with errors ignored — the reference's lenient
     ``safe_read_text`` (``utils/io_helpers.py:5-9``).
+
+    Note: Spark's file index skips ``_``- and ``.``-prefixed names
+    (Hadoop metadata convention), so control files like ``_dict.txt``
+    are invisible here — by design: they are read driver-side by
+    ``label_dimension`` (os.walk), which does see them.
     """
     import pandas as pd
 
