@@ -422,6 +422,37 @@ def simhash_hex(text: Column | str, n_bits: int = 64) -> Column:
     return F.array_join(nibbles, "")
 
 
+def simhash_docs(df: DataFrame, id_col: str, text_col: str, n_bits: int = 64) -> DataFrame:
+    """(id, sig hex-string) per doc — the scale-shaped SimHash plan.
+
+    Explode distinct tokens, hash each once (md5, codegen'd), then
+    ``n_bits`` integer sum-aggregates with map-side combine; majority
+    vote and hex packing happen on the tiny post-shuffle rows. Same
+    bit math as ``simhash_bits`` (verified equal in tests), but
+    whole-stage-codegen throughout instead of interpreted lambdas.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("__t")
+    ).withColumn("__h", F.md5(F.col("__t")))
+    bit_aggs = []
+    for j in range(n_bits):
+        nib = _hex_nibble_value(F.substring(F.col("__h"), j // 4 + 1, 1))
+        bit_aggs.append(F.sum(F.shiftright(nib, 3 - j % 4) % 2).alias(f"__b{j}"))
+    counted = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_aggs)
+    bits = [
+        (F.col(f"__b{j}") * 2 > F.col("__n")).cast("int") for j in range(n_bits)
+    ]
+    nibbles = [
+        F.substring(
+            F.lit("0123456789abcdef"),
+            bits[i * 4] * 8 + bits[i * 4 + 1] * 4 + bits[i * 4 + 2] * 2 + bits[i * 4 + 3] + 1,
+            1,
+        )
+        for i in range(n_bits // 4)
+    ]
+    return counted.select(F.col(id_col), F.concat(*nibbles).alias("sig"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

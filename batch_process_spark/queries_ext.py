@@ -241,9 +241,10 @@ def _simhash_oracle(n_docs: int = 50) -> str:
 @_q("q20_simhash", _simhash_oracle())
 def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star SimHash: 64-bit signature from md5 nibble bits with
-    majority vote — bit-exact against the generated DuckDB oracle."""
+    majority vote — bit-exact against the generated DuckDB oracle.
+    Uses the explode + codegen'd bit-sum plan (``simhash_docs``)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return docs.select("doc_id", dedup.simhash_hex("text").alias("sig"))
+    return dedup.simhash_docs(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

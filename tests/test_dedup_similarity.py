@@ -88,6 +88,15 @@ def test_simhash_near_dups_close(docs):
     assert len(out[4]) == 16
 
 
+def test_simhash_docs_matches_expression(docs):
+    """The codegen explode plan must produce bit-identical signatures
+    to the array-expression form."""
+    expr = {r["doc_id"]: r["sig"] for r in
+            docs.select("doc_id", dedup.simhash_hex("text").alias("sig")).collect()}
+    fast = {r["doc_id"]: r["sig"] for r in dedup.simhash_docs(docs, "doc_id", "text").collect()}
+    assert fast == expr
+
+
 def test_simhash_pairs(docs):
     pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=10)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
