@@ -366,3 +366,67 @@ def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     return run_stream_to_memory(spark, d, schema, transform, query_name="q44_out")
+
+
+@_q(
+    "q45_array_functions",
+    """
+    SELECT doc_id,
+           len(toks)                                   AS n_toks,
+           toks[1]                                     AS first_tok,
+           list_sort(list_distinct(toks))[1]           AS min_tok,
+           len(list_filter(toks, t -> len(t) > 4))     AS n_long,
+           list_sum(list_transform(toks, t -> len(t))) AS total_len,
+           array_to_string(toks[1:3], '-')             AS head3
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '[^0-9a-zA-Z]+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
+def q45_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 array family: size/index/sort/filter/aggregate/slice/join —
+    all JVM-side array expressions (no explode, no shuffle)."""
+    from batch_process_spark.operators.dedup import tokens_col
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", tokens_col("text").alias("toks"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at(F.array_sort(F.array_distinct("toks")), 1).alias("min_tok"),
+        F.size(F.filter("toks", lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("total_len"),
+        F.array_join(F.slice("toks", 1, 3), "-").alias("head3"),
+    )
+
+
+@_q(
+    "q46_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (SQL API — same Catalyst Expand as
+    rollup/cube)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q46_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS qty
+        FROM q46_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
