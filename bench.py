@@ -60,11 +60,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        runs = []
+        for _ in range(2):  # min-of-2: steady-state, GC/JIT noise out
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        print(f"# {name}: {timings[name]}s (runs: {[round(r,2) for r in runs]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
