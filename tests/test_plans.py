@@ -1,0 +1,88 @@
+"""Catalyst plan assertions — regression guards for the scale
+properties the engine promises (pushdown, pruning, broadcast, no
+fact-side shuffles). These read `.explain("formatted")` output, the
+same check a human does after adding an operator."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_q31_filters_pushed_to_scan(spark, qs):
+    plan = plan_of(qs["q31_revenue_forecast"](spark, SF))
+    assert "PushedFilters:" in plan
+    # the shipdate/discount/quantity predicates reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q31_column_pruning(spark, qs):
+    plan = plan_of(qs["q31_revenue_forecast"](spark, SF))
+    # only the 4 needed columns are read, not all 11
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_partkey" not in read and "l_returnflag" not in read
+
+
+def test_q30_star_join_all_broadcast(spark, qs):
+    plan = plan_of(qs["q30_local_supplier_volume"](spark, SF))
+    # formatted explain shows each node in the tree AND the detail list
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    # lineitem never shuffles for the joins: the only hash exchange is
+    # the final aggregation on n_name
+    assert tree.count("Exchange") <= 1 + tree.count("BroadcastExchange")
+
+
+def test_q06_enrichment_is_broadcast(spark, qs):
+    plan = plan_of(qs["q06_label_enrich_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q02_filter_compiles_to_single_scan_filter(spark, qs):
+    plan = plan_of(qs["q02_filter_multi"](spark, SF))
+    assert "PushedFilters:" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "In(l_linestatus" in plan
+
+
+def test_q09_topk_uses_take_ordered(spark, qs):
+    plan = plan_of(qs["q09_topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort
+
+
+def test_minhash_shuffle_is_narrow(spark):
+    """The minhash signature shuffle must carry only (id, partial
+    mins) — never shingle strings."""
+    from batch_process_spark.operators.dedup import minhash_docs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(minhash_docs(docs, "doc_id", "text"))
+    # map-side combine: partial_min aggregates run BEFORE the exchange,
+    # so only (doc_id, 16 longs) per doc crosses the shuffle
+    assert "partial_min" in plan
+    assert "hashpartitioning(doc_id" in plan
+    tree = plan.split("\n\n")[0]
+    agg_idx = tree.index("HashAggregate")
+    ex_idx = tree.index("Exchange")
+    assert ex_idx < tree.rindex("HashAggregate")  # partial agg below exchange
