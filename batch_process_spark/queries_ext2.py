@@ -558,3 +558,25 @@ def q50_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@_q(
+    "q51_salted_agg",
+    """
+    SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 0) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q51_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation == plain groupBy (the salt adds
+    one cheap pre-shuffle stage; correctness is oracle-checked against
+    the unsalted SQL)."""
+    from batch_process_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        {"cnt_p": F.count(F.lit(1)), "sum_p": F.sum("l_extendedprice")},
+        {"cnt": F.sum("cnt_p"), "sum_price": F.round(F.sum("sum_p"), 0)},
+        buckets=16,
+    )

@@ -1,0 +1,47 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no streaming; this is the engine's forward path for
+order-dependent per-key state that windowed aggregates can't express
+(the distributed answer to the reference's mutable ProcessingContext).
+
+``running_totals_stream``: per-key running event count + value sum,
+emitting one updated row per key per micro-batch. State is a single
+(count, total) pair per key — bounded, spillable, timeout-evictable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update_running_totals(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def running_totals_stream(events):
+    """Attach the stateful running-totals operator to a streaming
+    events frame (grouped per user)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

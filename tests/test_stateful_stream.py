@@ -1,0 +1,52 @@
+"""Custom stateful streaming operator test: state accumulates across
+micro-batches and matches the batch ground truth."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.streaming.stateful import running_totals_stream
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    write_batch("b1", [(1, t, 1, 10.0), (2, t, 1, 5.0), (3, t, 2, 1.0)])
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = running_totals_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["user_id"]: (r["n_events"], r["total_value"])
+                 for r in spark.sql("select * from running_out").collect()}
+        assert first[1] == (2, 15.0)
+        assert first[2] == (1, 1.0)
+
+        # second micro-batch: state must carry over, not reset
+        write_batch("b2", [(4, t, 1, 2.5), (5, t, 3, 7.0)])
+        q.processAllAvailable()
+        rows = spark.sql("select * from running_out").collect()
+        # update mode appends new emissions; take the latest per key
+        latest = {}
+        for r in rows:
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+        assert latest[1] == (3, 17.5)  # 2 prior events + 1 new
+        assert latest[3] == (1, 7.0)
+        assert latest[2] == (1, 1.0)
+    finally:
+        q.stop()
