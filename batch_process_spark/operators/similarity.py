@@ -225,6 +225,19 @@ def ivf_topk(
     )
 
 
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Materialize an IVF index: vectors written partitioned by
+    centroid — the layout that makes query-time probing read only
+    nprobe/k of the corpus (partition pruning at the file listing)."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_read_probe(spark, path: str, centroid_ids: list[int]) -> DataFrame:
+    """Read only the probed centroid partitions (the filter lands in
+    PartitionFilters — zero data read from unprobed partitions)."""
+    return spark.read.parquet(path).filter(F.col("centroid_id").isin(centroid_ids))
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

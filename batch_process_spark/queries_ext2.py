@@ -580,3 +580,23 @@ def q51_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"cnt": F.sum("cnt_p"), "sum_price": F.round(F.sum("sum_p"), 0)},
         buckets=16,
     )
+
+
+@_q(
+    "q52_frequent_items",
+    """
+    WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+         t AS (SELECT count(*) AS tot FROM events)
+    SELECT event_type, cnt, round(cnt::DOUBLE / tot, 6) AS share
+    FROM c, t
+    WHERE round(cnt::DOUBLE / tot, 6) >= 0.05
+    ORDER BY cnt DESC, event_type
+    LIMIT 20
+    """,
+)
+def q52_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (two-pass exact counts of candidate items — the
+    scale rewrite of a count-min sketch when candidates are few)."""
+    from batch_process_spark.operators.sketches import frequent_items
+
+    return frequent_items(_t(spark, sf_dir, "events"), "event_type", min_share=0.05, k=20)

@@ -201,3 +201,24 @@ def test_fingerprint_order_insensitive(spark):
     out = {r["id"]: r["fp"] for r in df.select("id", text.fingerprint("text").alias("fp")).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_ivf_partition_pruning(vecs, spark, tmp_path):
+    """The persisted IVF layout must prune unprobed partitions at scan."""
+    import contextlib
+    import io
+
+    from batch_process_spark.operators.similarity import ivf_index, ivf_read_probe, ivf_write
+
+    assigned, centroids = ivf_index(vecs, n_centroids=2)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, path)
+    probe = ivf_read_probe(spark, path, [0])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # only partition-0 vectors come back
+    got = {r["centroid_id"] for r in probe.select("centroid_id").distinct().collect()}
+    assert got == {0}
