@@ -94,13 +94,21 @@ class Pipeline:
         self.stages: list[Stage] = []
         self._compile()
 
+    RESERVED = {"rules", "pre_process", "post_process", "config_pre", "config_post"}
+
     def _compile(self) -> None:
         step = 0
         for name in self.config.get("pre_process", []) or []:
             op, cfg = _normalize_proc(name)
+            cfg = {**(self.config.get("config_pre") or {}), **cfg}
             self.stages.append(Stage(step, "global_pre", None, op, cfg))
             step += 1
-        rules = self.config.get("rules", {}) or {}
+        # two accepted shapes: {"rules": {pattern: rule}} or the
+        # reference's flat form (pattern keys at top level alongside
+        # the reserved pre/post keys)
+        rules = self.config.get("rules") or {
+            k: v for k, v in self.config.items() if k not in self.RESERVED
+        }
         # rule order preserved (dict order); within a phase, stages sort
         # by priority desc STABLY and duplicates are preserved (the
         # reference guarantee: N listings => N executions)
@@ -113,15 +121,19 @@ class Pipeline:
             for pattern, rule in rules.items():
                 rule = rule or {}
                 prio = int(rule.get("priority", 0))
+                rule_cfg = dict(rule.get("config", {}) or {})
                 for entry in rule.get(phase_key, []) or []:
                     op, cfg = _normalize_proc(entry)
-                    entries.append((prio, pattern, op, cfg))
+                    # rule-level config applies to every processor in the
+                    # rule; per-processor config overrides it
+                    entries.append((prio, pattern, op, {**rule_cfg, **cfg}))
             entries.sort(key=lambda e: -e[0])  # stable: ties keep config order
             for prio, pattern, op, cfg in entries:
                 self.stages.append(Stage(step, phase, pattern, op, cfg, prio))
                 step += 1
         for name in self.config.get("post_process", []) or []:
             op, cfg = _normalize_proc(name)
+            cfg = {**(self.config.get("config_post") or {}), **cfg}
             self.stages.append(Stage(step, "global_post", None, op, cfg))
             step += 1
 

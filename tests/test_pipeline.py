@@ -152,3 +152,56 @@ def test_retry_returns_error_record():
         return "ok"
 
     assert eventually() == "ok"
+
+
+def test_flat_config_shape_and_rule_config(reg, tree):
+    """The reference's flat config form: pattern keys at top level,
+    rule-level config dict shared by the rule's processors."""
+    flat = {
+        "**/*.txt": {
+            "processors": [
+                "tag_like",
+            ],
+            "config": {"label": "from_rule"},
+        },
+        "pre_process": ["count_rows"],
+    }
+    r = Registry()
+
+    @r.register(name="count_rows")
+    def count_rows(df, **cfg):
+        return df
+
+    seen = {}
+
+    @r.register(name="tag_like")
+    def tag_like(df, label="default", **cfg):
+        seen["label"] = label
+        return df
+
+    p = Pipeline(flat, r)
+    assert [(s.phase, s.pattern) for s in p.stages] == [
+        ("global_pre", None),
+        ("inline", "**/*.txt"),
+    ]
+    p.run(tree)
+    assert seen["label"] == "from_rule"
+
+
+def test_per_proc_config_overrides_rule_config(reg, tree):
+    r = Registry()
+    seen = {}
+
+    @r.register(name="op")
+    def op(df, a=0, b=0, **cfg):
+        seen.update(a=a, b=b)
+        return df
+
+    cfg = {
+        "**/*.txt": {
+            "processors": [{"name": "op", "config": {"a": 2}}],
+            "config": {"a": 1, "b": 9},
+        }
+    }
+    Pipeline(cfg, r).run(tree)
+    assert seen == {"a": 2, "b": 9}  # per-proc a wins, rule-level b kept
