@@ -600,3 +600,87 @@ def q52_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_spark.operators.sketches import frequent_items
 
     return frequent_items(_t(spark, sf_dir, "events"), "event_type", min_share=0.05, k=20)
+
+
+@_q(
+    "q53_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q53_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-subquery max filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    best = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(best), F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@_q(
+    "q54_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice), 2) AS small_rev, count(*) AS n_rows
+    FROM lineitem JOIN pa USING (l_partkey)
+    WHERE l_quantity < half_avg
+    """,
+)
+def q54_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg-per-part subquery, rewritten as
+    an explicit per-key aggregate join (the scalable decorrelation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_rev"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "q55_nation_share",
+    """
+    WITH nv AS (
+      SELECT n_name, sum(s_acctbal) AS v
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, round(v, 2) AS value
+    FROM nv WHERE v > (SELECT 0.05 * sum(v) FROM nv)
+    """,
+)
+def q55_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a share-of-total threshold
+    (scalar subquery against the same aggregate)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nv = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("v"))
+    )
+    thresh = nv.agg((0.05 * F.sum("v")).alias("t"))
+    return (
+        nv.join(F.broadcast(thresh), F.col("v") > F.col("t"))
+        .select("n_name", F.round("v", 2).alias("value"))
+    )
