@@ -684,3 +684,59 @@ def q55_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         nv.join(F.broadcast(thresh), F.col("v") > F.col("t"))
         .select("n_name", F.round("v", 2).alias("value"))
     )
+
+
+@_q("q56_blade_load_parse")  # rows-only: full mapInPandas report parser
+def q56_blade_load_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 end-to-end through the engine's real parser: synthesize one
+    fixed-format blade-load report per order-group, parse with
+    ``parse_blade_load_files`` (Arrow 1->N), return the long table.
+    (rows-only: the mapInPandas parse itself is the subject; its regex
+    semantics are oracle-pinned by q16.)"""
+    from batch_process_spark.sources.report_parser import parse_blade_load_files
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    report = F.concat(
+        F.lit(" ROTOR 1\n RADIUS (M) =  8.20\n ... ROTATIONAL SPEED (RPM) =  258.0\n"),
+        F.lit(" COUNTER ROTATION DIRECTION\n"),
+        F.lit(" OUTPUT = ROTOR 1 BLADE "),
+        (F.col("o_orderkey") % 4 + 1).cast("string"),
+        F.lit(" LOAD 0.25R F\n MEAN      "),
+        F.concat_ws(
+            " ",
+            F.round("o_totalprice", 2),
+            F.round(F.col("o_totalprice") * 2, 2),
+            F.lit("3.0"), F.lit("4.0"), F.lit("5.0"), F.lit("6.0"),
+        ),
+        F.lit("\n 1/2 PEAK-TO-PEAK  1.0 2.0 3.0 4.0 5.0 6.0\n"),
+    )
+    files = orders.select(
+        F.concat(F.lit("case_"), F.col("o_orderkey")).alias("path"), report.alias("text")
+    )
+    return parse_blade_load_files(files).orderBy("path", "load_kind")
+
+
+@_q("q57_struct_text_parse")  # rows-only: combinator parser via mapInPandas
+def q57_struct_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 end-to-end: synthesize OUTPUT-block documents, parse with
+    the Field/Optional/Repeat combinators inside ``parse_files``."""
+    from batch_process_spark.sources.struct_text import Field, Optional, Repeat, parse_files
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    body = F.concat(
+        F.lit("OUTPUT = DOC "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.lit("LANG = "), F.upper("lang"), F.lit("\n"),
+        F.lit("LEN = "), F.col("n_chars").cast("string"), F.lit("\n"),
+        F.lit("BODY "), F.substring("text", 1, 30), F.lit("\nEND"),
+    )
+    files = docs.select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"), body.alias("text"))
+    schema = [
+        Field(label="out", pattern=r"^OUTPUT = DOC (?P<doc>\d+)", converter=int),
+        Optional(Field(label="lang", pattern=r"^LANG = (\w+)")),
+        Optional(Field(label="length", pattern=r"^LEN = (\d+)", converter=int)),
+        Repeat(label="body", items=[Field(label="line", pattern=r"^BODY (.+)$")], until=r"^END$"),
+    ]
+    return parse_files(
+        files, schema, key_end=r"^END$", explode_field="body",
+        output_schema="doc int, lang string, length int, body_line string",
+    ).orderBy("doc")
