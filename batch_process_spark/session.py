@@ -55,6 +55,10 @@ def get_spark(
         # local mode: shuffle spill compresses to driver-local disk
         "spark.shuffle.compress": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # smaller split target: keeps many-small-parquet scans (the
+        # local test shape) parallel across all cores; harmless for big
+        # files (row-group granularity governs anyway)
+        "spark.sql.files.maxPartitionBytes": "32m",
     }
     if extra_conf:
         conf.update(extra_conf)
