@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 from functools import reduce
-from typing import Any, Callable, Iterable, Mapping
+from typing import Any, Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

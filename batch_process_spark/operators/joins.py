@@ -8,7 +8,7 @@ coalesce. We expose that pattern plus the standard surface.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

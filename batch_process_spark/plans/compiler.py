@@ -34,11 +34,9 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
 from batch_process_spark.plans.registry import INLINE, POST, PRE, REGISTRY, Registry
 from batch_process_spark.sources.filetree import match_rule

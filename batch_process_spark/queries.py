@@ -17,12 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batch_process_spark.catalog import TableStore
-from batch_process_spark.operators import dedup, similarity, text
-from batch_process_spark.operators.columns import prepend_columns
 from batch_process_spark.operators.filtering import filter_dataframe, select_records
-from batch_process_spark.operators.grouping import grouped_counts, merge_results, summary_stats
+from batch_process_spark.operators.grouping import merge_results
 from batch_process_spark.operators.joins import enrich_labels
-from batch_process_spark.operators.multimodal import attach_binary, decode_features
 from batch_process_spark.operators.sets import except_keys, intersect_keys, union_align
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

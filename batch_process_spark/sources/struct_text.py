@@ -34,7 +34,7 @@ N parsed records out) — see ``parse_files``.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Any, Callable, Iterator, Sequence
 
 

@@ -11,7 +11,7 @@ emitting one updated row per key per micro-batch. State is a single
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
