@@ -97,6 +97,52 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns (RE2/Java-compatible subset — portable to the oracle)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace emails/URLs/phones/IPs with ``<KIND>`` tokens — the
+    standard pre-training scrub pass. One regexp_replace per kind,
+    chained map-only (order: url before phone so digits inside URLs
+    are already gone)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or ["url", "email", "phone", "ipv4"]:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def ngrams_col(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams (non-distinct — frequency-preserving, unlike the
+    dedup shingles)."""
+    from batch_process_spark.operators.dedup import tokens_col as _tokens
+
+    w = _tokens(text)
+    size = F.size(w)
+    length = F.greatest(size - (n - 1), F.lit(1))
+    out = F.slice(w, 1, F.when(size >= n, length).otherwise(F.lit(0)))
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(w, j + 1, length), lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k n-grams: explode + count + top-k. Partial
+    aggregation keeps the shuffle at distinct-ngram cardinality."""
+    return (
+        df.select(F.explode(ngrams_col(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set. Robust to shuffling/whitespace; used as a

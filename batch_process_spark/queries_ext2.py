@@ -740,3 +740,87 @@ def q57_struct_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         files, schema, key_end=r"^END$", explode_field="body",
         output_schema="doc int, lang string, length int, body_line string",
     ).orderBy("doc")
+
+
+@_q(
+    "q58_explode_tokens",
+    f"""
+    SELECT tok, count(*) AS cnt
+    FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[^0-9a-zA-Z]+'), x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    GROUP BY tok
+    """,
+)
+def q58_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode family: array -> rows -> count (the UDTF-shaped 1->N
+    path as pure built-ins)."""
+    from batch_process_spark.operators.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "q59_pii_redaction",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             concat('contact user', doc_id, '@example.com or https://site', doc_id % 7,
+                    '.org/page ip 10.0.0.', doc_id % 255, ' | ', substr(text, 1, 40)) AS t
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g') AS clean
+    FROM synth
+    """,
+)
+def q59_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text cleaning: PII redaction (emails, URLs, phones,
+    IPs -> typed tokens), map-only regexp passes."""
+    from batch_process_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id"), F.lit("@example.com or https://site"),
+            (F.col("doc_id") % 7), F.lit(".org/page ip 10.0.0."), (F.col("doc_id") % 255),
+            F.lit(" | "), F.substring("text", 1, 40),
+        ).alias("t"),
+    )
+    return synth.select("doc_id", redact_pii("t").alias("clean"))
+
+
+@_q(
+    "q60_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '[^0-9a-zA-Z]+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                   i -> concat_ws(' ', w[i], w[i+1]))) AS ngram
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
+    ORDER BY cnt DESC, ngram LIMIT 20
+    """,
+)
+def q60_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-20 bigrams by frequency."""
+    from batch_process_spark.operators.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), "text", n=2, k=20)

@@ -34,6 +34,26 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    n_buckets: int = 32,
+    sort_cols=None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates later joins/aggs on the
+    bucket key without a shuffle (both sides bucketed on the same key
+    and count => a sort-merge join with zero exchanges). The write
+    itself shuffles once — amortized over every downstream join."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def cache_key(*parts: str) -> str:
     """sha1(inputs)[:16] — the reference's cache key recipe."""
     return hashlib.sha1("|".join(parts).encode("utf-8")).hexdigest()[:16]

@@ -222,3 +222,26 @@ def test_ivf_partition_pruning(vecs, spark, tmp_path):
     # only partition-0 vectors come back
     got = {r["centroid_id"] for r in probe.select("centroid_id").distinct().collect()}
     assert got == {0}
+
+
+def test_redact_pii(spark):
+    from batch_process_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@x.org, see https://a.b/c?d=1 or call +1 (555) 123-4567 from 192.168.0.1")],
+        "id long, text string",
+    )
+    out = df.select(redact_pii("text").alias("t")).collect()[0]["t"]
+    assert "<EMAIL>" in out and "<URL>" in out and "<PHONE>" in out and "<IPV4>" in out
+    assert "bob@" not in out and "https" not in out and "555" not in out
+
+
+def test_ngrams_and_top(spark):
+    from batch_process_spark.operators.text import ngrams_col, top_ngrams
+
+    df = spark.createDataFrame([(1, "a b a b c"), (2, "a b")], "id long, text string")
+    grams = {r["id"]: r["g"] for r in df.select("id", ngrams_col("text", 2).alias("g")).collect()}
+    assert grams[1] == ["a b", "b a", "a b", "b c"]  # frequency-preserving
+    assert grams[2] == ["a b"]
+    top = top_ngrams(df, "text", 2, 2).collect()
+    assert top[0]["ngram"] == "a b" and top[0]["cnt"] == 3

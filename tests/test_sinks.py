@@ -88,3 +88,37 @@ def test_report_rejects_big_frames(spark, tmp_path):
             plot_from_spec(big, {"series": [{"y": "x"}]}, str(tmp_path / "x.png"))
     finally:
         report.MAX_REPORT_ROWS = old
+
+
+def test_write_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join without a shuffle."""
+    import contextlib
+    import io
+
+    import shutil
+
+    from batch_process_spark.sinks.writers import write_bucketed
+
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/spark-tests-wh/{t}", ignore_errors=True)
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", "k", n_buckets=4)
+    write_bucketed(b, "bkt_b", "k", n_buckets=4)
+    # disable broadcast so the join strategy actually exercises the
+    # bucket layout (tiny test tables would otherwise broadcast)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree  # bucketing co-located both sides
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
