@@ -135,6 +135,39 @@ class TableStore:
             return df.groupBy(*group_keys).agg(*[c.alias(n) for n, c in aggs.items()])
         raise ValueError(f"out_option must be frame|split|groups, got {out_option!r}")
 
+    # -- persistence -----------------------------------------------------
+    def save(self, root: str) -> None:
+        """Materialize every table to parquet + a metadata JSON sidecar
+        (the durable form of the reference's in-memory dict-of-frames)."""
+        import json
+        import os
+
+        os.makedirs(root, exist_ok=True)
+        meta = {}
+        for name, df in self._tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(root, name + ".parquet"))
+            m = self._meta[name]
+            meta[name] = {
+                "table_keys": m.table_keys,
+                "base_col_names": m.base_col_names,
+                "keys": m.keys,
+            }
+        with open(os.path.join(root, "_catalog.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=2)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "TableStore":
+        import json
+        import os
+
+        store = cls(spark)
+        with open(os.path.join(root, "_catalog.json"), encoding="utf-8") as f:
+            meta = json.load(f)
+        for name, m in meta.items():
+            store._tables[name] = spark.read.parquet(os.path.join(root, name + ".parquet"))
+            store._meta[name] = TableMeta(**m)
+        return store
+
     def table(self, name: str) -> DataFrame:
         return self._tables[name]
 

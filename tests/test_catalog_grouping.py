@@ -138,3 +138,15 @@ def test_summary_stats(spark):
     df = spark.createDataFrame([("g", 1.0), ("g", 3.0)], "k string, v double")
     out = summary_stats(df, ["k"], "v").collect()[0]
     assert out["n"] == 2 and out["mean"] == 2.0 and out["min"] == 1.0 and out["max"] == 3.0
+
+
+def test_store_save_load_roundtrip(spark, store, tmp_path):
+    root = str(tmp_path / "catalog")
+    store.save(root)
+    loaded = TableStore.load(spark, root)
+    assert loaded.names() == ["tbl"]
+    assert loaded.meta("tbl").table_keys == ["src"]
+    # metadata-default read works identically on the reloaded store
+    out = loaded.read("tbl", filter_dict={"src": "init"}, out_option="groups",
+                      aggs={"n": F.count(F.lit(1))})
+    assert rows_set(out) == [(3,)]
