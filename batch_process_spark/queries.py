@@ -26,6 +26,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+from batch_process_spark.functions.rounding import round_half_up  # noqa: E402
+
+
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -64,9 +67,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round(sum(l_extendedprice), 4)                                   AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           floor(avg(l_quantity) * 10000 + 0.5) / 10000                     AS avg_qty,
+           floor(avg(l_extendedprice) * 10000 + 0.5) / 10000                AS avg_price,
+           floor(avg(l_discount) * 10000 + 0.5) / 10000                     AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -90,9 +93,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_half_up(F.avg("l_quantity")).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice")).alias("avg_price"),
+            round_half_up(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -135,7 +138,7 @@ def q02_filter_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*)                      AS n_rows,
            round(sum(o_totalprice), 4)   AS sum_total,
-           round(avg(o_totalprice), 4)   AS avg_total,
+           floor(avg(o_totalprice) * 10000 + 0.5) / 10000 AS avg_total,
            max(o_orderdate)              AS max_date
     FROM orders
     WHERE o_orderstatus = 'O'
@@ -159,7 +162,7 @@ def q03_group_project_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={
             "n_rows": F.count(F.lit(1)),
             "sum_total": F.round(F.sum("o_totalprice"), 4),
-            "avg_total": F.round(F.avg("o_totalprice"), 4),
+            "avg_total": round_half_up(F.avg("o_totalprice")),
             "max_date": F.max("o_orderdate"),
         },
     )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from batch_process_spark.operators import dedup, similarity, text
 from batch_process_spark.operators.multimodal import attach_binary, decode_features
 from batch_process_spark.operators.sets import union_align
-from batch_process_spark.queries import ORACLES, QUERIES, _q, _t
+from batch_process_spark.queries import _q, _t, round_half_up
 
 # DuckDB expression fragments matching the library's token/shingle defs
 DUCK_TOKENS = (
@@ -323,12 +323,12 @@ def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(n_tokens), 4) AS avg_tokens,
-           round(avg(punct_ratio), 6) AS avg_punct,
-           round(avg(
+           floor(avg(n_tokens) * 10000 + 0.5) / 10000 AS avg_tokens,
+           floor(avg(punct_ratio) * 1000000 + 0.5) / 1000000 AS avg_punct,
+           floor(avg(
              greatest(1.0 - least(punct_ratio * 2, 0.4) - least(digit_ratio * 2, 0.3)
                       - CASE WHEN n_tokens < 5 OR n_tokens > 100000 THEN 0.3 ELSE 0.0 END, 0.0)
-           ), 6) AS avg_quality
+           ) * 1000000 + 0.5) / 1000000 AS avg_quality
     FROM q GROUP BY lang
     """,
 )
@@ -338,9 +338,9 @@ def q23_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.quality_features(_t(spark, sf_dir, "documents"))
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("punct_ratio"), 6).alias("avg_punct"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        round_half_up(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        round_half_up(F.avg("punct_ratio"), 6).alias("avg_punct"),
+        round_half_up(F.avg("quality_score"), 6).alias("avg_quality"),
     )
 
 

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batch_process_spark.operators.asof import asof_join
-from batch_process_spark.queries import _q, _t
+from batch_process_spark.queries import _q, _t, round_half_up
 from batch_process_spark.streaming.windows import session_agg, tumbling_window_agg
 
 
@@ -66,7 +66,7 @@ def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q34_cube",
     """
-    SELECT p_brand, p_size, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    SELECT p_brand, p_size, count(*) AS n_parts, floor(avg(p_retailprice) * 10000 + 0.5) / 10000 AS avg_price
     FROM part WHERE p_size <= 10
     GROUP BY CUBE (p_brand, p_size)
     """,
@@ -77,7 +77,7 @@ def q34_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 10)
         .cube("p_brand", "p_size")
-        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .agg(F.count(F.lit(1)).alias("n_parts"), round_half_up(F.avg("p_retailprice")).alias("avg_price"))
     )
 
 
@@ -136,7 +136,7 @@ def q36_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            round(sum(value), 4) AS sum_value,
-           round(avg(value), 4) AS avg_value
+           floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -317,8 +317,8 @@ def q42_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q43_percentiles",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
            round(min(l_extendedprice), 4) AS min_price,
            round(max(l_extendedprice), 4) AS max_price
     FROM lineitem GROUP BY l_returnflag
@@ -332,8 +332,8 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            round_half_up(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+            round_half_up(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
             F.round(F.min("l_extendedprice"), 4).alias("min_price"),
             F.round(F.max("l_extendedprice"), 4).alias("max_price"),
         )

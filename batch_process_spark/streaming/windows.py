@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from batch_process_spark.functions.rounding import round_half_up
+
 
 def tumbling_window_agg(
     events: DataFrame,
@@ -29,7 +31,7 @@ def tumbling_window_agg(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            round_half_up(F.avg("value")).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
