@@ -66,6 +66,10 @@ def brute_force_topk(
     from batch_process_spark.operators.dedup import ensure_parallelism
 
     qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, score double, rank int"
+        )
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # Q x d
     qnorm = np.linalg.norm(qmat, axis=1)  # Q

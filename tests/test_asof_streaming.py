@@ -122,3 +122,19 @@ def test_streaming_matches_batch(spark, events, tmp_path):
         for r in out.collect()
     }
     assert stream == batch
+
+
+def test_session_window_agg_matches_session_agg(spark, events):
+    """Native session_window groups must agree with the lag/cumsum
+    sessionization on event counts per (user, session)."""
+    from batch_process_spark.streaming.windows import session_window_agg
+
+    native = session_window_agg(events, gap="30 minutes")
+    classic = session_agg(events, gap_minutes=30)
+    n_native = sorted(
+        (r["user_id"], r["n_events"]) for r in native.collect()
+    )
+    n_classic = sorted(
+        (r["user_id"], r["n_events"]) for r in classic.collect()
+    )
+    assert n_native == n_classic

@@ -245,3 +245,20 @@ def test_ngrams_and_top(spark):
     assert grams[2] == ["a b"]
     top = top_ngrams(df, "text", 2, 2).collect()
     assert top[0]["ngram"] == "a b" and top[0]["cnt"] == 3
+
+
+def test_edge_cases_empty_and_null_inputs(spark, vecs):
+    """Operators must degrade cleanly on empty frames, NULL/empty text,
+    and zero queries (errors-as-data, never job failures)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    blank = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    no_q = spark.createDataFrame([], "query_id long, embedding array<float>")
+
+    assert dedup.exact_dedup(empty, "text", "doc_id").count() == 0
+    assert dedup.exact_dedup(blank, "text", "doc_id").count() == 2  # '' vs NULL distinct
+    assert dedup.minhash_near_dup_pairs(blank, "doc_id", "text").count() == 0
+    assert dedup.simhash_docs(blank, "doc_id", "text").count() == 0  # no tokens -> no rows
+    out = similarity.brute_force_topk(vecs, no_q)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "score", "rank"]
+    assert blank.select(text.lang_id("text").alias("l")).collect()[0]["l"] == "und"
