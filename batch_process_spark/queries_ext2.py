@@ -824,3 +824,32 @@ def q60_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_spark.operators.text import top_ngrams
 
     return top_ngrams(_t(spark, sf_dir, "documents"), "text", n=2, k=20)
+
+
+@_q(
+    "q61_merge_upsert",
+    """
+    WITH source AS (
+      SELECT c_custkey, c_name, round(c_acctbal * 1.1, 2) AS bal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    target AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM customer)
+    SELECT * FROM target WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    UNION ALL
+    SELECT * FROM source
+    """,
+)
+def q61_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert (anti-join + union rewrite): every 10th customer's
+    balance updated, the rest pass through."""
+    from batch_process_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+    )
+    source = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", F.round(F.col("c_acctbal") * 1.1, 2).alias("bal"))
+    )
+    return merge_upsert(cust, source, ["c_custkey"])

@@ -1,0 +1,75 @@
+"""MERGE/upsert + SCD2 tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.merge import (
+    OPEN_END,
+    apply_deletes,
+    merge_upsert,
+    scd2_apply,
+    scd2_init,
+)
+from tests.conftest import rows_set
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    source = spark.createDataFrame([(2, "B"), (4, "D")], "k long, v string")
+    out = merge_upsert(target, source, ["k"])
+    assert rows_set(out) == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
+
+
+def test_apply_deletes(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dels = spark.createDataFrame([(2,)], "k long")
+    assert rows_set(apply_deletes(target, dels, ["k"])) == [(1, "a")]
+
+
+def test_scd2_lifecycle(spark):
+    snap = spark.createDataFrame(
+        [(1, "alice", "2020-01-01"), (2, "bob", "2020-01-01")],
+        "id long, name string, ts string",
+    )
+    dim = scd2_init(snap, "ts")
+    assert dim.filter(F.col("is_current")).count() == 2
+
+    changes = spark.createDataFrame(
+        [
+            (1, "alicia", "2021-06-01"),
+            (1, "alice2", "2022-01-01"),  # two chained changes for id=1
+            (3, "carol", "2021-01-01"),   # brand-new key
+        ],
+        "id long, name string, ts string",
+    )
+    out = scd2_apply(dim, changes, ["id"], "ts")
+
+    cur = {r["id"]: r["name"] for r in out.filter(F.col("is_current")).collect()}
+    assert cur == {1: "alice2", 2: "bob", 3: "carol"}
+
+    hist1 = sorted(
+        (str(r["valid_from"]), str(r["valid_to"]), r["name"])
+        for r in out.filter(F.col("id") == 1).collect()
+    )
+    # alice: 2020 -> closed at first change; alicia: closed at second;
+    # alice2: open-ended
+    assert hist1[0][2] == "alice" and hist1[0][1].startswith("2021-06-01")
+    assert hist1[1][2] == "alicia" and hist1[1][1].startswith("2022-01-01")
+    assert hist1[2][2] == "alice2" and hist1[2][1].startswith("9999-12-31")
+
+    # no overlapping validity windows per key
+    for rid in (1, 2, 3):
+        spans = sorted(
+            (str(r["valid_from"]), str(r["valid_to"]))
+            for r in out.filter(F.col("id") == rid).collect()
+        )
+        for (f1, t1), (f2, t2) in zip(spans, spans[1:]):
+            assert t1 <= f2
+
+
+def test_scd2_apply_idempotent_on_untouched_keys(spark):
+    snap = spark.createDataFrame([(9, "zed", "2020-01-01")], "id long, name string, ts string")
+    dim = scd2_init(snap, "ts")
+    changes = spark.createDataFrame([], "id long, name string, ts string")
+    out = scd2_apply(dim, changes, ["id"], "ts")
+    assert rows_set(out.select("id", "name", "is_current")) == [(9, "zed", True)]
