@@ -205,3 +205,16 @@ def test_per_proc_config_overrides_rule_config(reg, tree):
     }
     Pipeline(cfg, r).run(tree)
     assert seen == {"a": 2, "b": 9}  # per-proc a wins, rule-level b kept
+
+
+def test_progress_snapshot_and_reporter(spark, tree):
+    from batch_process_spark.plans.progress import ProgressReporter, snapshot
+
+    snap = snapshot(spark)  # idle: nothing active
+    assert snap.active_jobs == 0 and snap.fraction == 1.0
+
+    with ProgressReporter(spark, interval=0.05) as rep:
+        # a job with enough tasks to be observable
+        spark.range(2_000_000, numPartitions=16).selectExpr("sum(id)").collect()
+    # the reporter thread ran and captured snapshots without errors
+    assert isinstance(rep.samples, list)
