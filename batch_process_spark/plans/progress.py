@@ -82,3 +82,33 @@ class ProgressReporter:
         self._stop.set()
         self._thread.join(timeout=5)
         return False
+
+
+class JobGroup:
+    """Cancellable scope for Spark actions — the distributed equivalent
+    of the reference's Qt interruption flag polled between steps
+    (``engine.py:82-85``). Actions started inside the scope belong to
+    the group; ``cancel()`` (from any thread) aborts them::
+
+        jg = JobGroup(spark, "pipeline-run-42")
+        with jg:
+            df.write.parquet(out)   # cancellable from another thread
+    """
+
+    def __init__(self, spark: SparkSession, group_id: str, description: str = ""):
+        self.spark = spark
+        self.group_id = group_id
+        self.description = description
+
+    def __enter__(self):
+        self.spark.sparkContext.setJobGroup(
+            self.group_id, self.description, interruptOnCancel=True
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.sparkContext.setJobGroup("", "")
+        return False
+
+    def cancel(self) -> None:
+        self.spark.sparkContext.cancelJobGroup(self.group_id)

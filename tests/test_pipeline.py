@@ -218,3 +218,36 @@ def test_progress_snapshot_and_reporter(spark, tree):
         spark.range(2_000_000, numPartitions=16).selectExpr("sum(id)").collect()
     # the reporter thread ran and captured snapshots without errors
     assert isinstance(rep.samples, list)
+
+
+def test_job_group_cancellation(spark):
+    import threading
+    import time as _time
+
+    from batch_process_spark.plans.progress import JobGroup
+    from pyspark.sql import functions as F
+
+    jg = JobGroup(spark, "cancel-test", "cancellable run")
+
+    started = threading.Event()
+
+    def slow_action():
+        with jg:
+            try:
+                # a deliberately slow job (~1000s of UDF sleep total —
+                # can only end quickly via cancellation)
+                slow = F.udf(lambda x: (_time.sleep(1.0), x)[1])
+                started.set()
+                spark.range(1000, numPartitions=4).select(slow("id")).collect()
+                return "finished"
+            except Exception:
+                return "cancelled"
+
+    result = {}
+    t = threading.Thread(target=lambda: result.update(r=slow_action()))
+    t.start()
+    started.wait(timeout=30)
+    _time.sleep(3)  # let tasks actually run
+    jg.cancel()
+    t.join(timeout=120)
+    assert result.get("r") == "cancelled"
