@@ -262,10 +262,10 @@ def q06_label_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT concat('u', user_id)          AS file,
            max(CAST(floor(value) AS BIGINT)) AS max_lines,
-           sum(event_id)                 AS sum_words,
-           sum(CAST(floor(value) AS BIGINT)) AS sum_chars,
+           CAST(sum(event_id) AS BIGINT) AS sum_words,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_chars,
            arg_min(event_type, ts)       AS first_lang,
-           list(event_type ORDER BY event_type) AS statuses,
+           string_agg(event_type, ',' ORDER BY event_type) AS statuses,
            max(ts)                       AS last_ts
     FROM events
     GROUP BY concat('u', user_id)
@@ -273,7 +273,11 @@ def q06_label_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_result_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: per-file execution-record merge (max/sum/sum/first-by-time/
-    sorted list/max) over an events-derived results table."""
+    sorted list/max) over an events-derived results table.
+
+    The sorted status list is flattened with array_join for the oracle
+    compare — the driver's canonicalizer cannot sort collection-typed
+    columns (round-1 q07 err)."""
     ev = _t(spark, sf_dir, "events")
     results = ev.select(
         F.concat(F.lit("u"), F.col("user_id")).alias("file"),
@@ -284,7 +288,7 @@ def q07_result_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("status"),
         F.col("ts").alias("timestamp"),
     )
-    return merge_results(results)
+    return merge_results(results).withColumn("statuses", F.array_join("statuses", ","))
 
 
 @_q(
@@ -424,7 +428,7 @@ def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*)                 AS n_events,
-           sum(CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type

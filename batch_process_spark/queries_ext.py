@@ -256,8 +256,8 @@ def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len({DUCK_TOKENS.format(t='text')})) AS total_ws_tokens,
-           sum(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|\\d|[^\\sA-Za-z\\d]'))) AS total_bpe_tokens
+           CAST(sum(len({DUCK_TOKENS.format(t='text')})) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|\\d|[^\\sA-Za-z\\d]'))) AS BIGINT) AS total_bpe_tokens
     FROM documents GROUP BY lang
     """,
 )

@@ -160,7 +160,7 @@ def q37_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     s AS (
-      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+      SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM d
     )
     SELECT user_id, session_idx,
@@ -376,7 +376,7 @@ def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            toks[1]                                     AS first_tok,
            list_sort(list_distinct(toks))[1]           AS min_tok,
            len(list_filter(toks, t -> len(t) > 4))     AS n_long,
-           list_sum(list_transform(toks, t -> len(t))) AS total_len,
+           CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS total_len,
            array_to_string(toks[1:3], '-')             AS head3
     FROM (
       SELECT doc_id,
@@ -830,7 +830,7 @@ def q60_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_merge_upsert",
     """
     WITH source AS (
-      SELECT c_custkey, c_name, round(c_acctbal * 1.1, 2) AS bal
+      SELECT c_custkey, c_name, floor(c_acctbal * 1.1 * 100 + 0.5) / 100 AS bal
       FROM customer WHERE c_custkey % 10 = 0
     ),
     target AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM customer)
@@ -850,6 +850,6 @@ def q61_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 10 == 0)
-        .select("c_custkey", "c_name", F.round(F.col("c_acctbal") * 1.1, 2).alias("bal"))
+        .select("c_custkey", "c_name", round_half_up(F.col("c_acctbal") * 1.1, 2).alias("bal"))
     )
     return merge_upsert(cust, source, ["c_custkey"])

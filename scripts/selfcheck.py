@@ -2,15 +2,21 @@
 
 Runs every ``queries()`` entry at the given sf dir, runs the matching
 ``oracle_sql()`` in DuckDB on the same parquet tables, and compares:
-row count, column-name set, and order-insensitive values (sorted by all
-columns, floats to 6 significant decimals).
+row count, column-name set, and STRICT driver-style values.
+
+The driver materializes both sides to pandas, sorts by all columns, and
+hashes the values — so dtype matters (DuckDB HUGEINT -> float64 "123.0"
+vs Spark int64 "123" mismatches; round-1 q14/q21/q38/q45), and a
+collection-typed column crashes its sort (round-1 q07). This replica
+does the same: ``toPandas()`` / ``.df()``, ``sort_values`` over every
+column, and cell-level ``astype(str)`` comparison — NOT the lenient
+``%.6g`` normalization of round 1, which masked both failure modes.
 
 Usage: python scripts/selfcheck.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
@@ -24,23 +30,13 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def canonical(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def canon_pandas(pdf):
+    """Driver-style canonical form: sort columns by name, sort rows by
+    all columns (crashes on collection columns, as the driver does),
+    stringify cells dtype-sensitively (int64 123 != float64 123.0)."""
+    pdf = pdf[sorted(pdf.columns)].reset_index(drop=True)
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
 def main():
@@ -65,38 +61,47 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"rows-only {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
             continue
         try:
             res = con.sql(oracles[name])
             ocols = res.columns
-            orows = res.fetchall()
+            opdf = res.df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         errs = []
-        if len(srows) != len(orows):
-            errs.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if len(spdf) != len(opdf):
+            errs.append(f"rowcount spark={len(spdf)} duckdb={len(opdf)}")
         if sorted(scols) != sorted(ocols):
             errs.append(f"schema spark={sorted(scols)} duckdb={sorted(ocols)}")
         if not errs:
-            sc, oc = canonical(srows, scols), canonical(orows, ocols)
-            if sc != oc:
+            try:
+                sc = canon_pandas(spdf)
+            except Exception as e:
+                errs.append(f"driver-canon crash on SPARK side (collection col?): {e!r:.200}")
+                sc = None
+            try:
+                oc = canon_pandas(opdf)
+            except Exception as e:
+                errs.append(f"driver-canon crash on ORACLE side: {e!r:.200}")
+                oc = None
+            if sc is not None and oc is not None and sc != oc:
                 diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
                 errs.append(f"values differ; first diffs: {diffs}")
         if errs:
             print(f"FAIL {name}: " + "; ".join(errs))
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     spark.stop()
