@@ -52,19 +52,23 @@ def content_hash(col: Column | str) -> Column:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one deterministic representative per distinct content.
 
-    Single shuffle on the hash; ``min_by(id)`` picks the canonical row.
-    Scale note: group cardinality == distinct docs, so AQE coalesces
-    post-shuffle partitions; no driver-side state.
+    Returns the FULL representative row (all input columns, min-id row
+    wins) plus ``dup_count`` — ``min_by(struct(...), id)`` carries the
+    whole winning row through the aggregation, so callers can recover
+    the surviving record, not just its id.
+
+    Single shuffle on the hash. Scale note: group cardinality ==
+    distinct docs, so AQE coalesces post-shuffle partitions; no
+    driver-side state.
     """
-    h = content_hash(text_col).alias("__h")
+    other = [c for c in df.columns if c != id_col]
     return (
-        df.select(h, F.col(id_col), *[c for c in df.columns if c != id_col])
-        .groupBy("__h")
+        df.groupBy(content_hash(text_col).alias("__h"))
         .agg(
-            F.min(id_col).alias(id_col),
+            F.min_by(F.struct(F.col(id_col), *[F.col(c) for c in other]), F.col(id_col)).alias("__rep"),
             F.count(F.lit(1)).alias("dup_count"),
         )
-        .drop("__h")
+        .select("__rep.*", "dup_count")
     )
 
 
@@ -275,6 +279,10 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+# Live persisted shingle frames (bounded to 1; see minhash_near_dup_pairs).
+_LIVE_SHINGLE_CACHES: list[DataFrame] = []
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -293,8 +301,19 @@ def minhash_near_dup_pairs(
     """
     base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     # One Arrow-batched shingle pass, persisted: feeds both the
-    # signature aggregation and the two verify probes.
+    # signature aggregation and the two verify probes. At most one
+    # shingle cache is live per process: the previous invocation's is
+    # released here (the result is lazy, so it cannot be unpersisted
+    # inside this call), and the handle is exposed on the returned
+    # DataFrame as ``_bps_persisted`` for callers that want to release
+    # it as soon as their action completes.
+    while _LIVE_SHINGLE_CACHES:
+        try:
+            _LIVE_SHINGLE_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
     sh = shingle_frame(base, id_col, text_col, k).persist()
+    _LIVE_SHINGLE_CACHES.append(sh)
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("__s")).withColumn(
         "__x", shingle_fingerprint(F.col("__s"))
     )
@@ -321,6 +340,7 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
+    verified._bps_persisted = sh
     return verified
 
 

@@ -46,16 +46,46 @@ def scd2_init(snapshot: DataFrame, ts_col: str) -> DataFrame:
     )
 
 
-def scd2_apply(dim: DataFrame, changes: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame:
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    rejected_out: list | None = None,
+) -> DataFrame:
     """Apply timestamped attribute changes to an SCD2 dimension.
 
     For each change: the key's current row closes at the change
     timestamp; a new current row opens. Multiple changes per key in one
     batch chain correctly (window over change order). Unchanged keys
     pass through untouched.
+
+    Precondition: change timestamps must be later than the affected
+    key's current ``valid_from`` (SCD2 history is append-only forward
+    in time). Late/out-of-order changes would otherwise close the
+    current row with ``valid_to < valid_from`` — an inverted interval
+    that silently corrupts as-of lookups — so they are REJECTED
+    (errors-as-data, like the pipeline registry): filtered out of the
+    apply, and appended as a DataFrame of the offending change rows to
+    ``rejected_out`` when the caller passes a list.
     """
     keys = list(keys)
     ch = changes.withColumn("valid_from", F.col(ts_col).cast("timestamp")).drop(ts_col)
+
+    # Reject changes at or before the key's current valid_from (one
+    # broadcast-able probe of current rows; no extra shuffle of `ch` —
+    # the join is on the same keys the window below shuffles on anyway).
+    current_from = (
+        dim.filter(F.col("is_current"))
+        .select(*keys, F.col("valid_from").alias("__cur_from"))
+    )
+    ch = ch.join(current_from, on=keys, how="left")
+    late = ch.filter(F.col("__cur_from").isNotNull() & (F.col("valid_from") <= F.col("__cur_from")))
+    if rejected_out is not None:
+        rejected_out.append(late.drop("__cur_from"))
+    ch = ch.filter(F.col("__cur_from").isNull() | (F.col("valid_from") > F.col("__cur_from"))).drop(
+        "__cur_from"
+    )
     w = Window.partitionBy(*keys).orderBy("valid_from")
     ch = ch.withColumn(
         "valid_to",

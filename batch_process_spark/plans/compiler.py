@@ -172,8 +172,20 @@ class Pipeline:
         return out
 
     # -- execution -------------------------------------------------------
-    def run(self, tree: DataFrame) -> "PipelineResult":
-        """Execute all stages; never raises on operator failure."""
+    def run(self, tree: DataFrame, eager: bool = False) -> "PipelineResult":
+        """Execute all stages; never raises on operator failure.
+
+        Operators return LAZY DataFrames, so by default a stage's
+        ``status`` covers plan construction + Catalyst analysis errors
+        only — a runtime failure (bad data, failing UDF) surfaces later
+        at the consumer's action, after the history already recorded
+        success. ``eager=True`` forces one cheap evaluation per stage
+        (a ``noop``-sink write — full plan execution, zero driver
+        materialization) so runtime failures land in the run record the
+        way the reference's per-step failure records do
+        (``engine.py:519-537``), at the cost of executing each stage
+        at record time.
+        """
         spark = tree.sparkSession
         results: list[dict] = []
         outputs: dict[int, DataFrame] = {}
@@ -190,7 +202,10 @@ class Pipeline:
             try:
                 op = self.registry.get(st.op_name)
                 frame = tree if st.pattern is None else tree.filter(match_rule(st.pattern))
-                outputs[st.step] = op(frame, **st.config)
+                out = op(frame, **st.config)
+                if eager and isinstance(out, DataFrame):
+                    out.write.format("noop").mode("overwrite").save()
+                outputs[st.step] = out
             except Exception as exc:
                 rec["status"] = "failed"
                 rec["error"] = f"{type(exc).__name__}: {exc}"

@@ -39,20 +39,42 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+# Per-session memo of pinned confs and loaded tables. Keyed on the live
+# SparkSession object (WeakKeyDictionary: entries die with the session,
+# and ids are never reused while the session is alive). The table memo
+# holds DataFrame *plans* (schema + scan), not data — re-calling
+# spark.read.parquet re-reads footers and re-infers schema on every
+# query, which at bench scale is pure fixed overhead the DuckDB
+# baseline's registered views don't pay.
+import weakref  # noqa: E402
+
+_SESSION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Defensive: these queries may run under the driver's own session.
-    # Pin the runtime-settable confs correctness depends on (oracle
-    # comparison assumes UTC timestamps and lenient/NULL semantics).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    if name == "events":
+    try:
+        memo = _SESSION_MEMO.setdefault(spark, {})
+    except TypeError:  # non-weakref-able session stand-in (test fakes)
+        memo = {}
+    if "pinned" not in memo:
+        # Defensive: these queries may run under the driver's own session.
+        # Pin the runtime-settable confs correctness depends on (oracle
+        # comparison assumes UTC timestamps and lenient/NULL semantics).
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros
-        # (integer DIV — matches DuckDB's ns->us truncation exactly).
+        # reader rejects without nanosAsLong (harmless for other tables).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        memo["pinned"] = True
+    key = (sf_dir, name)
+    if key not in memo:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # nanos read as long; truncate to micros (integer DIV —
+            # matches DuckDB's ns->us truncation exactly).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        memo[key] = df
+    return memo[key]
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,24 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame
 
+#: Driver-side safety valve: a selection glob that accidentally matches
+#: the whole lake must fail loud, not OOM the driver building a Python
+#: list of 10^8 paths. Bulk mutations belong in a distributed job
+#: (``foreachPartition``) against an object store, not in this
+#: control-plane module.
+MAX_CONTROL_FILES = 1_000_000
+
+
+def _collect_paths(files: DataFrame, path_col: str, max_files: int):
+    rows = files.select(path_col).limit(max_files + 1).collect()
+    if len(rows) > max_files:
+        raise ValueError(
+            f"file-op selection exceeds max_files={max_files}; this is a "
+            "driver-side control-plane op — narrow the selection or raise "
+            "max_files explicitly if the driver can hold the path list"
+        )
+    return rows
+
 
 def _result_df(spark, rows):
     return spark.createDataFrame(
@@ -22,12 +40,18 @@ def _result_df(spark, rows):
     ).filter("path != ''")
 
 
-def backup_files(files: DataFrame, root: str, backup_dir: str, path_col: str = "path") -> DataFrame:
+def backup_files(
+    files: DataFrame,
+    root: str,
+    backup_dir: str,
+    path_col: str = "path",
+    max_files: int = MAX_CONTROL_FILES,
+) -> DataFrame:
     """Tree-preserving copy (copy2 semantics) of selected files."""
     spark = files.sparkSession
     rootp = Path(root)
     rows = []
-    for r in files.select(path_col).collect():
+    for r in _collect_paths(files, path_col, max_files):
         src = Path(r[0])
         try:
             rel = src.relative_to(rootp)
@@ -40,11 +64,16 @@ def backup_files(files: DataFrame, root: str, backup_dir: str, path_col: str = "
     return _result_df(spark, rows)
 
 
-def rename_files(files: DataFrame, prefix: str, path_col: str = "path") -> DataFrame:
+def rename_files(
+    files: DataFrame,
+    prefix: str,
+    path_col: str = "path",
+    max_files: int = MAX_CONTROL_FILES,
+) -> DataFrame:
     """Prefix-rename selected files (reference ``rename`` op)."""
     spark = files.sparkSession
     rows = []
-    for r in files.select(path_col).collect():
+    for r in _collect_paths(files, path_col, max_files):
         src = Path(r[0])
         try:
             dest = src.with_name(prefix + src.name)
@@ -55,12 +84,17 @@ def rename_files(files: DataFrame, prefix: str, path_col: str = "path") -> DataF
     return _result_df(spark, rows)
 
 
-def delete_files(files: DataFrame, path_col: str = "path", dry_run: bool = True) -> DataFrame:
+def delete_files(
+    files: DataFrame,
+    path_col: str = "path",
+    dry_run: bool = True,
+    max_files: int = MAX_CONTROL_FILES,
+) -> DataFrame:
     """Delete selected files. ``dry_run=True`` by default — destructive
     ops opt in explicitly."""
     spark = files.sparkSession
     rows = []
-    for r in files.select(path_col).collect():
+    for r in _collect_paths(files, path_col, max_files):
         src = Path(r[0])
         try:
             if dry_run:

@@ -36,7 +36,11 @@ def file_tree_df(
 ) -> DataFrame:
     """Scan ``root`` recursively into a DataFrame of files + dirs."""
     rootp = Path(root)
-    rows = []
+    # The scan root itself is a visitable node (relpath ""): the
+    # reference hangs pre-processor rules on "." and runs them at the
+    # root, so the root must exist as a row for match_rule(".") to hit.
+    root_st = rootp.stat()
+    rows = [(str(rootp), "", True, 0, int(root_st.st_mtime))]
     for dirpath, dirnames, filenames in os.walk(root):
         dirnames.sort()
         for name in sorted(dirnames):
@@ -63,7 +67,7 @@ def file_tree_df(
     for i in range(max_levels):
         df = df.withColumn(
             f"level{i}",
-            F.when(F.size(parts) > i, F.element_at(parts, i + 1)),
+            F.when((F.col("relpath") != "") & (F.size(parts) > i), F.element_at(parts, i + 1)),
         )
     return df
 
@@ -114,7 +118,9 @@ def glob_to_tree_regex(pattern: str) -> str:
 def match_rule(pattern: str) -> Column:
     """Rule pattern -> boolean Column over (relpath, is_dir) columns."""
     if pattern == ".":
-        return F.col("relpath") == ""
+        # the scan root: file_tree_df emits it with relpath ""; accept a
+        # literal "." too for frames built by other producers
+        return F.col("relpath").isin("", ".")
     dir_only = pattern.endswith("/")
     if dir_only:
         pattern = pattern.rstrip("/")

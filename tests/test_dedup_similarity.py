@@ -22,9 +22,11 @@ def docs(spark):
 
 def test_exact_dedup(docs):
     out = dedup.exact_dedup(docs, "text", "doc_id")
+    assert set(out.columns) == {"doc_id", "text", "dup_count"}  # full rep row
     assert out.count() == 4  # 1 and 2 collapse
     rep = out.filter(F.col("dup_count") == 2).collect()[0]
     assert rep["doc_id"] == 1  # min id is canonical
+    assert rep["text"] == DOCS[0][1]  # winning row's payload survives
 
 
 def test_duplicate_groups(docs):

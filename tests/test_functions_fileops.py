@@ -84,6 +84,14 @@ def test_backup_files(spark, optree, tmp_path_factory):
     assert (dest / "sub" / "a.txt").read_text() == "aaa"  # tree preserved
 
 
+def test_fileops_guard_oversized_selection(spark, optree):
+    tree = file_tree_df(spark, str(optree)).filter(~F.col("is_dir"))
+    with pytest.raises(ValueError, match="max_files"):
+        delete_files(tree, max_files=1)
+    # and the guard never fired a single mutation
+    assert (optree / "b.txt").exists() and (optree / "c.log").exists()
+
+
 def test_rename_and_delete(spark, optree):
     tree = file_tree_df(spark, str(optree)).filter(F.col("name") == "c.log")
     res = rename_files(tree, "old_")

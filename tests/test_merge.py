@@ -67,6 +67,29 @@ def test_scd2_lifecycle(spark):
             assert t1 <= f2
 
 
+def test_scd2_rejects_out_of_order_changes(spark):
+    snap = spark.createDataFrame([(1, "alice", "2021-01-01")], "id long, name string, ts string")
+    dim = scd2_init(snap, "ts")
+    changes = spark.createDataFrame(
+        [
+            (1, "old-alice", "2020-06-01"),  # BEFORE current valid_from -> reject
+            (1, "alicia", "2022-01-01"),     # valid forward change -> apply
+        ],
+        "id long, name string, ts string",
+    )
+    rejected = []
+    out = scd2_apply(dim, changes, ["id"], "ts", rejected_out=rejected)
+
+    cur = {r["id"]: r["name"] for r in out.filter(F.col("is_current")).collect()}
+    assert cur == {1: "alicia"}
+    # no inverted validity interval anywhere
+    for r in out.collect():
+        assert str(r["valid_from"]) <= str(r["valid_to"])
+    # the late change lands in the rejection frame, not the history
+    assert [r["name"] for r in rejected[0].collect()] == ["old-alice"]
+    assert "old-alice" not in {r["name"] for r in out.collect()}
+
+
 def test_scd2_apply_idempotent_on_untouched_keys(spark):
     snap = spark.createDataFrame([(9, "zed", "2020-01-01")], "id long, name string, ts string")
     dim = scd2_init(snap, "ts")

@@ -109,6 +109,29 @@ def test_run_errors_as_data(reg, tree):
     assert rows["txt_only"]["status"] == "success"  # run continued
 
 
+def test_run_eager_catches_runtime_failures(reg, tree, spark):
+    # A stage whose plan ANALYZES fine but fails at execution: a
+    # mapInPandas kernel that raises on real data. Lazy run records
+    # success (the known caveat); eager=True executes each stage and
+    # records the runtime failure like the reference's per-step records.
+    r = Registry()
+
+    @r.register(name="runtime_boom")
+    def runtime_boom(df, **cfg):
+        def kernel(batches):
+            raise RuntimeError("runtime kaboom")
+            yield  # pragma: no cover
+
+        return df.select("relpath").mapInPandas(kernel, schema="relpath string")
+
+    cfg = {"rules": {"**/*.txt": {"processors": ["runtime_boom"]}}}
+    lazy = Pipeline(cfg, r).run(tree)
+    assert lazy.results.collect()[0]["status"] == "success"  # documented gap
+    eager = Pipeline(cfg, r).run(tree, eager=True)
+    rec = eager.results.collect()[0]
+    assert rec["status"] == "failed" and "runtime kaboom" in rec["error"]
+
+
 def test_unknown_operator_is_recorded(reg, tree):
     p = Pipeline({"rules": {"**/*.txt": {"processors": ["nope"]}}}, reg)
     res = p.run(tree)

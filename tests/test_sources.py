@@ -48,8 +48,10 @@ def test_file_tree_levels(spark, tree):
     assert (a["level0"], a["level1"], a["level2"]) == ("group_A", "run1", "a.txt")
     assert a["ext"] == "txt"
     dirs = df.filter(F.col("is_dir"))
-    # group_A, group_A/run1, group_A/run2, group_B, group_B/run1, logs
-    assert dirs.count() == 6
+    # root + group_A, group_A/run1, group_A/run2, group_B, group_B/run1, logs
+    assert dirs.count() == 7
+    root_row = df.filter(F.col("relpath") == "").collect()
+    assert len(root_row) == 1 and root_row[0]["is_dir"] and root_row[0]["level0"] is None
 
 
 def test_glob_rules(spark, tree):
@@ -61,6 +63,10 @@ def test_glob_rules(spark, tree):
     assert df.filter(match_rule("*.txt")).count() == 0  # top level has none
     assert df.filter(match_rule("group_?/")).count() == 2  # dir-only
     assert df.filter(match_rule("logs/app.log")).count() == 1
+    # the reference's demo config hangs pre_processors on "." — the rule
+    # must select exactly the scan-root row, not an empty frame
+    root = df.filter(match_rule(".")).collect()
+    assert len(root) == 1 and root[0]["relpath"] == "" and root[0]["is_dir"]
 
 
 def test_dict_parsing():
