@@ -405,18 +405,79 @@ def q25_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
-@_q("q26_embedding_neardup")  # rows-only: hyperplanes from seeded numpy
+def _plane_dot_sql(col: str, plane: list[float]) -> str:
+    """DuckDB dot product of an embedding column with a literal plane."""
+    lits = ", ".join(repr(x) for x in plane)
+    return f"list_sum(list_transform(range(1, 65), i -> {col}[i]::DOUBLE * [{lits}][i]))"
+
+
+def _bucket_sql(col: str, planes: list[list[float]]) -> str:
+    """DuckDB replica of similarity.lsh_bucket: sign-bit string key.
+
+    The seeded hyperplanes are embedded as SQL literals, so the oracle
+    computes byte-identical buckets (both engines: float element ->
+    DOUBLE cast, multiply by the same double literal, sequential sum)."""
+    bits = " || ".join(
+        f"(CASE WHEN {_plane_dot_sql(col, p)} > 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+    return "(" + bits + ")"
+
+
+_Q26_PLANES = similarity._seeded_hyperplanes(64, 4, seed=42)
+_Q27_PLANES = similarity._seeded_hyperplanes(64, 6, seed=42)
+
+
+@_q(
+    "q26_embedding_neardup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding', _Q26_PLANES)} AS bucket
+      FROM embeddings
+    )
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round({_DOT.format(a='l.embedding', b='r.embedding')} /
+                 (sqrt({_DOT.format(a='l.embedding', b='l.embedding')}) *
+                  sqrt({_DOT.format(a='r.embedding', b='r.embedding')})), 6) AS score
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round({_DOT.format(a='l.embedding', b='r.embedding')} /
+                (sqrt({_DOT.format(a='l.embedding', b='l.embedding')}) *
+                 sqrt({_DOT.format(a='r.embedding', b='r.embedding')})), 6) >= 0.3
+    """,
+)
 def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star embedding near-dup: LSH sign-bucket blocking + exact
-    cosine verify (no SQL oracle — hyperplanes are seeded numpy)."""
+    cosine verify. The oracle replicates the seeded hyperplanes as SQL
+    literals, so the bucket-blocked pair set matches exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.3, n_bits=4)
 
 
-@_q("q27_ann_lsh")  # rows-only
+@_q(
+    "q27_ann_lsh",
+    f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding', _Q27_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM c WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round({_DOT.format(a='c.embedding', b='q.qe')} /
+                   (sqrt({_DOT.format(a='c.embedding', b='c.embedding')}) *
+                    sqrt({_DOT.format(a='q.qe', b='q.qe')})), 6) AS score
+      FROM c JOIN q USING (bucket)
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def q27_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star ANN: random-hyperplane LSH bucketed search (approximate;
-    verified against brute force in tests, not the SQL oracle)."""
+    """North-star ANN: random-hyperplane LSH bucketed search. Approximate
+    vs brute force, but deterministic given the seeded hyperplanes — the
+    oracle rebuilds the same buckets from SQL literals and ranks the
+    same candidate sets."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
