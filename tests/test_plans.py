@@ -71,6 +71,28 @@ def test_q09_topk_uses_take_ordered(spark, qs):
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort
 
 
+def test_ivf_probe_prunes_partitions(spark, tmp_path_factory):
+    """ivf_write lays vectors out partitioned by centroid; a probe read
+    must prune at the file listing (PartitionFilters), never full-scan."""
+    from batch_process_spark.operators.similarity import ivf_read_probe, ivf_write
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)], i % 4) for i in range(64)],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_write(vecs, path)
+
+    probe = ivf_read_probe(spark, path, [1, 3])
+    plan = plan_of(probe)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    # the isin lands on the partition column at the scan, pruning at the
+    # file listing (inputFiles() can't verify this — it reports the
+    # pre-pruning file index)
+    assert "centroid_id" in pf and "IN (1,3)" in pf
+    assert probe.count() == 32
+
+
 def test_minhash_shuffle_is_narrow(spark):
     """The minhash signature shuffle must carry only (id, partial
     mins) — never shingle strings."""
