@@ -77,6 +77,24 @@ def test_docx_report_fallback(small, tmp_path):
         assert "# Results" in text and "| x | s |" in text
 
 
+def test_plot_real_matplotlib_render(small, tmp_path):
+    """Real-render path (detect-and-use): runs wherever matplotlib is
+    installed; skipped in this sandbox, which lacks it."""
+    pytest.importorskip("matplotlib")
+    out = plot_from_spec(
+        small, {"title": "t", "series": [{"x": "x", "y": "x"}]}, str(tmp_path / "p.png")
+    )
+    assert out.endswith("p.png") and os.path.getsize(out) > 0
+    assert open(out, "rb").read(8).startswith(b"\x89PNG")
+
+
+def test_docx_real_render(small, tmp_path):
+    pytest.importorskip("docx")
+    out = docx_report(small, "Results", str(tmp_path / "r.docx"))
+    assert out.endswith("r.docx") and os.path.getsize(out) > 0
+    assert open(out, "rb").read(2) == b"PK"  # docx is a zip container
+
+
 def test_report_rejects_big_frames(spark, tmp_path):
     import batch_process_spark.sinks.report as report
 
