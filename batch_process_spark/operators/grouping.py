@@ -25,7 +25,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def split_by_groups(df: DataFrame, keys: Sequence[str]):
+#: split_by_groups is a control-plane shape (one Python object per
+#: group); past this many groups the caller almost certainly wants the
+#: distributed forms instead. Fail loud, don't build 10^6 DataFrames.
+MAX_SPLIT_GROUPS = 10_000
+
+
+def split_by_groups(df: DataFrame, keys: Sequence[str], max_groups: int = MAX_SPLIT_GROUPS):
     """Return (key_row_dict, sub_df) per group, NULL keys kept.
 
     The reference materializes a list of pandas frames; distributed we
@@ -33,13 +39,23 @@ def split_by_groups(df: DataFrame, keys: Sequence[str]):
     (small by construction — it is a grouping key set), and each sub-df
     is a filtered view that Catalyst prunes via partition/predicate
     pushdown. For bulk per-group processing prefer
-    ``df.groupBy(*keys).applyInPandas`` instead of iterating.
+    ``df.groupBy(*keys).applyInPandas`` (per-group kernels) or
+    ``grouped_counts`` (aggregates) — this function guards itself with
+    ``max_groups`` so a high-cardinality key fails loud instead of
+    building one DataFrame per key driver-side.
     """
     keys = list(keys)
     if not keys:
         return [({}, df)]
+    distinct = df.select(*keys).distinct().limit(max_groups + 1).collect()
+    if len(distinct) > max_groups:
+        raise ValueError(
+            f"split_by_groups: more than max_groups={max_groups} distinct key "
+            "tuples — use groupBy().applyInPandas / grouped_counts for bulk "
+            "per-group processing, or raise max_groups explicitly"
+        )
     out = []
-    for row in df.select(*keys).distinct().collect():
+    for row in distinct:
         kd = row.asDict()
         pred = None
         for k, v in kd.items():

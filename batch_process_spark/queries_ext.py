@@ -135,7 +135,12 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_align([docs, muts])
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    corpus_sql: str | None = None,
+) -> str:
     rows = num_hashes // bands
     sh = duck_shingles("text", 3)
     P = dedup.MINHASH_P
@@ -148,7 +153,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7
         for b in range(bands)
     )
     return f"""
-    WITH corpus AS ({_NEAR_DUP_CORPUS}),
+    WITH corpus AS ({corpus_sql or _NEAR_DUP_CORPUS}),
     docs AS (SELECT doc_id, {sh} AS shingles FROM corpus),
     fps AS (SELECT doc_id, shingles,
                    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs

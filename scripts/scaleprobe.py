@@ -1,0 +1,178 @@
+"""Scale probe: Spark engine vs DuckDB on N-times-scaled corpora.
+
+Answers the question the small-SF bench can't: how do the headline
+data-pipeline operators (exact dedup, MinHash-LSH near-dup, embedding
+top-k) behave as input grows, and how much data actually crosses the
+shuffle? The corpus scales by unioning N transformed copies of
+documents/embeddings — each copy remaps ids and perturbs content
+(``translate(text, 'e', <copy letter>)`` / embedding nudge) so copies
+don't near-duplicate each other: output size stays ~linear in N and
+the workload shape is preserved, unlike naive duplication (which
+inflates LSH buckets quadratically).
+
+Both engines run the same transforms on the same parquet. Shuffle
+write bytes come from Spark's REST status API (UI enabled for the
+probe session only).
+
+Usage: python scripts/scaleprobe.py [sf_dir] [N ...]   (default sf0.1, N=1 4 16)
+Prints a markdown table for BASELINE.md §5.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+import duckdb
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators import dedup, similarity
+from batch_process_spark.operators.sets import union_align
+from batch_process_spark.queries_ext import _minhash_oracle, _near_dup_corpus, _NEAR_DUP_CORPUS, _DOT
+from batch_process_spark.session import get_spark
+
+# copy substitution: copy i maps 'e'->c1, 'a'->c2 (both high-frequency
+# letters), giving 20x20 distinct copies whose shingle spaces diverge
+# from every other copy's — copies never near-duplicate each other
+LETTERS = "abcdfghijklmnopqrstu"
+
+
+def _subst(i: int) -> str:
+    return LETTERS[i % len(LETTERS)] + LETTERS[i // len(LETTERS)]
+
+
+def shuffle_write_bytes(ui_port: int = 4040) -> int:
+    """Total shuffle write bytes across completed stages (REST API)."""
+    base = f"http://localhost:{ui_port}/api/v1"
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/applications", timeout=5))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/applications/{app_id}/stages?status=complete", timeout=5)
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def scaled_docs_spark(spark, sf_dir: str, n_copies: int):
+    base = _near_dup_corpus(spark, sf_dir)
+    copies = [
+        base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.translate(F.col("text"), "ea", _subst(i)).alias("text"),
+        )
+        for i in range(n_copies)
+    ]
+    return union_align(copies)
+
+
+def scaled_docs_sql(n_copies: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id + {i * 10_000_000} AS doc_id, translate(text, 'ea', '{_subst(i)}') AS text "
+        f"FROM ({_NEAR_DUP_CORPUS})"
+        for i in range(n_copies)
+    )
+
+
+def scaled_emb_spark(spark, sf_dir: str, n_copies: int):
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = [
+        base.select(
+            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double") + F.lit(i * 1e-4)).alias("embedding"),
+        )
+        for i in range(n_copies)
+    ]
+    return union_align(copies)
+
+
+def scaled_emb_sql(sf_dir: str, n_copies: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id + {i * 10_000_000} AS vec_id, "
+        f"list_transform(embedding, x -> x::DOUBLE + {i * 1e-4}) AS embedding "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        for i in range(n_copies)
+    )
+
+
+def t_spark(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def t_duck(con, sql: str) -> float:
+    t0 = time.time()
+    con.sql(f"SELECT count(*) FROM ({sql})").fetchall()
+    return time.time() - t0
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ns = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark("scaleprobe", extra_conf={"spark.ui.enabled": "true"})
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+
+    print("| op | N | input rows | Spark (s) | DuckDB (s) | ratio | shuffle MB | shuffle B/row |")
+    print("|---|---|---|---|---|---|---|---|")
+    for n in ns:
+        docs = scaled_docs_spark(spark, sf_dir, n).cache()
+        n_rows = docs.count()
+
+        # exact dedup
+        sb0 = shuffle_write_bytes()
+        s = min(t_spark(dedup.exact_dedup(docs, "text", "doc_id")) for _ in range(2))
+        sb = shuffle_write_bytes() - sb0
+        d = t_duck(
+            con,
+            f"SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS dup_count "
+            f"FROM ({scaled_docs_sql(n)}) GROUP BY md5(text)",
+        )
+        print(f"| exact_dedup | {n} | {n_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {sb/2**20:.1f} | {sb/max(n_rows,1):.0f} |")
+
+        # minhash near-dup
+        sb0 = shuffle_write_bytes()
+        s = t_spark(dedup.minhash_near_dup_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.7))
+        sb = shuffle_write_bytes() - sb0
+        d = t_duck(con, _minhash_oracle(corpus_sql=scaled_docs_sql(n)))
+        print(f"| minhash_lsh | {n} | {n_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {sb/2**20:.1f} | {sb/max(n_rows,1):.0f} |")
+        docs.unpersist()
+
+        # embedding top-k
+        emb = scaled_emb_spark(spark, sf_dir, n)
+        e_rows = emb.count()
+        queries = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        sb0 = shuffle_write_bytes()
+        s = min(t_spark(similarity.brute_force_topk(emb, queries, k=10)) for _ in range(2))
+        sb = shuffle_write_bytes() - sb0
+        dot = _DOT.format(a="e.embedding", b="q.qe")
+        na = _DOT.format(a="e.embedding", b="e.embedding")
+        nq = _DOT.format(a="q.qe", b="q.qe")
+        d = t_duck(
+            con,
+            f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                           FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id < 5),
+            scored AS (SELECT q.query_id, e.vec_id,
+                              round({dot} / (sqrt({na}) * sqrt({nq})), 6) AS score
+                       FROM ({scaled_emb_sql(sf_dir, n)}) e CROSS JOIN q)
+            SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+                           FROM scored) WHERE rank <= 10""",
+        )
+        print(f"| embed_topk | {n} | {e_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {sb/2**20:.1f} | {sb/max(e_rows,1):.0f} |")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

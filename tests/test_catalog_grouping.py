@@ -12,6 +12,12 @@ from pyspark.sql import functions as F
 from batch_process_spark.catalog import TableStore
 from batch_process_spark.operators.columns import prepend_columns, prepend_sequence_columns
 from batch_process_spark.operators.grouping import merge_results, split_by_groups, summary_stats
+
+
+def test_split_by_groups_guards_cardinality(spark):
+    df = spark.range(50).withColumn("k", F.col("id"))
+    with pytest.raises(ValueError, match="max_groups"):
+        split_by_groups(df, ["k"], max_groups=10)
 from batch_process_spark.operators.sets import except_keys, intersect_keys, union_align
 from tests.conftest import rows_set
 
