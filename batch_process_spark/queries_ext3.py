@@ -1,0 +1,329 @@
+"""Query catalog part 4 (q62-q69): the remaining classic TPC-H shapes,
+adapted to the driver's trimmed star schema (no partsupp/shipmode/
+receiptdate columns — substitutions noted per query).
+
+Each exercises a distinct optimizer/operator pattern the earlier
+catalog doesn't cover head-on: correlated min subqueries (Q2),
+multi-direction join pairs (Q7), profit expressions over 4 joins (Q9),
+left-outer distribution (Q13), NOT IN exclusion + count distinct (Q16),
+disjunctive join predicates (Q19), exists/not-exists multi-correlation
+(Q21), and anti-join + scalar-average subquery (Q22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_spark.queries import _q, _t
+
+
+@_q(
+    "q62_min_cost_supplier",
+    """
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    j AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+      FROM rel
+      JOIN part ON p_partkey = l_partkey AND p_size <= 3
+      JOIN supplier ON s_suppkey = l_suppkey
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, round(s_acctbal, 2) AS bal
+    FROM j
+    WHERE s_acctbal = (SELECT min(s_acctbal) FROM j j2 WHERE j2.p_partkey = j.p_partkey)
+    """,
+)
+def q62_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier via correlated
+    min subquery, decorrelated to a per-key aggregate join (the
+    partsupp relation is emulated by distinct (l_partkey, l_suppkey) —
+    the schema ships no partsupp table; min s_acctbal stands in for
+    min ps_supplycost)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    supp = _t(spark, sf_dir, "supplier")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    j = (
+        rel.join(F.broadcast(part), rel.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), rel.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+    mn = j.groupBy(F.col("p_partkey").alias("__pk")).agg(F.min("s_acctbal").alias("__mn"))
+    return (
+        j.join(mn, (j.p_partkey == mn.__pk) & (j.s_acctbal == mn.__mn))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("bal"))
+    )
+
+
+@_q(
+    "q63_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND year(l_shipdate) BETWEEN 1996 AND 1997
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+    """,
+)
+def q63_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade volume in both directions, by
+    ship year. Fact side joins 4 broadcast dims; the disjunctive nation
+    pair lands as a post-join filter on broadcast keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.filter(F.year("l_shipdate").between(1996, 1997))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@_q(
+    "q64_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                     - 0.05 * p_retailprice * l_quantity) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%gear%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+    """,
+)
+def q64_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    4-dim star (ps_supplycost emulated as 5% of p_retailprice — no
+    partsupp in schema).
+
+    The profit total sums as exact integer cents (per-row half-up to
+    cents, then a lossless BIGINT sum) — a plain double sum is order-
+    dependent across engines and flips the last cent at the rounding
+    boundary (observed at sf0.01)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.05 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    cents = F.floor(profit * 100 + 0.5).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(cents) / 100.0).alias("sum_profit"))
+    )
+
+
+@_q(
+    "q65_customer_distribution",
+    """
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q65_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over a LEFT join (the
+    zero-order customers survive with c_count = 0; the priority filter
+    belongs to the join condition, not a WHERE — putting it in WHERE
+    would silently drop them)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@_q(
+    "q66_supplier_part_counts",
+    """
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM rel
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q66_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) with
+    a NOT IN supplier exclusion — expressed as a left-anti join (the
+    scalable NOT IN when the subquery side is NULL-free)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    excluded = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        rel.join(F.broadcast(excluded), rel.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), rel.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q67_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q67_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-way disjunction of conjunctive
+    brand/size/quantity predicates — one broadcast join, the disjunction
+    evaluated as a single post-join filter (Catalyst extracts the common
+    p_partkey equi-key; no union-of-three-scans rewrite needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "q68_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q68_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for late multi-
+    supplier orders — EXISTS as left-semi, NOT EXISTS as left-anti over
+    the same late-lineitems frame ("late" = shipped >60 days after the
+    order date; the schema has no receipt/commit dates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    other = li.select("l_orderkey", "l_suppkey").alias("l2")
+    other_late = late.alias("l3")
+    has_other = l1.join(
+        other,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = has_other.alias("l1").join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
+    "q69_global_sales_opportunity",
+    """
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey % 5 AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    )
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    """,
+)
+def q69_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no URGENT orders, grouped
+    by country code — scalar-average subquery (broadcast) + anti join
+    (cntrycode emulated as c_nationkey % 5, no phone column; the
+    no-orders predicate narrows to urgent orders because at this data's
+    order density every customer has some order)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg"))
+        .join(urgent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
