@@ -12,10 +12,27 @@ disjunctive join predicates (Q19), exists/not-exists multi-correlation
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_process_spark.queries import _q, _t
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
+    """Streaming file sources take a directory; symlink the single
+    parquet file into a temp dir."""
+    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), link)
+    return d
 
 
 @_q(
@@ -326,4 +343,118 @@ def q69_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@_q(
+    "q70_sliding_windows",
+    """
+    SELECT bucket_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS bucket_start,
+             value
+      FROM events
+    )
+    GROUP BY bucket_start
+    """,
+)
+def q70_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (width 2h, slide 1h): every event lands in
+    exactly two buckets. The oracle unnests the two epoch-aligned
+    window starts per event — the same assignment rule Spark's
+    ``F.window(ts, width, slide)`` uses. Batch twin of the streaming
+    path (same ``sliding_window_agg`` runs over readStream +
+    watermark)."""
+    from batch_process_spark.streaming.windows import sliding_window_agg
+
+    return sliding_window_agg(
+        _t(spark, sf_dir, "events"), width="2 hours", slide="1 hour"
+    )
+
+
+@_q(
+    "q71_streaming_dedup",
+    """
+    WITH dup_stream AS (
+      SELECT event_id, user_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type FROM events WHERE event_id % 7 = 0
+    )
+    SELECT DISTINCT event_id, user_id, event_type FROM dup_stream
+    """,
+)
+def q71_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-once dedup: a duplicated event stream driven
+    through ``readStream -> dropDuplicates -> memory sink`` (append
+    mode — each event_id emitted exactly once, dedup state spans
+    micro-batches). The oracle is the batch DISTINCT of the same
+    duplicated stream; the streaming result must equal it exactly.
+    At scale the watermark variant (``dropDuplicatesWithinWatermark``)
+    bounds state; unbounded here because the corpus is finite."""
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def transform(stream):
+        dup = stream.select("event_id", "user_id", "event_type").unionByName(
+            stream.filter(F.col("event_id") % 7 == 0).select(
+                "event_id", "user_id", "event_type"
+            )
+        )
+        return dup.dropDuplicates(["event_id"])
+
+    return run_stream_to_memory(
+        spark,
+        _stage_stream_dir(sf_dir),
+        EVENTS_STREAM_SCHEMA,
+        transform,
+        query_name="q71_out",
+        output_mode="append",
+    )
+
+
+@_q(
+    "q72_stream_static_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events JOIN customer ON c_custkey = (user_id % 1500) + 1
+    GROUP BY c_mktsegment
+    """,
+)
+def q72_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer, broadcast per micro-batch) and aggregates per
+    segment — the streaming form of J1 label enrichment. Complete-mode
+    memory sink; the oracle is the identical batch join."""
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n_cust = 1500
+
+    def transform(stream):
+        return (
+            stream.withColumn("c_custkey", (F.col("user_id") % n_cust) + 1)
+            .join(F.broadcast(cust), "c_custkey")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    return run_stream_to_memory(
+        spark,
+        _stage_stream_dir(sf_dir),
+        EVENTS_STREAM_SCHEMA,
+        transform,
+        query_name="q72_out",
+        output_mode="complete",
     )

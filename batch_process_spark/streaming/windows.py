@@ -48,15 +48,22 @@ def sliding_window_agg(
     ts_col: str = "ts",
     width: str = "1 hour",
     slide: str = "30 minutes",
+    keys: list[str] | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
+    """Overlapping windows: each event lands in width/slide buckets
+    (window starts align to epoch multiples of the slide)."""
     df = events
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    keys = keys or []
     return (
-        df.groupBy(F.window(ts_col, width, slide).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("bucket_start"), "n_events")
+        df.groupBy(F.window(ts_col, width, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), *keys, "n_events", "sum_value")
     )
 
 
