@@ -458,3 +458,105 @@ def q72_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="q72_out",
         output_mode="complete",
     )
+
+
+def _curation_oracle() -> str:
+    from batch_process_spark.queries_ext import _DUP_CORPUS, DUCK_TOKENS, _DUCK_SW
+
+    toks = DUCK_TOKENS.format(t="text")
+    scores = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({_DUCK_SW[c]}, t)))::DOUBLE / greatest(len(toks), 1) AS s_{c}"
+        for c in ["en", "de", "fr", "es"]
+    )
+    return f"""
+    WITH corpus AS ({_DUP_CORPUS}),
+    f AS (
+      SELECT doc_id, text, {toks} AS toks,
+             len({toks}) AS n_tokens,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) AS digit_ratio
+      FROM corpus
+    ),
+    k AS (
+      SELECT doc_id, text, toks, n_tokens,
+             floor(greatest(1.0 - least(punct_ratio * 2, 0.4) - least(digit_ratio * 2, 0.3)
+                   - CASE WHEN n_tokens < 5 OR n_tokens > 100000 THEN 0.3 ELSE 0.0 END,
+                   0.0) * 1000000 + 0.5) / 1000000 AS q
+      FROM f
+    ),
+    s AS (SELECT doc_id, text, n_tokens, {scores} FROM k WHERE q >= 0.55),
+    l AS (
+      SELECT doc_id, text, n_tokens,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  ELSE 'de' END AS pred_lang
+      FROM s
+    ),
+    d AS (
+      SELECT md5(text) AS h, min(doc_id) AS doc_id, min(pred_lang) AS pred_lang,
+             min(n_tokens) AS n_tokens, count(*) AS dup_count
+      FROM l WHERE pred_lang <> 'und'
+      GROUP BY md5(text)
+    )
+    SELECT pred_lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(dup_count) AS BIGINT) AS total_raw
+    FROM d GROUP BY pred_lang
+    """
+
+
+@_q("q73_curation_pipeline", _curation_oracle())
+def q73_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over a duplicated corpus: the
+    composition a 100 TB pipeline actually runs — quality filter
+    (Gopher-style score >= 0.55) -> language ID (drop 'und') -> exact
+    dedup (min-id representative) -> per-language doc/token/raw counts.
+    Every stage is an already-oracled operator (q23, q22, q17); this
+    query pins that they compose without semantic drift. All map-side
+    except the dedup shuffle and the final tiny aggregation."""
+    from batch_process_spark.operators import dedup, text
+    from batch_process_spark.queries_ext import _dup_corpus
+
+    feats = text.quality_features(_dup_corpus(spark, sf_dir))
+    kept = (
+        feats.filter(F.col("quality_score") >= 0.55)
+        .withColumn("pred_lang", text.lang_id("text"))
+        .filter(F.col("pred_lang") != "und")
+    )
+    reps = dedup.exact_dedup(
+        kept.select("doc_id", "text", "pred_lang", "n_tokens"), "text", "doc_id"
+    )
+    return reps.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("dup_count").cast("long").alias("total_raw"),
+    )
+
+
+@_q(
+    "q74_grouping_id",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q74_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() id exposure: subtotal rows are
+    distinguishable from genuine-NULL groups by the grouping bitmask
+    (leftmost rollup column = most significant bit in both engines)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
