@@ -93,6 +93,33 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path_factory):
     assert probe.count() == 32
 
 
+def test_q68_semi_anti_are_hash_joins(spark, qs):
+    """EXISTS/NOT EXISTS with a non-equi residual (suppkey !=) must ride
+    the orderkey hash joins — a nested-loop or cartesian fallback would
+    be quadratic in lineitems per order."""
+    plan = plan_of(qs["q68_waiting_suppliers"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_q63_dims_broadcast(spark, qs):
+    plan = plan_of(qs["q63_volume_shipping"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 4  # supp/cust/nation x2 at least
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+
+
+def test_q67_disjunction_single_scan(spark, qs):
+    """The 3-way disjunction must stay one scan + one join — not a
+    union of three scan/join branches."""
+    plan = plan_of(qs["q67_disjunctive_revenue"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # lineitem once, part once
+    assert "Union" not in tree
+
+
 def test_minhash_shuffle_is_narrow(spark):
     """The minhash signature shuffle must carry only (id, partial
     mins) — never shingle strings."""
