@@ -34,6 +34,35 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+#: pickle is a driver-side convenience sink (reference parity:
+#: ``test/blade_load_extract/plugins/process_blade_load.py:63-65``
+#: pickles the result frame next to the report) — small results only.
+MAX_PICKLE_ROWS = 1_000_000
+
+
+def write_pickle(df: DataFrame, path: str, max_rows: int = MAX_PICKLE_ROWS) -> str:
+    """K3: pickle the (small) result as a pandas DataFrame — the
+    reference's ``to_pickle`` sink. Guarded like the report adapters:
+    a big frame fails loud instead of materializing on the driver
+    (at scale the durable sink is parquet, K2)."""
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"write_pickle takes small results (<= {max_rows} rows); "
+            "use write_parquet for bulk data"
+        )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pdf.to_pickle(path)
+    return path
+
+
+def read_pickle(spark: SparkSession, path: str) -> DataFrame:
+    """Round-trip loader for the K3 sink (pandas pickle -> DataFrame)."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_pickle(path))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -7,7 +7,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from batch_process_spark.sinks.report import docx_report, plot_from_spec, validate_plot_spec
-from batch_process_spark.sinks.writers import cache_key, cached_parquet, write_csv, write_json, write_parquet
+from batch_process_spark.sinks.writers import (
+    cache_key,
+    cached_parquet,
+    read_pickle,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_pickle,
+)
 
 
 @pytest.fixture()
@@ -21,6 +29,15 @@ def test_write_csv_single_file(spark, small, tmp_path):
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(parts) == 1
     assert spark.read.csv(out, header=True).count() == 2
+
+
+def test_write_pickle_roundtrip(spark, small, tmp_path):
+    p = str(tmp_path / "out" / "result.pkl")
+    assert write_pickle(small, p) == p
+    back = read_pickle(spark, p)
+    assert sorted((r["x"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="small results"):
+        write_pickle(spark.range(10).withColumnRenamed("id", "x"), p, max_rows=5)
 
 
 def test_write_parquet_json(spark, small, tmp_path):
