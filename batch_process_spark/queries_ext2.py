@@ -340,12 +340,23 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q44_streaming_tumbling")  # rows-only: exercises the real streaming path
+@_q(
+    "q44_streaming_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming smoke: the SAME tumbling aggregation as
-    q37, driven through readStream -> memory sink to completion.
-    (rows-only check: streaming query results are not SQL-expressible
-    through the driver's oracle harness, but q37 pins the semantics.)"""
+    """Structured Streaming: the SAME tumbling aggregation as q37,
+    driven through readStream -> memory sink to completion — and held
+    to the SAME oracle: the complete-mode result table must equal the
+    batch aggregation value-for-value (unified batch/stream semantics,
+    checked, not assumed)."""
     from batch_process_spark.streaming.windows import run_stream_to_memory
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
