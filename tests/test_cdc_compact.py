@@ -1,0 +1,78 @@
+"""Streaming CDC upsert sink + small-files compaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.sinks.compact import compact_parquet, parquet_files
+from batch_process_spark.streaming.cdc import stream_upsert_to_parquet, upsert_batch
+
+
+def test_upsert_batch_merge_semantics(spark, tmp_path):
+    target = str(tmp_path / "cdc_target")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upsert_batch(b1, target, ["k"])
+    # batch 2: update key 2, insert key 3, within-batch dup of key 3
+    b2 = spark.createDataFrame([(2, "B"), (3, "c"), (3, "c")], "k long, v string")
+    upsert_batch(b2, target, ["k"])
+    rows = sorted((r["k"], r["v"]) for r in spark.read.parquet(target).collect())
+    assert rows == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_stream_upsert_end_to_end(spark, tmp_path):
+    """Drive a real file-source stream through the foreachBatch upsert
+    sink; the final target equals one-row-per-key of the source."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i % 10, f"v{i}") for i in range(100)], "k long, v string"
+    ).write.parquet(src)
+    target = str(tmp_path / "cdc_out")
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    q = stream_upsert_to_parquet(
+        stream, target, ["k"], checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(target)
+    assert out.count() == 10  # one row per key
+    assert sorted(r["k"] for r in out.select("k").collect()) == list(range(10))
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    spark.range(10_000).repartition(40).write.parquet(path)
+    assert len(parquet_files(path)) == 40
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] <= 2
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_compact_parquet_sorted_stats(spark, tmp_path):
+    path = str(tmp_path / "sorted_lake")
+    spark.range(10_000).withColumn("k", (F.col("id") * 7919) % 1000).write.mode(
+        "overwrite"
+    ).parquet(path)
+    compact_parquet(spark, path, target_mb=1, sort_by=["k"])
+    df = spark.read.parquet(path)
+    assert df.count() == 10_000
+    # range-partitioned + sorted: each output file covers a narrow,
+    # non-overlapping k range => min/max stats are selective
+    per_file = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint ranges
+
+
+def test_compact_noop_below_min_files(spark, tmp_path):
+    path = str(tmp_path / "single")
+    spark.range(10).coalesce(1).write.parquet(path)
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["files_before"] == stats["files_after"] == 1
