@@ -136,11 +136,22 @@ def compile_selector(col: Column, selector: Any) -> Column:
 
 def select_records(df: DataFrame, selectors: Mapping[str, Any]) -> DataFrame:
     """Apply a dict of column->selector (the reference's ``get_tables``
-    read path, ``deprecated/table_backend.py:110-184``) as one filter."""
+    read path, ``deprecated/table_backend.py:110-184``) as one filter.
+
+    Reference nuance (``_match_value``): a list/tuple selector against a
+    SEQUENCE-typed stored value means sequence equality, not membership —
+    resolvable here because the schema is known."""
+    from pyspark.sql.types import ArrayType
+
     missing = [c for c in selectors if c not in df.columns]
     if missing:
         raise ValueError(f"selector columns not in DataFrame: {missing}")
-    preds = [compile_selector(F.col(c), s) for c, s in selectors.items()]
+    preds = []
+    for c, s in selectors.items():
+        if isinstance(s, (list, tuple)) and isinstance(df.schema[c].dataType, ArrayType):
+            preds.append(F.col(c) == F.array(*[F.lit(v) for v in s]))
+        else:
+            preds.append(compile_selector(F.col(c), s))
     if not preds:
         return df
     return df.filter(reduce(lambda a, b: a & b, preds))

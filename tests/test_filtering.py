@@ -111,6 +111,17 @@ def test_selector_none_matches_all(kv_df):
     assert select_records(kv_df, {"color": None}).count() == 4
 
 
+def test_selector_sequence_equality_on_array_column(spark):
+    """Reference _match_value nuance: list selector vs sequence-typed
+    stored value means SEQUENCE EQUALITY, not membership."""
+    df = spark.createDataFrame(
+        [("a", ["x", "y"]), ("b", ["x"]), ("c", ["y", "x"])],
+        "name string, tags array<string>",
+    )
+    out = select_records(df, {"tags": ["x", "y"]})
+    assert [r["name"] for r in out.collect()] == ["a"]  # order-sensitive equality
+
+
 def test_glob_to_regex_classes():
     assert glob_to_regex("a[bc]d") == "^a[bc]d$"
     assert glob_to_regex("a[!bc]d") == "^a[^bc]d$"
