@@ -45,3 +45,41 @@ def semi(a: DataFrame, b: DataFrame, on) -> DataFrame:
 
 def anti(a: DataFrame, b: DataFrame, on) -> DataFrame:
     return a.join(b, on=on, how="left_anti")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Point-in-interval (range) join, half-open ``[start, end)``.
+
+    A naive ``points.join(intervals, (ts >= start) & (ts < end))`` has
+    no equi-key, so Spark falls back to BroadcastNestedLoopJoin —
+    quadratic and a non-starter at scale. This rewrite buckets time at
+    ``bucket_seconds``: each interval explodes to the buckets it covers
+    (choose ``bucket_seconds`` >= typical interval length, so that's
+    O(1) rows per interval), each point maps to one bucket, and the
+    join becomes a hash equi-join on (keys..., bucket) with the exact
+    range predicate as a residual filter.
+    """
+    keys = list(keys)
+    # unix_timestamp handles both TIMESTAMP and TIMESTAMP_NTZ columns
+    # (NTZ interpreted in the session timezone, pinned UTC engine-wide)
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_col)) / bucket_seconds)
+    i_start = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
+    # end is exclusive: the last covered bucket is the one holding end - 1s
+    i_end = F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds)
+    iv = intervals.withColumn("__bucket", F.explode(F.sequence(i_start, i_end)))
+    pt = points.withColumn("__bucket", p_bucket)
+    return (
+        pt.join(iv, on=keys + ["__bucket"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )

@@ -560,3 +560,50 @@ def q74_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@_q(
+    "q75_interval_join",
+    """
+    WITH iv AS (
+      SELECT o_orderkey,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 28) * INTERVAL 1 DAY AS start,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 28) * INTERVAL 1 DAY + INTERVAL 2 DAY AS "end"
+      FROM orders WHERE o_orderkey <= 20
+    )
+    SELECT o_orderkey, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM iv JOIN events ON ts >= start AND ts < "end"
+    GROUP BY o_orderkey
+    """,
+)
+def q75_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (range) join: events falling inside 2-day
+    windows derived from the first 20 orders (re-anchored into the
+    events' time range — order dates and event timestamps don't
+    overlap in this dataset). The operator rewrites the
+    range predicate as a bucketed hash equi-join (see
+    ``operators/joins.interval_join``) — the naive form is a
+    BroadcastNestedLoopJoin, quadratic at scale (plan-guarded in
+    ``test_plans.py``)."""
+    from batch_process_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    start = anchor + F.make_interval(days=(F.col("o_orderkey") % 28).cast("int"))
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 20)
+        .select(
+            "o_orderkey",
+            start.alias("start"),
+            (start + F.expr("INTERVAL 2 DAYS")).alias("end"),
+        )
+    )
+    return (
+        interval_join(ev, iv, "ts", "start", "end")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

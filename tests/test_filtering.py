@@ -126,3 +126,23 @@ def test_glob_to_regex_classes():
     assert glob_to_regex("a[bc]d") == "^a[bc]d$"
     assert glob_to_regex("a[!bc]d") == "^a[^bc]d$"
     assert glob_to_regex("*.txt") == r"^.*\.txt$"
+
+
+def test_interval_join_semantics(spark):
+    from batch_process_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (2, "2024-01-03 00:00:00"), (3, "2024-01-05 00:00:00")],
+        "pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivs = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),   # [1st, 3rd): pid 1 only
+         (20, "2024-01-02 00:00:00", "2024-01-06 00:00:00")],  # pids 2 and 3
+        "iid long, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    out = interval_join(points, ivs, "ts", "start", "end")
+    pairs = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # half-open: pid 2 at exactly interval-10's end is excluded
+    assert pairs == [(1, 10), (2, 20), (3, 20)]

@@ -120,6 +120,17 @@ def test_q67_disjunction_single_scan(spark, qs):
     assert "Union" not in tree
 
 
+def test_q75_interval_join_is_hash_not_nested_loop(spark, qs):
+    """The bucketed range-join rewrite must produce a hash equi-join on
+    the bucket — the naive range predicate compiles to
+    BroadcastNestedLoopJoin, which is quadratic."""
+    plan = plan_of(qs["q75_interval_join"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
+
+
 def test_minhash_shuffle_is_narrow(spark):
     """The minhash signature shuffle must carry only (id, partial
     mins) — never shingle strings."""
