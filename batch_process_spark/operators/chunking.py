@@ -1,0 +1,95 @@
+"""Document chunking + sequence packing — the two reshaping ops every
+LLM training pipeline runs between curation and tokenization.
+
+- ``chunk_documents``: split each document into fixed-size token
+  windows with overlap (stride = chunk - overlap). Pure JVM-side:
+  tokens array -> ``sequence`` of window starts -> ``posexplode`` ->
+  ``slice``. One output row per chunk, no Python.
+- ``pack_documents``: assign documents to ~budget-token packs. The
+  deterministic formulation (ordered cumulative token sum, pack id =
+  floor((cumsum - tokens) / budget)) is reproducible across engines
+  and runs — unlike greedy first-fit, which depends on scan order.
+  One window over the ordering key; at 100 TB the ordering key is
+  normally (shard_key, doc_id) so the window parallelizes per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.dedup import tokens_col
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """One row per (doc, chunk): (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Windows start every ``chunk_tokens - overlap`` tokens, but only
+    while the window covers NEW tokens (``start < n - overlap``) — a
+    tail window containing nothing beyond the previous chunk's overlap
+    is pure duplication and is not emitted. The last emitted window may
+    be short; empty docs produce no rows.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(text_col)
+    # window starts: 0, stride, 2*stride, ... while start < n - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    out = (
+        df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            "__toks",
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.slice("__toks", F.col("__start") + 1, chunk_tokens).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+    return out
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 512,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign each doc a ``pack_id`` so consecutive docs (in
+    ``order_col`` order, default the id) fill ~``budget_tokens`` packs:
+    pack_id = floor((cumsum(tokens) - tokens) / budget) — i.e. a doc
+    joins the pack its FIRST token lands in. Oversized docs occupy
+    their own pack(s) without blocking the stream. Deterministic given
+    the ordering; chunk first if hard caps matter.
+    """
+    order = order_col or id_col
+    n = F.size(tokens_col(text_col))
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.select(F.col(id_col), n.alias("n_tokens"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens).alias("pack_id"),
+        )
+    )

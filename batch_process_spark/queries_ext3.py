@@ -607,3 +607,61 @@ def q75_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@_q(
+    "q76_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '[^0-9a-zA-Z]+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    c AS (
+      SELECT doc_id, unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS s, toks
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def q76_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: fixed 64-token windows, 16-token overlap
+    (stride 48) — JVM-side sequence/posexplode/slice, one row per
+    chunk, no Python in the path."""
+    from batch_process_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.withColumn("chunk_idx", F.col("chunk_idx").cast("long")).withColumn(
+        "n_chunk_tokens", F.col("n_chunk_tokens").cast("long")
+    )
+
+
+@_q(
+    "q77_pack_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '[^0-9a-zA-Z]+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def q77_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: deterministic ~512-token packs via ordered
+    cumulative token counts (a doc joins the pack its first token
+    lands in) — reproducible across engines and runs, unlike greedy
+    first-fit."""
+    from batch_process_spark.operators.chunking import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_documents(docs, budget_tokens=512)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))

@@ -1,0 +1,56 @@
+"""Chunking + packing operator semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.chunking import chunk_documents, pack_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, ""),  # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_chunk_windows_and_overlap(docs):
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1 (10 tokens): starts run while s < n - overlap = 8 -> 0,2,4,6;
+    # the would-be s=8 window (t8 t9) is wholly inside chunk 3's tail
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[1]["chunk_text"] == "t2 t3 t4 t5"  # 2-token overlap
+    assert c1[-1]["chunk_text"] == "t6 t7 t8 t9" and c1[-1]["n_chunk_tokens"] == 4
+    # every token covered
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+    # doc 2: one short chunk; doc 3: none
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "only three tokens"
+    assert 3 not in by_doc
+
+
+def test_chunk_validates_overlap(docs):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_assignment(spark):
+    docs = spark.createDataFrame(
+        [(1, "a " * 300), (2, "b " * 300), (3, "c " * 300), (4, "d " * 600)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pack_id"] for r in pack_documents(docs, budget_tokens=512).collect()}
+    # cum-n: doc1 starts at 0 -> pack 0; doc2 at 300 -> pack 0;
+    # doc3 at 600 -> pack 1; doc4 at 900 -> pack 1 (oversized spills)
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1}
