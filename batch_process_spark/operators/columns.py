@@ -30,6 +30,31 @@ def prepend_columns(df: DataFrame, kv: Mapping[str, Any]) -> DataFrame:
     return df.select(*front, *rest)
 
 
+def with_provenance(
+    df: DataFrame,
+    file_col: str = "source_file",
+    row_col: str | None = None,
+) -> DataFrame:
+    """Attach source-file provenance — the lineage every training-data
+    pipeline needs to trace an example back to its shard.
+
+    ``file_col``: the originating file path (scheme-stripped so it
+    compares equal across engines/filesystems). ``row_col`` (optional):
+    the row's position WITHIN its file, via a per-file window — stable
+    for parquet (row-group order), unlike ``monotonically_increasing_id``
+    which renumbers with partitioning. The window shuffles per file at
+    file granularity; omit it for petabyte scans where the file path
+    alone is enough.
+    """
+    out = df.withColumn(
+        file_col, F.regexp_replace(F.input_file_name(), "^[a-z]+:/*", "/")
+    )
+    if row_col:
+        w = Window.partitionBy(file_col).orderBy(F.monotonically_increasing_id())
+        out = out.withColumn(row_col, F.row_number().over(w) - 1)
+    return out
+
+
 def prepend_sequence_columns(
     df: DataFrame,
     kv: Mapping[str, Sequence],

@@ -665,3 +665,36 @@ def q77_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = pack_documents(docs, budget_tokens=512)
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@_q(
+    "q78_provenance",
+    """
+    SELECT 'documents.parquet' AS source_file,
+           count(*) AS n_docs,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q78_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-file provenance: every row traced to its shard via
+    ``with_provenance`` (input_file_name, scheme-stripped), aggregated
+    per file basename. The oracle pins the expected shard name (the
+    driver's DuckDB views cannot expose filenames); the multi-file and
+    row-in-file behavior is pytest-verified."""
+    from batch_process_spark.operators.columns import with_provenance
+
+    docs = with_provenance(_t(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn(
+            "source_file", F.regexp_extract("source_file", r"([^/]+)$", 1)
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

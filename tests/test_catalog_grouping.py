@@ -12,14 +12,14 @@ from pyspark.sql import functions as F
 from batch_process_spark.catalog import TableStore
 from batch_process_spark.operators.columns import prepend_columns, prepend_sequence_columns
 from batch_process_spark.operators.grouping import merge_results, split_by_groups, summary_stats
+from batch_process_spark.operators.sets import except_keys, intersect_keys, union_align
+from tests.conftest import rows_set
 
 
 def test_split_by_groups_guards_cardinality(spark):
     df = spark.range(50).withColumn("k", F.col("id"))
     with pytest.raises(ValueError, match="max_groups"):
         split_by_groups(df, ["k"], max_groups=10)
-from batch_process_spark.operators.sets import except_keys, intersect_keys, union_align
-from tests.conftest import rows_set
 
 
 @pytest.fixture()
@@ -156,3 +156,22 @@ def test_store_save_load_roundtrip(spark, store, tmp_path):
     out = loaded.read("tbl", filter_dict={"src": "init"}, out_option="groups",
                       aggs={"n": F.count(F.lit(1))})
     assert rows_set(out) == [(3,)]
+
+
+def test_with_provenance_multi_file(spark, tmp_path):
+    from batch_process_spark.operators.columns import with_provenance
+
+    path = str(tmp_path / "shards")
+    spark.range(100).withColumn("k", F.col("id") % 4).repartition(4, "k").write.parquet(path)
+    df = with_provenance(spark.read.parquet(path), row_col="row_in_file")
+    rows = df.collect()
+    # scheme stripped, real paths, full coverage
+    files = {r["source_file"] for r in rows}
+    assert all(f.startswith("/") and f.endswith(".parquet") for f in files)
+    assert len(files) > 1 and len(rows) == 100
+    # row_in_file is a dense 0..n-1 numbering within each file
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r["source_file"], []).append(r["row_in_file"])
+    for f, idxs in per_file.items():
+        assert sorted(idxs) == list(range(len(idxs)))
