@@ -69,12 +69,24 @@ def interval_join(
     """
     keys = list(keys)
     # unix_timestamp handles both TIMESTAMP and TIMESTAMP_NTZ columns
-    # (NTZ interpreted in the session timezone, pinned UTC engine-wide)
+    # (NTZ interpreted in the session timezone, pinned UTC engine-wide).
+    # It truncates sub-second parts, which is harmless for BUCKETING
+    # (floor-to-second then floor-to-bucket = floor-to-bucket) as long
+    # as the end bucket is computed from end itself — an "end - 1s"
+    # exclusivity trick would drop points landing in the final bucket
+    # when end has a fractional second. Exactness lives in the residual
+    # filter, so one possibly-empty boundary bucket row is fine.
     p_bucket = F.floor(F.unix_timestamp(F.col(point_col)) / bucket_seconds)
     i_start = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
-    # end is exclusive: the last covered bucket is the one holding end - 1s
-    i_end = F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds)
-    iv = intervals.withColumn("__bucket", F.explode(F.sequence(i_start, i_end)))
+    i_end = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds)
+    iv = (
+        # empty/inverted intervals match nothing; dropping them here also
+        # keeps F.sequence from generating a DESCENDING bucket range (a
+        # dirty end<start row would otherwise explode into thousands of
+        # bucket rows that all die in the residual filter)
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn("__bucket", F.explode(F.sequence(i_start, i_end)))
+    )
     pt = points.withColumn("__bucket", p_bucket)
     return (
         pt.join(iv, on=keys + ["__bucket"])

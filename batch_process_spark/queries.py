@@ -46,6 +46,12 @@ def _q(name: str, oracle: str | None = None):
 # spark.read.parquet re-reads footers and re-infers schema on every
 # query, which at bench scale is pure fixed overhead the DuckDB
 # baseline's registered views don't pay.
+#
+# Tradeoff vs round 1: confs are pinned ONCE per session, not per call
+# (the 3 conf.set RPCs per table read were measurable bench overhead).
+# If an external actor mutates session.timeZone / ansi.enabled mid-run,
+# call _SESSION_MEMO.clear() to force a re-pin; nothing in the driver
+# harness, selfcheck, bench, or test suite does so.
 import weakref  # noqa: E402
 
 _SESSION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()

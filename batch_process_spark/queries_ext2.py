@@ -368,14 +368,10 @@ def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tumbling_window_agg(ev, width="1 hour", keys=["event_type"])
 
     # streaming file sources take a directory; stage the single-file
-    # table behind a symlink
-    import os
-    import tempfile
+    # table behind a memoized symlink dir
+    from batch_process_spark.queries_ext3 import _stage_stream_dir
 
-    d = tempfile.mkdtemp(prefix="stream_events_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    d = _stage_stream_dir(sf_dir)
     return run_stream_to_memory(spark, d, schema, transform, query_name="q44_out")
 
 

@@ -25,13 +25,20 @@ EVENTS_STREAM_SCHEMA = (
 )
 
 
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+
+
 def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     """Streaming file sources take a directory; symlink the single
-    parquet file into a temp dir."""
-    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
-    link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), link)
+    parquet file into a temp dir — memoized per (sf_dir, table) so
+    repeated bench/selfcheck invocations reuse one dir instead of
+    leaking a fresh mkdtemp per call."""
+    key = (os.path.abspath(sf_dir), table)
+    d = _STREAM_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), os.path.join(d, f"{table}.parquet"))
+        _STREAM_DIRS[key] = d
     return d
 
 

@@ -99,6 +99,11 @@ def glob_to_tree_regex(pattern: str) -> str:
             j = i + 1
             if j < n and pattern[j] in "!^":
                 j += 1
+            if j < n and pattern[j] == "]":
+                # fnmatch rule: a ']' directly after '[' (or '[!') is a
+                # literal class member, not the terminator — so '[]'
+                # has no terminator and falls through to literal '['
+                j += 1
             while j < n and pattern[j] != "]":
                 j += 1
             if j >= n:
@@ -107,6 +112,9 @@ def glob_to_tree_regex(pattern: str) -> str:
                 inner = pattern[i + 1 : j]
                 if inner.startswith("!"):
                     inner = "^" + inner[1:]
+                # a literal ']' member (only possible in first position
+                # per the scan above) must be escaped for Python re
+                inner = inner.replace("]", "\\]")
                 out.append("[" + inner + "]")
                 i = j
         else:
@@ -125,7 +133,10 @@ def match_rule(pattern: str) -> Column:
     if dir_only:
         pattern = pattern.rstrip("/")
     rx = glob_to_tree_regex(pattern)
-    pred = F.col("relpath").rlike(rx)
+    # only the explicit "." rule selects the scan root: '*'/'**'/'*/'
+    # match the empty relpath as regexes, but a broad glob must never
+    # hand the root itself to file ops (rename/delete of the scan root)
+    pred = (F.col("relpath") != "") & F.col("relpath").rlike(rx)
     if dir_only:
         pred = pred & F.col("is_dir")
     return pred

@@ -17,7 +17,7 @@ and option assembly — the actual logic — are pure and fully tested.
 from __future__ import annotations
 
 import re
-from urllib.parse import unquote, urlparse
+from urllib.parse import parse_qsl, unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,8 +49,14 @@ def sqlalchemy_url_to_jdbc(url: str) -> tuple[str, dict]:
     # normalize "dialect+driver://" (sqlalchemy) to "dialect://" for parsing
     parsed = urlparse(re.sub(r"^[^:/]+", dialect, url, count=1))
     opts: dict = {"driver": driver}
+    # query-string params carry through as JDBC options (sslmode etc) —
+    # dropping them would silently disable e.g. TLS requirements
+    opts.update(dict(parse_qsl(parsed.query)))
     if dialect == "sqlite":
-        return template.format(path=parsed.path.lstrip("/")), opts
+        # exactly ONE leading slash is the URL separator; the rest is
+        # the path: sqlite:///rel.db -> rel.db, sqlite:////abs.db -> /abs.db
+        path = parsed.path[1:] if parsed.path.startswith("/") else parsed.path
+        return template.format(path=path), opts
     if parsed.username:
         opts["user"] = unquote(parsed.username)
     if parsed.password:

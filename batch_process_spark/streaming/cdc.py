@@ -20,18 +20,32 @@ import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from batch_process_spark.operators.merge import merge_upsert
 
 
-def upsert_batch(batch_df: DataFrame, target_dir: str, keys: Sequence[str]) -> None:
+def upsert_batch(
+    batch_df: DataFrame,
+    target_dir: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+) -> None:
     """Apply one (micro-)batch to the parquet target with MERGE
-    semantics. Within-batch duplicate keys collapse to one arbitrary
-    deterministic row first (``dropDuplicates`` on the keys) — a batch
-    must not insert the same key twice."""
+    semantics. Within-batch duplicate keys collapse to ONE row first —
+    a batch must not insert the same key twice. With ``order_col`` the
+    LATEST change wins (CDC ordering, ``max_by``); without it the
+    winner is still deterministic (max over the full row struct), just
+    not time-aware — ``dropDuplicates`` would keep whichever row a
+    partition scan saw first, which varies across retries/partitioning
+    and can silently replay an older value."""
     keys = list(keys)
     spark = batch_df.sparkSession
-    batch_df = batch_df.dropDuplicates(keys)
+    payload = [c for c in batch_df.columns if c not in keys]
+    order = F.col(order_col) if order_col else F.struct(*[F.col(c) for c in payload])
+    batch_df = batch_df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), order).alias("__row")
+    ).select(*keys, "__row.*")
     if os.path.exists(target_dir):
         merged = merge_upsert(spark.read.parquet(target_dir), batch_df, keys)
     else:
@@ -48,11 +62,12 @@ def stream_upsert_to_parquet(
     target_dir: str,
     keys: Sequence[str],
     checkpoint_dir: str | None = None,
+    order_col: str | None = None,
 ):
     """Attach the CDC upsert sink to a streaming frame. Returns the
     started StreamingQuery (caller drives/stops it)."""
     writer = stream.writeStream.foreachBatch(
-        lambda df, _id: upsert_batch(df, target_dir, keys)
+        lambda df, _id: upsert_batch(df, target_dir, keys, order_col=order_col)
     ).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

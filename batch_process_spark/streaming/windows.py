@@ -57,13 +57,15 @@ def sliding_window_agg(
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     keys = keys or []
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    extra = []
+    if "value" in df.columns:  # value sum only when the frame carries one
+        aggs.append(F.round(F.sum("value"), 4).alias("sum_value"))
+        extra = ["sum_value"]
     return (
         df.groupBy(F.window(ts_col, width, slide).alias("w"), *keys)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(F.col("w.start").alias("bucket_start"), *keys, "n_events", "sum_value")
+        .agg(*aggs)
+        .select(F.col("w.start").alias("bucket_start"), *keys, "n_events", *extra)
     )
 
 

@@ -76,3 +76,13 @@ def test_compact_noop_below_min_files(spark, tmp_path):
     spark.range(10).coalesce(1).write.parquet(path)
     stats = compact_parquet(spark, path, target_mb=128)
     assert stats["files_before"] == stats["files_after"] == 1
+
+
+def test_upsert_batch_latest_wins_with_order_col(spark, tmp_path):
+    target = str(tmp_path / "cdc_ordered")
+    b = spark.createDataFrame(
+        [(1, "new", 5), (1, "old", 2), (2, "only", 1)], "k long, v string, seq long"
+    )
+    upsert_batch(b, target, ["k"], order_col="seq")
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert rows == {1: "new", 2: "only"}  # highest seq wins, not scan order

@@ -146,3 +146,22 @@ def test_interval_join_semantics(spark):
     pairs = sorted((r["pid"], r["iid"]) for r in out.collect())
     # half-open: pid 2 at exactly interval-10's end is excluded
     assert pairs == [(1, 10), (2, 20), (3, 20)]
+
+
+def test_interval_join_subsecond_end_and_inverted(spark):
+    from batch_process_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00.200")], "pid long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivs = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 00:01:00.500"),  # frac-second end
+         (99, "2024-01-01 00:05:00", "2024-01-01 00:00:00")],     # inverted -> nothing
+        "iid long, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    out = interval_join(points, ivs, "ts", "start", "end", bucket_seconds=60)
+    # the point lands in bucket 1; a truncating end-1s rule would stop
+    # the interval at bucket 0 and silently drop this match
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 10)]
