@@ -693,13 +693,38 @@ def q55_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q56_blade_load_parse")  # rows-only: full mapInPandas report parser
+@_q(
+    "q56_blade_load_parse",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             floor(o_totalprice * 100 + 0.5) / 100 AS t,
+             floor(o_totalprice * 2 * 100 + 0.5) / 100 AS t2
+      FROM orders WHERE o_orderkey <= 200
+    ), k AS (SELECT unnest(['mean', 'amplitude']) AS load_kind)
+    SELECT concat('case_', o_orderkey) AS path,
+           CAST(1 AS INT) AS rotor,
+           CAST(o_orderkey % 4 + 1 AS INT) AS blade,
+           8.2 AS radius,
+           258.0 AS rpm,
+           'counter' AS rotation,
+           load_kind,
+           0.25 AS station_r,
+           CASE WHEN load_kind = 'mean' THEN t  ELSE 1.0 END AS torque,
+           CASE WHEN load_kind = 'mean' THEN t2 ELSE 2.0 END AS flap_moment,
+           3.0 AS lag_moment, 4.0 AS axial_force,
+           5.0 AS chord_force, 6.0 AS normal_force
+    FROM o CROSS JOIN k
+    """,
+)
 def q56_blade_load_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 end-to-end through the engine's real parser: synthesize one
     fixed-format blade-load report per order-group, parse with
     ``parse_blade_load_files`` (Arrow 1->N), return the long table.
-    (rows-only: the mapInPandas parse itself is the subject; its regex
-    semantics are oracle-pinned by q16.)"""
+    The oracle recomputes the expected parse directly from orders —
+    generate->render->parse must be lossless (round_half_up keeps the
+    rendered numbers engine-portable; doubles below 1e7 round-trip
+    through Spark's string cast exactly)."""
     from batch_process_spark.sources.report_parser import parse_blade_load_files
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
@@ -711,8 +736,8 @@ def q56_blade_load_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" LOAD 0.25R F\n MEAN      "),
         F.concat_ws(
             " ",
-            F.round("o_totalprice", 2),
-            F.round(F.col("o_totalprice") * 2, 2),
+            round_half_up(F.col("o_totalprice"), 2),
+            round_half_up(F.col("o_totalprice") * 2, 2),
             F.lit("3.0"), F.lit("4.0"), F.lit("5.0"), F.lit("6.0"),
         ),
         F.lit("\n 1/2 PEAK-TO-PEAK  1.0 2.0 3.0 4.0 5.0 6.0\n"),
@@ -723,10 +748,23 @@ def q56_blade_load_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_blade_load_files(files).orderBy("path", "load_kind")
 
 
-@_q("q57_struct_text_parse")  # rows-only: combinator parser via mapInPandas
+@_q(
+    "q57_struct_text_parse",
+    """
+    SELECT concat('doc_', doc_id) AS path,
+           CAST(doc_id AS INT) AS doc,
+           upper(lang) AS lang,
+           CAST(n_chars AS INT) AS length,
+           split_part(substr(text, 1, 30), chr(10), 1) AS body_line
+    FROM documents WHERE doc_id < 200
+    """,
+)
 def q57_struct_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 end-to-end: synthesize OUTPUT-block documents, parse with
-    the Field/Optional/Repeat combinators inside ``parse_files``."""
+    the Field/Optional/Repeat combinators inside ``parse_files``. The
+    oracle recomputes the expected parse directly from documents
+    (body_line = first line of the 30-char prefix: the line-anchored
+    Field pattern stops at an embedded newline)."""
     from batch_process_spark.sources.struct_text import Field, Optional, Repeat, parse_files
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
