@@ -1,0 +1,135 @@
+"""Connected components over candidate pairs — the last mile of
+near-duplicate removal: MinHash/SimHash/cosine stages emit PAIRS, but
+dropping duplicates needs CLUSTERS (a-b and b-c must collapse to one
+surviving document even though (a, c) was never emitted as a pair).
+
+Iterative min-label propagation: every node starts labeled with its own
+id; each round takes the min of its neighbors' labels; converges in
+O(component diameter) rounds (near-dup clusters are shallow — a handful
+of rounds). Each round is one shuffle join + partial-agg ``min``; the
+frame is checkpointed per round so the plan/lineage stays flat. This is
+the classic large-graph CC formulation (HashToMin family) — no driver-
+side graph state, scales with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+#: Below this many pairs the component structure fits trivially in
+#: driver memory and a local union-find beats the distributed loop by
+#: an order of magnitude (each propagation round costs several shuffle
+#: stages of fixed scheduling overhead). Near-dup pair streams are
+#: small relative to the corpus by construction — LSH already pruned
+#: the candidate space — so this is the common case even at large SF.
+DRIVER_UF_MAX_PAIRS = 5_000_000
+
+
+def _driver_union_find(rows) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id so the component id is the min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    strategy: str = "auto",
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component id is the smallest node id in the component.
+
+    ``strategy``: 'driver' = collect + union-find (exact, fast, bounded
+    by DRIVER_UF_MAX_PAIRS of memory), 'distributed' = iterative
+    min-label propagation (unbounded scale, O(diameter) shuffle
+    rounds), 'auto' = driver below the threshold else distributed.
+    Raises if the distributed loop needs more than ``max_iter`` rounds.
+    """
+    spark = pairs.sparkSession
+    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
+    n_pairs = p.count()
+    if strategy == "driver" or (strategy == "auto" and n_pairs <= DRIVER_UF_MAX_PAIRS):
+        comp = _driver_union_find((r["src"], r["dst"]) for r in p.toLocalIterator())
+        p.unpersist()
+        id_type = dict(pairs.dtypes)[id_a]
+        return spark.createDataFrame(
+            list(comp.items()), f"node {id_type}, component {id_type}"
+        )
+    e = p
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("src").distinct().withColumn("component", F.col("src")).persist()
+    labels.count()  # materialize
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("src").alias("dst"), F.col("component").alias("__nbr")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("__nbr").alias("__min_nbr"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "src", "left")
+                .select(
+                    "src",
+                    F.least(
+                        F.col("component"), F.coalesce("__min_nbr", F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.select("src", F.col("component").alias("__old")), "src"
+                )
+                .filter(F.col("component") != F.col("__old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(F.col("src").alias("node"), "component")
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        edges.unpersist()
+        p.unpersist()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster view of a near-dup pair stream: (node, component,
+    cluster_size). The min-id node per component is the canonical
+    survivor; everything else is a duplicate to drop."""
+    cc = connected_components(pairs, id_a, id_b)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select("node", "component", "cluster_size")

@@ -705,3 +705,44 @@ def q78_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+def _cc_oracle() -> str:
+    from batch_process_spark.queries_ext import _minhash_oracle
+
+    pairs = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT src AS node, min(node) AS component FROM reach GROUP BY src)
+    SELECT node, component, cluster_size
+    FROM cc JOIN (SELECT component, count(*) AS cluster_size
+                  FROM cc GROUP BY component) USING (component)
+    """
+
+
+@_q("q79_dedup_clusters", _cc_oracle())
+def q79_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> clusters: the last
+    mile of dedup (a-b and b-c collapse to one survivor even though
+    (a,c) was never a candidate pair). Iterative min-label propagation
+    Spark-side; the oracle computes exact transitive closure with a
+    recursive CTE over the identical MinHash pair stream."""
+    from batch_process_spark.operators import dedup
+    from batch_process_spark.operators.graph import dedup_clusters
+    from batch_process_spark.queries_ext import _near_dup_corpus
+
+    pairs = dedup.minhash_near_dup_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text",
+        k=3, num_hashes=16, bands=4, threshold=0.7,
+    )
+    return dedup_clusters(pairs)

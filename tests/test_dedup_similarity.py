@@ -264,3 +264,27 @@ def test_edge_cases_empty_and_null_inputs(spark, vecs):
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "score", "rank"]
     assert blank.select(text.lang_id("text").alias("l")).collect()[0]["l"] == "und"
+
+
+def test_connected_components_and_clusters(spark):
+    from batch_process_spark.operators.graph import connected_components, dedup_clusters
+
+    # two chains and an isolate-pair: {1-2-3-4}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # both strategies must agree exactly
+    for strategy in ("driver", "distributed"):
+        cc = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, strategy=strategy).collect()
+        }
+        assert cc == expected, strategy
+    cc = expected
+    cl = dedup_clusters(pairs)
+    sizes = {r["node"]: r["cluster_size"] for r in cl.collect()}
+    assert sizes[1] == 4 and sizes[11] == 2 and sizes[20] == 2
+    # survivors = min id per component -> drop everything else
+    survivors = {n for n, c in cc.items() if n == c}
+    assert survivors == {1, 10, 20}
