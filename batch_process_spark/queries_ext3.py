@@ -746,3 +746,32 @@ def q79_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, num_hashes=16, bands=4, threshold=0.7,
     )
     return dedup_clusters(pairs)
+
+
+@_q(
+    "q80_salted_join",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q80_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join parity: the salt must be INVISIBLE in the
+    results — fact salted deterministically, dim replicated per bucket,
+    equi-join on (key, salt) — so the oracle is the plain unsalted
+    join. Catches double-counting (nondeterministic salt under retry)
+    and dropped buckets."""
+    from batch_process_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
