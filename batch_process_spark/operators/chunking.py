@@ -73,6 +73,7 @@ def pack_documents(
     text_col: str = "text",
     budget_tokens: int = 512,
     order_col: str | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign each doc a ``pack_id`` so consecutive docs (in
     ``order_col`` order, default the id) fill ~``budget_tokens`` packs:
@@ -80,16 +81,32 @@ def pack_documents(
     joins the pack its FIRST token lands in. Oversized docs occupy
     their own pack(s) without blocking the stream. Deterministic given
     the ordering; chunk first if hard caps matter.
+
+    Scale: without ``shard_col`` the cumulative sum is one GLOBAL
+    window (single task — fine up to millions of rows, wrong at 100 TB).
+    With ``shard_col`` packing runs independently per shard and pack
+    ids are namespaced ``shard-local pack << 20 | shard bucket`` —
+    embarrassingly parallel, still fully deterministic.
     """
     order = order_col or id_col
     n = F.size(tokens_col(text_col))
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        df.select(F.col(id_col), n.alias("n_tokens"))
-        .withColumn("__cum", F.sum("n_tokens").over(w))
-        .select(
-            id_col,
-            "n_tokens",
-            F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens).alias("pack_id"),
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        *( [F.col(shard_col).alias("__shard")] if shard_col else [] ),
+    )
+    if shard_col:
+        w = Window.partitionBy("__shard").orderBy(order).rowsBetween(
+            Window.unboundedPreceding, 0
         )
+        local = F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens)
+        # namespace: local pack in the high bits, shard hash in the low
+        # 20 bits (collision-free as long as shard cardinality < 2^20)
+        pack = F.shiftleft(local, 20) + F.pmod(F.hash("__shard"), F.lit(1 << 20))
+    else:
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+        pack = F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens)
+    return (
+        base.withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(id_col, "n_tokens", pack.alias("pack_id"))
     )

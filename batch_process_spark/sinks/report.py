@@ -37,9 +37,22 @@ def _small_pandas(df: DataFrame):
 def validate_plot_spec(spec: Mapping[str, Any]) -> None:
     if "series" not in spec or not spec["series"]:
         raise ValueError("plot spec needs a non-empty 'series' list")
+    grid = spec.get("grid")
+    n_axes = 1
+    if grid is not None:
+        if (
+            not isinstance(grid, (list, tuple))
+            or len(grid) != 2
+            or not all(isinstance(g, int) and g > 0 for g in grid)
+        ):
+            raise ValueError(f"grid must be [rows, cols] of positive ints: {grid!r}")
+        n_axes = grid[0] * grid[1]
     for s in spec["series"]:
         if "y" not in s:
             raise ValueError(f"series missing 'y': {s}")
+        ax = s.get("ax", 0)
+        if not isinstance(ax, int) or not 0 <= ax < n_axes:
+            raise ValueError(f"series ax={ax!r} outside grid of {n_axes} axes")
 
 
 def plot_from_spec(df: DataFrame, spec: Mapping[str, Any], out_path: str) -> str:
@@ -54,15 +67,22 @@ def plot_from_spec(df: DataFrame, spec: Mapping[str, Any], out_path: str) -> str
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots(figsize=spec.get("figsize", (8, 5)))
+        rows, cols = spec.get("grid", (1, 1))
+        fig, axes = plt.subplots(
+            rows, cols, figsize=spec.get("figsize", (8 * cols, 5 * rows)), squeeze=False
+        )
+        flat = axes.ravel()
         for s in spec["series"]:
+            ax = flat[s.get("ax", 0)]
             x = pdf[s["x"]] if "x" in s else pdf.index
             ax.plot(x, pdf[s["y"]], s.get("style", "-"), label=s.get("label", s["y"]))
-        ax.set_title(spec.get("title", ""))
-        ax.set_xlabel(spec.get("xlabel", ""))
-        ax.set_ylabel(spec.get("ylabel", ""))
-        if len(spec["series"]) > 1:
-            ax.legend()
+        for ax in flat:
+            if ax.lines:
+                ax.set_xlabel(spec.get("xlabel", ""))
+                ax.set_ylabel(spec.get("ylabel", ""))
+                if len(ax.lines) > 1:
+                    ax.legend()
+        flat[0].set_title(spec.get("title", ""))
         fig.savefig(out_path)
         plt.close(fig)
         return out_path

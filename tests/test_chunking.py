@@ -45,6 +45,22 @@ def test_chunk_validates_overlap(docs):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
 
 
+def test_pack_sharded(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 300, i % 2) for i in range(8)], "doc_id long, text string, shard long"
+    )
+    out = pack_documents(docs, budget_tokens=512, shard_col="shard").collect()
+    # 4 docs of 300 tokens per shard -> packs of 2 docs within each shard
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r["doc_id"])
+    assert len(out) == 8
+    assert sorted(len(v) for v in packs.values()) == [2, 2, 2, 2]
+    # packs never mix shards
+    for ids in packs.values():
+        assert len({i % 2 for i in ids}) == 1
+
+
 def test_pack_assignment(spark):
     docs = spark.createDataFrame(
         [(1, "a " * 300), (2, "b " * 300), (3, "c " * 300), (4, "d " * 600)],

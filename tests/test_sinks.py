@@ -94,6 +94,14 @@ def test_docx_report_fallback(small, tmp_path):
         assert "# Results" in text and "| x | s |" in text
 
 
+def test_plot_spec_grid_validation():
+    validate_plot_spec({"grid": [2, 2], "series": [{"y": "a", "ax": 3}]})
+    with pytest.raises(ValueError, match="outside grid"):
+        validate_plot_spec({"grid": [2, 2], "series": [{"y": "a", "ax": 4}]})
+    with pytest.raises(ValueError, match="rows, cols"):
+        validate_plot_spec({"grid": [0, 2], "series": [{"y": "a"}]})
+
+
 def test_plot_real_matplotlib_render(small, tmp_path):
     """Real-render path (detect-and-use): runs wherever matplotlib is
     installed; skipped in this sandbox, which lacks it."""
