@@ -775,3 +775,35 @@ def q80_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@_q(
+    "q81_statistics",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           floor(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000 AS sd_price,
+           floor(var_samp(l_discount) * 1000000000 + 0.5) / 1000000000 AS var_disc,
+           floor(corr(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000 AS corr_pq,
+           floor(covar_samp(l_extendedprice, l_discount) * 10000 + 0.5) / 10000 AS cov_pd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q81_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: sample stddev/variance,
+    correlation, covariance — half-up-rounded on both sides at scales
+    coarse enough to absorb sum-order ulp drift between engines."""
+    from batch_process_spark.functions.rounding import round_half_up
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            round_half_up(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            round_half_up(F.var_samp("l_discount"), 9).alias("var_disc"),
+            round_half_up(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+            round_half_up(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("cov_pd"),
+        )
+    )
