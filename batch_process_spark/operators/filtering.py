@@ -75,6 +75,37 @@ def filter_dataframe(
 _GLOB_CHARS = re.compile(r"[*?\[]")
 
 
+def translate_char_class(cls: str) -> str:
+    """Delegate a complete ``[...]`` glob class to ``fnmatch.translate``
+    so every edge case matches CPython's semantics exactly: ``!``
+    negation, leading-``]`` literal member, literal ``^`` (escaped, NOT
+    negation), and invalid ranges like ``[b-.]`` becoming ``(?!)``
+    (match nothing) instead of a regex compile error at query time.
+    Property-tested against fnmatch in ``test_property_globs``."""
+    import fnmatch
+
+    t = fnmatch.translate(cls)
+    # translate wraps as '(?s:...)\\Z' on CPython 3.8+
+    if t.startswith("(?s:") and t.endswith(")\\Z"):
+        return t[4:-3]
+    return re.escape(cls)  # unexpected shape: fall back to literal
+
+
+def scan_char_class(pattern: str, i: int) -> int:
+    """Index of the closing ``]`` of the class starting at ``i`` (which
+    must hold '['), or -1 if unterminated — fnmatch scanning rules: a
+    ``]`` directly after ``[`` or ``[!`` is a literal member."""
+    n = len(pattern)
+    j = i + 1
+    if j < n and pattern[j] == "!":
+        j += 1
+    if j < n and pattern[j] == "]":
+        j += 1
+    while j < n and pattern[j] != "]":
+        j += 1
+    return j if j < n else -1
+
+
 def glob_to_regex(pattern: str) -> str:
     """fnmatch-style glob -> anchored Java-compatible regex."""
     out = []
@@ -86,20 +117,11 @@ def glob_to_regex(pattern: str) -> str:
         elif ch == "?":
             out.append(".")
         elif ch == "[":
-            j = i + 1
-            if j < n and pattern[j] in "!^":
-                j += 1
-            if j < n and pattern[j] == "]":
-                j += 1
-            while j < n and pattern[j] != "]":
-                j += 1
-            if j >= n:
+            j = scan_char_class(pattern, i)
+            if j < 0:
                 out.append(re.escape("["))
             else:
-                inner = pattern[i + 1 : j]
-                if inner.startswith("!"):
-                    inner = "^" + inner[1:]
-                out.append("[" + inner + "]")
+                out.append(translate_char_class(pattern[i : j + 1]))
                 i = j
         else:
             out.append(re.escape(ch))

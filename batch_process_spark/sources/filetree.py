@@ -28,6 +28,8 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batch_process_spark.operators.filtering import scan_char_class, translate_char_class
+
 MAX_LEVELS = 8
 
 
@@ -96,26 +98,14 @@ def glob_to_tree_regex(pattern: str) -> str:
         elif ch == "?":
             out.append(r"[^/]")
         elif ch == "[":
-            j = i + 1
-            if j < n and pattern[j] in "!^":
-                j += 1
-            if j < n and pattern[j] == "]":
-                # fnmatch rule: a ']' directly after '[' (or '[!') is a
-                # literal class member, not the terminator — so '[]'
-                # has no terminator and falls through to literal '['
-                j += 1
-            while j < n and pattern[j] != "]":
-                j += 1
-            if j >= n:
+            # classes delegate to fnmatch's own translation so every
+            # edge case (leading-']' literal, '!' negation, literal '^',
+            # invalid ranges -> never-match) agrees with CPython
+            j = scan_char_class(pattern, i)
+            if j < 0:
                 out.append(re.escape("["))
             else:
-                inner = pattern[i + 1 : j]
-                if inner.startswith("!"):
-                    inner = "^" + inner[1:]
-                # a literal ']' member (only possible in first position
-                # per the scan above) must be escaped for Python re
-                inner = inner.replace("]", "\\]")
-                out.append("[" + inner + "]")
+                out.append(translate_char_class(pattern[i : j + 1]))
                 i = j
         else:
             out.append(re.escape(ch))
