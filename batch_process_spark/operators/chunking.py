@@ -83,30 +83,32 @@ def pack_documents(
     the ordering; chunk first if hard caps matter.
 
     Scale: without ``shard_col`` the cumulative sum is one GLOBAL
-    window (single task — fine up to millions of rows, wrong at 100 TB).
-    With ``shard_col`` packing runs independently per shard and pack
-    ids are namespaced ``shard-local pack << 20 | shard bucket`` —
-    embarrassingly parallel, still fully deterministic.
+    window (single task — fine up to millions of rows, wrong at 100 TB)
+    and the output is (id, n_tokens, pack_id). With ``shard_col``
+    packing runs independently per shard — embarrassingly parallel,
+    still deterministic — and the output carries a ``pack_shard``
+    column: the globally-unique pack identity is the PAIR
+    (pack_shard, pack_id), with pack_id shard-local. (A single hashed
+    id would collide across shards at birthday-bound rates.)
     """
     order = order_col or id_col
     n = F.size(tokens_col(text_col))
-    base = df.select(
-        F.col(id_col),
-        n.alias("n_tokens"),
-        *( [F.col(shard_col).alias("__shard")] if shard_col else [] ),
-    )
+    extra = []
+    if order_col and order_col != id_col:
+        extra.append(F.col(order_col))
     if shard_col:
-        w = Window.partitionBy("__shard").orderBy(order).rowsBetween(
+        extra.append(F.col(shard_col).alias("pack_shard"))
+    base = df.select(F.col(id_col), n.alias("n_tokens"), *extra)
+    if shard_col:
+        w = Window.partitionBy("pack_shard").orderBy(order).rowsBetween(
             Window.unboundedPreceding, 0
         )
-        local = F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens)
-        # namespace: local pack in the high bits, shard hash in the low
-        # 20 bits (collision-free as long as shard cardinality < 2^20)
-        pack = F.shiftleft(local, 20) + F.pmod(F.hash("__shard"), F.lit(1 << 20))
+        out_cols = [id_col, "n_tokens", "pack_shard"]
     else:
         w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-        pack = F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens)
+        out_cols = [id_col, "n_tokens"]
+    pack = F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens)
     return (
         base.withColumn("__cum", F.sum("n_tokens").over(w))
-        .select(id_col, "n_tokens", pack.alias("pack_id"))
+        .select(*out_cols, pack.alias("pack_id"))
     )

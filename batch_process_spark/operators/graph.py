@@ -65,6 +65,8 @@ def connected_components(
     rounds), 'auto' = driver below the threshold else distributed.
     Raises if the distributed loop needs more than ``max_iter`` rounds.
     """
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"strategy must be auto|driver|distributed, got {strategy!r}")
     spark = pairs.sparkSession
     p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
     n_pairs = p.count()
@@ -81,8 +83,16 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select("src").distinct().withColumn("component", F.col("src")).persist()
-    labels.count()  # materialize
+    # localCheckpoint (eager) per round: each round references `labels`
+    # twice, so without lineage truncation the plan doubles per round
+    # and the driver OOMs on even modest component diameters. The
+    # checkpointed blocks are released by the ContextCleaner once the
+    # frame is unreferenced, so nothing stays pinned after the caller
+    # drops the result.
+    labels = (
+        edges.select("src").distinct().withColumn("component", F.col("src"))
+        .localCheckpoint()
+    )
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -103,7 +113,7 @@ def connected_components(
                         F.col("component"), F.coalesce("__min_nbr", F.col("component"))
                     ).alias("component"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.join(
@@ -112,7 +122,6 @@ def connected_components(
                 .filter(F.col("component") != F.col("__old"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 return labels.select(F.col("src").alias("node"), "component")

@@ -19,7 +19,7 @@ import os
 import shutil
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from batch_process_spark.operators.merge import merge_upsert
@@ -34,18 +34,31 @@ def upsert_batch(
     """Apply one (micro-)batch to the parquet target with MERGE
     semantics. Within-batch duplicate keys collapse to ONE row first —
     a batch must not insert the same key twice. With ``order_col`` the
-    LATEST change wins (CDC ordering, ``max_by``); without it the
-    winner is still deterministic (max over the full row struct), just
-    not time-aware — ``dropDuplicates`` would keep whichever row a
-    partition scan saw first, which varies across retries/partitioning
-    and can silently replay an older value."""
+    LATEST change wins (CDC ordering; NULL order values lose to any
+    non-NULL one but keep their full payload — they are never turned
+    into NULL rows). Ties and the no-``order_col`` case break on a
+    JSON fingerprint of the payload: deterministic across
+    retries/partitioning (``dropDuplicates`` keeps whichever row a
+    partition scan saw first) and safe for unorderable payload types
+    (maps), which struct-ordering aggregates like ``max_by`` reject.
+    """
     keys = list(keys)
     spark = batch_df.sparkSession
     payload = [c for c in batch_df.columns if c not in keys]
-    order = F.col(order_col) if order_col else F.struct(*[F.col(c) for c in payload])
-    batch_df = batch_df.groupBy(*keys).agg(
-        F.max_by(F.struct(*[F.col(c) for c in payload]), order).alias("__row")
-    ).select(*keys, "__row.*")
+    fingerprint = (
+        F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in payload])))
+        if payload
+        else F.lit(0)
+    )
+    order_exprs = [fingerprint.asc()]
+    if order_col:
+        order_exprs.insert(0, F.col(order_col).desc_nulls_last())
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_exprs)
+    batch_df = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     if os.path.exists(target_dir):
         merged = merge_upsert(spark.read.parquet(target_dir), batch_df, keys)
     else:

@@ -86,3 +86,32 @@ def test_upsert_batch_latest_wins_with_order_col(spark, tmp_path):
     upsert_batch(b, target, ["k"], order_col="seq")
     rows = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert rows == {1: "new", 2: "only"}  # highest seq wins, not scan order
+
+
+def test_upsert_batch_null_order_keeps_payload(spark, tmp_path):
+    """A NULL order value must lose to non-NULL rows but never corrupt
+    the surviving payload into NULLs."""
+    target = str(tmp_path / "cdc_nullseq")
+    b = spark.createDataFrame(
+        [(1, "real", None), (2, "only-null", None)], "k long, v string, seq string"
+    ).withColumn("seq", F.col("seq").cast("long"))
+    upsert_batch(b, target, ["k"], order_col="seq")
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert rows == {1: "real", 2: "only-null"}  # payloads intact
+    b2 = spark.createDataFrame([(1, "newer", 7), (1, "null-ts", None)],
+                               "k long, v string, seq long")
+    upsert_batch(b2, target, ["k"], order_col="seq")
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert rows[1] == "newer"  # non-null seq beats null
+
+
+def test_upsert_batch_map_payload(spark, tmp_path):
+    """Map-typed payloads are unorderable for struct aggregates; the
+    fingerprint dedup must handle them."""
+    target = str(tmp_path / "cdc_map")
+    b = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"a": 1}), (2, {"b": 2})], "k long, m map<string,int>"
+    )
+    upsert_batch(b, target, ["k"])
+    out = {r["k"]: dict(r["m"]) for r in spark.read.parquet(target).collect()}
+    assert out == {1: {"a": 1}, 2: {"b": 2}}

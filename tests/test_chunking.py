@@ -50,15 +50,27 @@ def test_pack_sharded(spark):
         [(i, "w " * 300, i % 2) for i in range(8)], "doc_id long, text string, shard long"
     )
     out = pack_documents(docs, budget_tokens=512, shard_col="shard").collect()
-    # 4 docs of 300 tokens per shard -> packs of 2 docs within each shard
+    # 4 docs of 300 tokens per shard -> packs of 2 docs within each
+    # shard; global pack identity is the (pack_shard, pack_id) pair
     packs = {}
     for r in out:
-        packs.setdefault(r["pack_id"], []).append(r["doc_id"])
+        packs.setdefault((r["pack_shard"], r["pack_id"]), []).append(r["doc_id"])
     assert len(out) == 8
     assert sorted(len(v) for v in packs.values()) == [2, 2, 2, 2]
     # packs never mix shards
-    for ids in packs.values():
-        assert len({i % 2 for i in ids}) == 1
+    for (shard, _), ids in packs.items():
+        assert {i % 2 for i in ids} == {shard}
+
+
+def test_pack_respects_order_col(spark):
+    docs = spark.createDataFrame(
+        [(1, "w " * 300, 3), (2, "w " * 300, 1), (3, "w " * 300, 2)],
+        "doc_id long, text string, prio long",
+    )
+    out = {r["doc_id"]: r["pack_id"] for r in
+           pack_documents(docs, budget_tokens=512, order_col="prio").collect()}
+    # prio order 2,3,1: first two packed together, last spills
+    assert out == {2: 0, 3: 0, 1: 1}
 
 
 def test_pack_assignment(spark):

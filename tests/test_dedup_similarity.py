@@ -288,3 +288,25 @@ def test_connected_components_and_clusters(spark):
     # survivors = min id per component -> drop everything else
     survivors = {n for n, c in cc.items() if n == c}
     assert survivors == {1, 10, 20}
+
+
+def test_connected_components_deep_chain_distributed(spark):
+    """Lineage must not blow up with diameter: a 9-hop chain converges
+    through the checkpointed loop (pre-fix this OOMed the driver)."""
+    from batch_process_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["component"]
+          for r in connected_components(pairs, strategy="distributed").collect()}
+    assert cc == {i: 0 for i in range(10)}
+
+
+def test_connected_components_rejects_bad_strategy(spark):
+    import pytest as _pytest
+    from batch_process_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="strategy"):
+        connected_components(pairs, strategy="drver")
