@@ -807,3 +807,41 @@ def q81_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("cov_pd"),
         )
     )
+
+
+@_q(
+    "q82_lenient_json",
+    """
+    WITH j AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS doc
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN json_valid(doc) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN json_valid(doc) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN json_valid(doc)
+                         THEN CAST(doc->>'k' AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_k
+    FROM j GROUP BY event_type
+    """,
+)
+def q82_lenient_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 lenient JSON at query level: a stream with every 7th record
+    corrupted (leading garbage — Spark's from_json tolerates TRAILING
+    garbage after a complete value, DuckDB's json_valid doesn't)
+    parses PERMISSIVEly: bad rows become NULL structs (errors-as-data),
+    good rows keep their payload; per-type tallies must match DuckDB's
+    json_valid partition exactly."""
+    ev = _t(spark, sf_dir, "events")
+    doc = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_type", F.from_json(doc, "k long").alias("j")
+    )
+    valid = F.col("j").isNotNull() & F.col("j.k").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.sum(valid.cast("long")).alias("n_valid"),
+        F.sum((~valid).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(valid, F.col("j.k")).otherwise(0)).alias("sum_k"),
+    )
