@@ -6,6 +6,8 @@ config.yaml`` lifecycle (SURVEY §3.1):
     python -m batch_process_spark.cli run <root> -c config.yaml
     python -m batch_process_spark.cli simulate <root> -c config.yaml
     python -m batch_process_spark.cli ops            # operator listing
+    python -m batch_process_spark.cli compact <dir> --target-mb 128
+                                                     # small-files rewrite
 
 Plugins: ``--plugins <dir>`` imports every ``*.py`` there; modules
 self-register via the ``@operator`` decorator.
@@ -29,12 +31,14 @@ def load_plugins(plugin_dir: str) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="batch_process_spark")
-    ap.add_argument("command", choices=["run", "simulate", "ops"])
+    ap.add_argument("command", choices=["run", "simulate", "ops", "compact"])
     ap.add_argument("root", nargs="?", help="directory tree to process")
     ap.add_argument("-c", "--config", help="YAML/JSON rule config")
     ap.add_argument("--plugins", help="directory of plugin modules")
     ap.add_argument("--history", help="parquet dir for the run history sink")
     ap.add_argument("--with-text", action="store_true", help="read file contents (text) for stages")
+    ap.add_argument("--target-mb", type=int, default=128, help="compact: target file size")
+    ap.add_argument("--sort-by", help="compact: comma-separated sort columns for data skipping")
     args = ap.parse_args(argv)
 
     import batch_process_spark.plans.builtin_ops  # noqa: F401  (registers built-ins)
@@ -46,6 +50,22 @@ def main(argv=None) -> int:
     if args.command == "ops":
         for op in REGISTRY.all():
             print(f"{op.phase:>8}  prio={op.priority:<3} {op.name}  {op.metadata or ''}")
+        return 0
+
+    if args.command == "compact":
+        if not args.root:
+            ap.error("compact needs the parquet <dir>")
+        from batch_process_spark.session import get_spark
+        from batch_process_spark.sinks.compact import compact_parquet
+
+        spark = get_spark("batch_process_spark.cli")
+        stats = compact_parquet(
+            spark,
+            args.root,
+            target_mb=args.target_mb,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+        )
+        print(json.dumps(stats))
         return 0
 
     if not args.root or not args.config:

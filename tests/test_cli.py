@@ -63,3 +63,16 @@ def test_cli_simulate_run_and_plugin(tmp_path):
     ops = run_cli("ops", cwd=tmp_path)
     assert ops.returncode == 0
     assert "extract_numbers" in ops.stdout
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    import json as _json
+
+    from batch_process_spark.cli import main
+
+    path = str(tmp_path / "lake")
+    spark.range(5000).repartition(20).write.parquet(path)
+    assert main(["compact", path, "--target-mb", "128"]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_before"] == 20 and stats["files_after"] <= 2
+    assert spark.read.parquet(path).count() == 5000
