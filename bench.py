@@ -61,7 +61,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = qs[name]
         runs = []
-        for _ in range(3):  # min-of-3: steady-state, GC/JIT/cache noise out
+        for _ in range(4):  # min-of-4: steady-state, GC/JIT/cache noise out
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
