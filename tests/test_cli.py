@@ -76,3 +76,19 @@ def test_cli_compact(spark, tmp_path, capsys):
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["files_before"] == 20 and stats["files_after"] <= 2
     assert spark.read.parquet(path).count() == 5000
+
+
+def test_driver_entry_contract(spark):
+    """The driver smoke-checks entry(): runs on sf0.001, stable schema."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns == [
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+        "count_order",
+    ]
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(oracles) == 82  # every query oracle-checked
