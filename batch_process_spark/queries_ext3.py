@@ -845,3 +845,69 @@ def q82_lenient_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~valid).cast("long")).alias("n_corrupt"),
         F.sum(F.when(valid, F.col("j.k")).otherwise(0)).alias("sum_k"),
     )
+
+
+@_q(
+    "q83_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER w, 4) AS sum_last_hour
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q83_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user trailing-hour count/sum
+    — the frame is value-based (epoch seconds), not row-based, so ties
+    and gaps behave identically in both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+    )
+
+
+@_q(
+    "q84_rank_family",
+    """
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
+    FROM customer
+    WHERE c_custkey <= 500
+    WINDOW w AS (ORDER BY round(c_acctbal, 2), c_custkey)
+    """,
+)
+def q84_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over a deterministic total order:
+    ntile/rank/dense_rank/percent_rank/cume_dist (quotients half-up
+    rounded on both sides)."""
+    from pyspark.sql import Window
+
+    from batch_process_spark.functions.rounding import round_half_up
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    w = Window.orderBy(F.round("c_acctbal", 2), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+    )
