@@ -911,3 +911,58 @@ def q84_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
         round_half_up(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@_q(
+    "q85_set_ops_all",
+    """
+    WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 25),
+    b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R')
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    """,
+)
+def q85_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: EXCEPT ALL / INTERSECT ALL preserve
+    duplicate multiplicity (|A\\B| = sum max(cnt_a - cnt_b, 0) per key)
+    — semantics the distinct forms (q12) can't exercise."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select(F.col("l_orderkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("k"))
+    ex = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    ia = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    return ex.unionByName(ia)
+
+
+@_q(
+    "q86_explode_outer",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN []
+                  ELSE list_filter(regexp_split_to_array(lower(trim(text)), '[^0-9a-zA-Z]+'), x -> x <> '')
+             END AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, u.tok
+    FROM d LEFT JOIN LATERAL (SELECT unnest(toks) AS tok) u ON true
+    """,
+)
+def q86_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode: docs whose token array is empty (every 10th,
+    forced) must survive as a (doc_id, NULL) row — the inner explode
+    silently drops them, which loses records in flattening pipelines."""
+    from batch_process_spark.operators.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.when(F.col("doc_id") % 10 == 0, F.array().cast("array<string>")).otherwise(
+        tokens_col("text")
+    )
+    return docs.select("doc_id", F.explode_outer(toks).alias("tok"))
