@@ -966,3 +966,72 @@ def q86_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_col("text")
     )
     return docs.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
+@_q(
+    "q87_window_navigation",
+    """
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           lead(event_type, 1, 'END') OVER o AS next_type,
+           lag(event_type, 2, 'START') OVER o AS prev2_type
+    FROM events
+    WHERE user_id < 20
+    WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q87_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family: first/last/nth over an explicit
+    full-partition ROWS frame (the default frame differs for
+    last_value and is a classic cross-engine trap), plus lead/lag with
+    defaults over a deterministic (ts, event_id) order."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    o = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = o.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.lead("event_type", 1, "END").over(o).alias("next_type"),
+        F.lag("event_type", 2, "START").over(o).alias("prev2_type"),
+    )
+
+
+@_q(
+    "q88_conditional_aggs",
+    """
+    SELECT l_linestatus,
+           CAST(count_if(l_quantity > 45) AS BIGINT) AS n_big,
+           bool_or(l_returnflag = 'R')  AS any_returned,
+           bool_and(l_discount >= 0)    AS all_nonneg_disc,
+           (max({'p': l_extendedprice, 'k': l_orderkey})).k AS priciest_order,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q88_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate family: count_if / bool_or / bool_and /
+    lexicographic struct-max (tie-safe arg-max: DuckDB's arg_max cannot
+    order on a composite, so both sides take max(struct(price, key)).key,
+    which breaks price ties on the key deterministically) — the
+    predicate-shaped aggregates a rules engine compiles to."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(F.col("l_quantity") > 45).alias("n_big"),
+            F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+            F.bool_and(F.col("l_discount") >= 0).alias("all_nonneg_disc"),
+            F.max(F.struct(F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k")))["k"].alias("priciest_order"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )

@@ -91,4 +91,4 @@ def test_driver_entry_contract(spark):
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) == len(oracles) == 86  # every query oracle-checked
+    assert len(qs) == len(oracles) == 88  # every query oracle-checked
