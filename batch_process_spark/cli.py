@@ -63,7 +63,9 @@ def main(argv=None) -> int:
             spark,
             args.root,
             target_mb=args.target_mb,
-            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            sort_by=[c.strip() for c in args.sort_by.split(",") if c.strip()]
+            if args.sort_by
+            else None,
         )
         print(json.dumps(stats))
         return 0

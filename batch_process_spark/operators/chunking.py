@@ -108,6 +108,8 @@ def pack_documents(
     (pack_shard, pack_id), with pack_id shard-local. (A single hashed
     id would collide across shards at birthday-bound rates.)
     """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
     order = order_col or id_col
     n = F.size(tokens_col(text_col))
     extra = []

@@ -30,6 +30,11 @@ def prepend_columns(df: DataFrame, kv: Mapping[str, Any]) -> DataFrame:
     return df.select(*front, *rest)
 
 
+#: URI scheme per RFC 3986: letter, then letters/digits/+/-/. — the
+#: digit matters (s3/s3a/o3fs), a plain [a-z]+ misses cloud schemes.
+_SCHEME_RX = "^[a-zA-Z][a-zA-Z0-9+.-]*:/*"
+
+
 def with_provenance(
     df: DataFrame,
     file_col: str = "source_file",
@@ -40,14 +45,27 @@ def with_provenance(
 
     ``file_col``: the originating file path (scheme-stripped so it
     compares equal across engines/filesystems). ``row_col`` (optional):
-    the row's position WITHIN its file, via a per-file window — stable
-    for parquet (row-group order), unlike ``monotonically_increasing_id``
-    which renumbers with partitioning. The window shuffles per file at
-    file granularity; omit it for petabyte scans where the file path
-    alone is enough.
+    the row's position WITHIN its file. When ``df`` is a direct file
+    scan, both come from the source's hidden ``_metadata`` column
+    (exact file row index, stable under any later repartitioning).
+    Otherwise the fallback is ``input_file_name`` + a per-file window
+    over ``monotonically_increasing_id`` — which reflects true in-file
+    position ONLY if ``df`` has not been shuffled since the scan; call
+    this right after the read.
     """
+    try:
+        # native path: exact and shuffle-proof, but _metadata resolves
+        # only on a file-source scan
+        out = df.withColumn(
+            file_col, F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RX, "/")
+        )
+        if row_col:
+            out = out.withColumn(row_col, F.col("_metadata.row_index"))
+        return out
+    except Exception:
+        pass
     out = df.withColumn(
-        file_col, F.regexp_replace(F.input_file_name(), "^[a-z]+:/*", "/")
+        file_col, F.regexp_replace(F.input_file_name(), _SCHEME_RX, "/")
     )
     if row_col:
         w = Window.partitionBy(file_col).orderBy(F.monotonically_increasing_id())

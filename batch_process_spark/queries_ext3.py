@@ -855,21 +855,23 @@ def q82_lenient_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(value) OVER w, 4) AS sum_last_hour
     FROM events
     WHERE user_id < 50
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def q83_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based RANGE window frame: per-user trailing-hour count/sum
-    — the frame is value-based (epoch seconds), not row-based, so ties
-    and gaps behave identically in both engines."""
+    """Time-based RANGE window frame: per-user trailing-hour count/sum.
+    The frame orders on epoch MICROSECONDS on both sides — whole-second
+    ordering (unix_timestamp vs an INTERVAL frame) truncates sub-second
+    gaps and silently flips membership for pairs within 1s of the
+    boundary."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

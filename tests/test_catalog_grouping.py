@@ -175,3 +175,24 @@ def test_with_provenance_multi_file(spark, tmp_path):
         per_file.setdefault(r["source_file"], []).append(r["row_in_file"])
     for f, idxs in per_file.items():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_with_provenance_exact_file_order(spark, tmp_path):
+    """The native _metadata path must report the TRUE in-file position
+    (not an arbitrary dense numbering), surviving a later shuffle."""
+    from batch_process_spark.operators.columns import with_provenance
+
+    path = str(tmp_path / "one_shard")
+    spark.range(50).coalesce(1).write.parquet(path)  # file order == id order
+    df = with_provenance(spark.read.parquet(path), row_col="r").repartition(8)
+    got = sorted((r["r"], r["id"]) for r in df.collect())
+    assert got == [(i, i) for i in range(50)]
+
+
+def test_with_provenance_strips_digit_schemes():
+    from batch_process_spark.operators.columns import _SCHEME_RX
+    import re
+
+    assert re.sub(_SCHEME_RX, "/", "s3a://bucket/x.parquet") == "/bucket/x.parquet"
+    assert re.sub(_SCHEME_RX, "/", "file:///root/x.parquet") == "/root/x.parquet"
+    assert re.sub(_SCHEME_RX, "/", "o3fs://vol/x.parquet") == "/vol/x.parquet"

@@ -84,7 +84,7 @@ def test_driver_entry_contract(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0 and df.columns == [
+    assert len(rows) > 0 and df.columns == [
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
         "count_order",
