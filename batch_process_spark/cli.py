@@ -8,6 +8,8 @@ config.yaml`` lifecycle (SURVEY §3.1):
     python -m batch_process_spark.cli ops            # operator listing
     python -m batch_process_spark.cli compact <dir> --target-mb 128
                                                      # small-files rewrite
+    python -m batch_process_spark.cli template config.yaml
+                                                     # starter rule config
 
 Plugins: ``--plugins <dir>`` imports every ``*.py`` there; modules
 self-register via the ``@operator`` decorator.
@@ -31,7 +33,7 @@ def load_plugins(plugin_dir: str) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="batch_process_spark")
-    ap.add_argument("command", choices=["run", "simulate", "ops", "compact"])
+    ap.add_argument("command", choices=["run", "simulate", "ops", "compact", "template"])
     ap.add_argument("root", nargs="?", help="directory tree to process")
     ap.add_argument("-c", "--config", help="YAML/JSON rule config")
     ap.add_argument("--plugins", help="directory of plugin modules")
@@ -50,6 +52,15 @@ def main(argv=None) -> int:
     if args.command == "ops":
         for op in REGISTRY.all():
             print(f"{op.phase:>8}  prio={op.priority:<3} {op.name}  {op.metadata or ''}")
+        return 0
+
+    if args.command == "template":
+        if not args.root:
+            ap.error("template needs the output <path> (.yaml/.yml/.json)")
+        from batch_process_spark.plans.config_io import format_config_yaml, generate_template
+
+        tpl = generate_template(args.root)
+        print(format_config_yaml(tpl), end="")
         return 0
 
     if args.command == "compact":

@@ -75,10 +75,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name)
     if key not in memo:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events":
-            # nanos read as long; truncate to micros (integer DIV —
-            # matches DuckDB's ns->us truncation exactly).
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # Generator variant that ships ts as parquet TIMESTAMP(NANOS)
+            # (read as long under nanosAsLong): truncate to micros with
+            # integer DIV (matches DuckDB's ns->us truncation exactly).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Canonicalize TIMESTAMP_NTZ (plain parquet TIMESTAMP(MICROS) under
+        # Spark 4's NTZ inference) to session-TZ timestamps: the session TZ
+        # is pinned UTC above, so values are identical, and every query /
+        # window / literal comparison sees one timestamp type.
+        ntz = [n for n, t in df.dtypes if t == "timestamp_ntz"]
+        if ntz:
+            df = df.withColumns({n: F.col(n).cast("timestamp") for n in ntz})
         memo[key] = df
     return memo[key]
 

@@ -361,18 +361,22 @@ def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-    def transform(stream):
-        ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return tumbling_window_agg(ev, width="1 hour", keys=["event_type"])
 
     # streaming file sources take a directory; stage the single-file
     # table behind a memoized symlink dir
-    from batch_process_spark.queries_ext3 import _stage_stream_dir
+    from batch_process_spark.queries_ext3 import (
+        _events_stream_schema,
+        _normalize_stream_ts,
+        _stage_stream_dir,
+    )
+
+    def transform(stream):
+        return tumbling_window_agg(_normalize_stream_ts(stream), width="1 hour", keys=["event_type"])
 
     d = _stage_stream_dir(sf_dir)
-    return run_stream_to_memory(spark, d, schema, transform, query_name="q44_out")
+    return run_stream_to_memory(
+        spark, d, _events_stream_schema(sf_dir), transform, query_name="q44_out"
+    )
 
 
 @_q(

@@ -20,9 +20,31 @@ from pyspark.sql import functions as F
 
 from batch_process_spark.queries import _q, _t
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+def _events_stream_schema(sf_dir: str) -> str:
+    """Streaming sources need an explicit schema. The generator has
+    shipped events.ts as both parquet TIMESTAMP(NANOS) (readable only
+    as long under nanosAsLong) and TIMESTAMP(MICROS); sniff the footer
+    with pyarrow so the declared schema matches the files on disk."""
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    ts_sql = "long" if ts_type == "timestamp[ns]" else "timestamp"
+    return (
+        f"event_id long, ts {ts_sql}, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+
+def _normalize_stream_ts(stream: DataFrame) -> DataFrame:
+    """Canonicalize the streamed ts column to a session-TZ timestamp,
+    whichever physical encoding the files carry (long nanos / NTZ /
+    already-LTZ)."""
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 _STREAM_DIRS: dict[tuple[str, str], str] = {}
@@ -417,7 +439,7 @@ def q71_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark,
         _stage_stream_dir(sf_dir),
-        EVENTS_STREAM_SCHEMA,
+        _events_stream_schema(sf_dir),
         transform,
         query_name="q71_out",
         output_mode="append",
@@ -460,7 +482,7 @@ def q72_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark,
         _stage_stream_dir(sf_dir),
-        EVENTS_STREAM_SCHEMA,
+        _events_stream_schema(sf_dir),
         transform,
         query_name="q72_out",
         output_mode="complete",

@@ -11,9 +11,10 @@ size-based (actual bytes on disk, not row counts), swap-on-success
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from batch_process_spark.sinks.swapdir import recover_swap, swap_directory
 
 
 def parquet_files(path: str) -> list[str]:
@@ -38,6 +39,8 @@ def compact_parquet(
     stats become selective (poor-man's clustering — real data skipping
     at scan time).
     """
+    tmp = path.rstrip("/") + ".__compact__"
+    recover_swap(path, tmp)  # repair any crashed earlier swap first
     files = parquet_files(path)
     total_bytes = sum(os.path.getsize(f) for f in files)
     if len(files) < min_files:
@@ -48,10 +51,8 @@ def compact_parquet(
         out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
-    tmp = path.rstrip("/") + ".__compact__"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    swap_directory(tmp, path)
     return {
         "files_before": len(files),
         "files_after": len(parquet_files(path)),

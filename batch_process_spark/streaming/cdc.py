@@ -16,13 +16,13 @@ upsert logic.
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from batch_process_spark.operators.merge import merge_upsert
+from batch_process_spark.sinks.swapdir import recover_swap, swap_directory
 
 
 def upsert_batch(
@@ -59,15 +59,14 @@ def upsert_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    tmp = target_dir.rstrip("/") + ".__tmp__"
+    recover_swap(target_dir, tmp)  # repair any crashed earlier swap first
     if os.path.exists(target_dir):
         merged = merge_upsert(spark.read.parquet(target_dir), batch_df, keys)
     else:
         merged = batch_df
-    tmp = target_dir.rstrip("/") + ".__tmp__"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(target_dir):
-        shutil.rmtree(target_dir)
-    os.rename(tmp, target_dir)
+    swap_directory(tmp, target_dir)
 
 
 def stream_upsert_to_parquet(

@@ -46,8 +46,9 @@ def _subst(i: int) -> str:
     return LETTERS[i % len(LETTERS)] + LETTERS[i // len(LETTERS)]
 
 
-def shuffle_write_bytes(ui_port: int = 4040) -> int:
-    """Total shuffle write bytes across completed stages (REST API)."""
+def shuffle_write_bytes(ui_port: int = 4040):
+    """Total shuffle write bytes across completed stages (REST API);
+    None when the UI poll fails (callers must print n/a, not deltas)."""
     base = f"http://localhost:{ui_port}/api/v1"
     try:
         apps = json.load(urllib.request.urlopen(f"{base}/applications", timeout=5))
@@ -57,7 +58,20 @@ def shuffle_write_bytes(ui_port: int = 4040) -> int:
         )
         return sum(s.get("shuffleWriteBytes", 0) for s in stages)
     except Exception:
-        return -1
+        return None
+
+
+def shuffle_delta(sb0, sb1):
+    """(MB string, bytes/row closure) from two polls; n/a if either failed."""
+    if sb0 is None or sb1 is None:
+        return None
+    return sb1 - sb0
+
+
+def fmt_shuffle(delta, n_rows):
+    if delta is None:
+        return "n/a | n/a"
+    return f"{delta / 2**20:.1f} | {delta / max(n_rows, 1):.0f}"
 
 
 def scaled_docs_spark(spark, sf_dir: str, n_copies: int):
@@ -129,20 +143,20 @@ def main():
         # exact dedup
         sb0 = shuffle_write_bytes()
         s = min(t_spark(dedup.exact_dedup(docs, "text", "doc_id")) for _ in range(2))
-        sb = shuffle_write_bytes() - sb0
+        sb = shuffle_delta(sb0, shuffle_write_bytes())
         d = t_duck(
             con,
             f"SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS dup_count "
             f"FROM ({scaled_docs_sql(n)}) GROUP BY md5(text)",
         )
-        print(f"| exact_dedup | {n} | {n_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {sb/2**20:.1f} | {sb/max(n_rows,1):.0f} |")
+        print(f"| exact_dedup | {n} | {n_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
 
         # minhash near-dup
         sb0 = shuffle_write_bytes()
         s = t_spark(dedup.minhash_near_dup_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.7))
-        sb = shuffle_write_bytes() - sb0
+        sb = shuffle_delta(sb0, shuffle_write_bytes())
         d = t_duck(con, _minhash_oracle(corpus_sql=scaled_docs_sql(n)))
-        print(f"| minhash_lsh | {n} | {n_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {sb/2**20:.1f} | {sb/max(n_rows,1):.0f} |")
+        print(f"| minhash_lsh | {n} | {n_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
         docs.unpersist()
 
         # embedding top-k
@@ -155,7 +169,7 @@ def main():
         )
         sb0 = shuffle_write_bytes()
         s = min(t_spark(similarity.brute_force_topk(emb, queries, k=10)) for _ in range(2))
-        sb = shuffle_write_bytes() - sb0
+        sb = shuffle_delta(sb0, shuffle_write_bytes())
         dot = _DOT.format(a="e.embedding", b="q.qe")
         na = _DOT.format(a="e.embedding", b="e.embedding")
         nq = _DOT.format(a="q.qe", b="q.qe")
@@ -169,7 +183,7 @@ def main():
             SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
                            FROM scored) WHERE rank <= 10""",
         )
-        print(f"| embed_topk | {n} | {e_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {sb/2**20:.1f} | {sb/max(e_rows,1):.0f} |")
+        print(f"| embed_topk | {n} | {e_rows} | {s:.2f} | {d:.2f} | {s/d:.1f}x | {fmt_shuffle(sb, e_rows)} |")
 
     spark.stop()
 
