@@ -124,6 +124,16 @@ def pack_documents(
         )
         out_cols = [id_col, "n_tokens", "pack_shard"]
     else:
+        # limit-probe, not count(): one cheap job that stops at the bound
+        if base.limit(1_000_001).count() > 1_000_000:
+            import warnings
+
+            warnings.warn(
+                "pack_documents without shard_col runs one GLOBAL cumulative-sum "
+                "window (single task) over >1M rows; pass shard_col for "
+                "per-shard parallel packing",
+                stacklevel=2,
+            )
         w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
         out_cols = [id_col, "n_tokens"]
     pack = F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens)

@@ -88,6 +88,14 @@ def prepend_sequence_columns(
     """
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     n = df.count()
+    if n > 100_000:
+        # each sequence ships as an n-element array literal inside the
+        # plan AND the row_number window is global (single task) — both
+        # are control-table shapes, not bulk-data ones
+        raise ValueError(
+            f"prepend_sequence_columns is for small control tables; got {n} rows "
+            "(literal-array + global-window shape). Join a proper mapping table instead."
+        )
     for name, seq in kv.items():
         if len(seq) != n:
             raise ValueError(

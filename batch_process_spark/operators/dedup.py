@@ -273,6 +273,65 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def shingle_sig_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, shingles, sig) in ONE Arrow pass — shingling as in
+    ``shingle_frame`` plus the minhash signature computed vectorized
+    (md5-fingerprint each shingle, then a numpy min over the same
+    (a*x+b) mod P family as the JVM forms — bit-exact with
+    ``minhash_signature``/``minhash_docs`` and the DuckDB oracle).
+
+    This is the zero-shuffle signature path: map-only end to end, so
+    the LSH pipeline's only wide stage is the banded candidate join.
+    The explode+partial-agg form (``minhash_docs``) remains for
+    shingle-set reuse-free callers; at 100 TB both are linear scans,
+    but this one materializes signatures without moving 1 row per
+    shingle through an aggregate.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[id_col]
+    pat = _re.compile(r"[^0-9a-zA-Z]+")
+    A = np.array(MINHASH_A[:num_hashes], dtype=np.int64)
+    B = np.array(MINHASH_B[:num_hashes], dtype=np.int64)
+    empty_sig = [int(MINHASH_P)] * num_hashes  # matches aggregate() init on []
+
+    def batches(it):
+        for pdf in it:
+            shingles, sigs = [], []
+            for t in pdf[text_col]:
+                toks = [w for w in pat.split((t or "").strip().lower()) if w]
+                if not toks:
+                    sh = []
+                elif len(toks) < k:
+                    sh = [" ".join(toks)]
+                else:
+                    sh = list(
+                        dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+                    )
+                shingles.append(sh)
+                if not sh:
+                    sigs.append(empty_sig)
+                    continue
+                xs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                # a<2^31, x<2^32 => a*x+b < 2^63: exact in int64
+                sigs.append(((xs[:, None] * A[None, :] + B[None, :]) % MINHASH_P).min(axis=0).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": shingles, "sig": sigs})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, shingles array<string>, sig array<long>"
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two string arrays (assumed distinct elements)."""
     inter = F.size(F.array_intersect(a, b))
@@ -294,14 +353,14 @@ _SHINGLE_MEMO: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _SHINGLE_MEMO_MAX = 4
 
 
-def _shingle_plan_key(df: DataFrame, id_col: str, text_col: str, k: int):
+def _shingle_plan_key(df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int):
     """Semantic-hash key for the shingle memo; None when the plan can't
     be hashed (e.g. test fakes without a JVM plan)."""
     try:
         sem = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
         return None
-    return (sem, id_col, text_col, k)
+    return (sem, id_col, text_col, k, num_hashes)
 
 
 def release_shingle_caches() -> None:
@@ -315,15 +374,17 @@ def release_shingle_caches() -> None:
             pass  # session already stopped; nothing to release
 
 
-def _memoized_shingle_frame(base: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    key = _shingle_plan_key(base, id_col, text_col, k)
+def _memoized_shingle_frame(
+    base: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int = 16
+) -> DataFrame:
+    key = _shingle_plan_key(base, id_col, text_col, k, num_hashes)
     if key is not None and key in _SHINGLE_MEMO:
         sess_ref, cached = _SHINGLE_MEMO[key]
         if sess_ref() is base.sparkSession:
             _SHINGLE_MEMO.move_to_end(key)
             return cached
         del _SHINGLE_MEMO[key]  # session died; persisted data is gone
-    sh = shingle_frame(base, id_col, text_col, k).persist()
+    sh = shingle_sig_frame(base, id_col, text_col, k, num_hashes).persist()
     if key is not None:
         _SHINGLE_MEMO[key] = (_weakref.ref(base.sparkSession), sh)
         while len(_SHINGLE_MEMO) > _SHINGLE_MEMO_MAX:
@@ -352,35 +413,20 @@ def minhash_near_dup_pairs(
     the corpus-squared space.
     """
     base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-    # One Arrow-batched shingle pass, persisted and memoized on the
-    # input plan: feeds the signature aggregation and the two verify
+    # One Arrow-batched shingle+signature pass, persisted and memoized
+    # on the input plan: feeds the banded join and the two verify
     # probes, and is reused across invocations over the same input
     # (the handle is also exposed on the returned DataFrame as
     # ``_bps_persisted``; unpersisting it early is harmless — the memo
     # entry then recomputes lazily instead of reading cache).
-    sh = _memoized_shingle_frame(base, id_col, text_col, k)
-    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("__s")).withColumn(
-        "__x", shingle_fingerprint(F.col("__s"))
-    )
-    sigs = (
-        exploded.groupBy(id_col)
-        .agg(
-            *[
-                F.min(
-                    (F.lit(MINHASH_A[j]) * F.col("__x") + F.lit(MINHASH_B[j])) % MINHASH_P
-                ).alias(f"__m{j}")
-                for j in range(num_hashes)
-            ]
-        )
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig"),
-        )
-    )
+    # Signatures are computed INSIDE the kernel (map-only): the only
+    # wide stage in the whole pipeline is the banded candidate join.
+    sh = _memoized_shingle_frame(base, id_col, text_col, k, num_hashes)
+    sigs = sh.select(F.col(id_col), F.col("sig"))
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     verified = (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))

@@ -5,12 +5,14 @@ per-item decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas iterators (``mapInPandas``) so bytes never pass
 through row-at-a-time Python.
 
-The decode kernels themselves are STUBS in this environment (no
-PIL/ffmpeg in the container): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (bytes -> pseudo dimensions/features) runs
-so the Spark-side plumbing — schema, batching, partitioning — is real
-and testable.
+Decoding has two kernels behind one schema: a Pillow-backed real image
+decoder (``fake=False``, used when Pillow is importable — this
+container ships no media libs, so it is exercised by a skipif test
+elsewhere) and a deterministic fake decoder (``fake=True``,
+bytes -> pseudo dimensions/features) that keeps the Spark-side
+plumbing — schema, batching, partitioning — real and testable
+everywhere. ``fake=False`` without any decoder library raises
+``NotImplementedError`` at plan time.
 """
 
 from __future__ import annotations
@@ -78,18 +80,49 @@ def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
     return width, height, [h / total for h in hist]
 
 
+def _pil_decode(content: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode via Pillow: dimensions + an 8-bin grayscale
+    intensity histogram (normalized) as the feature vector — the same
+    output shape as the fake decoder, so downstream schemas are
+    identical either way."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as im:
+        im = im.convert("L")
+        width, height = im.size
+        hist256 = im.histogram()  # 256 bins
+    hist = [float(sum(hist256[i * 32 : (i + 1) * 32])) for i in range(8)]
+    total = sum(hist) or 1.0
+    return width, height, [h / total for h in hist]
+
+
+def pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + featurize media rows via ``mapInPandas``.
 
-    Real decoders (PIL / torchaudio / ffmpeg) are not present in this
-    container; with ``fake=False`` this raises ``NotImplementedError``
-    at plan time to make the stub explicit.
+    ``fake=True`` (default, oracle-checked path) runs the deterministic
+    byte-histogram stand-in. ``fake=False`` decodes real images with
+    Pillow when importable — same output schema, real width/height and
+    an intensity-histogram feature — and raises ``NotImplementedError``
+    at plan time when no decoder library is present (this container
+    ships none; the Spark-side plumbing is identical either way).
     """
-    if not fake:
+    if not fake and not pil_available():
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg — not available in this environment; "
-            "pass fake=True for the deterministic stub decoder"
+            "real media decoding requires Pillow (images) — not available in this "
+            "environment; pass fake=True for the deterministic stub decoder"
         )
+    decode = _fake_decode if fake else _pil_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -98,7 +131,7 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
             rows = []
             for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
-                w, h, feat = _fake_decode(content)
+                w, h, feat = decode(content)
                 rows.append(
                     {
                         "media_id": mid,

@@ -67,16 +67,18 @@ def brute_force_topk(
 
     # Guarded collect: Q must actually be small — a mistakenly-large
     # queries frame would otherwise OOM the driver silently. The limit
-    # probe costs one cheap job (limit pushes into the scan).
+    # rides the collect itself (no separate probe job); one extra row
+    # past the cap is enough to detect the overflow.
     max_queries = 10_000
-    probe = queries.select(F.col(query_id_col)).limit(max_queries + 1).count()
-    if probe > max_queries:
+    qrows = (
+        queries.select(F.col(query_id_col), F.col(vec_col)).limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
         raise ValueError(
             f"brute_force_topk collects the queries frame to the driver; got "
             f">{max_queries} query rows. For large query sets use lsh_topk / "
             "ivf_topk (bucketed, fully distributed) instead."
         )
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
     if not qrows:
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, score double, rank int"

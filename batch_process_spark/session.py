@@ -54,6 +54,12 @@ def get_spark(
         "spark.ui.enabled": "false",
         # local mode: shuffle spill compresses to driver-local disk
         "spark.shuffle.compress": "true",
+        # ContextCleaner only reclaims broadcasts/shuffle files after a
+        # DRIVER GC; the default periodic GC is 30min, so a long session
+        # of small queries accumulates state until jobs degrade 5-20x
+        # (measured on repeated LSH runs: 0.9s -> 16s over 8 trials).
+        # One forced GC a minute is noise-level cost at any scale.
+        "spark.cleaner.periodicGC.interval": "60s",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # smaller split target: keeps many-small-parquet scans (the
         # local test shape) parallel across all cores; harmless for big

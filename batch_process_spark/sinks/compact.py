@@ -53,6 +53,9 @@ def compact_parquet(
         out = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
     out.write.mode("overwrite").parquet(tmp)
     swap_directory(tmp, path)
+    from batch_process_spark.queries import invalidate_tables
+
+    invalidate_tables(path)  # cached plans snapshot the old file listing
     return {
         "files_before": len(files),
         "files_after": len(parquet_files(path)),

@@ -67,6 +67,9 @@ def upsert_batch(
         merged = batch_df
     merged.write.mode("overwrite").parquet(tmp)
     swap_directory(tmp, target_dir)
+    from batch_process_spark.queries import invalidate_tables
+
+    invalidate_tables(target_dir)  # cached plans snapshot the old file listing
 
 
 def stream_upsert_to_parquet(

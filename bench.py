@@ -57,6 +57,15 @@ def main() -> None:
             except Exception as exc:  # warmup must never sink the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # drop warmup garbage BEFORE the first timed query: the 14-query
+    # warmup leaves broadcasts/shuffle state that otherwise degrades
+    # whichever query is timed first (ContextCleaner frees on driver GC)
+    try:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -68,6 +77,13 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]}s (runs: {[round(r,2) for r in runs]})", file=sys.stderr)
+        # reclaim broadcasts/shuffle state between queries (outside the
+        # timed trials): ContextCleaner only acts on driver GC, and
+        # letting garbage ride degrades later queries' trials 5-20x
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
     print(

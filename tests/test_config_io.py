@@ -159,3 +159,16 @@ def test_recover_clean_noop(tmp_path):
     _mkdir_with(path, "cur")
     assert recover_swap(str(path)) == "clean"
     assert (path / "data.txt").read_text() == "cur"
+
+
+def test_invalidate_tables_drops_memo(spark):
+    from batch_process_spark.queries import _SESSION_MEMO, _t, invalidate_tables
+
+    sf = "/root/testdata/sf0.001"
+    _t(spark, sf, "region")
+    _t(spark, sf, "nation")
+    assert invalidate_tables(f"{sf}/region.parquet") == 1
+    assert (sf, "region") not in _SESSION_MEMO[spark]
+    assert (sf, "nation") in _SESSION_MEMO[spark]
+    assert invalidate_tables(sf) >= 1  # whole-dir form drops the rest
+    assert (sf, "nation") not in _SESSION_MEMO[spark]

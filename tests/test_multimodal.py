@@ -34,9 +34,35 @@ def test_decode_features_checksum_and_dims(media):
     assert abs(sum(out[1]["feat"]) - 1.0) < 1e-9
 
 
-def test_decode_real_is_explicit_stub(media):
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+def test_decode_real_is_explicit_stub_without_pillow(media):
+    from batch_process_spark.operators.multimodal import pil_available
+
+    if pil_available():
+        pytest.skip("Pillow present; real branch covered below")
+    with pytest.raises(NotImplementedError, match="Pillow"):
         decode_features(media, fake=False)
+
+
+def test_decode_real_images_with_pillow(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, png)], "media_id long, raw binary").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("raw").alias("content"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:bigint>")
+        .alias("meta"),
+    )
+    row = decode_features(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (20, 10)
+    assert len(row["feat"]) == 8 and abs(sum(row["feat"]) - 1.0) < 1e-9
 
 
 def test_frame_sample_expansion(media):

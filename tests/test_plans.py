@@ -131,6 +131,29 @@ def test_q75_interval_join_is_hash_not_nested_loop(spark, qs):
     assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
 
 
+def test_q18_minhash_pipeline_no_quadratic_join(spark, qs):
+    """The LSH banded candidate join must be a hash equi-join on the
+    band bucket — a cartesian/nested-loop fallback is the corpus^2
+    disaster LSH exists to avoid."""
+    plan = plan_of(qs["q18_minhash_lsh_neardup"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "SortMergeJoin" in tree or "BroadcastHashJoin" in tree or "ShuffledHashJoin" in tree
+
+
+def test_q25_topk_single_corpus_scan_and_group_limit(spark, qs):
+    """brute_force_topk: the corpus parquet is scanned exactly once
+    (queries ride driver-side into the kernel closure), and the global
+    merge of per-partition top-ks is rank-limited, not a full sort."""
+    df = qs["q25_embedding_topk"](spark, SF)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "WindowGroupLimit" in tree  # per-partition top-k pruning before the final rank
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+
+
 def test_minhash_shuffle_is_narrow(spark):
     """The minhash signature shuffle must carry only (id, partial
     mins) — never shingle strings."""
