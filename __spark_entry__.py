@@ -16,6 +16,7 @@ from batch_process_spark.queries import ORACLES, QUERIES
 import batch_process_spark.queries_ext  # noqa: F401  (registers part-2 queries)
 import batch_process_spark.queries_ext2  # noqa: F401  (registers part-3 queries)
 import batch_process_spark.queries_ext3  # noqa: F401  (registers part-4 queries)
+import batch_process_spark.queries_ext4  # noqa: F401  (registers part-5 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
