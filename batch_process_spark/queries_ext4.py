@@ -140,7 +140,13 @@ def q91_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SAMPLE_RATES = {"web": 2500, "books": 7500, "code": 5000, "wiki": 10000}  # per 10k
+# Per-10k keep rates keyed on sources that EXIST in the documents table
+# (src0..src19 in the generated testdata); unlisted sources fall back to
+# the default rate rather than 0 so the hash-membership path is exercised
+# on every stratum (round-3 advice: the old web/books/code/wiki keys
+# matched nothing and the query was vacuously green on 0 rows).
+_SAMPLE_RATES = {"src0": 2500, "src1": 7500, "src2": 5000, "src3": 10000}
+_SAMPLE_RATE_DEFAULT = 1000  # 10% for every other stratum
 
 
 @_q(
@@ -155,8 +161,8 @@ _SAMPLE_RATES = {"web": 2500, "books": 7500, "code": 5000, "wiki": 10000}  # per
     kept AS (
       SELECT source, n_chars FROM r
       WHERE bucket < CASE source
-        WHEN 'web' THEN 2500 WHEN 'books' THEN 7500
-        WHEN 'code' THEN 5000 WHEN 'wiki' THEN 10000 ELSE 0 END
+        WHEN 'src0' THEN 2500 WHEN 'src1' THEN 7500
+        WHEN 'src2' THEN 5000 WHEN 'src3' THEN 10000 ELSE 1000 END
     )
     SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
     FROM kept GROUP BY source
@@ -164,17 +170,17 @@ _SAMPLE_RATES = {"web": 2500, "books": 7500, "code": 5000, "wiki": 10000}  # per
 )
 def q92_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source stratified sampling at configured rates (data-mixing
-    weights: keep 25% web, 75% books, 50% code, 100% wiki) — membership
-    decided by a salted content hash, not rand(seed): deterministic
-    across engines, retries, and partitionings, and independent of the
-    split hash (different salt). Map-only until the final tiny agg."""
+    weights: keep 25% src0, 75% src1, 50% src2, 100% src3, 10% rest) —
+    membership decided by a salted content hash, not rand(seed):
+    deterministic across engines, retries, and partitionings, and
+    independent of the split hash (different salt). Map-only until the
+    final tiny agg."""
     docs = _t(spark, sf_dir, "documents")
     bucket = _hash_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(":sample")))
-    rate = F.lit(None).cast("long")
     expr = None
     for src, r in _SAMPLE_RATES.items():
         expr = F.when(F.col("source") == src, r) if expr is None else expr.when(F.col("source") == src, r)
-    rate = expr.otherwise(0)
+    rate = expr.otherwise(_SAMPLE_RATE_DEFAULT)
     return (
         docs.select("source", "n_chars", bucket.alias("__b"), rate.alias("__r"))
         .filter(F.col("__b") < F.col("__r"))
