@@ -24,21 +24,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _last_verified_rounds(root: str | None = None) -> dict[str, int]:
+    """Per-query round of the most recent driver-green verification,
+    reconstructed from the CORRECTNESS_r*.json files the driver commits
+    into this repo each round. Self-maintaining: no manual state to
+    update when queries are added or a new round lands. A query counts
+    as verified in round N only if that round's record shows all three
+    checks green; failed or absent entries keep their older round (or 0,
+    = never verified, highest priority)."""
+    import json
+    import re
+    from pathlib import Path
+
+    last: dict[str, int] = {}
+    base = Path(root) if root else Path(__file__).resolve().parent
+    for p in sorted(base.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rec = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, r in rec.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Order rotates the least-recently-driver-verified queries first: the
-    driver's CORRECTNESS file records the first 50 entries only, and
-    rounds 1-2 already verified q01-q50 there — so q51+ (TPC-H tail,
-    streaming, chunking/packing, window depth) lead this round to get
-    driver-green rows too.
-    """
+    Order puts the LEAST-recently-driver-verified queries first: the
+    driver's CORRECTNESS gate records only the first 50 entries per
+    round, so a round-robin over rounds keeps every query's green
+    status fresh (never-verified queries lead, then oldest-verified,
+    tie-broken by query number for stability)."""
     import re
+
+    last = _last_verified_rounds()
 
     def rank(name: str) -> tuple[int, int]:
         m = re.match(r"q(\d+)", name)
         num = int(m.group(1)) if m else 999
-        return (0 if num > 50 else 1, num)
+        return (last.get(name, 0), num)
 
     return {k: QUERIES[k] for k in sorted(QUERIES, key=rank)}
 

@@ -422,7 +422,13 @@ def minhash_near_dup_pairs(
     # Signatures are computed INSIDE the kernel (map-only): the only
     # wide stage in the whole pipeline is the banded candidate join.
     sh = _memoized_shingle_frame(base, id_col, text_col, k, num_hashes)
-    sigs = sh.select(F.col(id_col), F.col("sig"))
+    # Empty/non-alphanumeric docs all carry the identical sentinel
+    # signature ([P]*n) and would collide in EVERY band — O(E^2)
+    # candidate pairs among E empty docs, pruned only post-join because
+    # jaccard([],[]) is 0/0 -> NULL. Drop them before banding: they can
+    # never verify, so the result is unchanged and the banded join
+    # never sees the degenerate bucket.
+    sigs = sh.filter(F.size("shingles") > 0).select(F.col(id_col), F.col("sig"))
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     verified = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")

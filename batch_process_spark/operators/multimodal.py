@@ -117,15 +117,27 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     at plan time when no decoder library is present (this container
     ships none; the Spark-side plumbing is identical either way).
     """
+    _PIL_MISSING = (
+        "real media decoding requires Pillow (images) — not available in this "
+        "environment; pass fake=True for the deterministic stub decoder"
+    )
+    # Driver-side gate: fail at plan time when possible…
     if not fake and not pil_available():
-        raise NotImplementedError(
-            "real media decoding requires Pillow (images) — not available in this "
-            "environment; pass fake=True for the deterministic stub decoder"
-        )
+        raise NotImplementedError(_PIL_MISSING)
     decode = _fake_decode if fake else _pil_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        # …and executor-side probe: on a real cluster Pillow may exist on
+        # the driver but not the workers — the import inside _pil_decode
+        # would then surface as a raw mid-job ImportError. Probe once per
+        # task and raise the SAME explicit message instead.
+        if not fake:
+            try:
+                import PIL  # noqa: F401
+            except ImportError:
+                raise NotImplementedError(_PIL_MISSING + " (missing on executor)")
 
         for pdf in it:
             rows = []

@@ -124,6 +124,13 @@ def invalidate_tables(path: str | None = None) -> int:
             ):
                 del memo[key]
                 dropped += 1
+    # The dedup shingle memo persists frames keyed on plan semantic
+    # hashes — those plans snapshot the same file listings, but the
+    # hash can't be mapped back to a path, so any table invalidation
+    # releases them all (over-broad, never stale).
+    from batch_process_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
     return dropped
 
 

@@ -98,3 +98,30 @@ def test_driver_entry_contract(spark):
 
     assert len(qs) == len(oracles) == len(QUERIES)
     assert len(QUERIES) >= 92
+
+
+def test_verification_rotation(tmp_path):
+    """queries() leads with the least-recently-driver-verified entries,
+    reconstructed from the committed CORRECTNESS_r*.json files, so the
+    driver's 50-slot window round-robins the whole catalog."""
+    import json
+
+    import __spark_entry__ as e
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "qA": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "qB": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "qB": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "qC": {"rows_match": True, "schema_match": True, "hash_match": False},  # red
+    }))
+    last = e._last_verified_rounds(str(tmp_path))
+    assert last == {"qA": 1, "qB": 2}  # qC's failed r2 row doesn't count
+
+    # On the real repo: every name ranks, never-verified or failed first.
+    names = list(e.queries())
+    assert set(names) == set(e.oracle_sql()) | set(names)
+    real = e._last_verified_rounds()
+    ranks = [real.get(n, 0) for n in names]
+    assert ranks == sorted(ranks), "queries() must be least-recently-verified first"
