@@ -87,7 +87,24 @@ def brute_force_topk(
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # Q x d
     qnorm = np.linalg.norm(qmat, axis=1)  # Q
 
-    c = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    # Fan the corpus out across cores only when the scoring work is
+    # worth a shuffle: a tiny corpus (one small parquet file) matmuls
+    # in microseconds on one task, and the repartition exchange would
+    # be the dominant cost. Plan-stats estimate — no job is run. At
+    # scale the scan is already many partitions and ensure_parallelism
+    # no-ops anyway; the skip only ever fires on trivially small work.
+    try:
+        est_bytes = int(c._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est_bytes = None
+    trivial = (
+        est_bytes is not None
+        and est_bytes < 8 * 1024 * 1024
+        and est_bytes * len(qrows) < 128 * 1024 * 1024
+    )
+    if not trivial:
+        c = ensure_parallelism(c)
 
     def score_batches(it):
         for pdf in it:
@@ -108,11 +125,27 @@ def brute_force_topk(
 
     schema = f"{query_id_col} long, {id_col} long, score double"
     local = c.mapInPandas(score_batches, schema=schema)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
+    # Merge the per-partition top-ks with ONE hash aggregate instead of
+    # a window pass: the window form costs local Sort + WindowGroupLimit
+    # + Exchange + Sort + Window (two sort passes over the candidates).
+    # Here the candidates (<= partitions x Q x k rows) partial-aggregate
+    # map-side into per-query lists, shuffle once on query_id, and the
+    # final top-k is an array_sort + slice per query — all codegen'd
+    # struct comparisons, no row sort. Struct order (-score, id) gives
+    # score-desc with deterministic id-asc tie-break.
+    cand = F.struct(
+        (-F.col("score")).alias("neg"), F.col(id_col).alias("cid"), F.col("score").alias("s")
+    )
+    merged = (
+        local.groupBy(query_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("topk"))
+        .select(query_id_col, F.posexplode("topk").alias("pos", "c"))
+    )
+    return merged.select(
+        query_id_col,
+        F.col("c.cid").alias(id_col),
+        F.col("c.s").alias("score"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 

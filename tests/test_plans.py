@@ -145,12 +145,14 @@ def test_q18_minhash_pipeline_no_quadratic_join(spark, qs):
 def test_q25_topk_single_corpus_scan_and_group_limit(spark, qs):
     """brute_force_topk: the corpus parquet is scanned exactly once
     (queries ride driver-side into the kernel closure), and the global
-    merge of per-partition top-ks is rank-limited, not a full sort."""
+    merge of per-partition top-ks is ONE hash aggregate (collect_list +
+    array_sort/slice) — no window pass, no row Sort over candidates."""
     df = qs["q25_embedding_topk"](spark, SF)
     plan = plan_of(df)
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
-    assert "WindowGroupLimit" in tree  # per-partition top-k pruning before the final rank
+    assert "HashAggregate" in tree  # per-query list merge, partial map-side
+    assert "Window" not in tree and "Sort (" not in tree  # no global sort pass
     assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
 
 
