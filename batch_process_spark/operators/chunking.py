@@ -84,6 +84,11 @@ def chunk_documents(
     )
 
 
+# Rows above which an unsharded (single-task global window) pack is
+# refused; module-level so tests can exercise both paths cheaply.
+GLOBAL_PACK_MAX_ROWS = 1_000_000
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -91,6 +96,7 @@ def pack_documents(
     budget_tokens: int = 512,
     order_col: str | None = None,
     shard_col: str | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Assign each doc a ``pack_id`` so consecutive docs (in
     ``order_col`` order, default the id) fill ~``budget_tokens`` packs:
@@ -100,13 +106,19 @@ def pack_documents(
     the ordering; chunk first if hard caps matter.
 
     Scale: without ``shard_col`` the cumulative sum is one GLOBAL
-    window (single task — fine up to millions of rows, wrong at 100 TB)
-    and the output is (id, n_tokens, pack_id). With ``shard_col``
-    packing runs independently per shard — embarrassingly parallel,
-    still deterministic — and the output carries a ``pack_shard``
-    column: the globally-unique pack identity is the PAIR
-    (pack_shard, pack_id), with pack_id shard-local. (A single hashed
-    id would collide across shards at birthday-bound rates.)
+    window (single task — fine up to ~1M rows, wrong at 100 TB) and the
+    output is (id, n_tokens, pack_id). Past ``GLOBAL_PACK_MAX_ROWS``
+    the unsharded form RAISES unless ``allow_global=True`` (explicit
+    opt-in, still warns) — a silent single-task window over a 100 TB
+    input is the one scale-killer this module refuses by default. With
+    ``shard_col`` packing runs independently per shard —
+    embarrassingly parallel, still deterministic — and the output
+    carries a ``pack_shard`` column: the globally-unique pack identity
+    is the PAIR (pack_shard, pack_id), with pack_id shard-local. (A
+    single hashed id would collide across shards at birthday-bound
+    rates.) A derived shard (e.g. a hash-bucket of ``order_col``)
+    changes pack composition at shard boundaries, so sharding is the
+    caller's choice, not silently imposed.
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
@@ -125,13 +137,23 @@ def pack_documents(
         out_cols = [id_col, "n_tokens", "pack_shard"]
     else:
         # limit-probe, not count(): one cheap job that stops at the bound
-        if base.limit(1_000_001).count() > 1_000_000:
+        if base.limit(GLOBAL_PACK_MAX_ROWS + 1).count() > GLOBAL_PACK_MAX_ROWS:
+            if not allow_global:
+                raise ValueError(
+                    f"pack_documents without shard_col runs one GLOBAL "
+                    f"cumulative-sum window (single task) and the input exceeds "
+                    f"{GLOBAL_PACK_MAX_ROWS} rows. Pass shard_col for per-shard "
+                    "parallel packing (pack identity becomes the pair "
+                    "(pack_shard, pack_id)), or allow_global=True to accept the "
+                    "single-task window explicitly."
+                )
             import warnings
 
             warnings.warn(
-                "pack_documents without shard_col runs one GLOBAL cumulative-sum "
-                "window (single task) over >1M rows; pass shard_col for "
-                "per-shard parallel packing",
+                "pack_documents(allow_global=True) running one GLOBAL "
+                "cumulative-sum window (single task) over "
+                f">{GLOBAL_PACK_MAX_ROWS} rows; pass shard_col for per-shard "
+                "parallel packing",
                 stacklevel=2,
             )
         w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)

@@ -82,3 +82,27 @@ def test_pack_assignment(spark):
     # cum-n: doc1 starts at 0 -> pack 0; doc2 at 300 -> pack 0;
     # doc3 at 600 -> pack 1; doc4 at 900 -> pack 1 (oversized spills)
     assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_pack_global_guard_raises_and_opt_in(spark, monkeypatch):
+    """Past GLOBAL_PACK_MAX_ROWS an unsharded pack must raise (the
+    single-task global window is the scale-killer), allow_global=True
+    must warn-and-run, and a sharded call needs no opt-in."""
+    import warnings
+
+    import pytest as _pytest
+
+    from batch_process_spark.operators import chunking
+
+    monkeypatch.setattr(chunking, "GLOBAL_PACK_MAX_ROWS", 10)
+    docs = spark.range(25).selectExpr(
+        "id AS doc_id", "'one two three' AS text", "CAST(id % 3 AS INT) AS shard"
+    )
+    with _pytest.raises(ValueError, match="GLOBAL"):
+        pack_documents(docs, budget_tokens=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = pack_documents(docs, budget_tokens=8, allow_global=True).collect()
+    assert len(rows) == 25 and any("GLOBAL" in str(x.message) for x in w)
+    sharded = pack_documents(docs, budget_tokens=8, shard_col="shard").collect()
+    assert len(sharded) == 25  # parallel path: no probe, no opt-in needed
