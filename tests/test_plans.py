@@ -171,3 +171,19 @@ def test_minhash_shuffle_is_narrow(spark):
     agg_idx = tree.index("HashAggregate")
     ex_idx = tree.index("Exchange")
     assert ex_idx < tree.rindex("HashAggregate")  # partial agg below exchange
+
+
+def test_q84_q89_ranker_no_single_task_window(spark, qs):
+    """The distributed ranker must never plan an unpartitioned
+    WindowExec (the single-task scale-killer): a RANGE shuffle feeds
+    the per-partition Arrow local-rank kernel, partition offsets join
+    back by broadcast, and no Window node (or extra hash shuffle)
+    appears anywhere."""
+    for name in ("q84_rank_family", "q89_distributed_rank"):
+        plan = plan_of(qs[name](spark, SF))
+        tree = plan.split("\n\n")[0]
+        assert "Window" not in plan, name  # no WindowExec / WindowGroupLimit
+        assert "MapInPandas" in tree, name  # the local-rank Arrow kernel
+        assert "rangepartitioning" in plan, name  # the one range shuffle
+        assert "hashpartitioning" not in plan, name  # ...and no other shuffle
+        assert "BroadcastExchange" in tree, name  # offsets ride a broadcast join
