@@ -134,10 +134,18 @@ def run_stream_to_memory(
     transform,
     query_name: str = "stream_out",
     output_mode: str = "complete",
+    feeds=None,
 ) -> DataFrame:
     """Drive a parquet-source streaming query to completion against a
     static directory (local smoke path: real deployments swap the
-    source for kafka/files with triggers). Returns the result table."""
+    source for kafka/files with triggers). Returns the result table.
+
+    ``feeds``: optional list of callables; each is invoked (e.g. to
+    drop another parquet file into ``source_dir``) and then the query
+    drains all available data before the next — multiple real
+    micro-batches, which is what watermark/late-data semantics need
+    (the watermark advances only BETWEEN batches, so single-batch
+    drains can never drop anything as late)."""
     stream = (
         spark.readStream.schema(schema).format("parquet").load(source_dir)
     )
@@ -150,6 +158,9 @@ def run_stream_to_memory(
     )
     try:
         q.processAllAvailable()
+        for feed in feeds or []:
+            feed()
+            q.processAllAvailable()
     finally:
         q.stop()
     return spark.table(query_name)

@@ -138,3 +138,57 @@ def test_session_window_agg_matches_session_agg(spark, events):
         (r["user_id"], r["n_events"]) for r in classic.collect()
     )
     assert n_native == n_classic
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermarked tumbling agg over REAL micro-batches: an event that
+    arrives behind the watermark must be dropped from its (already
+    closed) window; append mode emits each window exactly once."""
+    from datetime import datetime
+
+    from batch_process_spark.streaming.windows import (
+        run_stream_to_memory,
+        tumbling_window_agg,
+    )
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    schema = "user_id int, ts timestamp, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def t(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    # batch 1: two events in [10:00,10:10) + one at 10:20 that advances
+    # the watermark to 10:15 (5 min delay) once the batch commits
+    write("b1", [(1, t(1), 1.0), (1, t(2), 2.0), (1, t(20), 4.0)])
+
+    feeds = [
+        # batch 2: a LATE event for the closed 10:00 window (10:02 is
+        # behind the 10:15 watermark -> must be dropped), plus 10:30
+        # advancing the watermark further
+        lambda: write("b2", [(1, t(2), 100.0), (1, t(30), 8.0)]),
+        # batch 3: pushes the watermark past 10:35 so earlier windows flush
+        lambda: write("b3", [(1, t(50), 16.0)]),
+    ]
+
+    out = run_stream_to_memory(
+        spark,
+        str(src),
+        schema,
+        lambda s: tumbling_window_agg(s, width="10 minutes", watermark="5 minutes"),
+        query_name="wm_out",
+        output_mode="append",
+        feeds=feeds,
+    ).collect()
+
+    by_start = {r["bucket_start"]: r for r in out}
+    w0 = by_start[t(0)]
+    # the late 100.0 event was dropped: count 2, sum 3.0 — not 3/103.0
+    assert w0["n_events"] == 2 and w0["sum_value"] == 3.0
+    # each emitted window appears exactly once (append-mode contract)
+    assert len(by_start) == len(out)

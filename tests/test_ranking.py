@@ -96,17 +96,3 @@ def test_prepend_sequence_guard(spark):
     big = spark.range(100_001).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="control tables"):
         prepend_sequence_columns(big, {"seq": [0] * 100_001}, order_by="k")
-
-
-def test_pack_documents_warns_unsharded_large(spark):
-    import warnings
-
-    from batch_process_spark.operators.chunking import pack_documents
-
-    docs = spark.range(1_000_500).select(
-        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
-    )
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        pack_documents(docs, budget_tokens=64)
-    assert any("GLOBAL cumulative-sum" in str(w.message) for w in caught)
