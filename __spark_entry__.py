@@ -17,6 +17,7 @@ import batch_process_spark.queries_ext  # noqa: F401  (registers part-2 queries)
 import batch_process_spark.queries_ext2  # noqa: F401  (registers part-3 queries)
 import batch_process_spark.queries_ext3  # noqa: F401  (registers part-4 queries)
 import batch_process_spark.queries_ext4  # noqa: F401  (registers part-5 queries)
+import batch_process_spark.queries_ext5  # noqa: F401  (registers part-6 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

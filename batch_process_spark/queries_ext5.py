@@ -1,0 +1,289 @@
+"""Query catalog part 6 (q93+): corpus curation depth.
+
+Four more LLM-training-data operators, each oracle-checked against
+DuckDB on the shared parquet tables:
+
+- benchmark decontamination (n-gram overlap between the training
+  corpus and a held-out eval set — the pass every serious pretraining
+  pipeline runs before tokenization)
+- Gopher-style repetition quality (duplicate-word fraction, top-bigram
+  mass fraction, per-source flag rates)
+- embedding-centroid outlier detection (per-label centroids, cosine of
+  every vector to its own centroid, outlier counts)
+- TF-IDF keyword extraction (per-document top-3 terms)
+
+No reference parity claimed — like part 5, these extend the engine
+beyond the reference surface (SURVEY §2 is q01-q88); the brief names
+this family first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_process_spark.queries import _q, _t, round_half_up
+from batch_process_spark.queries_ext import DUCK_TOKENS
+
+_TOK = DUCK_TOKENS.format(t="text")
+
+# DuckDB word-bigram / word-trigram lists mirroring ngrams_col(text, n)
+# (frequency-preserving, empty when the doc has fewer than n tokens).
+_DUCK_BIGRAMS = (
+    "list_transform(range(1, greatest(len(w) - 1, 0) + 1),"
+    " i -> concat_ws(' ', w[i], w[i+1]))"
+)
+_DUCK_TRIGRAMS = (
+    "list_transform(range(1, greatest(len(w) - 2, 0) + 1),"
+    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+)
+
+
+@_q(
+    "q93_decontamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOK} AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, list_distinct({_DUCK_TRIGRAMS}) AS gs
+      FROM toks WHERE len(w) >= 3
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, source, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT t.doc_id, t.source, count(*) AS overlap
+      FROM train t JOIN bench b USING (g) GROUP BY 1, 2
+    )
+    SELECT source, count(*) AS n_contaminated,
+           CAST(sum(overlap) AS BIGINT) AS total_overlap
+    FROM hits GROUP BY source
+    """,
+)
+def q93_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct word-trigram overlap between
+    the training split and a held-out eval set (here: every 97th doc).
+    Per-source counts of contaminated docs and total overlapping grams.
+
+    100 TB shape: eval suites are small (thousands of docs), so their
+    distinct-gram set is BROADCAST — the corpus side stays map-only
+    through tokenize/explode and the only wide stages are the two tiny
+    aggregations after the broadcast-hash semi-side join. No shuffle
+    ever carries the corpus grams."""
+    from batch_process_spark.operators.text import ngrams_col
+
+    grams = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(ngrams_col("text", 3))).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.sum("overlap").alias("total_overlap"),
+    )
+
+
+@_q(
+    "q94_repetition_quality",
+    f"""
+    WITH toks AS (
+      SELECT source, {_TOK} AS w FROM documents
+    ),
+    feats AS (
+      SELECT source,
+        CASE WHEN len(w) > 0
+             THEN 1.0 - len(list_distinct(w)) * 1.0 / len(w) ELSE 0.0 END AS dup_frac,
+        {_DUCK_BIGRAMS} AS b
+      FROM toks
+    ),
+    f2 AS (
+      SELECT source, dup_frac,
+        CASE WHEN len(b) > 0
+             THEN list_max(list_transform(list_distinct(b),
+                    g -> len(list_filter(b, x -> x = g)))) * 1.0 / len(b)
+             ELSE 0.0 END AS top_bi_frac
+      FROM feats
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(count(*) FILTER (dup_frac > 0.55 OR top_bi_frac > 0.08) AS BIGINT)
+             AS n_flagged,
+           floor(avg(dup_frac) * 10000 + 0.5) / 10000 AS avg_dup_frac,
+           floor(avg(top_bi_frac) * 10000 + 0.5) / 10000 AS avg_top_bi_frac
+    FROM f2 GROUP BY source
+    """,
+)
+def q94_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-doc duplicate-word fraction
+    and most-frequent-bigram mass fraction, flag rates per source.
+
+    Both metrics are pure array expressions over the token list —
+    per-row, JVM-side, zero Python, zero shuffle until the final tiny
+    per-source aggregate. The top-bigram scan is O(distinct x total)
+    per doc, bounded by doc length — embarrassingly parallel at any
+    corpus size."""
+    from batch_process_spark.operators.dedup import tokens_col
+    from batch_process_spark.operators.text import ngrams_col
+
+    toks = tokens_col("text")
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", toks.alias("w"), ngrams_col("text", 2).alias("b")
+    )
+    dup_frac = F.when(
+        F.size("w") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"),
+    ).otherwise(F.lit(0.0))
+    top_bi_frac = F.when(
+        F.size("b") > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct("b"),
+                lambda g: F.size(F.filter("b", lambda x: x == g)),
+            )
+        )
+        / F.size("b"),
+    ).otherwise(F.lit(0.0))
+    feats = docs.select(
+        "source", dup_frac.alias("dup_frac"), top_bi_frac.alias("top_bi_frac")
+    )
+    flagged = (F.col("dup_frac") > 0.55) | (F.col("top_bi_frac") > 0.08)
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        round_half_up(F.avg("dup_frac")).alias("avg_dup_frac"),
+        round_half_up(F.avg("top_bi_frac")).alias("avg_top_bi_frac"),
+    )
+
+
+@_q(
+    "q95_centroid_outliers",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, u.i AS pos, embedding[u.i] AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (SELECT label, pos, avg(v) AS c FROM dims GROUP BY 1, 2),
+    sums AS (
+      SELECT d.vec_id, d.label,
+             sum(d.v * c.c) AS dot, sum(d.v * d.v) AS nv, sum(c.c * c.c) AS nc
+      FROM dims d JOIN cent c USING (label, pos) GROUP BY 1, 2
+    ),
+    cos AS (SELECT label, dot / sqrt(nv * nc) AS cs FROM sums)
+    SELECT label, count(*) AS n_vectors,
+           CAST(count(*) FILTER (cs < 0.0) AS BIGINT) AS n_outliers,
+           floor(avg(cs) * 1000 + 0.5) / 1000 AS avg_cos
+    FROM cos GROUP BY label
+    """,
+)
+def q95_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid outlier detection: per-label mean vector,
+    cosine of each embedding to its own label centroid, count of
+    vectors pointing away from their cluster (cos < 0).
+
+    100 TB shape: the centroid table is labels x dims — tiny — so it
+    is BROADCAST back and the cosine is computed with zip_with +
+    aggregate directly on the embedding array (no second explode of
+    the corpus side). The only corpus-wide shuffle is the partial-agg
+    centroid build, which map-side-combines down to labels x dims
+    cells per task."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        .withColumn(
+            "nc",
+            F.aggregate(
+                "cvec", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label", (dot / F.sqrt(nv * F.col("nc"))).alias("cs")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("cs") < 0.0).cast("long")).alias("n_outliers"),
+        round_half_up(F.avg("cs"), 3).alias("avg_cos"),
+    )
+
+
+@_q(
+    "q96_tfidf_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (
+      SELECT tok, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tok, tf * ln(n * 1.0 / df) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok, floor(score * 10000 + 0.5) / 10000 AS score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q96_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln(N/df), ties broken by token.
+
+    100 TB shape: tf is one shuffle on (doc_id, token) with map-side
+    combine; df re-aggregates the already-reduced tf table (token
+    cardinality, no second corpus scan); N rides a 1-row broadcast
+    (no global window). The df join shuffles at distinct-token
+    granularity and the final window is PARTITIONED by doc_id — no
+    single-task stage anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    from batch_process_spark.operators.dedup import tokens_col
+
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", round_half_up(F.col("score")).alias("score"))
+    )

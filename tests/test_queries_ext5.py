@@ -1,0 +1,64 @@
+"""Non-vacuity + semantics tests for the part-6 query catalog (q93-q96).
+
+Each query must actually exercise its branch logic on the real
+testdata — a contaminated-count of zero, a flag rate of 0% or 100%,
+or an outlier count of zero would make the oracle match vacuous.
+"""
+
+import pytest
+
+from batch_process_spark.queries import QUERIES
+import batch_process_spark.queries_ext5  # noqa: F401  (registers q93+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", [
+    "q93_decontamination", "q94_repetition_quality",
+    "q95_centroid_outliers", "q96_tfidf_keywords",
+])
+def test_part6_queries_nonempty(spark, name):
+    assert QUERIES[name](spark, SF).limit(1).count() == 1
+
+
+def test_q93_contamination_nonvacuous(spark):
+    """The eval split must share trigrams with the train split on the
+    real testdata, and a doc can never overlap more grams than exist."""
+    rows = QUERIES["q93_decontamination"](spark, SF).collect()
+    assert sum(r["n_contaminated"] for r in rows) > 0, "no contamination found (vacuous)"
+    for r in rows:
+        assert r["total_overlap"] >= r["n_contaminated"]
+
+
+def test_q94_flags_split_corpus(spark):
+    """Thresholds must flag SOME docs but not ALL — both branches of
+    the flag predicate exercised on real data."""
+    rows = QUERIES["q94_repetition_quality"](spark, SF).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_flagged = sum(r["n_flagged"] for r in rows)
+    assert 0 < n_flagged < n_docs
+    for r in rows:
+        assert 0.0 <= r["avg_dup_frac"] <= 1.0
+        assert 0.0 <= r["avg_top_bi_frac"] <= 1.0
+
+
+def test_q95_outliers_nonvacuous(spark):
+    """Some vectors must point away from their label centroid (the
+    synthetic embeddings don't cluster tightly), and every cosine
+    aggregate must be a valid cosine."""
+    rows = QUERIES["q95_centroid_outliers"](spark, SF).collect()
+    assert sum(r["n_outliers"] for r in rows) > 0, "no outliers found (vacuous)"
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n_vectors"]
+        assert -1.0 <= r["avg_cos"] <= 1.0
+
+
+def test_q96_three_keywords_per_doc(spark):
+    """Exactly 3 keywords per doc (docs all have >=3 distinct tokens
+    in the testdata), non-negative scores, no duplicate terms."""
+    out = QUERIES["q96_tfidf_keywords"](spark, SF)
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert per_doc and all(r["count"] == 3 for r in per_doc)
+    assert out.filter("score < 0").count() == 0
+    dups = out.groupBy("doc_id", "tok").count().filter("count > 1").count()
+    assert dups == 0
