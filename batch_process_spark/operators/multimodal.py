@@ -160,6 +160,80 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_frames long, "
+    "duration_ms long, rms double, peak double, zero_cross_rate double, "
+    "error string"
+)
+
+
+def _wav_decode(content: bytes) -> dict:
+    """Real audio decode for WAV/PCM via the stdlib ``wave`` module (no
+    external media libs needed): container params plus the standard
+    signal features (RMS energy, peak amplitude, zero-crossing rate),
+    all normalized to [-1, 1] full-scale."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as w:
+        rate, nch, width, nframes = (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if nch > 1:  # downmix to mono for the features
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "n_frames": nframes,
+        "duration_ms": int(nframes * 1000 / rate) if rate else 0,
+        "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+        "zero_cross_rate": zc,
+    }
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Decode + featurize audio rows (``media_id``/``content``) via
+    ``mapInPandas``. WAV/PCM decodes for real (stdlib ``wave``); any
+    malformed or non-WAV payload yields a row with null features and
+    the parse error in ``error`` — errors-as-data, a corrupt shard
+    never kills the job. Map-only: partitioning and batch shape are
+    identical to the image kernel, so the 100 TB story is the same
+    (one pass, no shuffle, Arrow batches)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "sample_rate", "n_channels", "n_frames",
+            "duration_ms", "rms", "peak", "zero_cross_rate", "error",
+        ]
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                row = dict.fromkeys(cols)
+                row["media_id"] = mid
+                try:
+                    row.update(_wav_decode(bytes(content) if content is not None else b""))
+                except Exception as e:  # malformed payload -> data, not crash
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
     """Video-style frame sampling stub: emit one row per sampled offset
     (plumbing for 1->N mapInPandas expansion; a real impl would seek
