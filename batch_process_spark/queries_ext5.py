@@ -28,6 +28,23 @@ from batch_process_spark.queries_ext import DUCK_TOKENS
 
 _TOK = DUCK_TOKENS.format(t="text")
 
+# Bounded pool of live persisted tf tables (q96): tf feeds both the
+# scored side and the df aggregate — without a persist the build side's
+# column pruning makes the two tf subplans non-identical, exchange
+# reuse never fires, and the corpus is scanned+exploded twice. Same
+# pattern as the ranker's persist pool (ranking.py): entries stay
+# cached until evicted so lazy results remain consumable.
+_LIVE_TF_CACHES: list[DataFrame] = []
+_LIVE_TF_CACHES_MAX = 2
+
+
+def _pooled_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_TF_CACHES.append(df)
+    while len(_LIVE_TF_CACHES) > _LIVE_TF_CACHES_MAX:
+        _LIVE_TF_CACHES.pop(0).unpersist()
+    return df
+
 # DuckDB word-bigram / word-trigram lists mirroring ngrams_col(text, n)
 # (frequency-preserving, empty when the doc has fewer than n tokens).
 _DUCK_BIGRAMS = (
@@ -260,16 +277,21 @@ def q96_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf * ln(N/df), ties broken by token.
 
     100 TB shape: tf is one shuffle on (doc_id, token) with map-side
-    combine; df re-aggregates the already-reduced tf table (token
-    cardinality, no second corpus scan); N rides a 1-row broadcast
-    (no global window). The df join shuffles at distinct-token
-    granularity and the final window is PARTITIONED by doc_id — no
-    single-task stage anywhere."""
+    combine, PERSISTED (the two-pass MLlib-IDF pattern) so the df
+    aggregate re-reads the reduced tf table instead of re-scanning and
+    re-exploding the corpus; N rides a 1-row broadcast (no global
+    window). df stays an aggregate joined back at distinct-token
+    granularity — NOT a count-over-token window, which would buffer
+    every row of a stopword-grade hot token in one task. The final
+    top-3 window is PARTITIONED by doc_id; no single-task stage
+    anywhere."""
     docs = _t(spark, sf_dir, "documents")
     from batch_process_spark.operators.dedup import tokens_col
 
     toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _pooled_persist(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (

@@ -187,3 +187,37 @@ def test_q84_q89_ranker_no_single_task_window(spark, qs):
         assert "rangepartitioning" in plan, name  # the one range shuffle
         assert "hashpartitioning" not in plan, name  # ...and no other shuffle
         assert "BroadcastExchange" in tree, name  # offsets ride a broadcast join
+
+
+def test_q93_eval_grams_broadcast(spark, qs):
+    """Decontamination must broadcast the (small) eval-gram set — the
+    corpus-gram side must never be the build side of a shuffle join."""
+    plan = plan_of(qs["q93_decontamination"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q94_single_exchange(spark, qs):
+    """Repetition metrics are pure per-row array expressions: exactly
+    one exchange (the final per-source aggregate), no joins, no
+    windows, no Python stages."""
+    plan = plan_of(qs["q94_repetition_quality"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q96_tf_cached_once_no_global_window(spark, qs):
+    """TF-IDF must (a) compute tf once — both consumers read the same
+    InMemoryRelation, one parquet scan of the corpus text — and (b)
+    rank keywords under a doc-partitioned window only (an unpartitioned
+    window or a count-over-token window would hot-spot at scale)."""
+    plan = plan_of(qs["q96_tfidf_keywords"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") == 2  # tf read twice, built once
+    # every Window/Sort is doc_id-partitioned; no global (empty-key) window
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "doc_id" in line
