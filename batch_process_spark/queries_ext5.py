@@ -309,3 +309,86 @@ def q96_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", round_half_up(F.col("score")).alias("score"))
     )
+
+
+def _q97_oracle() -> str:
+    from batch_process_spark.queries_ext import _DOT, _Q26_PLANES, _bucket_sql
+
+    dot = _DOT.format(a="l.embedding", b="r.embedding")
+    na = _DOT.format(a="l.embedding", b="l.embedding")
+    nb = _DOT.format(a="r.embedding", b="r.embedding")
+    cos = f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+    return f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding', _Q26_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+      WHERE {cos} >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT src AS node, min(node) AS component FROM reach GROUP BY src),
+    comp AS (
+      SELECT e.vec_id, e.label, coalesce(cc.component, e.vec_id) AS component
+      FROM embeddings e LEFT JOIN cc ON cc.node = e.vec_id
+    ),
+    reps AS (SELECT component, min(vec_id) AS rep FROM comp GROUP BY component)
+    SELECT label, count(*) AS n_vectors,
+           CAST(count(*) FILTER (vec_id = rep) AS BIGINT) AS n_survivors,
+           CAST(count(*) FILTER (vec_id <> rep) AS BIGINT) AS n_removed
+    FROM comp JOIN reps USING (component)
+    GROUP BY label
+    """
+
+
+@_q("q97_semantic_dedup", _q97_oracle())
+def q97_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup: LSH sign-bucket near-dup pairs over
+    the embedding column -> connected components -> one canonical
+    survivor (min id) per cluster; per-label survivor/removed counts.
+    Composes q26's pair machinery with q79's cluster resolution — the
+    curation pass that collapses a-b-c near-dup chains even though
+    (a, c) was never a candidate pair.
+
+    100 TB shape: pairs come bucketed (never all-pairs, q26); the
+    component step is driver union-find below 5M pairs else min-label
+    propagation (graph.py); the survivor election and label stats are
+    plain equi-join shuffles at vector granularity. The oracle
+    re-derives the identical pair stream (seeded hyperplanes as SQL
+    literals) and exact transitive closure via recursive CTE."""
+    from batch_process_spark.operators.graph import dedup_clusters
+    from batch_process_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, n_bits=4)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    comp = (
+        emb.select("vec_id", "label")
+        .join(
+            clusters.select(F.col("node").alias("vec_id"), "component"),
+            "vec_id",
+            "left",
+        )
+        .withColumn("component", F.coalesce("component", F.col("vec_id")))
+    )
+    reps = comp.groupBy("component").agg(F.min("vec_id").alias("rep"))
+    return (
+        comp.join(reps, "component")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("vec_id") == F.col("rep")).cast("long")).alias("n_survivors"),
+            F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias("n_removed"),
+        )
+    )

@@ -62,3 +62,14 @@ def test_q96_three_keywords_per_doc(spark):
     assert out.filter("score < 0").count() == 0
     dups = out.groupBy("doc_id", "tok").count().filter("count > 1").count()
     assert dups == 0
+
+
+def test_q97_semantic_dedup_nonvacuous(spark):
+    """Clusters must exist (some vectors removed) AND singletons must
+    survive; totals must partition exactly."""
+    rows = QUERIES["q97_semantic_dedup"](spark, SF).collect()
+    total_removed = sum(r["n_removed"] for r in rows)
+    assert total_removed > 0, "no near-dup clusters found (vacuous)"
+    for r in rows:
+        assert r["n_survivors"] + r["n_removed"] == r["n_vectors"]
+        assert r["n_survivors"] >= 1
