@@ -164,3 +164,24 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup on ``keys``.
+
+    With ``watermark`` set, uses ``dropDuplicatesWithinWatermark`` so
+    the dedup state is BOUNDED: a key is remembered only until the
+    watermark passes it, then evicted — the only shape that survives an
+    unbounded stream (plain dropDuplicates keeps every key forever and
+    OOMs a 100 TB/day firehose). Duplicates arriving within the
+    watermark window are dropped; a recurrence after eviction is
+    treated as new, which is the documented trade. Batch inputs fall
+    back to plain dropDuplicates (state is finite there)."""
+    if events.isStreaming and watermark:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -192,3 +192,60 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert w0["n_events"] == 2 and w0["sum_value"] == 3.0
     # each emitted window appears exactly once (append-mode contract)
     assert len(by_start) == len(out)
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over real micro-batches: a dup
+    inside the watermark window is dropped; after the watermark passes
+    the key's eviction horizon, the same key counts as new."""
+    from datetime import datetime
+
+    from batch_process_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_dedup,
+    )
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    schema = "k int, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def t(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    write([(1, t(0), 1.0), (1, t(1), 2.0), (2, t(0), 3.0)])  # dup k=1 in-batch
+    feeds = [
+        # k=1 again within the 5-min window of its last-seen -> dropped;
+        # ts 10:20 advances the watermark to 10:15, evicting both keys
+        lambda: write([(1, t(3), 4.0), (3, t(20), 5.0)]),
+        # k=1 returns AFTER eviction -> counts as new (bounded-state trade)
+        lambda: write([(1, t(30), 6.0)]),
+    ]
+    out = run_stream_to_memory(
+        spark,
+        str(src),
+        schema,
+        lambda s: stream_dedup(s, ["k"], watermark="5 minutes"),
+        query_name="dd_out",
+        output_mode="append",
+        feeds=feeds,
+    ).collect()
+    per_key = {}
+    for r in out:
+        per_key[r["k"]] = per_key.get(r["k"], 0) + 1
+    assert per_key[2] == 1 and per_key[3] == 1
+    assert per_key[1] == 2  # one in-window survivor + one post-eviction
+    assert len(out) == 4
+
+
+def test_stream_dedup_batch_fallback(spark):
+    from batch_process_spark.streaming.windows import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "k int, value double"
+    )
+    assert stream_dedup(df, ["k"]).count() == 2
