@@ -116,8 +116,13 @@ def brute_force_topk(
             for qi in range(len(qids)):
                 col = sims[:, qi]
                 n = min(k, len(ids))
-                # top-k by (score desc, id asc): lexsort on (-score, id)
-                idx = np.lexsort((ids, -col))[:n]
+                # top-k by (score desc, id asc): lexsort on (-score, id).
+                # NaN scores (zero-norm vectors) must sort FIRST to match
+                # desc-order semantics in both Spark and DuckDB (NaN >
+                # every double); -NaN is NaN which lexsort puts last, so
+                # map it to -inf explicitly.
+                key = np.where(np.isnan(col), -np.inf, -col)
+                idx = np.lexsort((ids, key))[:n]
                 out_q.extend([qids[qi]] * n)
                 out_id.extend(ids[idx])
                 out_s.extend(col[idx])
@@ -133,8 +138,12 @@ def brute_force_topk(
     # final top-k is an array_sort + slice per query — all codegen'd
     # struct comparisons, no row sort. Struct order (-score, id) gives
     # score-desc with deterministic id-asc tie-break.
+    # NaN-first under the ascending struct sort (parity with the window
+    # form's desc(score) and the DuckDB oracle, where NaN sorts largest):
+    # -NaN is NaN, which array_sort would put LAST — map it to -inf.
+    neg = F.when(F.isnan("score"), F.lit(float("-inf"))).otherwise(-F.col("score"))
     cand = F.struct(
-        (-F.col("score")).alias("neg"), F.col(id_col).alias("cid"), F.col("score").alias("s")
+        neg.alias("neg"), F.col(id_col).alias("cid"), F.col("score").alias("s")
     )
     merged = (
         local.groupBy(query_id_col)

@@ -131,6 +131,12 @@ def invalidate_tables(path: str | None = None) -> int:
     from batch_process_spark.operators.dedup import release_shingle_caches
 
     release_shingle_caches()
+    try:  # q96's tf memo (import-guarded: ext5 may not be loaded)
+        from batch_process_spark.queries_ext5 import release_tf_caches
+
+        release_tf_caches()
+    except ImportError:
+        pass
     return dropped
 
 

@@ -674,25 +674,34 @@ def q76_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q77_pack_documents",
     """
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, doc_id % 8 AS pack_shard,
              len(list_filter(regexp_split_to_array(lower(trim(text)), '[^0-9a-zA-Z]+'), x -> x <> '')) AS n_tokens
       FROM documents
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id
+           pack_shard,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id
     FROM t
     """,
 )
 def q77_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: deterministic ~512-token packs via ordered
-    cumulative token counts (a doc joins the pack its first token
-    lands in) — reproducible across engines and runs, unlike greedy
-    first-fit."""
+    """Sequence packing in its SCALE-DEFAULT sharded form: packing runs
+    independently per shard (here a doc_id hash-mod shard) so the
+    cumulative-sum window is per-shard parallel, never a single global
+    task; pack identity is the pair (pack_shard, pack_id). Deterministic
+    ~512-token packs via ordered cumulative token counts (a doc joins
+    the pack its first token lands in) — reproducible across engines
+    and runs, unlike greedy first-fit. The unsharded global form exists
+    behind pack_documents(allow_global=True) and refuses >1M rows
+    (chunking.py guard) — a registered catalog query must not carry the
+    single-task scale-killer."""
     from batch_process_spark.operators.chunking import pack_documents
 
-    docs = _t(spark, sf_dir, "documents")
-    out = pack_documents(docs, budget_tokens=512)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "shard", F.col("doc_id") % 8
+    )
+    out = pack_documents(docs, budget_tokens=512, shard_col="shard")
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 

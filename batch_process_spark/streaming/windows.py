@@ -171,6 +171,7 @@ def stream_dedup(
     keys: list[str],
     ts_col: str = "ts",
     watermark: str | None = None,
+    allow_unbounded_state: bool = False,
 ) -> DataFrame:
     """Streaming exact dedup on ``keys``.
 
@@ -180,8 +181,23 @@ def stream_dedup(
     unbounded stream (plain dropDuplicates keeps every key forever and
     OOMs a 100 TB/day firehose). Duplicates arriving within the
     watermark window are dropped; a recurrence after eviction is
-    treated as new, which is the documented trade. Batch inputs fall
-    back to plain dropDuplicates (state is finite there)."""
-    if events.isStreaming and watermark:
-        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    treated as new, which is the documented trade. Batch inputs use
+    plain dropDuplicates (state is finite there).
+
+    A STREAMING input without a watermark is refused unless
+    ``allow_unbounded_state=True``: silently falling back to plain
+    dropDuplicates would be indistinguishable from the bounded path
+    while growing state forever — the exact failure this function
+    exists to prevent."""
+    if events.isStreaming:
+        if watermark:
+            return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+        if not allow_unbounded_state:
+            raise ValueError(
+                "stream_dedup on a STREAMING input without a watermark keeps "
+                "every key in state forever. Pass watermark=<delay> for "
+                "bounded state (dropDuplicatesWithinWatermark), or "
+                "allow_unbounded_state=True to accept unbounded growth "
+                "explicitly."
+            )
     return events.dropDuplicates(keys)

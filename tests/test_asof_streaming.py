@@ -249,3 +249,17 @@ def test_stream_dedup_batch_fallback(spark):
         [(1, 1.0), (1, 2.0), (2, 3.0)], "k int, value double"
     )
     assert stream_dedup(df, ["k"]).count() == 2
+
+
+def test_stream_dedup_refuses_unbounded_streaming_state(spark, tmp_path):
+    from batch_process_spark.streaming.windows import stream_dedup
+
+    src = tmp_path / "dd_unbounded"
+    src.mkdir()
+    schema = "k int, ts timestamp, value double"
+    spark.createDataFrame([], schema).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+    with pytest.raises(ValueError, match="unbounded"):
+        stream_dedup(stream, ["k"])
+    # explicit opt-in builds the plan (plain dropDuplicates)
+    assert stream_dedup(stream, ["k"], allow_unbounded_state=True).isStreaming

@@ -121,7 +121,13 @@ def test_verification_rotation(tmp_path):
 
     # On the real repo: every name ranks, never-verified or failed first.
     names = list(e.queries())
-    assert set(names) == set(e.oracle_sql()) | set(names)
+    # exact equality (not subset): an un-oracled queries() entry would
+    # silently downgrade the driver's check to rows-only
+    assert set(names) == set(e.oracle_sql())
     real = e._last_verified_rounds()
+    assert real, "no committed CORRECTNESS files parsed — rotation is vacuous"
     ranks = [real.get(n, 0) for n in names]
     assert ranks == sorted(ranks), "queries() must be least-recently-verified first"
+    # the window must actually rotate: some registered query has been
+    # verified in a past round (rank > 0), so orders can differ by round
+    assert max(ranks) > 0

@@ -310,3 +310,22 @@ def test_connected_components_rejects_bad_strategy(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with _pytest.raises(ValueError, match="strategy"):
         connected_components(pairs, strategy="drver")
+
+
+def test_brute_force_topk_nan_ranks_first(spark):
+    """A zero-norm corpus vector scores NaN against every query; NaN
+    sorts as the LARGEST double in both engines' descending order, so
+    it must take rank 1 — in the per-partition kernel AND the
+    hash-aggregate merge (both once dropped NaN to the tail)."""
+    from batch_process_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = {r["rank"]: r["vec_id"] for r in brute_force_topk(corpus, queries, k=3).collect()}
+    assert out[1] == 3  # NaN (zero-norm) ranks first, matching desc/NaN-largest
+    assert out[2] == 1  # then exact match, score 1.0
