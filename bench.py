@@ -69,16 +69,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        # Build the DataFrame ONCE per query: constructing the logical
-        # plan costs ~70 ms of Py4J round-trips that are identical every
-        # trial and irrelevant at any data scale — the timed region is
-        # plan execution (scan -> ... -> noop sink), the thing that
-        # actually grows with the data.
-        df = fn(spark, sf_dir)
         runs = []
         for _ in range(5):  # min-of-5: steady-state, GC/JIT/cache noise out
+            # Construction is INSIDE the clock: DuckDB's timings include
+            # parse+plan+execute, and some operators run real jobs at
+            # build time (q25's guarded query collect) — hoisting fn()
+            # out of the trial would move that work off the books.
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]}s (runs: {[round(r,2) for r in runs]})", file=sys.stderr)

@@ -115,9 +115,13 @@ def scaled_emb_sql(sf_dir: str, n_copies: int) -> str:
     )
 
 
-def t_spark(df) -> float:
+def t_spark(build) -> float:
+    """Time CONSTRUCTION + execution: some operators run eager jobs at
+    build time (global_ranks' range sampling + rank materialization,
+    brute_force_topk's guarded query collect) — evaluating build()
+    outside the clock would exclude their dominant work."""
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    build().write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
@@ -127,14 +131,19 @@ def t_duck(con, sql: str) -> float:
     return time.time() - t0
 
 
-def timed2(build) -> tuple[float, float, int]:
+def timed2(build, gc) -> tuple[float, float, int]:
     """(cold seconds, steady seconds, steady shuffle bytes). The first
     run pays memo/cache fills (shingle memo, ranker persist pool); the
     second is the steady-pipeline cost, and its shuffle delta covers
-    exactly one run instead of double-counting both."""
-    t1 = t_spark(build())
+    exactly one run — construction included in both clock and bytes.
+    ``gc`` runs between the two so the 60 s periodic driver GC + cleaner
+    burst can't land INSIDE the steady clock (measured: a phase
+    collision inflated one op's steady run 10x, reproducibly, whenever
+    the section started near a GC boundary)."""
+    t1 = t_spark(build)
+    gc()
     sb0 = shuffle_write_bytes()
-    t2 = t_spark(build())
+    t2 = t_spark(build)
     return t1, t2, shuffle_delta(sb0, shuffle_write_bytes())
 
 
@@ -163,7 +172,7 @@ def main():
 
         # exact dedup
         gc()
-        t1, t2, sb = timed2(lambda: dedup.exact_dedup(docs, "text", "doc_id"))
+        t1, t2, sb = timed2(lambda: dedup.exact_dedup(docs, "text", "doc_id"), gc)
         d = t_duck(
             con,
             f"SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS dup_count "
@@ -175,7 +184,8 @@ def main():
         # memo fill; the second reads it — same as any steady pipeline)
         gc()
         t1, t2, sb = timed2(
-            lambda: dedup.minhash_near_dup_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.7)
+            lambda: dedup.minhash_near_dup_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.7),
+            gc,
         )
         d = t_duck(con, _minhash_oracle(corpus_sql=scaled_docs_sql(n)))
         print(f"| minhash_lsh | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
@@ -187,7 +197,8 @@ def main():
         t1, t2, sb = timed2(
             lambda: global_ranks(
                 docs, [F.length("text"), F.col("doc_id")], sort_key_cols=["__len", "__id"]
-            ).select("doc_id", "rank", "dense_rank", "row_number")
+            ).select("doc_id", "rank", "dense_rank", "row_number"),
+            gc,
         )
         d = t_duck(
             con,
@@ -207,7 +218,7 @@ def main():
             .select(F.col("vec_id").alias("query_id"), "embedding")
         )
         gc()
-        t1, t2, sb = timed2(lambda: similarity.brute_force_topk(emb, queries, k=10))
+        t1, t2, sb = timed2(lambda: similarity.brute_force_topk(emb, queries, k=10), gc)
         dot = _DOT.format(a="e.embedding", b="q.qe")
         na = _DOT.format(a="e.embedding", b="e.embedding")
         nq = _DOT.format(a="q.qe", b="q.qe")

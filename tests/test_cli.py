@@ -131,3 +131,24 @@ def test_verification_rotation(tmp_path):
     # the window must actually rotate: some registered query has been
     # verified in a past round (rank > 0), so orders can differ by round
     assert max(ranks) > 0
+
+
+def test_plan_cache_reuses_and_invalidates(spark):
+    """Registered queries are plan-cached per (session, sf_dir):
+    identical re-invocation returns the SAME DataFrame object;
+    invalidate_tables drops the cached plan."""
+    from batch_process_spark.queries import QUERIES, invalidate_tables
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["q01_pricing_summary"](spark, sf)
+    b = QUERIES["q01_pricing_summary"](spark, sf)
+    assert a is b
+    other = QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.01")
+    assert other is not a  # keyed by sf_dir
+    invalidate_tables(sf)
+    c = QUERIES["q01_pricing_summary"](spark, sf)
+    assert c is not a  # rebuilt after invalidation
+    # a table-file path invalidates plans of its sf_dir too
+    d = QUERIES["q01_pricing_summary"](spark, sf)
+    invalidate_tables(f"{sf}/lineitem.parquet")
+    assert QUERIES["q01_pricing_summary"](spark, sf) is not d
