@@ -106,3 +106,70 @@ def test_pack_global_guard_raises_and_opt_in(spark, monkeypatch):
     assert len(rows) == 25 and any("GLOBAL" in str(x.message) for x in w)
     sharded = pack_documents(docs, budget_tokens=8, shard_col="shard").collect()
     assert len(sharded) == 25  # parallel path: no probe, no opt-in needed
+
+
+# --- property-based invariants (hypothesis) ---------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdefg h.019", min_size=0, max_size=6), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_words=st.lists(_words, min_size=1, max_size=5), chunk=st.integers(3, 9), overlap=st.integers(0, 2))
+def test_chunk_documents_reconstruction_property(spark, docs_words, chunk, overlap):
+    """For ANY text: dropping each chunk's leading `overlap` tokens
+    (except the first) and concatenating reconstructs the exact token
+    stream — no token lost, none duplicated, chunk sizes within
+    bounds, indices dense from 0."""
+    import re
+
+    from batch_process_spark.operators.chunking import chunk_documents
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, words in enumerate(rows):
+        toks = [t for t in re.split(r"[^0-9a-zA-Z]+", rows[i][1].lower().strip()) if t]
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        recon = []
+        for j, c in enumerate(chunks):
+            ct = c["chunk_text"].split(" ")
+            assert 1 <= c["n_chunk_tokens"] <= chunk and len(ct) == c["n_chunk_tokens"]
+            recon.extend(ct if j == 0 else ct[overlap:])
+        assert recon == toks, (toks, [c["chunk_text"] for c in chunks])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_toks=st.lists(st.integers(0, 30), min_size=1, max_size=30),
+    budget=st.integers(4, 40),
+)
+def test_pack_documents_budget_property(spark, n_toks, budget):
+    """For ANY doc stream: packs are contiguous in order, pack_ids are
+    non-decreasing, and every pack's token sum stays under budget +
+    (its largest doc) — i.e. only oversized docs overflow a pack."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(n_toks)]
+    from batch_process_spark.operators.chunking import pack_documents
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_documents(df, budget_tokens=budget).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [r["doc_id"] for r in out] == list(range(len(n_toks)))
+    packs = {}
+    last_pack = 0
+    for r in out:
+        assert r["pack_id"] >= last_pack, "pack_id must be non-decreasing in order"
+        last_pack = r["pack_id"]
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for sizes in packs.values():
+        assert sum(sizes) < budget + max(sizes)
