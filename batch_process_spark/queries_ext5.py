@@ -429,3 +429,59 @@ def q97_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias("n_removed"),
         )
     )
+
+
+@_q(
+    "q98_word_entropy",
+    f"""
+    WITH toks AS (
+      SELECT source, {_TOK} AS w FROM documents
+    ),
+    ent AS (
+      SELECT source,
+        CASE WHEN len(w) > 0 THEN
+          -list_sum(list_transform(list_distinct(w),
+            g -> (len(list_filter(w, x -> x = g)) * 1.0 / len(w))
+                 * ln(len(list_filter(w, x -> x = g)) * 1.0 / len(w))))
+        ELSE 0.0 END AS e
+      FROM toks
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(count(*) FILTER (e < 2.8) AS BIGINT) AS n_low_entropy,
+           floor(avg(e) * 10000 + 0.5) / 10000 AS avg_entropy,
+           floor(max(e) * 10000 + 0.5) / 10000 AS max_entropy
+    FROM ent GROUP BY source
+    """,
+)
+def q98_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (word) entropy per document — the information-measure
+    complement to q94's repetition ratios: machine-generated or
+    template junk scores low, natural text high. Per-source averages
+    and low-entropy flag counts (threshold 2.8 nats splits the corpus
+    ~20/80, pinned non-vacuous by pytest).
+
+    Same 100 TB shape as q94: the entropy is a pure array expression
+    over the token list (O(distinct x total) per row, bounded by doc
+    length), per-row map-only, zero Python, one tiny per-source
+    aggregate exchange at the end."""
+    from batch_process_spark.operators.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").select("source", tokens_col("text").alias("w"))
+    n = F.size("w")
+    cnt = lambda g: F.size(F.filter("w", lambda x: x == g))  # noqa: E731
+    p = lambda g: cnt(g) * F.lit(1.0) / n  # noqa: E731
+    ent = F.when(
+        n > 0,
+        -F.aggregate(
+            F.transform(F.array_distinct("w"), lambda g: p(g) * F.log(p(g))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(F.lit(0.0))
+    feats = docs.select("source", ent.alias("e"))
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("e") < 2.8).cast("long")).alias("n_low_entropy"),
+        round_half_up(F.avg("e")).alias("avg_entropy"),
+        round_half_up(F.max("e")).alias("max_entropy"),
+    )

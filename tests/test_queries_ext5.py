@@ -73,3 +73,14 @@ def test_q97_semantic_dedup_nonvacuous(spark):
     for r in rows:
         assert r["n_survivors"] + r["n_removed"] == r["n_vectors"]
         assert r["n_survivors"] >= 1
+
+
+def test_q98_entropy_flags_split_corpus(spark):
+    """The 2.8-nat threshold must flag SOME docs but not ALL, and
+    entropy must be non-negative and bounded by ln(doc length)."""
+    rows = QUERIES["q98_word_entropy"](spark, SF).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_low = sum(r["n_low_entropy"] for r in rows)
+    assert 0 < n_low < n_docs
+    for r in rows:
+        assert 0.0 <= r["avg_entropy"] <= r["max_entropy"] <= 6.0
