@@ -234,6 +234,31 @@ def main():
         )
         print(f"| embed_topk | {n} | {e_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, e_rows)} |")
 
+        # IVF — the ANN scale path brute force is the baseline for:
+        # KMeans index build (one-time, amortized over every query
+        # thereafter), probed query latency, and recall@10 vs the exact
+        # brute-force result (an approximate method that doesn't report
+        # recall is reporting nothing).
+        from batch_process_spark.operators.similarity import ivf_index, ivf_topk
+
+        gc()
+        tb0 = time.time()
+        assigned, cents = ivf_index(emb, n_centroids=16)
+        assigned = assigned.cache()
+        assigned.count()
+        t_build = time.time() - tb0
+        t1 = t_spark(lambda: ivf_topk(assigned, cents, queries, k=10, nprobe=4))
+        gc()
+        t2 = t_spark(lambda: ivf_topk(assigned, cents, queries, k=10, nprobe=4))
+        exact = {(r[0], r[1]) for r in similarity.brute_force_topk(emb, queries, k=10).collect()}
+        approx = {(r[0], r[1]) for r in ivf_topk(assigned, cents, queries, k=10, nprobe=4).collect()}
+        recall = len(exact & approx) / max(len(exact), 1)
+        assigned.unpersist()
+        print(
+            f"| ivf_topk nprobe=4/16 | {n} | {e_rows} | {t_build:.2f} (index) + {t1:.2f} | {t2:.2f} "
+            f"| — | recall@10={recall:.2f} | — | — |"
+        )
+
     spark.stop()
 
 
