@@ -1,16 +1,20 @@
 """Query catalog part 6 (q93+): corpus curation depth.
 
-Four more LLM-training-data operators, each oracle-checked against
+Six more LLM-training-data operators, each oracle-checked against
 DuckDB on the shared parquet tables:
 
-- benchmark decontamination (n-gram overlap between the training
+- q93 benchmark decontamination (n-gram overlap between the training
   corpus and a held-out eval set — the pass every serious pretraining
   pipeline runs before tokenization)
-- Gopher-style repetition quality (duplicate-word fraction, top-bigram
-  mass fraction, per-source flag rates)
-- embedding-centroid outlier detection (per-label centroids, cosine of
-  every vector to its own centroid, outlier counts)
-- TF-IDF keyword extraction (per-document top-3 terms)
+- q94 Gopher-style repetition quality (duplicate-word fraction,
+  top-bigram mass fraction, per-source flag rates)
+- q95 embedding-centroid outlier detection (per-label centroids,
+  cosine of every vector to its own centroid, outlier counts)
+- q96 TF-IDF keyword extraction (per-document top-3 terms)
+- q97 end-to-end semantic dedup (LSH-bucketed embedding pairs ->
+  connected components -> min-id survivor election)
+- q98 word-entropy quality scoring (the information-measure
+  complement to q94's repetition ratios)
 
 No reference parity claimed — like part 5, these extend the engine
 beyond the reference surface (SURVEY §2 is q01-q88); the brief names
