@@ -346,54 +346,27 @@ def jaccard(a: Column, b: Column) -> Column:
 # SparkSession (a stale session's cache is discarded, not reused).
 # If the underlying files are rewritten mid-session (e.g. by
 # compact_parquet) call release_shingle_caches() to invalidate.
-import weakref as _weakref  # noqa: E402
-from collections import OrderedDict as _OrderedDict  # noqa: E402
+from batch_process_spark.operators.caching import PersistMemo  # noqa: E402
 
-_SHINGLE_MEMO: "_OrderedDict[tuple, tuple]" = _OrderedDict()
-_SHINGLE_MEMO_MAX = 4
-
-
-def _shingle_plan_key(df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int):
-    """Semantic-hash key for the shingle memo; None when the plan can't
-    be hashed (e.g. test fakes without a JVM plan)."""
-    try:
-        sem = df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:
-        return None
-    return (sem, id_col, text_col, k, num_hashes)
+_SHINGLE_MEMO = PersistMemo(max_entries=4)
 
 
 def release_shingle_caches() -> None:
     """Unpersist and drop every memoized shingle frame. Call after
     rewriting the underlying files mid-session."""
-    while _SHINGLE_MEMO:
-        _, (_, cached) = _SHINGLE_MEMO.popitem()
-        try:
-            cached.unpersist()
-        except Exception:
-            pass  # session already stopped; nothing to release
+    _SHINGLE_MEMO.release_all()
 
 
 def _memoized_shingle_frame(
     base: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int = 16
 ) -> DataFrame:
-    key = _shingle_plan_key(base, id_col, text_col, k, num_hashes)
-    if key is not None and key in _SHINGLE_MEMO:
-        sess_ref, cached = _SHINGLE_MEMO[key]
-        if sess_ref() is base.sparkSession:
-            _SHINGLE_MEMO.move_to_end(key)
-            return cached
-        del _SHINGLE_MEMO[key]  # session died; persisted data is gone
-    sh = shingle_sig_frame(base, id_col, text_col, k, num_hashes).persist()
-    if key is not None:
-        _SHINGLE_MEMO[key] = (_weakref.ref(base.sparkSession), sh)
-        while len(_SHINGLE_MEMO) > _SHINGLE_MEMO_MAX:
-            _, (_, old) = _SHINGLE_MEMO.popitem(last=False)
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-    return sh
+    key = PersistMemo.plan_key(base, id_col, text_col, k, num_hashes)
+    hit = _SHINGLE_MEMO.get(key, base.sparkSession)
+    if hit is not None:
+        return hit
+    return _SHINGLE_MEMO.put(
+        key, base.sparkSession, shingle_sig_frame(base, id_col, text_col, k, num_hashes)
+    )
 
 
 def minhash_near_dup_pairs(

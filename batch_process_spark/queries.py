@@ -41,6 +41,9 @@ def _q(name: str, oracle: str | None = None):
     table memos when underlying files are rewritten."""
 
     def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 memo = _SESSION_MEMO.setdefault(spark, {})
@@ -51,9 +54,6 @@ def _q(name: str, oracle: str | None = None):
                 memo[key] = fn(spark, sf_dir)
             return memo[key]
 
-        cached.__name__ = fn.__name__
-        cached.__doc__ = fn.__doc__
-        cached.__wrapped__ = fn
         QUERIES[name] = cached
         if oracle is not None:
             ORACLES[name] = oracle
@@ -139,18 +139,21 @@ def invalidate_tables(path: str | None = None) -> int:
         for key in list(memo):
             if key == "pinned":
                 continue
-            if key[0] == "__plan__":  # plan-cache entry: ("__plan__", qname, sf_dir)
-                sf_dir, name = key[2], None
-            else:  # table entry: (sf_dir, table)
-                sf_dir, name = key
+            if key[0] == "__plan__":
+                # Plan-cache entries drop UNCONDITIONALLY: the shingle/tf
+                # persist memos below are released globally (their keys
+                # can't be mapped back to paths), so a surviving cached
+                # query plan would reference unpersisted frames forever —
+                # recomputing its wide stages on every call with no way
+                # to refill the memo. Plans are cheap to rebuild.
+                del memo[key]
+                dropped += 1
+                continue
+            sf_dir, name = key  # table entry: (sf_dir, table)
             if (
                 path is None
                 or os.path.abspath(sf_dir) == os.path.abspath(path)
-                or (
-                    name is not None
-                    and os.path.abspath(f"{sf_dir}/{name}.parquet") == os.path.abspath(path)
-                )
-                or (name is None and os.path.dirname(os.path.abspath(path)) == os.path.abspath(sf_dir))
+                or os.path.abspath(f"{sf_dir}/{name}.parquet") == os.path.abspath(path)
             ):
                 del memo[key]
                 dropped += 1

@@ -35,51 +35,26 @@ _TOK = DUCK_TOKENS.format(t="text")
 # Plan-keyed memo of persisted tf tables (q96): tf feeds both the
 # scored side and the df aggregate — without a persist the build side's
 # column pruning makes the two tf subplans non-identical, exchange
-# reuse never fires, and the corpus is scanned+exploded twice. Keyed on
-# the analyzed plan's semanticHash (same pattern as the shingle memo,
-# dedup.py) so repeated q96 constructions — driver verification
-# re-runs, bench trials — reuse one cached frame instead of rebuilding
-# and re-caching an identical one. Released by queries.invalidate_tables
-# alongside the other memos when underlying files are rewritten.
-import weakref as _weakref
-from collections import OrderedDict as _OrderedDict
+# reuse never fires, and the corpus is scanned+exploded twice. Shares
+# the PersistMemo implementation with the dedup shingle memo. Released
+# by queries.invalidate_tables when underlying files are rewritten.
+from batch_process_spark.operators.caching import PersistMemo
 
-_TF_MEMO: "_OrderedDict[tuple, tuple]" = _OrderedDict()
-_TF_MEMO_MAX = 2
+_TF_MEMO = PersistMemo(max_entries=2)
 
 
 def release_tf_caches() -> None:
     """Unpersist and drop every memoized tf frame. Called by
     invalidate_tables after mid-session file rewrites."""
-    while _TF_MEMO:
-        _, (_, cached) = _TF_MEMO.popitem()
-        try:
-            cached.unpersist()
-        except Exception:
-            pass  # session already stopped; nothing to release
+    _TF_MEMO.release_all()
 
 
 def _memoized_persist(df: DataFrame) -> DataFrame:
-    try:
-        key = df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:
-        key = None
-    if key is not None and key in _TF_MEMO:
-        sess_ref, cached = _TF_MEMO[key]
-        if sess_ref() is df.sparkSession:
-            _TF_MEMO.move_to_end(key)
-            return cached
-        del _TF_MEMO[key]  # session died; persisted data is gone
-    out = df.persist()
-    if key is not None:
-        _TF_MEMO[key] = (_weakref.ref(df.sparkSession), out)
-        while len(_TF_MEMO) > _TF_MEMO_MAX:
-            _, (_, old) = _TF_MEMO.popitem(last=False)
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-    return out
+    key = PersistMemo.plan_key(df)
+    hit = _TF_MEMO.get(key, df.sparkSession)
+    if hit is not None:
+        return hit
+    return _TF_MEMO.put(key, df.sparkSession, df)
 
 # DuckDB word-bigram / word-trigram lists mirroring ngrams_col(text, n)
 # (frequency-preserving, empty when the doc has fewer than n tokens).
