@@ -464,3 +464,89 @@ def q98_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.avg("e")).alias("avg_entropy"),
         round_half_up(F.max("e")).alias("max_entropy"),
     )
+
+
+@_q(
+    "q99_stream_watermark",
+    """
+    WITH rows(user_id, ts, value) AS (VALUES
+      (1, TIMESTAMP '2024-01-01 10:01:00', 1.0),
+      (1, TIMESTAMP '2024-01-01 10:02:00', 2.0),
+      (1, TIMESTAMP '2024-01-01 10:20:00', 4.0),
+      (1, TIMESTAMP '2024-01-01 10:02:00', 100.0),
+      (1, TIMESTAMP '2024-01-01 10:30:00', 8.0),
+      (1, TIMESTAMP '2024-01-01 10:50:00', 16.0),
+      (1, TIMESTAMP '2024-01-01 11:30:00', 32.0)),
+    admitted AS (
+      -- the 100.0 row arrives in batch 2 behind the 10:15 watermark
+      -- (batch 1's max 10:20 minus the 5-minute delay) -> dropped
+      SELECT * FROM rows WHERE value <> 100.0
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+             count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM admitted GROUP BY 1
+    )
+    -- append mode emits exactly the windows closed by the FINAL
+    -- watermark: 11:30 (last batch's max) - 5 min = 11:25
+    SELECT * FROM agg
+    WHERE bucket_start + INTERVAL '10 minutes' <= TIMESTAMP '2024-01-01 11:25:00'
+    """,
+)
+def q99_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark/late-data semantics under the driver's hash-matched
+    gate: a REAL Structured-Streaming query over four real micro-
+    batches, append mode, 10-minute tumbling windows, 5-minute
+    watermark. One event arrives behind the watermark and must be
+    dropped from its already-closed window; each emitted window
+    appears exactly once. The oracle recomputes the exact emitted set
+    in pure SQL: admitted rows, bucketed, windows closed by the FINAL
+    watermark (last batch's max event time minus the delay).
+
+    Determinism relies on Spark's no-data micro-batches (default on):
+    after each data batch the engine runs a flush batch that applies
+    the advanced watermark, so late-row filtering and final-window
+    emission are a pure function of the (fixed, literal) batch
+    sequence. (With noDataMicroBatches disabled the watermark is never
+    applied between our batches and the late row would NOT drop —
+    measured, not assumed.) ``sf_dir`` is unused: the semantics under
+    test are the engine's, not the data's."""
+    import tempfile
+
+    from batch_process_spark.streaming.windows import (
+        run_stream_to_memory,
+        tumbling_window_agg,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    schema = "user_id int, ts timestamp, value double"
+    d = tempfile.mkdtemp(prefix="q99_wm_")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    from datetime import datetime
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    write([(1, t(10, 1), 1.0), (1, t(10, 2), 2.0), (1, t(10, 20), 4.0)])
+    feeds = [
+        lambda: write([(1, t(10, 2), 100.0), (1, t(10, 30), 8.0)]),
+        lambda: write([(1, t(10, 50), 16.0)]),
+        lambda: write([(1, t(11, 30), 32.0)]),
+    ]
+    out = run_stream_to_memory(
+        spark,
+        d,
+        schema,
+        lambda s: tumbling_window_agg(s, width="10 minutes", watermark="5 minutes"),
+        query_name="q99_out",
+        output_mode="append",
+        feeds=feeds,
+    )
+    return out.select("bucket_start", "n_events", "sum_value")
