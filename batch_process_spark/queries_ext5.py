@@ -328,6 +328,10 @@ def q96_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q97_oracle() -> str:
+    # pairs/edges are AS MATERIALIZED: DuckDB otherwise inlines them
+    # into the recursive reach CTE and re-runs the bucketed cosine
+    # join on every fixpoint iteration (31.7 s -> 2.8 s at sf0.01,
+    # byte-identical result).
     from batch_process_spark.queries_ext import _DOT, _Q26_PLANES, _bucket_sql
 
     dot = _DOT.format(a="l.embedding", b="r.embedding")
@@ -339,12 +343,12 @@ def _q97_oracle() -> str:
       SELECT vec_id, embedding, {_bucket_sql('embedding', _Q26_PLANES)} AS bucket
       FROM embeddings
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT l.vec_id AS id_a, r.vec_id AS id_b
       FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
       WHERE {cos} >= 0.3
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
