@@ -1,7 +1,8 @@
 """Query catalog part 6 (q93+): corpus curation depth.
 
-Six more LLM-training-data operators, each oracle-checked against
-DuckDB on the shared parquet tables:
+More LLM-training-data and streaming operators, each oracle-checked
+against DuckDB (corpus queries on the shared parquet tables; streaming
+queries against literal micro-batch feeds recomputed exactly in SQL):
 
 - q93 benchmark decontamination (n-gram overlap between the training
   corpus and a held-out eval set — the pass every serious pretraining
@@ -15,6 +16,10 @@ DuckDB on the shared parquet tables:
   connected components -> min-id survivor election)
 - q98 word-entropy quality scoring (the information-measure
   complement to q94's repetition ratios)
+- q99 streaming watermark/late-data semantics (real micro-batches,
+  append-mode emitted-window set recomputed exactly in SQL)
+- q100 stream-stream interval join (two real sources, bounded join
+  state, late input dropped at the global watermark)
 
 No reference parity claimed — like part 5, these extend the engine
 beyond the reference surface (SURVEY §2 is q01-q88); the brief names
@@ -528,10 +533,10 @@ def q99_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "user_id int, ts timestamp, value double"
     d = tempfile.mkdtemp(prefix="q99_wm_")
 
+    from batch_process_spark.streaming.feed import append_feed
+
     def write(rows):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(d)
+        append_feed(d, schema, rows)
 
     from datetime import datetime
 
@@ -554,3 +559,93 @@ def q99_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         feeds=feeds,
     )
     return out.select("bucket_start", "n_events", "sum_value")
+
+
+@_q(
+    "q100_stream_stream_join",
+    """
+    WITH imps(ad_id, imp_ts) AS (VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00'),
+      (2, TIMESTAMP '2024-01-01 10:05:00'),
+      (3, TIMESTAMP '2024-01-01 11:00:00')),
+    clicks(ad_id, click_ts, click_value) AS (VALUES
+      (1, TIMESTAMP '2024-01-01 10:04:00', 1.0),
+      (2, TIMESTAMP '2024-01-01 10:09:00', 2.0),
+      (2, TIMESTAMP '2024-01-01 10:30:00', 3.0),
+      (3, TIMESTAMP '2024-01-01 11:05:00', 4.0),
+      -- arrives in the final batch behind the 10:50 global watermark
+      -- (min(imp 11:00, click 11:05) - 10 min) -> dropped at input
+      (1, TIMESTAMP '2024-01-01 10:06:00', 100.0))
+    SELECT i.ad_id, i.imp_ts, c.click_ts, c.click_value
+    FROM imps i JOIN clicks c
+      ON i.ad_id = c.ad_id
+     AND c.click_ts >= i.imp_ts
+     AND c.click_ts <= i.imp_ts + INTERVAL '10 minutes'
+    WHERE c.click_value <> 100.0
+    """,
+)
+def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the hash-matched gate: a REAL
+    two-source Structured-Streaming query (impressions x clicks,
+    10-minute attribution window, 10-minute watermarks on BOTH sides,
+    append mode) over three real micro-batches. One click arrives
+    behind the global watermark and is dropped at input; the 10:30
+    click for ad 2 is on time but outside ad 2's attribution window so
+    the join condition rejects it. The oracle recomputes the emitted
+    set in pure SQL: admitted rows, interval inner join.
+
+    Determinism (probed, not assumed): late-input filtering uses the
+    GLOBAL watermark = min over both sides — a batch that advances only
+    the click side cannot drop anything, so the feed advances both
+    sides before the late row arrives. no-data micro-batches (default
+    on) apply the advanced watermark between our data batches.
+
+    100 TB shape: ``stream_interval_join`` refuses unbounded state;
+    per-key join state evicts at watermark + attribution horizon; both
+    sides shuffle on ad_id only. ``sf_dir`` unused: engine semantics,
+    not data."""
+    import tempfile
+    from datetime import datetime
+
+    from batch_process_spark.streaming.joins import (
+        run_two_streams_to_memory,
+        stream_interval_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    si = "ad_id int, imp_ts timestamp"
+    sc = "ad_id int, click_ts timestamp, click_value double"
+    di = tempfile.mkdtemp(prefix="q100_imp_")
+    dc = tempfile.mkdtemp(prefix="q100_clk_")
+
+    from batch_process_spark.streaming.feed import append_feed
+
+    def wi(rows):
+        append_feed(di, si, rows)
+
+    def wc(rows):
+        append_feed(dc, sc, rows)
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    wi([(1, t(10, 0)), (2, t(10, 5))])
+    wc([(1, t(10, 4), 1.0)])
+    feeds = [
+        # advances BOTH watermarks: imp 11:00, clicks 11:05 -> global 10:50
+        lambda: (wi([(3, t(11, 0))]),
+                 wc([(2, t(10, 9), 2.0), (2, t(10, 30), 3.0), (3, t(11, 5), 4.0)])),
+        # behind 10:50 -> dropped at input
+        lambda: wc([(1, t(10, 6), 100.0)]),
+    ]
+    out = run_two_streams_to_memory(
+        spark, di, si, dc, sc,
+        lambda l, r: stream_interval_join(
+            l, r, on="ad_id", left_ts="imp_ts", right_ts="click_ts",
+            max_delay="10 minutes", watermark="10 minutes",
+        ).select("l.ad_id", "imp_ts", "click_ts", "click_value"),
+        query_name="q100_out",
+        feeds=feeds,
+    )
+    return out

@@ -135,6 +135,7 @@ def run_stream_to_memory(
     query_name: str = "stream_out",
     output_mode: str = "complete",
     feeds=None,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Drive a parquet-source streaming query to completion against a
     static directory (local smoke path: real deployments swap the
@@ -145,24 +146,38 @@ def run_stream_to_memory(
     drains all available data before the next — multiple real
     micro-batches, which is what watermark/late-data semantics need
     (the watermark advances only BETWEEN batches, so single-batch
-    drains can never drop anything as late)."""
+    drains can never drop anything as late).
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query's lifetime (restored after): stateful operators materialize
+    one state store per shuffle partition per micro-batch, so a tiny
+    local drive at the session's 32 burns seconds of pure store
+    setup/commit. Read once at ``.start()`` from a fresh checkpoint, so
+    the scoped override is safe. Pass None to keep the session value
+    (real deployments size it to the key cardinality)."""
     stream = (
         spark.readStream.schema(schema).format("parquet").load(source_dir)
     )
     out = transform(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
-        for feed in feeds or []:
-            feed()
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
             q.processAllAvailable()
+            for feed in feeds or []:
+                feed()
+                q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 

@@ -84,3 +84,59 @@ def test_q98_entropy_flags_split_corpus(spark):
     assert 0 < n_low < n_docs
     for r in rows:
         assert 0.0 <= r["avg_entropy"] <= r["max_entropy"] <= 6.0
+
+
+def test_stream_interval_join_refuses_unbounded_state(spark):
+    """A streaming interval join without a watermark would grow join
+    state forever; the builder must refuse it unless opted in."""
+    import tempfile
+
+    from batch_process_spark.streaming.joins import stream_interval_join
+
+    si = "ad_id int, imp_ts timestamp"
+    sc = "ad_id int, click_ts timestamp, click_value double"
+    di, dc = tempfile.mkdtemp(), tempfile.mkdtemp()
+    l = spark.readStream.schema(si).parquet(di)
+    r = spark.readStream.schema(sc).parquet(dc)
+    with pytest.raises(ValueError, match="state forever"):
+        stream_interval_join(
+            l, r, on="ad_id", left_ts="imp_ts", right_ts="click_ts",
+            max_delay="10 minutes",
+        )
+    # batch inputs skip watermarks entirely — same builder, no guard
+    lb = spark.createDataFrame([], si)
+    rb = spark.createDataFrame([], sc)
+    out = stream_interval_join(
+        lb, rb, on="ad_id", left_ts="imp_ts", right_ts="click_ts",
+        max_delay="10 minutes",
+    )
+    assert not out.isStreaming and out.count() == 0
+
+
+def test_append_feed_roundtrip(spark):
+    """pyarrow-written feed files must read back through a Spark file
+    source exactly as createDataFrame-written ones: LTZ timestamps,
+    matching values under a UTC session."""
+    import tempfile
+    from datetime import datetime
+
+    from batch_process_spark.streaming.feed import append_feed
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "k int, ts timestamp, v double, s string"
+    d = tempfile.mkdtemp()
+    rows = [(1, datetime(2024, 1, 1, 10, 30), 1.5, "a"),
+            (2, datetime(2024, 6, 1, 0, 0), -2.0, None)]
+    append_feed(d, schema, rows)
+    got = spark.read.schema(schema).parquet(d).orderBy("k").collect()
+    assert [tuple(r) for r in got] == rows
+    assert dict(spark.read.parquet(d).dtypes)["ts"] == "timestamp"
+
+
+def test_q100_shuffle_partitions_restored(spark):
+    """The scoped state_partitions override must not leak into the
+    session after the streaming query finishes."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = QUERIES["q100_stream_stream_join"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
