@@ -18,6 +18,7 @@ import batch_process_spark.queries_ext2  # noqa: F401  (registers part-3 queries
 import batch_process_spark.queries_ext3  # noqa: F401  (registers part-4 queries)
 import batch_process_spark.queries_ext4  # noqa: F401  (registers part-5 queries)
 import batch_process_spark.queries_ext5  # noqa: F401  (registers part-6 queries)
+import batch_process_spark.queries_ext6  # noqa: F401  (registers part-7 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

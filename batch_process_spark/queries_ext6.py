@@ -1,0 +1,215 @@
+"""Query catalog part 7 (q101+): mixture shaping and language modeling.
+
+Further LLM-training-data operators, each oracle-checked against
+DuckDB on the shared parquet tables:
+
+- q101 data-mixture rebalancing (derive per-group keep rates from a
+  target mixture + measured corpus mass, then deterministic hash
+  downsampling — the "mix 40% web / 30% books / ..." pass that sets
+  the composition of a pretraining run)
+- q102 bigram-LM scoring (train add-one-smoothed bigram counts on the
+  corpus, score every document's average negative log-likelihood —
+  the KenLM-style perplexity-proxy quality filter)
+
+No reference parity claimed — these extend the engine beyond the
+reference surface (SURVEY §2 is q01-q88); the brief names this family
+first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_spark.queries import _q, _t, round_half_up
+from batch_process_spark.queries_ext4 import _duck_bucket, _hash_bucket
+
+# Target output mixture over the four source groups (source number mod
+# 4). The groups' measured char mass is ~uniform in the testdata, so a
+# skewed target makes exactly one group binding (keep rate 10000/10000)
+# and downsamples the rest at distinct rates — both branches exercised,
+# pinned non-vacuous by pytest.
+_MIX_TARGETS = {0: 0.4, 1: 0.3, 2: 0.2, 3: 0.1}
+
+
+def _mix_targets_values() -> str:
+    return ", ".join(f"({g}, {s})" for g, s in sorted(_MIX_TARGETS.items()))
+
+
+@_q(
+    "q101_mixture_rebalance",
+    f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(substr(source, 4) AS INT) % 4 AS grp
+      FROM documents
+    ),
+    stats AS (
+      SELECT grp, CAST(sum(n_chars) AS DOUBLE) AS c FROM d GROUP BY grp
+    ),
+    t AS (
+      SELECT grp, CAST(share AS DOUBLE) AS share
+      FROM (VALUES {_mix_targets_values()}) AS v(grp, share)
+    ),
+    sc AS (SELECT min(s.c / t.share) AS scale FROM stats s JOIN t USING (grp)),
+    rates AS (
+      SELECT s.grp,
+             CAST(least(10000, floor(sc.scale * t.share / s.c * 10000)) AS BIGINT)
+               AS rate
+      FROM stats s JOIN t USING (grp) CROSS JOIN sc
+    )
+    SELECT d.grp, min(r.rate) AS rate,
+           count(*) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+    FROM d JOIN rates r USING (grp)
+    WHERE {_duck_bucket("CAST(doc_id AS VARCHAR) || ':mix'")} < r.rate
+    GROUP BY d.grp
+    """,
+)
+def q101_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: given target output shares per source
+    group, derive each group's keep rate from its MEASURED char mass
+    (output budget bound by the most-constrained group; downsample-only,
+    never upsample), then keep membership by salted content hash —
+    deterministic across engines, retries, and partitionings, like
+    q91/q92. Unlike q92's configured rates, the rates here are computed
+    FROM the corpus: scale = min_g(mass_g / share_g), rate_g =
+    floor(scale * share_g / mass_g * 10000).
+
+    100 TB shape: pass 1 is a column-pruned scan aggregated to ONE row
+    per group (map-side combine); the 4-row rate table broadcast-joins
+    back for pass 2, which is map-only until the final tiny per-group
+    agg. No corpus-sized shuffle in either pass. The binding group's
+    rate is exactly 10000 by construction (scale * share / mass == 1
+    before any FP rounding), so the floor/least is engine-stable."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.substring("source", 4, 10).cast("int") % 4).alias("grp"),
+    )
+    stats = docs.groupBy("grp").agg(F.sum("n_chars").cast("double").alias("c"))
+    targets = spark.createDataFrame(
+        sorted(_MIX_TARGETS.items()), "grp int, share double"
+    )
+    st = stats.join(F.broadcast(targets), "grp")
+    scale = st.agg(F.min(F.col("c") / F.col("share")).alias("scale"))
+    rates = st.crossJoin(F.broadcast(scale)).select(
+        "grp",
+        F.least(
+            F.lit(10000),
+            F.floor(F.col("scale") * F.col("share") / F.col("c") * 10000),
+        )
+        .cast("long")
+        .alias("rate"),
+    )
+    bucket = _hash_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    return (
+        docs.join(F.broadcast(rates), "grp")
+        .filter(bucket < F.col("rate"))
+        .groupBy("grp")
+        .agg(
+            F.min("rate").alias("rate"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+
+
+# DuckDB word-bigram list mirroring text.ngrams_col(text, 2)
+# (frequency-preserving, empty below 2 tokens) — same form as
+# queries_ext5._DUCK_BIGRAMS, local so part 7 stands alone.
+_DUCK_BI = (
+    "list_transform(range(1, greatest(len(w) - 1, 0) + 1),"
+    " i -> concat_ws(' ', w[i], w[i+1]))"
+)
+
+_NLL_THRESHOLD = 3.4  # splits every testdata SF ~70/30, pinned by pytest
+
+
+def _q102_oracle() -> str:
+    from batch_process_spark.queries_ext import DUCK_TOKENS
+
+    tok = DUCK_TOKENS.format(t="text")
+    return f"""
+    WITH toks AS (SELECT doc_id, source, {tok} AS w FROM documents),
+    v AS (SELECT count(DISTINCT t) AS vocab
+          FROM (SELECT unnest(w) AS t FROM toks)),
+    grams AS (
+      SELECT doc_id, source, unnest({_DUCK_BI}) AS g
+      FROM toks WHERE len(w) >= 2
+    ),
+    g2 AS (SELECT g, count(*) AS c2 FROM grams GROUP BY g),
+    g1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
+           FROM grams GROUP BY 1),
+    scored AS (
+      SELECT grams.doc_id, grams.source,
+             avg(ln((g1.c1 + v.vocab) * 1.0 / (g2.c2 + 1))) AS nll
+      FROM grams JOIN g2 USING (g)
+      JOIN g1 ON split_part(grams.g, ' ', 1) = g1.w1
+      CROSS JOIN v
+      GROUP BY 1, 2
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(count(*) FILTER (nll > {_NLL_THRESHOLD}) AS BIGINT) AS n_high,
+           floor(avg(nll) * 10000 + 0.5) / 10000 AS avg_nll,
+           floor(max(nll) * 10000 + 0.5) / 10000 AS max_nll
+    FROM scored GROUP BY source
+    """
+
+
+@_q("q102_bigram_lm_score", _q102_oracle())
+def q102_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-proxy scoring: train add-one-smoothed
+    bigram statistics ON the corpus itself (context counts c1, bigram
+    counts c2, vocab size V), then score every document's average
+    negative log-likelihood -ln((c2+1)/(c1+V)) over its bigrams — the
+    KenLM-style quality filter that flags template/boilerplate text
+    (low NLL = predictable) vs incoherent token soup (high NLL).
+    Per-source doc counts, high-NLL flag counts, avg/max NLL.
+
+    100 TB shape: the count tables are classic distributed LM training
+    — explode to (gram), partial-agg map-side, one shuffle each keyed
+    on gram/w1; the scoring join re-shuffles grams on the same keys
+    (co-partitioned with the counts), then per-doc and per-source aggs.
+    Nothing is collected; V rides a 1-row broadcast crossJoin. Count
+    tables at real scale are themselves distributed (no broadcast
+    assumption) — exactly how you'd train n-gram stats over 100 TB.
+
+    FP note: per-doc avg sums ln-terms in partition order; drift is
+    ~1e-15 relative and the per-source outputs round to 4 decimals,
+    same as q98 — the threshold 3.4 sits >1e-3 from every doc's NLL in
+    the testdata, so flag counts are engine-stable."""
+    from batch_process_spark.operators.dedup import tokens_col
+    from batch_process_spark.operators.text import ngrams_col
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("t"))
+        .agg(F.countDistinct("t").alias("vocab"))
+    )
+    grams = (
+        docs.filter(F.size(tokens_col("text")) >= 2)
+        .select("doc_id", "source", F.explode(ngrams_col("text", 2)).alias("g"))
+    )
+    g2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.split(F.col("g"), " ").getItem(0)
+    g1 = grams.select(w1.alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    scored = (
+        grams.join(g2, "g")
+        .join(g1, w1 == g1["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                F.log((F.col("c1") + F.col("vocab")) / (F.col("c2") + 1))
+            ).alias("nll")
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("nll") > _NLL_THRESHOLD).cast("long")).alias("n_high"),
+        round_half_up(F.avg("nll")).alias("avg_nll"),
+        round_half_up(F.max("nll")).alias("max_nll"),
+    )

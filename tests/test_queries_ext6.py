@@ -1,0 +1,47 @@
+"""Non-vacuity + semantics tests for the part-7 query catalog (q101+)."""
+
+import pytest
+
+from batch_process_spark.queries import QUERIES
+import batch_process_spark.queries_ext6  # noqa: F401  (registers q101+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q101_binding_group_and_downsampling(spark):
+    """Exactly one group must be binding (rate 10000) and the others
+    strictly downsampled at distinct rates — both branches of the
+    least/floor derivation exercised; kept counts within rate bounds."""
+    rows = QUERIES["q101_mixture_rebalance"](spark, SF).collect()
+    assert len(rows) == 4
+    rates = sorted(r["rate"] for r in rows)
+    assert rates[-1] == 10000 and rates[-2] < 10000
+    assert len(set(rates)) == 4, "degenerate targets: rates must differ"
+    for r in rows:
+        assert 0 < r["n_kept"] and r["kept_chars"] > 0
+
+
+def test_q101_rates_track_targets(spark):
+    """Derived rates must be ordered like the target shares: a larger
+    share never gets a smaller keep rate (masses are ~uniform)."""
+    rows = {r["grp"]: r["rate"] for r in QUERIES["q101_mixture_rebalance"](spark, SF).collect()}
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3]
+
+
+def test_q102_threshold_splits_corpus(spark):
+    """The 3.4-nat NLL threshold must flag SOME docs but not ALL, and
+    every scored doc is counted exactly once."""
+    rows = QUERIES["q102_bigram_lm_score"](spark, SF).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_high = sum(r["n_high"] for r in rows)
+    assert 0 < n_high < n_docs
+    for r in rows:
+        assert 0.0 < r["avg_nll"] <= r["max_nll"]
+
+
+def test_q101_plan_broadcasts_rates(spark):
+    """The rate table must come back to the corpus as a BROADCAST hash
+    join — a shuffle join on a 4-row dim would be a plan regression."""
+    plan = QUERIES["q101_mixture_rebalance"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
