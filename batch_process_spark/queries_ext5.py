@@ -528,8 +528,11 @@ def q99_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_window_agg,
     )
 
+    # Session-wide on purpose (NOT scoped): the result's timestamps
+    # render in the session TZ at the driver's later collect, so UTC
+    # must outlive this call — the same self-pinning contract _t()
+    # applies for the batch queries under a vanilla driver session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     schema = "user_id int, ts timestamp, value double"
     d = tempfile.mkdtemp(prefix="q99_wm_")
 
@@ -557,6 +560,9 @@ def q99_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="q99_out",
         output_mode="append",
         feeds=feeds,
+        scoped_conf={
+            "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+        },
     )
     return out.select("bucket_start", "n_events", "sum_value")
 
@@ -612,8 +618,9 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_interval_join,
     )
 
+    # Session-wide on purpose (see q99): timestamps render in session
+    # TZ at the driver's later collect, so UTC must outlive this call.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     si = "ad_id int, imp_ts timestamp"
     sc = "ad_id int, click_ts timestamp, click_value double"
     di = tempfile.mkdtemp(prefix="q100_imp_")
@@ -647,5 +654,8 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("l.ad_id", "imp_ts", "click_ts", "click_value"),
         query_name="q100_out",
         feeds=feeds,
+        scoped_conf={
+            "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+        },
     )
     return out

@@ -115,13 +115,7 @@ def q101_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB word-bigram list mirroring text.ngrams_col(text, 2)
-# (frequency-preserving, empty below 2 tokens) — same form as
-# queries_ext5._DUCK_BIGRAMS, local so part 7 stands alone.
-_DUCK_BI = (
-    "list_transform(range(1, greatest(len(w) - 1, 0) + 1),"
-    " i -> concat_ws(' ', w[i], w[i+1]))"
-)
+from batch_process_spark.queries_ext5 import _DUCK_BIGRAMS as _DUCK_BI
 
 _NLL_THRESHOLD = 3.4  # splits every testdata SF ~70/30, pinned by pytest
 
@@ -167,13 +161,17 @@ def q102_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (low NLL = predictable) vs incoherent token soup (high NLL).
     Per-source doc counts, high-NLL flag counts, avg/max NLL.
 
-    100 TB shape: the count tables are classic distributed LM training
-    — explode to (gram), partial-agg map-side, one shuffle each keyed
-    on gram/w1; the scoring join re-shuffles grams on the same keys
-    (co-partitioned with the counts), then per-doc and per-source aggs.
-    Nothing is collected; V rides a 1-row broadcast crossJoin. Count
-    tables at real scale are themselves distributed (no broadcast
-    assumption) — exactly how you'd train n-gram stats over 100 TB.
+    100 TB shape: the bigram count table g2 is classic distributed LM
+    training — explode to (gram), partial-agg map-side, ONE
+    corpus-sized shuffle keyed on gram. The context counts g1 are then
+    derived from g2 itself (c1(w1) = sum of c2 over grams starting
+    with w1) — an aggregate of the already-reduced count table, NOT a
+    second corpus explode+shuffle. The scoring join re-shuffles grams
+    on the same keys (co-partitioned with the counts), then per-doc
+    and per-source aggs. Nothing is collected; V rides a 1-row
+    broadcast crossJoin. Count tables at real scale are themselves
+    distributed (no broadcast assumption) — exactly how you'd train
+    n-gram stats over 100 TB.
 
     FP note: per-doc avg sums ln-terms in partition order; drift is
     ~1e-15 relative and the per-source outputs round to 4 decimals,
@@ -193,8 +191,8 @@ def q102_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
     w1 = F.split(F.col("g"), " ").getItem(0)
-    g1 = grams.select(w1.alias("w1")).groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1")
+    g1 = g2.select(w1.alias("w1"), "c2").groupBy("w1").agg(
+        F.sum("c2").alias("c1")
     )
     scored = (
         grams.join(g2, "g")

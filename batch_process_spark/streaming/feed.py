@@ -16,7 +16,7 @@ dodging the NTZ/LTZ sniffing gotcha documented in the verify skill.
 from __future__ import annotations
 
 import uuid
-from datetime import datetime
+from datetime import datetime, timezone
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -46,8 +46,17 @@ def append_feed(path: str, schema: str, rows: list[tuple]) -> None:
     for i, (name, typ) in enumerate(fields):
         vals = [r[i] for r in rows]
         if isinstance(typ, pa.TimestampType):
+            # naive -> taken as wall-clock UTC; aware -> CONVERTED to
+            # UTC (stripping the tzinfo without converting would
+            # silently shift the instant by the offset)
             vals = [
-                v.replace(tzinfo=None) if isinstance(v, datetime) else v
+                (
+                    v.astimezone(timezone.utc).replace(tzinfo=None)
+                    if v.tzinfo is not None
+                    else v
+                )
+                if isinstance(v, datetime)
+                else v
                 for v in vals
             ]
         arrays.append(pa.array(vals, type=typ))

@@ -79,41 +79,24 @@ def run_two_streams_to_memory(
     output_mode: str = "append",
     feeds=None,
     state_partitions: int | None = 4,
+    scoped_conf: dict[str, str] | None = None,
 ):
     """Drive a two-source streaming query to completion (the two-input
-    sibling of ``windows.run_stream_to_memory``). ``transform`` takes
-    (left_stream, right_stream) and returns the joined stream;
-    ``feeds`` are callables appending files to either directory, each
-    followed by a full drain so the watermark advances between real
-    micro-batches.
+    sibling of ``windows.run_stream_to_memory`` — start/drain/feed/
+    conf-scoping shared via ``windows.drive_stream_to_memory``).
+    ``transform`` takes (left_stream, right_stream) and returns the
+    joined stream; ``feeds`` are callables appending files to either
+    directory, each followed by a full drain so the watermark advances
+    between real micro-batches. ``state_partitions`` /``scoped_conf``
+    as in ``run_stream_to_memory``."""
+    from batch_process_spark.streaming.windows import drive_stream_to_memory
 
-    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    query's lifetime (restored after): stateful operators materialize
-    one state store per shuffle partition per micro-batch, so a tiny
-    local drive at the session's 32 burns seconds of pure store
-    setup/commit. Read once at ``.start()`` from a fresh checkpoint, so
-    the scoped override is safe. Pass None to keep the session value
-    (real deployments size it to the key cardinality)."""
     l = spark.readStream.schema(left_schema).format("parquet").load(left_dir)
     r = spark.readStream.schema(right_schema).format("parquet").load(right_dir)
     out = transform(l, r)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    conf = dict(scoped_conf or {})
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            for feed in feeds or []:
-                feed()
-                q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(query_name)
+        conf["spark.sql.shuffle.partitions"] = str(state_partitions)
+    return drive_stream_to_memory(
+        spark, out, query_name, output_mode, feeds=feeds, scoped_conf=conf
+    )

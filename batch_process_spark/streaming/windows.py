@@ -127,6 +127,50 @@ def session_window_agg(
     )
 
 
+def drive_stream_to_memory(
+    spark,
+    out: DataFrame,
+    query_name: str,
+    output_mode: str,
+    feeds=None,
+    scoped_conf: dict[str, str] | None = None,
+) -> DataFrame:
+    """Shared driver for the memory-sink streaming runners: start the
+    query, drain, run each ``feed`` callable followed by a full drain
+    (so the watermark advances between REAL micro-batches), stop, and
+    return the result table.
+
+    ``scoped_conf``: session confs pinned for the query's lifetime and
+    restored after — streaming queries read confs at ``.start()`` from
+    a fresh checkpoint, so the scoped override is safe, and restoring
+    keeps a shared session (selfcheck, pytest) from leaking timezone/
+    trigger/partition settings into later queries."""
+    prev = {k: spark.conf.get(k, None) for k in (scoped_conf or {})}
+    for k, v in (scoped_conf or {}).items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for feed in feeds or []:
+                feed()
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.table(query_name)
+
+
 def run_stream_to_memory(
     spark,
     source_dir: str,
@@ -136,6 +180,7 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     feeds=None,
     state_partitions: int | None = 4,
+    scoped_conf: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drive a parquet-source streaming query to completion against a
     static directory (local smoke path: real deployments swap the
@@ -152,33 +197,20 @@ def run_stream_to_memory(
     query's lifetime (restored after): stateful operators materialize
     one state store per shuffle partition per micro-batch, so a tiny
     local drive at the session's 32 burns seconds of pure store
-    setup/commit. Read once at ``.start()`` from a fresh checkpoint, so
-    the scoped override is safe. Pass None to keep the session value
-    (real deployments size it to the key cardinality)."""
+    setup/commit. Pass None to keep the session value (real
+    deployments size it to the key cardinality). Further confs to pin
+    for the query only (timezone, trigger flags) go in
+    ``scoped_conf``."""
     stream = (
         spark.readStream.schema(schema).format("parquet").load(source_dir)
     )
     out = transform(stream)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    conf = dict(scoped_conf or {})
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            for feed in feeds or []:
-                feed()
-                q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(query_name)
+        conf["spark.sql.shuffle.partitions"] = str(state_partitions)
+    return drive_stream_to_memory(
+        spark, out, query_name, output_mode, feeds=feeds, scoped_conf=conf
+    )
 
 
 def stream_dedup(

@@ -140,3 +140,30 @@ def test_q100_shuffle_partitions_restored(spark):
     rows = QUERIES["q100_stream_stream_join"](spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 3
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_append_feed_converts_aware_datetimes(spark):
+    """A tz-aware datetime must be CONVERTED to UTC, not have its
+    offset silently stripped (which would shift the instant)."""
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    from batch_process_spark.streaming.feed import append_feed
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tempfile.mkdtemp()
+    plus5 = timezone(timedelta(hours=5))
+    append_feed(d, "k int, ts timestamp", [(1, datetime(2024, 1, 1, 10, 0, tzinfo=plus5))])
+    got = spark.read.schema("k int, ts timestamp").parquet(d).collect()
+    assert got[0]["ts"] == datetime(2024, 1, 1, 5, 0)
+
+
+def test_q100_scoped_confs_restored(spark):
+    """noDataMicroBatches (and shuffle partitions) must not leak into
+    the session after the streaming run; an unset conf stays unset."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.unset(key)
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    QUERIES["q100_stream_stream_join"](spark, "/root/testdata/sf0.001").collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_sp
+    assert spark.conf.get(key, None) in (None, "true")  # default, not pinned
