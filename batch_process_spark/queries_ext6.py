@@ -10,6 +10,9 @@ DuckDB on the shared parquet tables:
 - q102 bigram-LM scoring (train add-one-smoothed bigram counts on the
   corpus, score every document's average negative log-likelihood —
   the KenLM-style perplexity-proxy quality filter)
+- q103 distributed k-means (deterministic init, two Lloyd iterations,
+  broadcast centroids — the iterative-algorithm shape, held to a full
+  value-hash oracle rather than the weaker rows-only check)
 
 No reference parity claimed — these extend the engine beyond the
 reference surface (SURVEY §2 is q01-q88); the brief names this family
@@ -210,4 +213,101 @@ def q102_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("nll") > _NLL_THRESHOLD).cast("long")).alias("n_high"),
         round_half_up(F.avg("nll")).alias("avg_nll"),
         round_half_up(F.max("nll")).alias("max_nll"),
+    )
+
+
+_KMEANS_K = 4
+
+
+@_q(
+    "q103_kmeans",
+    f"""
+    WITH dims AS (
+      SELECT vec_id, u.i AS pos, embedding[u.i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    c0 AS (SELECT vec_id AS cid, pos, v AS c FROM dims WHERE vec_id < {_KMEANS_K}),
+    d1 AS (
+      SELECT d.vec_id, c.cid, sum((d.v - c.c) * (d.v - c.c)) AS dist
+      FROM dims d JOIN c0 c USING (pos) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cid, d.pos, avg(d.v) AS c
+      FROM dims d JOIN a1 a USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT d.vec_id, c.cid, sum((d.v - c.c) * (d.v - c.c)) AS dist
+      FROM dims d JOIN c1 c USING (pos) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT cid AS cluster, count(*) AS n_vectors,
+           floor(avg(dist) * 10000 + 0.5) / 10000 AS avg_sqdist
+    FROM a2 GROUP BY cid
+    """,
+)
+def q103_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, the iterative-algorithm shape done WITH a
+    full value-hash oracle: k=4, deterministic init (the k lowest
+    vec_ids), exactly two Lloyd iterations, per-cluster sizes and
+    average squared distance. Ties in the argmin break to the lowest
+    centroid id in both engines.
+
+    100 TB shape: centroids are a (k x dims) table BROADCAST back to
+    the position-exploded corpus each iteration — the corpus never
+    re-shuffles on anything but its own vec_id aggregates; the argmin
+    window partitions by vec_id (k rows per group, never global); the
+    centroid recompute is a (cid, pos) partial-agg. No driver-side
+    collect anywhere — centroids stay a DataFrame between iterations,
+    so the same code runs with k in the millions (the broadcast
+    degrades to a shuffle join past the threshold, which AQE decides).
+
+    FP note: distances between distinct random vectors differ by
+    orders of magnitude more than the 1e-13 sum-order drift, so
+    assignments are engine-stable; avg_sqdist rounds to 4 decimals
+    like q95/q98."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "vf"),
+    ).select("vec_id", "pos", F.col("vf").cast("double").alias("v"))
+
+    def assign(cent, keep_dist=False):
+        dist = (
+            dims.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("v") - F.col("c")) ** 2).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        picked = dist.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        cols = ["vec_id", "cid"] + (["dist"] if keep_dist else [])
+        return picked.select(*cols)
+
+    c0 = dims.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
+    )
+    a1 = assign(c0)
+    c1 = (
+        dims.join(a1, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+    a2 = assign(c1, keep_dist=True)
+    return a2.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        round_half_up(F.avg("dist")).alias("avg_sqdist"),
     )

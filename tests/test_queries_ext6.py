@@ -45,3 +45,49 @@ def test_q101_plan_broadcasts_rates(spark):
     plan = QUERIES["q101_mixture_rebalance"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q103_kmeans_partitions_all_vectors(spark):
+    """Every vector lands in exactly one cluster; clusters are
+    non-trivial (more than one cluster survives two iterations) and
+    distances are non-negative."""
+    rows = QUERIES["q103_kmeans"](spark, SF).collect()
+    assert 2 <= len(rows) <= 4
+    total = sum(r["n_vectors"] for r in rows)
+    assert total == 500  # embeddings table row count at sf0.001
+    for r in rows:
+        assert r["avg_sqdist"] >= 0.0
+
+
+def test_q103_kmeans_iteration_improves(spark):
+    """Two Lloyd iterations must not be a no-op: the final assignment
+    must differ from assigning straight to the init centroids (else
+    the recompute step is dead code on this data)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from batch_process_spark.queries import _t
+
+    emb = _t(spark, SF, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "pos", F.col("vf").cast("double").alias("v"))
+    c0 = dims.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
+    )
+    d0 = (
+        dims.join(F.broadcast(c0), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((F.col("v") - F.col("c")) ** 2).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    a0 = (
+        d0.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    init_sizes = sorted((r["cid"], r["count"]) for r in a0)
+    final = QUERIES["q103_kmeans"](spark, SF).collect()
+    final_sizes = sorted((r["cluster"], r["n_vectors"]) for r in final)
+    assert init_sizes != final_sizes
