@@ -1,7 +1,8 @@
-"""Query catalog part 7 (q101+): mixture shaping and language modeling.
+"""Query catalog part 7 (q101+): mixture shaping, language modeling,
+clustering, and event analytics.
 
-Further LLM-training-data operators, each oracle-checked against
-DuckDB on the shared parquet tables:
+Further operators, each oracle-checked against DuckDB on the shared
+parquet tables:
 
 - q101 data-mixture rebalancing (derive per-group keep rates from a
   target mixture + measured corpus mass, then deterministic hash
@@ -13,6 +14,10 @@ DuckDB on the shared parquet tables:
 - q103 distributed k-means (deterministic init, two Lloyd iterations,
   broadcast centroids — the iterative-algorithm shape, held to a full
   value-hash oracle rather than the weaker rows-only check)
+- q104 ordered funnel analysis (signup -> view -> click -> purchase,
+  stage-chained first occurrences within a 24h window)
+- q105 retention cohort matrix (first-activity week x active-week
+  offsets — the standard retention triangle)
 
 No reference parity claimed — these extend the engine beyond the
 reference surface (SURVEY §2 is q01-q88); the brief names this family
@@ -310,4 +315,118 @@ def q103_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.groupBy(F.col("cid").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         round_half_up(F.avg("dist")).alias("avg_sqdist"),
+    )
+
+
+_FUNNEL_WINDOW = "24 hours"  # real drop-off at every stage in the testdata
+
+
+@_q(
+    "q104_funnel",
+    f"""
+    WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'view'
+            AND e.ts > s.t1 AND e.ts <= s.t1 + INTERVAL '{_FUNNEL_WINDOW}'
+          GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.ts > v.t2 AND e.ts <= v.t2 + INTERVAL '{_FUNNEL_WINDOW}'
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.ts > c.t3 AND e.ts <= c.t3 + INTERVAL '{_FUNNEL_WINDOW}'
+          GROUP BY 1)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           floor((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM s) * 10000 + 0.5) / 10000 AS conv
+    """,
+)
+def q104_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: signup -> view ->
+    click -> purchase, each stage's FIRST occurrence strictly after the
+    previous stage and within a 24-hour window of it. Counts users
+    surviving each stage + end-to-end conversion.
+
+    100 TB shape: every stage is (filter by event type -> partial-agg
+    min per user -> equi-join on user_id) — all four stages shuffle on
+    the SAME key, so after the first exchange the stage joins are
+    co-partitioned; the type filters push to the scan so each pass
+    reads one event type's rows, and the final counts are single-row
+    aggregates. No window over the full stream, no per-user event-list
+    materialization."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(prev, etype, prev_col, out_col):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        j = e.join(prev, "user_id").filter(
+            (F.col("ts") > F.col(prev_col))
+            & (F.col("ts") <= F.col(prev_col) + F.expr(f"interval {_FUNNEL_WINDOW}"))
+        )
+        return j.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = first_after(s, "view", "t1", "t2")
+    c = first_after(v, "click", "t2", "t3")
+    p = first_after(c, "purchase", "t3", "t4")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(n))
+        for df, n in [(s, "n_signup"), (v, "n_view"), (c, "n_click"), (p, "n_purchase")]
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)
+    return out.withColumn(
+        "conv",
+        round_half_up(F.col("n_purchase") * F.lit(1.0) / F.col("n_signup")),
+    )
+
+
+@_q(
+    "q105_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+    a AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', DATE '2024-01-01', f.d0) // 7 AS cohort_week,
+             date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS week_offset
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity week
+    (cohort), counted once per week-offset they were active in — the
+    standard triangle chart behind every retention dashboard. Week
+    arithmetic is integer (days since epoch anchor // 7), identical in
+    both engines.
+
+    100 TB shape: first-activity is a partial-agg min per user; the
+    cohort join is user_id-keyed (co-partitioned with the first agg);
+    DISTINCT collapses (user, cohort, offset) before the tiny final
+    count — the stream is never windowed or sorted globally."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    anchor = F.lit("2024-01-01").cast("date")
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("d0"), anchor) / 7).alias("cohort_week"),
+            F.floor(F.datediff(F.to_date("ts"), F.col("d0")) / 7).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
     )

@@ -91,3 +91,29 @@ def test_q103_kmeans_iteration_improves(spark):
     final = QUERIES["q103_kmeans"](spark, SF).collect()
     final_sizes = sorted((r["cluster"], r["n_vectors"]) for r in final)
     assert init_sizes != final_sizes
+
+
+def test_q104_funnel_monotone_dropoff(spark):
+    """Stage counts must be non-increasing, non-vacuous at every stage
+    (some users drop at each boundary, some survive to purchase)."""
+    row = QUERIES["q104_funnel"](spark, SF).collect()[0]
+    ns = [row["n_signup"], row["n_view"], row["n_click"], row["n_purchase"]]
+    assert ns[0] >= ns[1] >= ns[2] >= ns[3]
+    assert ns[0] > ns[3], "no drop-off anywhere (vacuous window)"
+    assert ns[3] >= 1, "nobody converts (vacuous funnel)"
+    assert abs(row["conv"] - round(ns[3] / ns[0], 4)) < 1e-9
+
+
+def test_q105_cohort_triangle(spark):
+    """Offset-0 count per cohort must equal the cohort size (every
+    user is active in their own first week) and dominate later
+    offsets; offsets are non-negative."""
+    rows = QUERIES["q105_retention_cohorts"](spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_users"]
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets
+        assert offsets[0] == max(offsets.values())
