@@ -164,3 +164,65 @@ def rolling_fingerprint(text: Column | str, k: int = 5, keep: int = 4) -> Column
 
     hashes = F.array_sort(F.transform(shingles_col(text, k), lambda s: F.md5(s)))
     return F.array_join(F.slice(hashes, 1, keep), "|")
+
+
+def ngram_frame(
+    df: DataFrame, id_cols: list[str], text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """One output row per word n-gram (frequency-preserving, same
+    tokens/join as ``ngrams_col``) in a single Arrow pass — the HOF
+    form is interpreted (no whole-stage codegen) and costs ~3x the
+    kernel on gram-heavy corpora (same trade as the dedup module's
+    ``shingle_sig_frame``). Tokenization mirrors ``tokens_col``:
+    lower(trim), split on non-alphanumeric, drop empties; docs with
+    fewer than ``n`` tokens emit nothing (the HOF form's empty list
+    explodes to nothing)."""
+    import re as _re
+
+    import pandas as pd
+
+    pat = _re.compile(r"[^0-9a-zA-Z]+")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    id_schema = ", ".join(f"{c} {types[c]}" for c in id_cols)
+
+    def batches(it):
+        for pdf in it:
+            ids: dict[str, list] = {c: [] for c in id_cols}
+            grams: list[str] = []
+            texts = pdf[text_col]
+            for i in range(len(pdf)):
+                toks = [w for w in pat.split((texts.iloc[i] or "").strip().lower()) if w]
+                if len(toks) < n:
+                    continue
+                gs = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                grams.extend(gs)
+                for c in id_cols:
+                    ids[c].extend([pdf[c].iloc[i]] * len(gs))
+            data: dict[str, list] = {c: ids[c] for c in id_cols}
+            data["g"] = grams
+            yield pd.DataFrame(data)
+
+    return df.select(*id_cols, text_col).mapInPandas(
+        batches, schema=f"{id_schema}, g string"
+    )
+
+
+def distinct_tokens_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-batch-distinct word tokens (column ``t``) in one Arrow pass;
+    callers re-distinct globally (``countDistinct``/``distinct``) — the
+    per-batch dedup shrinks the exchange to near-vocabulary size.
+    Tokenization mirrors ``tokens_col`` exactly."""
+    import re as _re
+
+    import pandas as pd
+
+    pat = _re.compile(r"[^0-9a-zA-Z]+")
+
+    def batches(it):
+        for pdf in it:
+            seen: set[str] = set()
+            for t in pdf[text_col]:
+                seen.update(w for w in pat.split((t or "").strip().lower()) if w)
+            yield pd.DataFrame({"t": sorted(seen)})
+
+    return df.select(text_col).mapInPandas(batches, schema="t string")

@@ -170,6 +170,12 @@ def invalidate_tables(path: str | None = None) -> int:
         release_tf_caches()
     except ImportError:
         pass
+    try:  # q102's grams memo (import-guarded: ext6 may not be loaded)
+        from batch_process_spark.queries_ext6 import release_gram_caches
+
+        release_gram_caches()
+    except ImportError:
+        pass
     return dropped
 
 

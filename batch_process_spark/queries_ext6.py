@@ -125,6 +125,30 @@ def q101_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from batch_process_spark.queries_ext5 import _DUCK_BIGRAMS as _DUCK_BI
 
+# Plan-keyed memo of persisted gram tables (q102): grams feed both the
+# g2 count build and the scoring join — without a persist the corpus is
+# tokenized+exploded twice per action. Same PersistMemo machinery as
+# the dedup shingle memo / q96 tf memo; released by
+# queries.invalidate_tables after mid-session file rewrites.
+from batch_process_spark.operators.caching import PersistMemo
+
+_GRAM_MEMO = PersistMemo(max_entries=2)
+
+
+def release_gram_caches() -> None:
+    """Unpersist and drop every memoized gram frame. Called by
+    invalidate_tables after mid-session file rewrites."""
+    _GRAM_MEMO.release_all()
+
+
+def _memoized_grams(df: DataFrame) -> DataFrame:
+    key = PersistMemo.plan_key(df)
+    hit = _GRAM_MEMO.get(key, df.sparkSession)
+    if hit is not None:
+        return hit
+    return _GRAM_MEMO.put(key, df.sparkSession, df)
+
+
 _NLL_THRESHOLD = 3.4  # splits every testdata SF ~70/30, pinned by pytest
 
 
@@ -171,32 +195,31 @@ def q102_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the bigram count table g2 is classic distributed LM
     training — explode to (gram), partial-agg map-side, ONE
-    corpus-sized shuffle keyed on gram. The context counts g1 are then
-    derived from g2 itself (c1(w1) = sum of c2 over grams starting
-    with w1) — an aggregate of the already-reduced count table, NOT a
-    second corpus explode+shuffle. The scoring join re-shuffles grams
-    on the same keys (co-partitioned with the counts), then per-doc
-    and per-source aggs. Nothing is collected; V rides a 1-row
-    broadcast crossJoin. Count tables at real scale are themselves
-    distributed (no broadcast assumption) — exactly how you'd train
-    n-gram stats over 100 TB.
+    corpus-sized shuffle keyed on gram. Gram generation runs as an
+    Arrow kernel (``ngram_frame`` — the interpreted-HOF form costs
+    ~3x; same trade as the dedup shingle kernel), memoized+persisted
+    per input plan because BOTH the count build and the scoring join
+    consume it. The context counts g1 are derived from g2 itself
+    (c1(w1) = sum of c2 over grams starting with w1) — an aggregate of
+    the already-reduced count table, NOT a second corpus
+    explode+shuffle. The scoring join re-shuffles grams on the same
+    keys (co-partitioned with the counts), then per-doc and per-source
+    aggs. Nothing is collected; V rides a 1-row broadcast crossJoin.
+    Count tables at real scale are themselves distributed (no
+    broadcast assumption) — exactly how you'd train n-gram stats over
+    100 TB.
 
     FP note: per-doc avg sums ln-terms in partition order; drift is
     ~1e-15 relative and the per-source outputs round to 4 decimals,
     same as q98 — the threshold 3.4 sits >1e-3 from every doc's NLL in
     the testdata, so flag counts are engine-stable."""
-    from batch_process_spark.operators.dedup import tokens_col
-    from batch_process_spark.operators.text import ngrams_col
+    from batch_process_spark.operators.text import distinct_tokens_frame, ngram_frame
 
     docs = _t(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(tokens_col("text")).alias("t"))
-        .agg(F.countDistinct("t").alias("vocab"))
+    vocab = distinct_tokens_frame(docs, "text").agg(
+        F.countDistinct("t").alias("vocab")
     )
-    grams = (
-        docs.filter(F.size(tokens_col("text")) >= 2)
-        .select("doc_id", "source", F.explode(ngrams_col("text", 2)).alias("g"))
-    )
+    grams = _memoized_grams(ngram_frame(docs, ["doc_id", "source"], "text", 2))
     g2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
     w1 = F.split(F.col("g"), " ").getItem(0)
     g1 = g2.select(w1.alias("w1"), "c2").groupBy("w1").agg(

@@ -133,18 +133,22 @@ def t_duck(con, sql: str) -> float:
 
 def timed2(build, gc) -> tuple[float, float, int]:
     """(cold seconds, steady seconds, steady shuffle bytes). The first
-    run pays memo/cache fills (shingle memo, ranker persist pool); the
-    second is the steady-pipeline cost, and its shuffle delta covers
-    exactly one run — construction included in both clock and bytes.
-    ``gc`` runs between the two so the 60 s periodic driver GC + cleaner
-    burst can't land INSIDE the steady clock (measured: a phase
-    collision inflated one op's steady run 10x, reproducibly, whenever
-    the section started near a GC boundary)."""
+    run pays memo/cache fills (shingle memo, ranker persist pool);
+    steady is the MIN of two further runs — a forced-GC pause from the
+    48 g heap intermittently lands inside one steady run and inflates
+    it 3-10x (measured), and min-of-2 rejects that outlier. The
+    shuffle delta covers exactly one steady run — construction
+    included in both clock and bytes. ``gc`` runs between timed runs
+    so the 60 s periodic driver GC + cleaner burst can't systematically
+    phase-collide with the clock."""
     t1 = t_spark(build)
     gc()
     sb0 = shuffle_write_bytes()
-    t2 = t_spark(build)
-    return t1, t2, shuffle_delta(sb0, shuffle_write_bytes())
+    t2a = t_spark(build)
+    sb = shuffle_delta(sb0, shuffle_write_bytes())
+    gc()
+    t2b = t_spark(build)
+    return t1, min(t2a, t2b), sb
 
 
 def main():
@@ -207,6 +211,61 @@ def main():
             f"WINDOW w AS (ORDER BY length(text), doc_id)",
         )
         print(f"| global_rank | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
+
+        # bigram-LM scoring (q102 shape): one corpus-sized count
+        # shuffle (g2), context counts derived from g2, co-partitioned
+        # scoring join — the heaviest round-4 curation kernel. Gram
+        # generation via the Arrow kernel + plan-keyed persist, exactly
+        # as q102 runs it (run 1 pays the memo fill, run 2 reads it).
+        from batch_process_spark.operators.text import (
+            distinct_tokens_frame,
+            ngram_frame,
+        )
+        from batch_process_spark.queries_ext6 import _memoized_grams
+
+        def bigram_lm():
+            vocab = distinct_tokens_frame(docs, "text").agg(
+                F.countDistinct("t").alias("vocab")
+            )
+            grams = _memoized_grams(ngram_frame(docs, ["doc_id"], "text", 2))
+            g2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+            w1 = F.split(F.col("g"), " ").getItem(0)
+            g1 = g2.select(w1.alias("w1"), "c2").groupBy("w1").agg(
+                F.sum("c2").alias("c1")
+            )
+            scored = (
+                grams.join(g2, "g")
+                .join(g1, w1 == g1["w1"])
+                .crossJoin(F.broadcast(vocab))
+                .groupBy("doc_id")
+                .agg(F.avg(F.log((F.col("c1") + F.col("vocab")) / (F.col("c2") + 1))).alias("nll"))
+            )
+            return scored.groupBy((F.col("doc_id") % 20).alias("grp")).agg(
+                F.count(F.lit(1)).alias("n_docs"), F.avg("nll").alias("avg_nll")
+            )
+
+        gc()
+        t1, t2, sb = timed2(bigram_lm, gc)
+        from batch_process_spark.queries_ext import DUCK_TOKENS
+        from batch_process_spark.queries_ext5 import _DUCK_BIGRAMS
+
+        tok = DUCK_TOKENS.format(t="text")
+        d = t_duck(
+            con,
+            f"""WITH toks AS (SELECT doc_id, {tok} AS w FROM ({scaled_docs_sql(n)})),
+            v AS (SELECT count(DISTINCT t) AS vocab FROM (SELECT unnest(w) AS t FROM toks)),
+            grams AS (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS g FROM toks WHERE len(w) >= 2),
+            g2 AS (SELECT g, count(*) AS c2 FROM grams GROUP BY g),
+            g1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2) AS c1 FROM g2 GROUP BY 1),
+            scored AS (
+              SELECT grams.doc_id, avg(ln((g1.c1 + v.vocab) * 1.0 / (g2.c2 + 1))) AS nll
+              FROM grams JOIN g2 USING (g)
+              JOIN g1 ON split_part(grams.g, ' ', 1) = g1.w1
+              CROSS JOIN v GROUP BY 1)
+            SELECT doc_id % 20 AS grp, count(*) AS n_docs, avg(nll) AS avg_nll
+            FROM scored GROUP BY 1""",
+        )
+        print(f"| bigram_lm | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
         docs.unpersist()
 
         # embedding top-k

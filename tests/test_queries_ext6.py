@@ -117,3 +117,46 @@ def test_q105_cohort_triangle(spark):
     for cohort, offsets in by_cohort.items():
         assert 0 in offsets
         assert offsets[0] == max(offsets.values())
+
+
+def test_ngram_frame_matches_hof_form(spark):
+    """The Arrow gram kernel must emit exactly the HOF form's grams
+    (frequency-preserving) — q102's oracle parity rides on this."""
+    from pyspark.sql import functions as F
+    from batch_process_spark.operators.text import ngram_frame, ngrams_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hof = (
+        docs.select("doc_id", F.explode(ngrams_col("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+    )
+    ker = ngram_frame(docs, ["doc_id"], "text", 2).groupBy("doc_id", "g").count()
+    assert hof.exceptAll(ker).count() == 0
+    assert ker.exceptAll(hof).count() == 0
+
+
+def test_ngram_frame_edge_cases(spark):
+    """Empty / single-token / punctuation-only / NULL docs emit
+    nothing; mixed-case + padding tokenizes like tokens_col."""
+    from batch_process_spark.operators.text import ngram_frame
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "hello"), (3, "!!! ??"), (4, None), (5, "  A b  ")],
+        "doc_id int, text string",
+    )
+    got = sorted(map(tuple, ngram_frame(edge, ["doc_id"], "text", 2).collect()))
+    assert got == [(5, "a b")]
+
+
+def test_distinct_tokens_frame_matches_hof(spark):
+    """Kernel vocabulary == HOF vocabulary (count and set)."""
+    from pyspark.sql import functions as F
+    from batch_process_spark.operators.dedup import tokens_col
+    from batch_process_spark.operators.text import distinct_tokens_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hof = docs.select(F.explode(tokens_col("text")).alias("t")).distinct()
+    ker = distinct_tokens_frame(docs, "text").distinct()
+    assert hof.exceptAll(ker).count() == 0
+    assert ker.exceptAll(hof).count() == 0
