@@ -18,6 +18,10 @@ parquet tables:
   stage-chained first occurrences within a 24h window)
 - q105 retention cohort matrix (first-activity week x active-week
   offsets — the standard retention triangle)
+- q106 semi-structured props extraction (JSON path at query level,
+  decile-bucketed per event type)
+- q107 hourly rate-anomaly detection (per-type z-scores against the
+  type's own mean/stddev — the load-spike detector)
 
 No reference parity claimed — these extend the engine beyond the
 reference surface (SURVEY §2 is q01-q88); the brief names this family
@@ -452,4 +456,96 @@ def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@_q(
+    "q106_props_json",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             value
+      FROM events
+    )
+    SELECT event_type, k // 10 AS k_decile,
+           count(*) AS n_events,
+           floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q106_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props extraction at query level: pull the JSON
+    field ``k`` out of the event props string, decile-bucket it, and
+    aggregate per (event_type, decile) — the schema-on-read path every
+    event pipeline needs for loosely-typed payloads.
+
+    100 TB shape: get_json_object is a JVM-side path evaluation — the
+    extraction is map-only into the partial agg; only (type, decile)
+    groups cross the exchange."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type", F.floor(F.col("k") / 10).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.avg("value")).alias("avg_value"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@_q(
+    "q107_hourly_anomaly",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             avg(n) AS mu, stddev_pop(n) AS sigma
+      FROM h GROUP BY 1
+    ),
+    z AS (
+      SELECT h.event_type, h.hour, h.n,
+             CASE WHEN s.sigma > 0 THEN (h.n - s.mu) / s.sigma ELSE 0.0 END AS z
+      FROM h JOIN s USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n_hours,
+           CAST(count(*) FILTER (abs(z) > 2.0) AS BIGINT) AS n_anomalies,
+           floor(max(abs(z)) * 10000 + 0.5) / 10000 AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def q107_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection over the event stream: hourly counts per
+    event type, population z-score of each hour against its type's
+    mean/stddev, flag |z| > 2 — the load-spike / outage detector shape.
+
+    100 TB shape: hourly counts are a partial-agg (type, hour) rollup;
+    the per-type stats table is tiny and broadcast back; z and the
+    final per-type rollup are map-side over the already-aggregated
+    hour rows. The raw stream crosses exactly one exchange."""
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = h.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        F.when(F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma"))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum((F.abs("z") > 2.0).cast("long")).alias("n_anomalies"),
+        round_half_up(F.max(F.abs("z"))).alias("max_abs_z"),
     )

@@ -160,3 +160,26 @@ def test_distinct_tokens_frame_matches_hof(spark):
     ker = distinct_tokens_frame(docs, "text").distinct()
     assert hof.exceptAll(ker).count() == 0
     assert ker.exceptAll(hof).count() == 0
+
+
+def test_q106_props_deciles_complete(spark):
+    """Every (type, decile) count positive; deciles within 0..9; the
+    JSON extraction must never produce NULL k on the testdata."""
+    rows = QUERIES["q106_props_json"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["k_decile"] <= 9
+        assert r["n_events"] > 0 and r["max_k"] <= 99
+
+
+def test_q107_anomaly_flags_some_not_all(spark):
+    """|z|>2 must flag SOME hours somewhere but never all of a type's
+    hours; max |z| is positive once any type has variance."""
+    rows = QUERIES["q107_hourly_anomaly"](spark, SF).collect()
+    assert rows
+    total_hours = sum(r["n_hours"] for r in rows)
+    total_anom = sum(r["n_anomalies"] for r in rows)
+    assert 0 < total_anom < total_hours
+    for r in rows:
+        assert r["n_anomalies"] < r["n_hours"]
+        assert r["max_abs_z"] >= 0.0
