@@ -22,6 +22,10 @@ parquet tables:
   decile-bucketed per event type)
 - q107 hourly rate-anomaly detection (per-type z-scores against the
   type's own mean/stddev — the load-spike detector)
+- q108 Markov transition matrix (per-user event sequences, lead()
+  windows, row-normalized probabilities)
+- q109 weighted sampling without replacement (Efraimidis-Spirakis
+  keys from a deterministic salted hash — rand()-free, one pass)
 
 No reference parity claimed — these extend the engine beyond the
 reference surface (SURVEY §2 is q01-q88); the brief names this family
@@ -549,3 +553,99 @@ def q107_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.abs("z") > 2.0).cast("long")).alias("n_anomalies"),
         round_half_up(F.max(F.abs("z"))).alias("max_abs_z"),
     )
+
+
+@_q(
+    "q108_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, sum(n) AS t FROM pairs GROUP BY 1)
+    SELECT p.cur, p.nxt, p.n AS n_transitions,
+           floor(p.n * 1.0 / t.t * 10000 + 0.5) / 10000 AS prob
+    FROM pairs p JOIN tot t USING (cur)
+    """,
+)
+def q108_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each user's time-ordered stream, count cur->next
+    event-type pairs and row-normalize into transition probabilities —
+    the behavioral model behind next-action prediction and bot
+    detection. Ordering ties break on event_id so the sequence is
+    total in both engines.
+
+    100 TB shape: the lead() window partitions by user_id — per-user
+    groups, never a global sort; pair counts partial-agg down to the
+    (5 x 5) transition table before anything else moves; the
+    normalizing totals join is over that tiny table."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = pairs.groupBy("cur").agg(F.sum("n_transitions").alias("t"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n_transitions",
+        round_half_up(F.col("n_transitions") * F.lit(1.0) / F.col("t")).alias("prob"),
+    )
+
+
+@_q(
+    "q109_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln(({_duck_bucket("CAST(doc_id AS VARCHAR) || ':wsample'")} + 1.0)
+                / 10001.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    ),
+    top AS (
+      SELECT doc_id, source FROM keyed
+      ORDER BY k DESC, doc_id LIMIT 50
+    )
+    SELECT source, count(*) AS n_sampled FROM top GROUP BY source
+    """,
+)
+def q109_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    each doc gets key u^(1/w) — equivalently ln(u)/w, monotone for the
+    ranking — with weight w = n_chars and u a deterministic salted-hash
+    uniform in (0,1]; the top-50 keys ARE the weighted sample. No
+    rand(): reproducible across engines, retries, and partitionings,
+    and a longer doc is proportionally likelier to be drawn.
+    Per-source sample composition is the output.
+
+    100 TB shape: the key is map-side; top-50 is TakeOrdered
+    (per-partition heaps merged on the driver, never a global sort);
+    the composition agg runs over 50 rows. This is THE distributed
+    one-pass weighted-sampling algorithm — a million-row sample from
+    100 TB costs one scan plus a heap merge.
+
+    FP note: ln is not correctly rounded, but engines agree to ~1 ulp
+    and adjacent keys differ by orders of magnitude more; ranks (and
+    therefore the sampled set) are engine-stable — same reliance as
+    q98/q102, and this query outputs COUNTS, not the keys."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = _hash_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))
+    )
+    key = F.log((bucket + F.lit(1.0)) / F.lit(10001.0)) / F.col("n_chars")
+    top = (
+        docs.select("doc_id", "source", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(50)
+    )
+    return top.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))

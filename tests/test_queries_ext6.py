@@ -183,3 +183,35 @@ def test_q107_anomaly_flags_some_not_all(spark):
     for r in rows:
         assert r["n_anomalies"] < r["n_hours"]
         assert r["max_abs_z"] >= 0.0
+
+
+def test_q108_rows_normalize_to_one(spark):
+    """Each cur row's probabilities must sum to ~1 (rounding to 4dp
+    can drift the sum by <= n*5e-5) and transitions must be positive."""
+    rows = QUERIES["q108_markov_transitions"](spark, SF).collect()
+    assert rows
+    by_cur = {}
+    for r in rows:
+        assert r["n_transitions"] > 0 and 0.0 < r["prob"] <= 1.0
+        by_cur.setdefault(r["cur"], []).append(r["prob"])
+    for cur, ps in by_cur.items():
+        assert abs(sum(ps) - 1.0) < 5e-4 * len(ps)
+
+
+def test_q109_sample_prefers_heavy_docs(spark):
+    """The weighted sample must draw 50 docs total and favor longer
+    docs: the sampled docs' mean n_chars must exceed the corpus mean
+    (w = n_chars makes that overwhelmingly likely at 50 draws)."""
+    from pyspark.sql import functions as F
+    from batch_process_spark.queries import _t
+    from batch_process_spark.queries_ext4 import _hash_bucket
+
+    rows = QUERIES["q109_weighted_sample"](spark, SF).collect()
+    assert sum(r["n_sampled"] for r in rows) == 50
+    docs = _t(spark, SF, "documents").filter(F.col("n_chars") > 0)
+    bucket = _hash_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample")))
+    key = F.log((bucket + F.lit(1.0)) / F.lit(10001.0)) / F.col("n_chars")
+    top = docs.select("n_chars", key.alias("k")).orderBy(F.desc("k")).limit(50)
+    sampled_mean = top.agg(F.avg("n_chars")).collect()[0][0]
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert sampled_mean > corpus_mean
