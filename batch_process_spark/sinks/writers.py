@@ -23,10 +23,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bo
     out.write.mode(mode).option("header", True).csv(path)
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """K2 parquet sink. ``partition_by`` lays the output out as
+    hive-style directories so later reads prune whole partitions at
+    planning time (pinned by ``test_sinks.py``'s pruning guard);
+    ``max_records_per_file`` caps file size so a skewed partition
+    can't produce one giant unsplittable-row-group file — the two
+    layout levers that matter when the output is itself a 100 TB
+    input to the next job."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
 
 

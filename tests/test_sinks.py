@@ -165,3 +165,38 @@ def test_write_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A source=... filter over a partitionBy('source') layout must be
+    satisfied from the directory listing: the scan's partition count
+    drops to 1 and the predicate lands in PartitionFilters, not in a
+    data filter over all files."""
+    from pyspark.sql import functions as F
+    from batch_process_spark.sinks.writers import write_parquet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "bysource")
+    write_parquet(docs, out, partition_by=["source"])
+    scan = spark.read.parquet(out).filter(F.col("source") == "src3")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "src3" in plan
+    n_read = scan.count()
+    n_expect = docs.filter(F.col("source") == "src3").count()
+    assert n_read == n_expect > 0
+
+
+def test_max_records_per_file_caps_file_size(spark, tmp_path):
+    """maxRecordsPerFile must split output so no file exceeds the cap."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.sinks.writers import write_parquet
+
+    df = spark.range(1000).coalesce(1)
+    out = str(tmp_path / "capped")
+    write_parquet(df, out, max_records_per_file=300)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 4
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 300 for f in files)
