@@ -262,7 +262,9 @@ _KMEANS_K = 4
       SELECT vec_id, u.i AS pos, embedding[u.i]::DOUBLE AS v
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
     ),
-    c0 AS (SELECT vec_id AS cid, pos, v AS c FROM dims WHERE vec_id < {_KMEANS_K}),
+    init AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}),
+    c0 AS (SELECT d.vec_id AS cid, d.pos, d.v AS c
+           FROM dims d JOIN init USING (vec_id)),
     d1 AS (
       SELECT d.vec_id, c.cid, sum((d.v - c.c) * (d.v - c.c)) AS dist
       FROM dims d JOIN c0 c USING (pos) GROUP BY 1, 2
@@ -299,14 +301,16 @@ def q103_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     average squared distance. Ties in the argmin break to the lowest
     centroid id in both engines.
 
-    100 TB shape: centroids are a (k x dims) table BROADCAST back to
-    the position-exploded corpus each iteration — the corpus never
-    re-shuffles on anything but its own vec_id aggregates; the argmin
-    window partitions by vec_id (k rows per group, never global); the
+    100 TB shape: centroids stay a (k x dims) DataFrame between
+    iterations — the join back to the position-exploded corpus is NOT
+    broadcast-hinted, so Catalyst/AQE broadcasts it while it fits the
+    threshold and falls back to a shuffle join for huge k (a forced
+    hint would OOM instead of degrading); the corpus never re-shuffles
+    on anything but its own vec_id aggregates; the argmin window
+    partitions by vec_id (k rows per group, never global); the
     centroid recompute is a (cid, pos) partial-agg. No driver-side
-    collect anywhere — centroids stay a DataFrame between iterations,
-    so the same code runs with k in the millions (the broadcast
-    degrades to a shuffle join past the threshold, which AQE decides).
+    collect anywhere. Init is the k LOWEST ACTUAL vec_ids (ordered
+    limit, not an id-range filter — ids need not start at 0).
 
     FP note: distances between distinct random vectors differ by
     orders of magnitude more than the 1e-13 sum-order drift, so
@@ -322,7 +326,7 @@ def q103_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(cent, keep_dist=False):
         dist = (
-            dims.join(F.broadcast(cent), "pos")
+            dims.join(cent, "pos")
             .groupBy("vec_id", "cid")
             .agg(F.sum((F.col("v") - F.col("c")) ** 2).alias("dist"))
         )
@@ -333,7 +337,8 @@ def q103_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = ["vec_id", "cid"] + (["dist"] if keep_dist else [])
         return picked.select(*cols)
 
-    c0 = dims.filter(F.col("vec_id") < _KMEANS_K).select(
+    init = emb.select("vec_id").orderBy("vec_id").limit(_KMEANS_K)
+    c0 = dims.join(init, "vec_id").select(
         F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
     )
     a1 = assign(c0)
@@ -427,8 +432,13 @@ def q104_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
     a AS (
       SELECT DISTINCT e.user_id,
-             date_diff('day', DATE '2024-01-01', f.d0) // 7 AS cohort_week,
-             date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS week_offset
+             -- floor division, NOT // : DuckDB's // truncates toward
+             -- zero, so a pre-anchor first activity (negative day
+             -- diff) would diverge from Spark's F.floor
+             CAST(floor(date_diff('day', DATE '2024-01-01', f.d0) / 7.0) AS BIGINT)
+               AS cohort_week,
+             CAST(floor(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+               AS week_offset
       FROM events e JOIN f USING (user_id)
     )
     SELECT cohort_week, week_offset, count(*) AS n_users
@@ -439,8 +449,10 @@ def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users grouped by first-activity week
     (cohort), counted once per week-offset they were active in — the
     standard triangle chart behind every retention dashboard. Week
-    arithmetic is integer (days since epoch anchor // 7), identical in
-    both engines.
+    arithmetic is FLOOR division of the day diff in both engines
+    (DuckDB's ``//`` truncates toward zero, which would diverge from
+    Spark's F.floor for pre-anchor dates — so the oracle spells out
+    floor()).
 
     100 TB shape: first-activity is a partial-agg min per user; the
     cohort join is user_id-keyed (co-partitioned with the first agg);
@@ -472,7 +484,10 @@ def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              value
       FROM events
     )
-    SELECT event_type, k // 10 AS k_decile,
+    SELECT event_type,
+           -- floor division, NOT // (truncates toward zero on
+           -- negative k — diverges from Spark's F.floor)
+           CAST(floor(k / 10.0) AS BIGINT) AS k_decile,
            count(*) AS n_events,
            floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
            CAST(max(k) AS BIGINT) AS max_k

@@ -266,6 +266,12 @@ def main():
             FROM scored GROUP BY 1""",
         )
         print(f"| bigram_lm | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
+        # release the gram memo with the input it derives from — the
+        # persisted gram frames are corpus-sized and must not squat in
+        # executor storage while later sections are being timed
+        from batch_process_spark.queries_ext6 import release_gram_caches
+
+        release_gram_caches()
         docs.unpersist()
 
         # embedding top-k
