@@ -221,3 +221,17 @@ def test_q96_tf_cached_once_no_global_window(spark, qs):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "doc_id" in line
+
+
+def test_q103_centroid_joins_adaptively_broadcast(spark):
+    """q103 deliberately carries NO broadcast hint (a hint is never
+    demoted, so huge k would OOM); at small k AQE must still convert
+    every centroid join to broadcast at runtime."""
+    from batch_process_spark.queries import QUERIES
+    import batch_process_spark.queries_ext6  # noqa: F401
+
+    df = QUERIES["q103_kmeans"](spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
