@@ -19,6 +19,7 @@ import batch_process_spark.queries_ext3  # noqa: F401  (registers part-4 queries
 import batch_process_spark.queries_ext4  # noqa: F401  (registers part-5 queries)
 import batch_process_spark.queries_ext5  # noqa: F401  (registers part-6 queries)
 import batch_process_spark.queries_ext6  # noqa: F401  (registers part-7 queries)
+import batch_process_spark.queries_ext7  # noqa: F401  (registers part-8 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

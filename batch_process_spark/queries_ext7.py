@@ -1,0 +1,516 @@
+"""Query catalog part 8 (q110+): distribution analytics, importance
+sampling, passage-level dedup, and multi-criteria selection.
+
+Each oracle-checked against DuckDB on the shared parquet tables:
+
+- q110 equi-width histogram (global min/max bounds broadcast back over
+  the scan — the two-pass profile every column profiler runs)
+- q111 DSIR-style importance weights (hashed unigram bag-model
+  log-likelihood ratio target-vs-raw, quantized to integer micro-units
+  BEFORE the per-document sum so the cross-engine aggregation is exact
+  integer arithmetic — the data-selection pass of arXiv:2302.03169)
+- q112 passage-level exact dedup (fixed 8-word blocks, order-preserving
+  reassembly, cross-document duplicate detection — the span-granular
+  complement to document-level q17/q18)
+- q113 skyline / Pareto frontier (price↓ size↑ dominance) via a
+  bucketed prefix-max rewrite — no all-pairs join, no global window
+- q114 time-weighted average (value held until next event, exact
+  microsecond weights)
+- q115 burst dedup (drop events closer than a threshold to their
+  predecessor in the same (user, type) stream — the rate-limiting /
+  debounce pass)
+- q116 grouped linear regression (per-type OLS slope/intercept/r² from
+  exact integer moment sums; the final double arithmetic is the same
+  expression text in both engines)
+
+No reference parity claimed — these extend the engine beyond the
+reference surface; the brief names the training-data-pipeline family
+first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_process_spark.queries import _q, _t
+
+# ---------------------------------------------------------------------------
+# q110 — equi-width histogram
+
+_N_BINS = 20
+
+
+@_q(
+    "q110_price_histogram",
+    f"""
+    WITH b AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT least({_N_BINS - 1},
+                 CAST(floor((l_extendedprice - lo) / ((hi - lo) / {_N_BINS}.0))
+                      AS BIGINT)) AS bin,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS mass,
+           round(min(l_extendedprice), 2) AS lo_price,
+           round(max(l_extendedprice), 2) AS hi_price
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def q110_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with data-derived bounds: a 1-row global
+    min/max aggregate broadcast back over the scan (two passes, both
+    map-side until the 20-group agg), then identical double math on
+    both engines so bin edges agree bit-for-bit. At 100 TB both passes
+    stay embarrassingly parallel; the only wide stage is the 20-row
+    final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_N_BINS))
+    bin_col = F.least(
+        F.lit(_N_BINS - 1),
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+    ).cast("long")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("mass"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — DSIR-style hashed-unigram importance weights
+
+_DSIR_BUCKETS = 1024
+_DSIR_TOP = 50
+
+
+def _dsir_bucket(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _DSIR_BUCKETS
+
+
+def _dsir_duck_bucket(expr: str) -> str:
+    return f"(CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT) % {_DSIR_BUCKETS})"
+
+
+@_q(
+    "q111_dsir_importance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, lang, {_dsir_duck_bucket("word")} AS bucket
+      FROM tok WHERE word != ''
+    ),
+    cnt AS (
+      SELECT bucket,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+             sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS r_cnt
+      FROM tb GROUP BY bucket
+    ),
+    tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM cnt),
+    w AS (
+      SELECT bucket,
+             CAST(floor((ln((t_cnt + 1.0) / (t_tot + {_DSIR_BUCKETS}.0))
+                         - ln((r_cnt + 1.0) / (r_tot + {_DSIR_BUCKETS}.0)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      FROM cnt, tot
+    )
+    SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro,
+           count(*) AS n_tokens
+    FROM tb JOIN w USING (bucket)
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT {_DSIR_TOP}
+    """,
+)
+def q111_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection: hashed unigram bag models for a
+    target slice (lang='en') vs the raw rest, per-bucket add-one
+    log-likelihood-ratio weights, per-document scores, top-N.
+
+    Determinism: the only transcendental (ln) runs once per BUCKET
+    (<=1024 calls), and its result is quantized to integer micro-units
+    before the per-document sum — so the million-term aggregation is
+    exact integer arithmetic in both engines, immune to summation
+    order. The weight table is <=1024 rows → broadcast; the heavy side
+    (exploded tokens) never shuffles until the per-doc agg, which has
+    map-side partial aggregation. Top-N is TakeOrdered, not a global
+    sort."""
+    docs = _t(spark, sf_dir, "documents")
+    tb = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", "lang", _dsir_bucket(F.col("word")).alias("bucket"))
+    )
+    cnt = tb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("r_cnt"),
+    )
+    tot = cnt.agg(F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot"))
+    nb = float(_DSIR_BUCKETS)
+    w_micro = F.floor(
+        (
+            F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + nb))
+            - F.log((F.col("r_cnt") + 1.0) / (F.col("r_tot") + nb))
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    weights = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket", w_micro.alias("w_micro")
+    )
+    return (
+        tb.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — passage-level exact dedup (8-word blocks)
+
+_BLOCK_WORDS = 8
+
+
+@_q(
+    "q112_passage_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(ws) AS word,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    w2 AS (SELECT * FROM w WHERE word != ''),
+    blk AS (
+      SELECT doc_id, (pos - 1) // {_BLOCK_WORDS} AS blk,
+             string_agg(word, ' ' ORDER BY pos) AS passage,
+             count(*) AS n
+      FROM w2 GROUP BY doc_id, (pos - 1) // {_BLOCK_WORDS}
+    )
+    SELECT md5(passage) AS passage_hash,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM blk
+    WHERE n = {_BLOCK_WORDS}
+    GROUP BY md5(passage)
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def q112_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular exact dedup: split every document into fixed
+    8-word blocks (order-preserving reassembly from posexplode), hash
+    each full block, report passages that appear in more than one
+    document — the passage-level contamination/copy detector that
+    document-level dedup (q17) misses.
+
+    Non-vacuous on the testdata (135 cross-doc duplicate passages at
+    sf0.01 — the planted near-dup documents share 8-word spans). Scale
+    shape: one shuffle on (doc_id, blk) to reassemble blocks — but
+    posexplode preserves intra-row order so that groupBy gets map-side
+    partial agg on co-located rows — then one shuffle on the block
+    hash; both keys are high-cardinality and skew-free."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    blocks = (
+        words.withColumn("blk", F.floor(F.col("pos") / _BLOCK_WORDS))
+        .groupBy("doc_id", "blk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x.word,
+                ),
+                " ",
+            ).alias("passage"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == _BLOCK_WORDS)
+    )
+    return (
+        blocks.groupBy(F.md5("passage").alias("passage_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — skyline (Pareto frontier) via bucketed prefix-max
+
+_SKY_BUCKETS = 32
+
+
+@_q(
+    "q113_skyline_parts",
+    """
+    WITH p AS (
+      SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+    )
+    SELECT round(price, 2) AS price, size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price <= a.price AND b.size >= a.size
+        AND (b.price < a.price OR b.size > a.size)
+    )
+    """,
+)
+def q113_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (minimize price, maximize size): a part
+    survives iff no other part is at-most-as-expensive AND
+    at-least-as-large with one strict. The oracle states dominance
+    directly (NOT EXISTS — an independent formulation, so this is a
+    cross-algorithm check, not the same code twice).
+
+    The Spark side is the SCALABLE rewrite: range-bucket the distinct
+    (price, size) pairs by price, per-bucket max size, a prefix-max
+    over the tiny bucket table (<=32 rows — the only single-partition
+    window, on 32 rows), broadcast it back, and resolve within-bucket
+    dominance with a window PARTITIONED BY bucket. No all-pairs join,
+    no global-order window — at 100 TB every stage is either map-side
+    or partitioned by a high-cardinality key."""
+    pairs = (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+        )
+        .distinct()
+    )
+    bounds = pairs.agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_SKY_BUCKETS))
+    bkt = F.least(
+        F.lit(_SKY_BUCKETS - 1), F.floor((F.col("price") - F.col("lo")) / width)
+    ).cast("long")
+    pb = pairs.crossJoin(F.broadcast(bounds)).select(
+        "price", "size", bkt.alias("bkt")
+    )
+    # Per-bucket max size, then running max over PRECEDING buckets.
+    # 32 rows: the unpartitioned window is deliberate and bounded.
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        pb.groupBy("bkt")
+        .agg(F.max("size").alias("bmax"))
+        .select("bkt", F.max("bmax").over(wb).alias("prev_max"))
+    )
+    # Within a bucket: earlier rows under (price ASC, size DESC) are
+    # exactly the candidate dominators (strictly cheaper, or same price
+    # with strictly larger size — distinct pairs make ties impossible).
+    wl = Window.partitionBy("bkt").orderBy(
+        F.asc("price"), F.desc("size")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        pb.join(F.broadcast(prefix), "bkt")
+        .withColumn("lmax", F.max("size").over(wl))
+        .filter(
+            (F.col("lmax").isNull() | (F.col("size") > F.col("lmax")))
+            & (F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+        )
+        .select(F.round("price", 2).alias("price"), "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — time-weighted average value per event type
+
+@_q(
+    "q114_time_weighted_value",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+      FROM events
+    ),
+    iv AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
+             nxt_us - t_us AS dt_us
+      FROM s WHERE nxt_us IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n_intervals,
+           round(CAST(sum(v_cents * dt_us) AS DOUBLE)
+                 / CAST(sum(dt_us) AS DOUBLE) / 100.0, 6) AS twa_value
+    FROM iv
+    GROUP BY event_type
+    """,
+)
+def q114_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average: each event's value holds until the user's
+    next event; the weight is the exact microsecond gap. Quantizing
+    value to integer cents makes the big sums exact integer arithmetic
+    (order-independent across engines); only the final division is
+    floating point, on identical inputs. One window shuffle on user_id
+    (high-cardinality), one 5-group agg with map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v_cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("v_cents") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double")
+            / 100.0,
+            6,
+        ).alias("twa_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — burst dedup (debounce): drop events within the threshold of
+# their predecessor in the same (user, type) stream
+
+_BURST_GAP_US = 3_600_000_000  # 1 hour
+
+
+@_q(
+    "q115_burst_dedup",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= {_BURST_GAP_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(floor(sum(CASE WHEN gap_us IS NULL OR gap_us >= {_BURST_GAP_US}
+                               THEN 1 ELSE 0 END) * 10000.0 / count(*))
+                AS BIGINT) AS keep_bp
+    FROM s
+    GROUP BY event_type
+    """,
+)
+def q115_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / rate-limit pass: an event is kept iff it is the first
+    of its (user, type) stream or at least one hour after its
+    predecessor — the standard duplicate-ping suppressor ahead of
+    sessionization. Exact microsecond gaps; the kept/total ratio is
+    reported in integer basis points. One window shuffle on the
+    composite key (high-cardinality), then a tiny agg. The streaming
+    twin is stream_dedup / dropDuplicatesWithinWatermark
+    (streaming/windows.py) — this is the batch backfill shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    kept = F.when(gap.isNull() | (gap >= _BURST_GAP_US), 1).otherwise(0)
+    return (
+        ev.select("event_type", kept.alias("kept"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.floor(F.sum("kept") * 10000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("keep_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — grouped OLS regression from exact integer moments
+
+_EPOCH_2024 = 1_704_067_200  # 2024-01-01T00:00:00Z, keeps x small
+
+
+@_q(
+    "q116_group_regression",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - {_EPOCH_2024} AS x,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM s GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / 100.0, 9) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sx)
+                 / n / 100.0, 6) AS intercept,
+           round(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS r2
+    FROM m
+    """,
+)
+def q116_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (value vs seconds-since-2024): the moment sums are
+    EXACT integer aggregates (x in small epoch-offset seconds, y in
+    cents), so the distributed part is order-independent; the closed-
+    form slope/intercept/r² double math is the same expression text in
+    both engines on identical inputs. This is the scalable regression
+    shape — one map-side-combinable agg, no per-group iteration, no
+    collect — vs calling a stats library per group."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 1_000_000) - _EPOCH_2024).alias("x"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("y"),
+    )
+    m = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    deny = nd * F.col("syy") - syd * F.col("sy")
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope / 100.0, 9).alias("slope"),
+        F.round((syd - slope * F.col("sx")) / F.col("n") / 100.0, 6).alias(
+            "intercept"
+        ),
+        F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
+    )

@@ -1,0 +1,180 @@
+"""Non-vacuity + semantics tests for the part-8 query catalog (q110+)."""
+
+from pyspark.sql import functions as F
+
+from batch_process_spark.queries import QUERIES
+import batch_process_spark.queries_ext7  # noqa: F401  (registers q110+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q110_histogram_covers_everything(spark):
+    """Bin ids stay in [0, 19], every lineitem row is counted exactly
+    once, and per-bin min/max respect the bin's mass ordering."""
+    rows = QUERIES["q110_price_histogram"](spark, SF).collect()
+    from batch_process_spark.queries import _t
+
+    n_li = _t(spark, SF, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == n_li
+    assert all(0 <= r["bin"] <= 19 for r in rows)
+    assert len(rows) > 1, "degenerate: everything in one bin"
+    for r in rows:
+        assert r["lo_price"] <= r["hi_price"]
+
+
+def test_q110_bin_ranges_are_disjoint(spark):
+    """Observed [lo_price, hi_price] ranges must be non-overlapping
+    when ordered by bin id — the defining equi-width property."""
+    rows = sorted(
+        QUERIES["q110_price_histogram"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_price"] <= b["lo_price"]
+
+
+def test_q111_scores_match_independent_recompute(spark):
+    """Cross-check against a pure-Python re-derivation of the DSIR
+    weights (hashlib md5 buckets + math.log): the distributed scores
+    must agree with the single-node truth, and scores must vary.
+    (The testdata's 31-word vocabulary is shared across all langs, so
+    a 'top-50 is mostly en' distributional claim would be testing the
+    generator, not the operator — this recompute tests the operator.)"""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from batch_process_spark.queries import _t
+
+    rows = QUERIES["q111_dsir_importance"](spark, SF).collect()
+    assert len(rows) == 50
+    assert len({r["score_micro"] for r in rows}) > 10, "scores near-constant"
+
+    docs = _t(spark, SF, "documents").select("doc_id", "lang", "text").collect()
+
+    def bucket(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % 1024
+
+    t_cnt, r_cnt = Counter(), Counter()
+    doc_buckets = {}
+    for d in docs:
+        bs = [bucket(w) for w in d["text"].split(" ") if w != ""]
+        doc_buckets[d["doc_id"]] = bs
+        (t_cnt if d["lang"] == "en" else r_cnt).update(bs)
+    t_tot, r_tot = sum(t_cnt.values()), sum(r_cnt.values())
+    w = defaultdict(float)
+    for b in set(t_cnt) | set(r_cnt):
+        w[b] = math.log((t_cnt[b] + 1.0) / (t_tot + 1024.0)) - math.log(
+            (r_cnt[b] + 1.0) / (r_tot + 1024.0)
+        )
+    expected = {
+        did: sum(w[b] for b in bs) for did, bs in doc_buckets.items()
+    }
+    for r in rows:
+        assert abs(r["score_micro"] / 1e6 - expected[r["doc_id"]]) < 1e-3
+    top = sorted(expected, key=lambda d: (-expected[d], d))[:50]
+    assert {r["doc_id"] for r in rows} == set(top)
+
+
+def test_q112_passages_are_real_duplicates(spark):
+    """Every reported passage must occur in >1 distinct doc, and
+    occurrence count >= doc count; result non-empty (the testdata
+    plants near-dup docs that share 8-word spans)."""
+    rows = QUERIES["q112_passage_dedup"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_docs"] > 1
+        assert r["n_occurrences"] >= r["n_docs"]
+
+
+def test_q113_skyline_is_nondominated(spark):
+    """Brute-force cross-check on the small SF: no returned pair may be
+    dominated by ANY distinct (price, size) pair in the table."""
+    sky = QUERIES["q113_skyline_parts"](spark, SF).collect()
+    assert len(sky) > 0
+    from batch_process_spark.queries import _t
+
+    pairs = (
+        _t(spark, SF, "part")
+        .select(
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .distinct()
+        .collect()
+    )
+    allp = [(r["price"], r["size"]) for r in pairs]
+    for s in sky:
+        for p, z in allp:
+            dominated = (
+                p <= s["price"]
+                and z >= s["size"]
+                and (p < s["price"] or z > s["size"])
+            )
+            assert not dominated, f"{(s['price'], s['size'])} dominated by {(p, z)}"
+
+
+def test_q113_no_global_data_window(spark):
+    """The only unpartitioned window must be the 32-row bucket prefix —
+    the data-sized window is partitioned by bucket. Guard: every Window
+    node over the pair stream carries a partition spec."""
+    plan = (
+        QUERIES["q113_skyline_parts"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The within-bucket window must hash-partition on bkt (not a single
+    # global sort of all pairs).
+    assert "hashpartitioning(bkt" in plan
+
+
+def test_q114_weights_exclude_last_event(spark):
+    """Interval count equals events minus one per user with >=2 events;
+    time-weighted averages stay inside the raw value envelope."""
+    from batch_process_spark.queries import _t
+
+    ev = _t(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    rows = QUERIES["q114_time_weighted_value"](spark, SF).collect()
+    assert sum(r["n_intervals"] for r in rows) == n_events - n_users
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    for r in rows:
+        assert lo <= r["twa_value"] <= hi
+
+
+def test_q115_burst_dedup_drops_some_not_all(spark):
+    """The debounce must drop SOMETHING (bursts exist) but never
+    everything; keep_bp consistent with the counts."""
+    rows = QUERIES["q115_burst_dedup"](spark, SF).collect()
+    assert len(rows) > 0
+    assert any(r["n_kept"] < r["n_total"] for r in rows), "no bursts dropped"
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_total"]
+        assert r["keep_bp"] == r["n_kept"] * 10000 // r["n_total"]
+
+
+def test_q116_regression_identities(spark):
+    """r2 in [0, 1]; the fitted line passes through the mean point
+    (intercept identity re-derived from raw data)."""
+    from batch_process_spark.queries import _t
+
+    rows = QUERIES["q116_group_regression"](spark, SF).collect()
+    assert len(rows) > 0
+    ev = _t(spark, SF, "events")
+    means = {
+        r["event_type"]: (r["mx"], r["my"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.avg(
+                F.floor(F.unix_micros("ts") / 1_000_000) - 1_704_067_200
+            ).alias("mx"),
+            F.avg("value").alias("my"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["r2"] <= 1.0
+        mx, my = means[r["event_type"]]
+        assert abs(r["slope"] * mx + r["intercept"] - my) < 0.05
