@@ -200,12 +200,16 @@ _BLOCK_WORDS = 8
              unnest(range(1, len(ws) + 1)) AS pos
       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
     ),
-    w2 AS (SELECT * FROM w WHERE word != ''),
+    w2 AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS widx
+      FROM w WHERE word != ''
+    ),
     blk AS (
-      SELECT doc_id, (pos - 1) // {_BLOCK_WORDS} AS blk,
-             string_agg(word, ' ' ORDER BY pos) AS passage,
+      SELECT doc_id, (widx - 1) // {_BLOCK_WORDS} AS blk,
+             string_agg(word, ' ' ORDER BY widx) AS passage,
              count(*) AS n
-      FROM w2 GROUP BY doc_id, (pos - 1) // {_BLOCK_WORDS}
+      FROM w2 GROUP BY doc_id, (widx - 1) // {_BLOCK_WORDS}
     )
     SELECT md5(passage) AS passage_hash,
            count(*) AS n_occurrences,
@@ -217,39 +221,35 @@ _BLOCK_WORDS = 8
     """,
 )
 def q112_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-granular exact dedup: split every document into fixed
-    8-word blocks (order-preserving reassembly from posexplode), hash
-    each full block, report passages that appear in more than one
-    document — the passage-level contamination/copy detector that
-    document-level dedup (q17) misses.
+    """Span-granular exact dedup: split every document into blocks of
+    8 consecutive non-empty words, hash each full block, report
+    passages that appear in more than one document — the passage-level
+    contamination/copy detector that document-level dedup (q17) misses.
 
     Non-vacuous on the testdata (135 cross-doc duplicate passages at
     sf0.01 — the planted near-dup documents share 8-word spans). Scale
-    shape: one shuffle on (doc_id, blk) to reassemble blocks — but
-    posexplode preserves intra-row order so that groupBy gets map-side
-    partial agg on co-located rows — then one shuffle on the block
-    hash; both keys are high-cardinality and skew-free."""
+    shape: blocks are assembled INSIDE the row with array expressions
+    (filter/slice/array_join over the split — no token explode, no
+    reassembly shuffle; the oracle's window+string_agg is the same
+    semantics stated relationally). The only wide stage is the
+    passage-hash aggregate, whose key is high-cardinality and
+    skew-free, with map-side partials."""
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    ).filter(F.col("word") != "")
-    blocks = (
-        words.withColumn("blk", F.floor(F.col("pos") / _BLOCK_WORDS))
-        .groupBy("doc_id", "blk")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda x: x.word,
-                ),
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    n_blocks = F.floor(F.size(arr) / _BLOCK_WORDS).cast("int")
+    blocks = F.when(
+        n_blocks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(
+                F.slice(arr, (i * _BLOCK_WORDS + 1).cast("int"), _BLOCK_WORDS),
                 " ",
-            ).alias("passage"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .filter(F.col("n") == _BLOCK_WORDS)
-    )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        blocks.groupBy(F.md5("passage").alias("passage_hash"))
+        docs.select("doc_id", F.explode(blocks).alias("passage"))
+        .groupBy(F.md5("passage").alias("passage_hash"))
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
