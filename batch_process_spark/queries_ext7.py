@@ -22,6 +22,15 @@ Each oracle-checked against DuckDB on the shared parquet tables:
 - q116 grouped linear regression (per-type OLS slope/intercept/r² from
   exact integer moment sums; the final double arithmetic is the same
   expression text in both engines)
+- q117 prefix-filtering set-similarity self-join (AllPairs/PPJoin
+  shape: candidates only from each doc's globally-rarest prefix
+  tokens; verification map-side via carried arrays; oracle is the
+  independent brute-force formulation)
+- q118 robust outliers via median/MAD modified z-score
+  (Iglewicz-Hoaglin — the quantile complement to q107's mean/stddev)
+- q119 key-skew diagnostic profile (top-k mass + exact-integer
+  entropy — the report you run before deciding broadcast vs salt vs
+  AQE skew-split on a 100 TB join)
 
 No reference parity claimed — these extend the engine beyond the
 reference surface; the brief names the training-data-pipeline family
@@ -513,4 +522,238 @@ def q116_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
         F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — prefix-filtering similarity self-join (AllPairs/PPJoin shape)
+
+_PF_THRESHOLD = 0.95
+
+
+@_q(
+    "q117_prefix_filter_join",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM t WHERE tok != ''),
+    sz AS (SELECT doc_id, count(*) AS n FROM t2 GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      FROM t2 a JOIN t2 b USING (tok)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i AS doc_i, j AS doc_j,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard_sim
+    FROM common
+    JOIN sz sa ON i = sa.doc_id
+    JOIN sz sb ON j = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_PF_THRESHOLD}
+    """,
+)
+def q117_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (the AllPairs /
+    PPJoin family): documents as distinct-token sets, candidate pairs
+    generated only from each document's prefix — its (n - ceil(t*n) + 1)
+    globally-rarest tokens — because two sets with Jaccard >= t MUST
+    share a prefix token (|∩| >= t*n_a when J >= t). Verification
+    carries each side's token array into the candidate pair and
+    computes the intersection map-side (array_intersect) — no second
+    token-granularity join.
+
+    The oracle is the INDEPENDENT brute-force formulation (full token
+    join, no prefix filter) — a cross-algorithm check. Scale shape:
+    the token-frequency rank is over the VOCABULARY (log-scale smaller
+    than the corpus; the q89 distributed ranker is the path if it ever
+    outgrows one partition), prefixes shrink the candidate join
+    quadratically on realistic Zipfian vocabularies, and the arrays
+    carried into candidates are single-document-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_sort(
+        F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    )
+    a = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+
+    # Global document-frequency rank, rarest first (vocabulary-sized).
+    freq = (
+        a.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    wr = Window.orderBy(F.asc("df"), F.asc("tok"))
+    ranked = freq.select("tok", F.row_number().over(wr).alias("rk"))
+
+    # Per-document prefix: the first (n - ceil(t*n) + 1) rarest tokens.
+    wd = Window.partitionBy("doc_id").orderBy("rk")
+    k = (
+        F.col("n")
+        - F.ceil(F.lit(_PF_THRESHOLD) * F.col("n"))
+        + 1
+    )
+    prefix = (
+        a.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+        .join(F.broadcast(ranked), "tok")
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "tok")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_i"), F.col("pb.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    sa = a.select(F.col("doc_id").alias("doc_i"), F.col("toks").alias("toks_i"))
+    sb = a.select(F.col("doc_id").alias("doc_j"), F.col("toks").alias("toks_j"))
+    inter = F.size(F.array_intersect("toks_i", "toks_j"))
+    union = F.size("toks_i") + F.size("toks_j") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .filter(jac >= _PF_THRESHOLD)
+        .select("doc_i", "doc_j", F.round(jac, 6).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — robust outliers via median / MAD (modified z-score)
+
+@_q(
+    "q118_mad_outliers",
+    """
+    WITH m AS (
+      SELECT event_type,
+             floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS med
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type,
+             floor(quantile_cont(dev, 0.5) * 10000 + 0.5) / 10000 AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           min(d.med) AS med,
+           min(md.mad) AS mad,
+           CAST(sum(CASE WHEN 0.6745 * d.dev > 3.5 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q118_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: modified z-score 0.6745*|x - median| /
+    MAD > 3.5 (Iglewicz-Hoaglin), immune to the outliers themselves —
+    the complement to q107's mean/stddev z-scores. Median and MAD are
+    quantized to 4 decimals BEFORE the threshold compare, and the
+    compare is multiplication-only (no division — MAD=0 would be
+    inf-vs-NULL across engines), so the flag is deterministic.
+    Two exact-percentile passes with 5-row broadcast joins back; at
+    100 TB swap percentile for approx_percentile (exact needs the
+    per-group sort) — the flag math is unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        (F.floor(F.expr("percentile(value, 0.5)") * 10000 + F.lit(0.5)) / 10000)
+        .alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = d.groupBy("event_type").agg(
+        (F.floor(F.expr("percentile(dev, 0.5)") * 10000 + F.lit(0.5)) / 10000)
+        .alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(0.6745 * F.col("dev") > 3.5 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — key-skew diagnostic profile (the "is this join safe" report)
+
+@_q(
+    "q119_skew_profile",
+    """
+    WITH c AS (
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             count(*) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS top1,
+             CAST(sum(CAST(floor(cnt * ln(cnt) * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS clnc_micro
+      FROM c
+    ),
+    t10 AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS top10
+      FROM (SELECT cnt FROM c ORDER BY cnt DESC, l_partkey ASC LIMIT 10)
+    )
+    SELECT n_rows, n_keys,
+           CAST(floor(top1 * 10000.0 / n_rows) AS BIGINT) AS top1_bp,
+           CAST(floor(top10 * 10000.0 / n_rows) AS BIGINT) AS top10_bp,
+           round(ln(n_rows) - (clnc_micro / 1000000.0) / n_rows, 6) AS entropy
+    FROM s, t10
+    """,
+)
+def q119_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic for join planning: row/key counts,
+    top-1 and top-10 key mass in basis points, and the Shannon entropy
+    of the key distribution (H = ln N - (1/N)·Σ c·ln c — the
+    decomposition needs no per-key N, so one pass over the count
+    table). The per-key c·ln(c) term is quantized to integer
+    micro-units before summation — exact integer aggregation across
+    engines. This is the profile you run BEFORE a 100 TB join to
+    decide broadcast vs salt vs AQE skew-split; top-10 is TakeOrdered,
+    everything else partial-aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("top1"),
+        F.sum(
+            F.floor(F.col("cnt") * F.log("cnt") * 1000000.0 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("clnc_micro"),
+    )
+    t10 = (
+        c.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10"))
+    )
+    return s.crossJoin(t10).select(
+        "n_rows",
+        "n_keys",
+        F.floor(F.col("top1") * 10000.0 / F.col("n_rows"))
+        .cast("long")
+        .alias("top1_bp"),
+        F.floor(F.col("top10") * 10000.0 / F.col("n_rows"))
+        .cast("long")
+        .alias("top10_bp"),
+        F.round(
+            F.log("n_rows") - (F.col("clnc_micro") / 1000000.0) / F.col("n_rows"),
+            6,
+        ).alias("entropy"),
     )

@@ -178,3 +178,56 @@ def test_q116_regression_identities(spark):
         assert 0.0 <= r["r2"] <= 1.0
         mx, my = means[r["event_type"]]
         assert abs(r["slope"] * mx + r["intercept"] - my) < 0.05
+
+
+def test_q117_matches_bruteforce(spark):
+    """Cross-algorithm check at sf0.001: the prefix-filtered join must
+    return EXACTLY the pairs a brute-force O(n^2) Python pass finds —
+    prefix filtering is lossless for Jaccard >= t."""
+    from batch_process_spark.queries import _t
+
+    rows = QUERIES["q117_prefix_filter_join"](spark, SF).collect()
+    got = {(r["doc_i"], r["doc_j"]) for r in rows}
+    assert len(got) == len(rows), "duplicate pairs"
+    docs = _t(spark, SF, "documents").select("doc_id", "text").collect()
+    sets = {
+        d["doc_id"]: {w for w in d["text"].split(" ") if w != ""} for d in docs
+    }
+    ids = sorted(sets)
+    expected = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            i, j = ids[ai], ids[bi]
+            si, sj = sets[i], sets[j]
+            if not si or not sj:
+                continue
+            c = len(si & sj)
+            if c / (len(si) + len(sj) - c) >= 0.95:
+                expected.add((i, j))
+    assert got == expected
+    assert len(expected) > 0, "vacuous: no similar pairs in testdata"
+
+
+def test_q118_outliers_robust_to_the_outliers(spark):
+    """MAD flags must be some-but-not-all per group, and the median
+    must sit inside the raw value envelope (mean-based z would not)."""
+    rows = QUERIES["q118_mad_outliers"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["n_outliers"] < r["n"]
+        assert r["mad"] > 0
+
+
+def test_q119_profile_identities(spark):
+    """Entropy <= ln(n_keys) (uniform bound), top10 >= top1, shares in
+    (0, 10000]; exact key/row counts re-derived."""
+    import math
+
+    from batch_process_spark.queries import _t
+
+    r = QUERIES["q119_skew_profile"](spark, SF).collect()[0]
+    li = _t(spark, SF, "lineitem")
+    assert r["n_rows"] == li.count()
+    assert r["n_keys"] == li.select("l_partkey").distinct().count()
+    assert 0 < r["top1_bp"] <= r["top10_bp"] <= 10000
+    assert 0.0 <= r["entropy"] <= math.log(r["n_keys"]) + 1e-9
