@@ -31,6 +31,12 @@ Each oracle-checked against DuckDB on the shared parquet tables:
 - q119 key-skew diagnostic profile (top-k mass + exact-integer
   entropy — the report you run before deciding broadcast vs salt vs
   AQE skew-split on a 100 TB join)
+- q120 Gini concentration of key mass (rides the q89 two-phase
+  distributed ranker instead of an unpartitioned window; exact-integer
+  Σrank·count)
+- q121 last-touch attribution (IGNORE NULLS navigation over an exact-
+  microsecond RANGE frame — purchases credited to the most recent
+  non-purchase event in the preceding hour)
 
 No reference parity claimed — these extend the engine beyond the
 reference surface; the brief names the training-data-pipeline family
@@ -756,4 +762,119 @@ def q119_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log("n_rows") - (F.col("clnc_micro") / 1000000.0) / F.col("n_rows"),
             6,
         ).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — Gini concentration of the key distribution (rides the q89
+# distributed ranker — no single-task window)
+
+@_q(
+    "q120_gini_concentration",
+    """
+    WITH c AS (
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt ASC, l_partkey ASC) AS rn
+      FROM c
+    ),
+    m AS (
+      SELECT CAST(sum(rn * cnt) AS BIGINT) AS s_rc,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             count(*) AS n_keys
+      FROM r
+    )
+    SELECT n_keys, n_rows,
+           round(2.0 * s_rc / (CAST(n_keys AS DOUBLE) * n_rows)
+                 - (n_keys + 1.0) / n_keys, 6) AS gini
+    FROM m
+    """,
+)
+def q120_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-key row mass (the inequality measure
+    behind "5% of the keys carry 60% of the rows" — q119's skew profile
+    condensed to one number). Gini = 2·Σ(rank·c)/(n·Σc) − (n+1)/n over
+    counts ranked ascending.
+
+    The global rank uses the q89 two-phase distributed ranker
+    (`operators/ranking.global_ranks`: range shuffle + Arrow local
+    ranks + broadcast offsets), NOT an unpartitioned window — the
+    oracle's `row_number() OVER (ORDER BY ...)` is the single-node
+    statement of the same semantics. Σ(rank·c) is an exact integer sum
+    (order-independent across engines); ties share c, so tie order
+    cannot change it. Only the final Gini expression is double, and it
+    is the same text in both engines."""
+    from batch_process_spark.operators.ranking import global_ranks
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = global_ranks(c, order_cols=["cnt", "l_partkey"])
+    m = ranked.agg(
+        F.sum(F.col("row_number") * F.col("cnt")).alias("s_rc"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return m.select(
+        "n_keys",
+        "n_rows",
+        F.round(
+            2.0 * F.col("s_rc") / (F.col("n_keys").cast("double") * F.col("n_rows"))
+            - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — last-touch attribution (most recent non-purchase event within
+# the hour before each purchase)
+
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@_q(
+    "q121_last_touch_attribution",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING) AS attr
+      FROM events
+    )
+    SELECT coalesce(attr, '(none)') AS attributed_type,
+           count(*) AS n_purchases
+    FROM s
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(attr, '(none)')
+    """,
+)
+def q121_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent NON-purchase event in the preceding hour ('(none)' when
+    the hour is quiet) — the marketing-analytics staple, and a RANGE
+    window with an IGNORE NULLS navigation function, exercising the
+    frame semantics q83/q87 cover from other angles. The exact-
+    microsecond range frame excludes same-instant ties identically in
+    both engines. One window shuffle on user_id (high-cardinality),
+    then a 6-group aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    attr = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", attr.alias("attr"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("attr", F.lit("(none)")).alias("attributed_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
     )

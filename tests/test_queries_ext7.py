@@ -231,3 +231,40 @@ def test_q119_profile_identities(spark):
     assert r["n_keys"] == li.select("l_partkey").distinct().count()
     assert 0 < r["top1_bp"] <= r["top10_bp"] <= 10000
     assert 0.0 <= r["entropy"] <= math.log(r["n_keys"]) + 1e-9
+
+
+def test_q120_gini_matches_python_recompute(spark):
+    """Exact recompute from the per-key counts on the small SF; Gini
+    bounded in [0, 1)."""
+    from batch_process_spark.queries import _t
+
+    r = QUERIES["q120_gini_concentration"](spark, SF).collect()[0]
+    counts = sorted(
+        c["cnt"]
+        for c in _t(spark, SF, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n = len(counts)
+    s_rc = sum((i + 1) * c for i, c in enumerate(counts))
+    gini = 2.0 * s_rc / (n * sum(counts)) - (n + 1.0) / n
+    assert r["n_keys"] == n and r["n_rows"] == sum(counts)
+    assert abs(r["gini"] - gini) < 1e-6
+    assert 0.0 <= r["gini"] < 1.0
+
+
+def test_q121_attribution_partitions_purchases(spark):
+    """Every purchase is attributed exactly once; attributed types are
+    non-purchase types or '(none)'; both branches occur."""
+    from batch_process_spark.queries import _t
+
+    rows = QUERIES["q121_last_touch_attribution"](spark, SF).collect()
+    ev = _t(spark, SF, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    types = {r["attributed_type"] for r in rows}
+    assert "purchase" not in types
+    assert types - {"(none)"}, "no real attributions"
+    non_none = sum(r["n_purchases"] for r in rows if r["attributed_type"] != "(none)")
+    assert 0 < non_none < n_purch
