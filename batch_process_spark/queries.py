@@ -176,6 +176,12 @@ def invalidate_tables(path: str | None = None) -> int:
         release_gram_caches()
     except ImportError:
         pass
+    try:  # q118's deviation memo (import-guarded: ext7 may not be loaded)
+        from batch_process_spark.queries_ext7 import release_dev_caches
+
+        release_dev_caches()
+    except ImportError:
+        pass
     return dropped
 
 

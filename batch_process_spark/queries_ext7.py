@@ -48,7 +48,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batch_process_spark.operators.caching import PersistMemo
 from batch_process_spark.queries import _q, _t
+
+# q118's deviation frame is read by two downstream passes (MAD
+# percentile + the final aggregate); persisting it saves a full
+# events re-scan per pass. Released by queries.invalidate_tables.
+_DEV_MEMO = PersistMemo(max_entries=2)
+
+
+def release_dev_caches() -> None:
+    _DEV_MEMO.release_all()
 
 # ---------------------------------------------------------------------------
 # q110 — equi-width histogram
@@ -665,9 +675,11 @@ def q118_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to 4 decimals BEFORE the threshold compare, and the
     compare is multiplication-only (no division — MAD=0 would be
     inf-vs-NULL across engines), so the flag is deterministic.
-    Two exact-percentile passes with 5-row broadcast joins back; at
-    100 TB swap percentile for approx_percentile (exact needs the
-    per-group sort) — the flag math is unchanged."""
+    Two exact-percentile passes with 5-row broadcast joins back; the
+    deviation frame is persisted (plan-keyed memo) so the MAD pass and
+    the final aggregate do not each re-scan events. At 100 TB swap
+    percentile for approx_percentile (exact needs the per-group sort)
+    — the flag math is unchanged."""
     ev = _t(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         (F.floor(F.expr("percentile(value, 0.5)") * 10000 + F.lit(0.5)) / 10000)
@@ -676,6 +688,9 @@ def q118_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
     )
+    key = PersistMemo.plan_key(d)
+    cached = _DEV_MEMO.get(key, spark)
+    d = cached if cached is not None else _DEV_MEMO.put(key, spark, d)
     mad = d.groupBy("event_type").agg(
         (F.floor(F.expr("percentile(dev, 0.5)") * 10000 + F.lit(0.5)) / 10000)
         .alias("mad")
@@ -839,42 +854,52 @@ _ATTR_WINDOW_US = 3_600_000_000  # 1 hour
     f"""
     WITH s AS (
       SELECT event_type,
-             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-                        IGNORE NULLS)
+             max(CASE WHEN event_type <> 'purchase'
+                      THEN {{'t': epoch_us(ts), 'id': event_id,
+                             'ty': event_type}} END)
                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
-                           AND 1 PRECEDING) AS attr
+                           AND 1 PRECEDING) AS m
       FROM events
     )
-    SELECT coalesce(attr, '(none)') AS attributed_type,
+    SELECT coalesce(m.ty, '(none)') AS attributed_type,
            count(*) AS n_purchases
     FROM s
     WHERE event_type = 'purchase'
-    GROUP BY coalesce(attr, '(none)')
+    GROUP BY coalesce(m.ty, '(none)')
     """,
 )
 def q121_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase is credited to the user's
     most recent NON-purchase event in the preceding hour ('(none)' when
-    the hour is quiet) — the marketing-analytics staple, and a RANGE
-    window with an IGNORE NULLS navigation function, exercising the
-    frame semantics q83/q87 cover from other angles. The exact-
-    microsecond range frame excludes same-instant ties identically in
-    both engines. One window shuffle on user_id (high-cardinality),
-    then a 6-group aggregate."""
+    the hour is quiet) — the marketing-analytics staple, over an
+    exact-microsecond RANGE frame.
+
+    The touch is selected as max(struct(epoch_us, event_id, type)) over
+    the frame — lexicographic struct ordering gives "latest timestamp,
+    tie-broken by event_id" IDENTICALLY in both engines (a bare
+    last_value(... IGNORE NULLS) would pick whichever same-microsecond
+    peer the engine happened to order last). One window shuffle on
+    user_id (high-cardinality), then a 6-group aggregate."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-_ATTR_WINDOW_US, -1)
     )
-    attr = F.last(
-        F.when(F.col("event_type") != "purchase", F.col("event_type")),
-        ignorenulls=True,
+    touch = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("ty"),
+            ),
+        )
     ).over(w)
     return (
-        ev.select("event_type", attr.alias("attr"))
+        ev.select("event_type", touch.alias("m"))
         .filter(F.col("event_type") == "purchase")
-        .groupBy(F.coalesce("attr", F.lit("(none)")).alias("attributed_type"))
+        .groupBy(F.coalesce(F.col("m.ty"), F.lit("(none)")).alias("attributed_type"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )

@@ -25,12 +25,16 @@ def _quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Rank-scale a numeric column into [0, 2**bits) as a long.
 
     Degenerate range (hi == lo) maps everything to 0 instead of
-    dividing by zero."""
+    dividing by zero. NULL values land in bucket 0 (alongside the
+    minimum) rather than poisoning the whole Morton key — a NULL key
+    would range-partition every null-bearing row into one unclustered
+    file and silently defeat the skipping this module promises."""
     n = F.lit(float(2**bits))
     scaled = F.floor((col.cast("double") - lo) / (hi - lo) * n)
-    return F.when(hi == lo, F.lit(0)).otherwise(
+    bucket = F.when(hi == lo, F.lit(0)).otherwise(
         F.greatest(F.lit(0), F.least(F.lit(2**bits - 1), scaled))
-    ).cast("long")
+    )
+    return F.coalesce(bucket, F.lit(0)).cast("long")
 
 
 def zorder_key(quantized: list[Column], bits: int = 16) -> Column:
@@ -63,6 +67,13 @@ def write_zordered(
     on the Morton key into ``n_files`` roughly-equal files and sorts
     within each so row-group stats are tight on EVERY z-ordered column.
     The key column is dropped before writing."""
+    reserved = {"__zorder__"} | {f"__lo_{c}" for c in cols} | {f"__hi_{c}" for c in cols}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"write_zordered uses internal column names {sorted(clash)}; "
+            "rename them in the input first"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]

@@ -87,3 +87,30 @@ def test_zorder_degenerate_range_is_safe(spark, tmp_path):
 def test_zorder_rejects_oversized_key(spark):
     with pytest.raises(ValueError):
         zorder_key([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=16)
+
+
+def test_zorder_null_values_stay_clustered(spark, tmp_path):
+    """NULLs in a z-ordered column must not poison the Morton key:
+    rows with a null dimension land in bucket 0 and the OTHER
+    dimension stays clustered (a null key would range-partition every
+    null row into one unclustered file)."""
+    from pyspark.sql import functions as F2
+
+    df = spark.range(10_000).select(
+        "id",
+        F2.when(F2.col("id") % 5 == 0, None)
+        .otherwise(F2.col("id") % 100)
+        .alias("x"),
+        (F2.col("id") % 97).alias("y"),
+    )
+    path = str(tmp_path / "znull")
+    write_zordered(df, path, ["x", "y"], n_files=8, bits=6)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.filter(F2.col("x").isNull()).count() == 2_000
+
+
+def test_zorder_rejects_reserved_column_names(spark, tmp_path):
+    df = spark.range(10).select("id", F.col("id").alias("__zorder__"))
+    with pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "zz"), ["id", "__zorder__"])
