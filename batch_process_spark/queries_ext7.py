@@ -34,9 +34,17 @@ Each oracle-checked against DuckDB on the shared parquet tables:
 - q120 Gini concentration of key mass (rides the q89 two-phase
   distributed ranker instead of an unpartitioned window; exact-integer
   Σrank·count)
-- q121 last-touch attribution (IGNORE NULLS navigation over an exact-
-  microsecond RANGE frame — purchases credited to the most recent
-  non-purchase event in the preceding hour)
+- q121 last-touch attribution (struct-max over an exact-microsecond
+  RANGE frame — purchases credited to the most recent non-purchase
+  event in the preceding hour, ties broken identically in both engines)
+- q122 event-path mining (first-5-steps journey strings from sorted
+  collect_list, top-20 via TakeOrdered)
+- q123 co-occurrence PMI between event types over (user, hour)
+  contexts — the corpus-statistics primitive behind co-occurrence
+  embeddings / market-basket lift
+- q124 per-source KL divergence from the corpus unigram distribution
+  (full smoothed 1024-bucket support, nano-quantized terms — the
+  corpus-drift / source-mix diagnostic)
 
 No reference parity claimed — these extend the engine beyond the
 reference surface; the brief names the training-data-pipeline family
@@ -902,4 +910,223 @@ def q121_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.coalesce(F.col("m.ty"), F.lit("(none)")).alias("attributed_type"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — event-path mining (the first-5-steps journey table)
+
+_PATH_LEN = 5
+_PATH_TOP = 20
+
+
+@_q(
+    "q122_event_paths",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM o WHERE rn <= {_PATH_LEN} GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT {_PATH_TOP}
+    """,
+)
+def q122_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: each user's first five events as an ordered
+    'signup>view>click>…' path, counted across users, top-20 — the
+    sequence complement to q104's fixed funnel and q108's one-step
+    transitions. The path is assembled from a sorted collect_list
+    (deterministic (ts, event_id) order inside the struct sort), so
+    the per-user shuffle is the ONLY wide stage; top-20 is
+    TakeOrdered. At 100 TB user_id is high-cardinality and the per-user
+    payload is capped at 5 events."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("ty"),
+            )
+        )
+    )
+    path = F.array_join(
+        F.transform(F.slice(seq, 1, _PATH_LEN), lambda x: x.ty), ">"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(_PATH_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — event-type co-occurrence PMI over user-hour contexts
+
+@_q(
+    "q123_cooccurrence_pmi",
+    """
+    WITH ctx AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+      FROM events
+    ),
+    n AS (SELECT count(DISTINCT (user_id, hr)) AS n_ctx FROM ctx),
+    ci AS (SELECT event_type, count(*) AS c FROM ctx GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS c_ab
+      FROM ctx a JOIN ctx b
+        ON a.user_id = b.user_id AND a.hr = b.hr
+       AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, c_ab,
+           CAST(floor(ln(CAST(n.n_ctx AS DOUBLE) * c_ab
+                         / (CAST(ca.c AS DOUBLE) * cb.c))
+                      * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+    FROM pairs
+    JOIN ci ca ON ca.event_type = type_a
+    JOIN ci cb ON cb.event_type = type_b
+    CROSS JOIN n
+    """,
+)
+def q123_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, hour) context — the corpus-statistics primitive
+    behind co-occurrence embeddings and market-basket lift. Contexts
+    are deduplicated map-side; the pair join is WITHIN a context key
+    (never cross-context), so its size is bounded by (types present)²
+    per context, not corpus². The single ln per OUTPUT pair (≤10 rows)
+    is quantized to micro-units; the count arithmetic feeding it is
+    exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    ctx = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).distinct()
+    n = ctx.select("user_id", "hr").distinct().agg(
+        F.count(F.lit(1)).alias("n_ctx")
+    )
+    ci = ctx.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ctx.alias("a")
+    b = ctx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = ci.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))
+    cb = ci.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))
+    pmi = F.floor(
+        F.log(
+            F.col("n_ctx").cast("double")
+            * F.col("c_ab")
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select("type_a", "type_b", "c_ab", pmi.alias("pmi_micro"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — per-source KL divergence from the corpus unigram distribution
+
+@_q(
+    "q124_source_divergence",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tb AS (
+      SELECT source, {_dsir_duck_bucket("word")} AS bucket
+      FROM tok WHERE word != ''
+    ),
+    sb AS (SELECT source, bucket, count(*) AS c_sb FROM tb GROUP BY 1, 2),
+    bk AS (SELECT unnest(range(0, {_DSIR_BUCKETS})) AS bucket),
+    cb0 AS (SELECT bucket, count(*) AS c_b FROM tb GROUP BY bucket),
+    cb AS (
+      SELECT bk.bucket, coalesce(cb0.c_b, 0) AS c_b
+      FROM bk LEFT JOIN cb0 USING (bucket)
+    ),
+    ns AS (SELECT source, count(*) AS n_s FROM tb GROUP BY source),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tb),
+    grid AS (SELECT ns.source, ns.n_s, cb.bucket, cb.c_b FROM ns CROSS JOIN cb),
+    terms AS (
+      SELECT g.source, g.n_s,
+             CAST(floor(
+               ((coalesce(s.c_sb, 0) + 1.0) / (g.n_s + {_DSIR_BUCKETS}.0))
+               * ln(((coalesce(s.c_sb, 0) + 1.0) / (g.n_s + {_DSIR_BUCKETS}.0))
+                    / ((g.c_b + 1.0) / (tt.t + {_DSIR_BUCKETS}.0)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS t_nano
+      FROM grid g
+      LEFT JOIN sb s ON s.source = g.source AND s.bucket = g.bucket
+      CROSS JOIN tt
+    )
+    SELECT source, CAST(min(n_s) AS BIGINT) AS n_tokens,
+           CAST(sum(t_nano) AS BIGINT) AS kl_nano
+    FROM terms GROUP BY source
+    """,
+)
+def q124_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift diagnostic: KL(source ‖ corpus) over the hashed
+    unigram distribution (same 1024 buckets as q111), add-one smoothed,
+    evaluated on the FULL source×1024-bucket grid — the unobserved
+    buckets carry positive smoothed mass, and dropping them makes the
+    "KL" signed (that bug is exactly what the kl>=0 pytest pins). Each
+    grid term's p·ln(p/q) is quantized to integer nano-units BEFORE
+    the per-source sum — ≤ sources×1024 ln calls, exact integer
+    aggregation. The grid is (sources × 1024) rows built from two
+    broadcast-sized aggregates; the corpus-sized token stream only
+    feeds the two count tables."""
+    docs = _t(spark, sf_dir, "documents")
+    tb = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .select("source", _dsir_bucket(F.col("word")).alias("bucket"))
+    )
+    sb = tb.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c_sb"))
+    bk = spark.range(_DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    cb = bk.join(
+        tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_b")), "bucket", "left"
+    ).select("bucket", F.coalesce("c_b", F.lit(0)).alias("c_b"))
+    ns = tb.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tt = tb.agg(F.count(F.lit(1)).alias("t"))
+    nb = float(_DSIR_BUCKETS)
+    grid = ns.crossJoin(F.broadcast(cb))
+    p = (F.coalesce(F.col("c_sb"), F.lit(0)) + 1.0) / (F.col("n_s") + nb)
+    q = (F.col("c_b") + 1.0) / (F.col("t") + nb)
+    t_nano = F.floor(p * F.log(p / q) * 1000000000.0 + F.lit(0.5)).cast("long")
+    return (
+        grid.join(sb, ["source", "bucket"], "left")
+        .crossJoin(F.broadcast(tt))
+        .select("source", "n_s", t_nano.alias("t_nano"))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            F.sum("t_nano").alias("kl_nano"),
+        )
     )

@@ -268,3 +268,63 @@ def test_q121_attribution_partitions_purchases(spark):
     assert types - {"(none)"}, "no real attributions"
     non_none = sum(r["n_purchases"] for r in rows if r["attributed_type"] != "(none)")
     assert 0 < non_none < n_purch
+
+
+def test_q122_paths_cover_all_users(spark):
+    """At sf0.001 the catalog of first-5 paths is small enough that the
+    top-20 covers every user exactly once; path steps are valid types
+    and at most 5 long."""
+    from batch_process_spark.queries import _t
+
+    rows = QUERIES["q122_event_paths"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    ev = _t(spark, SF, "events")
+    types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 5
+        assert set(steps) <= types
+
+
+def test_q123_pmi_symmetric_complete(spark):
+    """All C(5,2)=10 unordered type pairs appear (every pair co-occurs
+    somewhere at this density), counts positive, and PMI respects its
+    information-theoretic ceiling pmi <= ln(n_ctx) (plus quantization
+    slack)."""
+    import math
+
+    from batch_process_spark.queries import _t
+
+    rows = QUERIES["q123_cooccurrence_pmi"](spark, SF).collect()
+    assert len(rows) == 10
+    ev = _t(spark, SF, "events")
+    n_ctx = (
+        ev.select("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .distinct()
+        .count()
+    )
+    cap = math.log(n_ctx) * 1e6 + 1
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["c_ab"] > 0
+        assert abs(r["pmi_micro"]) < cap
+
+
+def test_q124_kl_properties(spark):
+    """KL >= 0 up to quantization; one row per source; token counts
+    re-derive from the corpus."""
+    from batch_process_spark.queries import _t
+
+    rows = QUERIES["q124_source_divergence"](spark, SF).collect()
+    docs = _t(spark, SF, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    expected = docs.select(
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert total_tokens == expected
+    for r in rows:
+        # each of the <=1024 quantized terms may round down by half a
+        # nano-unit; allow that slack below zero
+        assert r["kl_nano"] >= -1024
