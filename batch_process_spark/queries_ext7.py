@@ -45,6 +45,12 @@ Each oracle-checked against DuckDB on the shared parquet tables:
 - q124 per-source KL divergence from the corpus unigram distribution
   (full smoothed 1024-bucket support, nano-quantized terms — the
   corpus-drift / source-mix diagnostic)
+- q125 inverted-index build (token → ordered posting list, md5
+  fingerprint pins every element and its order; chunked-postings note
+  for hot-key scale)
+- q126 chi-square independence test (event type × hour contingency
+  incl. zero-observation cells — the categorical complement to q116's
+  regression)
 
 No reference parity claimed — these extend the engine beyond the
 reference surface; the brief names the training-data-pipeline family
@@ -1128,5 +1134,131 @@ def q124_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("n_s").alias("n_tokens"),
             F.sum("t_nano").alias("kl_nano"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — inverted-index build (token → ordered posting list)
+
+@_q(
+    "q125_inverted_index",
+    """
+    WITH t AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM t WHERE token != '')
+    SELECT token,
+           count(*) AS df,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS postings_md5
+    FROM t2 GROUP BY token
+    """,
+)
+def q125_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: per token, document frequency and the md5 of
+    the ORDERED posting list (the fingerprint stands in for the list so
+    the oracle compare stays small while still pinning every element
+    and its order). One shuffle on the token key; postings are
+    assembled from a sorted collect_list. At 100 TB hot tokens ('the')
+    make this key skewed and the posting list per-key huge — the scale
+    path is chunked postings (hash doc_id into fixed-size posting
+    shards, the standard segment layout), which this same plan yields
+    by adding the shard to the group key."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"), "doc_id")
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    postings = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        )
+    )
+    return t2.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), postings.alias("postings_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — chi-square independence test (event type × hour of day)
+
+@_q(
+    "q126_chisquare_independence",
+    """
+    WITH o AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT hr, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o),
+    grid AS (
+      SELECT rt.event_type, rt.r, ct.hr, ct.c FROM rt CROSS JOIN ct
+    ),
+    cells AS (
+      SELECT CAST(floor(
+               pow(coalesce(o.obs, 0)
+                   - CAST(g.r AS DOUBLE) * g.c / n.total, 2)
+               / (CAST(g.r AS DOUBLE) * g.c / n.total)
+               * 1000000.0 + 0.5) AS BIGINT) AS cell_micro
+      FROM grid g
+      LEFT JOIN o ON o.event_type = g.event_type AND o.hr = g.hr
+      CROSS JOIN n
+    ),
+    dims AS (
+      SELECT (SELECT count(*) FROM rt) AS nr, (SELECT count(*) FROM ct) AS nc
+    )
+    SELECT (SELECT total FROM n) AS n,
+           CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
+           (SELECT (nr - 1) * (nc - 1) FROM dims) AS dof
+    FROM cells
+    """,
+)
+def q126_chisquare_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the event-type ×
+    hour-of-day contingency table — 'does load composition depend on
+    time of day', the categorical complement to q116's regression and
+    q123's PMI. The observed counts and marginals are exact integers;
+    each cell's (o−e)²/e is computed with identical double text in both
+    engines over the FULL type×hour grid (zero-observation cells still
+    contribute their expected mass) and quantized to micro-units before
+    the sum. Everything after the one hour-rollup exchange operates on
+    ≤ types×24 rows."""
+    ev = _t(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("hr").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("total"))
+    grid = rt.crossJoin(F.broadcast(ct))
+    e = F.col("r").cast("double") * F.col("c") / F.col("total")
+    cell = F.floor(
+        F.pow(F.coalesce(F.col("obs"), F.lit(0)) - e, 2) / e * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    nr = rt.agg(F.count(F.lit(1)).alias("nr"))
+    nc = ct.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        grid.join(o, ["event_type", "hr"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(cell.alias("cell_micro"), "total")
+        .groupBy()
+        .agg(
+            F.min("total").alias("n"),
+            F.sum("cell_micro").alias("chi2_micro"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n",
+            "chi2_micro",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
         )
     )

@@ -184,6 +184,57 @@ def main():
         )
         print(f"| exact_dedup | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
 
+        # passage-level exact dedup (q112 shape): blocks assembled
+        # inside the row (filter/slice/array_join, no token explode);
+        # the only wide stage is the passage-hash aggregate
+        def passage_dedup():
+            arr = F.filter(F.split("text", " "), lambda w: w != "")
+            nb = F.floor(F.size(arr) / 8).cast("int")
+            blocks = F.when(
+                nb > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nb - 1),
+                    lambda i: F.array_join(
+                        F.slice(arr, (i * 8 + 1).cast("int"), 8), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            return (
+                docs.select("doc_id", F.explode(blocks).alias("passage"))
+                .groupBy(F.md5("passage").alias("h"))
+                .agg(
+                    F.count(F.lit(1)).alias("occ"),
+                    F.countDistinct("doc_id").alias("nd"),
+                )
+                .filter(F.col("nd") > 1)
+            )
+
+        gc()
+        t1, t2, sb = timed2(passage_dedup, gc)
+        d = t_duck(
+            con,
+            f"""WITH w AS (
+              SELECT doc_id, unnest(ws) AS word,
+                     unnest(range(1, len(ws) + 1)) AS pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM ({scaled_docs_sql(n)}))
+            ),
+            w2 AS (
+              SELECT doc_id, word,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS widx
+              FROM w WHERE word != ''
+            ),
+            blk AS (
+              SELECT doc_id, (widx - 1) // 8 AS b,
+                     string_agg(word, ' ' ORDER BY widx) AS p, count(*) AS nw
+              FROM w2 GROUP BY 1, 2
+            )
+            SELECT md5(p) AS h, count(*) AS occ, count(DISTINCT doc_id) AS nd
+            FROM blk WHERE nw = 8 GROUP BY 1
+            HAVING count(DISTINCT doc_id) > 1""",
+        )
+        print(f"| passage_dedup | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
+
         # minhash near-dup (min-of-2: the first run pays the shingle
         # memo fill; the second reads it — same as any steady pipeline)
         gc()

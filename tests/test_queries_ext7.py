@@ -328,3 +328,39 @@ def test_q124_kl_properties(spark):
         # each of the <=1024 quantized terms may round down by half a
         # nano-unit; allow that slack below zero
         assert r["kl_nano"] >= -1024
+
+
+def test_q125_postings_match_python_recompute(spark):
+    """The ordered posting-list fingerprints must equal a single-node
+    recompute; df equals the distinct-doc count per token."""
+    import hashlib
+    from collections import defaultdict
+
+    from batch_process_spark.queries import _t
+
+    rows = QUERIES["q125_inverted_index"](spark, SF).collect()
+    docs = _t(spark, SF, "documents").select("doc_id", "text").collect()
+    postings = defaultdict(set)
+    for d in docs:
+        for w in set(d["text"].split(" ")):
+            if w != "":
+                postings[w].add(d["doc_id"])
+    assert {r["token"] for r in rows} == set(postings)
+    for r in rows:
+        ids = sorted(postings[r["token"]])
+        assert r["df"] == len(ids)
+        expect = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+        assert r["postings_md5"] == expect
+
+
+def test_q126_chisquare_identities(spark):
+    """chi2 >= 0, dof = (types-1)*(hours-1), n equals the event count."""
+    from batch_process_spark.queries import _t
+
+    r = QUERIES["q126_chisquare_independence"](spark, SF).collect()[0]
+    ev = _t(spark, SF, "events")
+    assert r["n"] == ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    n_hours = ev.select(F.hour("ts")).distinct().count()
+    assert r["dof"] == (n_types - 1) * (n_hours - 1)
+    assert r["chi2_micro"] >= 0
