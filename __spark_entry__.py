@@ -20,6 +20,7 @@ import batch_process_spark.queries_ext4  # noqa: F401  (registers part-5 queries
 import batch_process_spark.queries_ext5  # noqa: F401  (registers part-6 queries)
 import batch_process_spark.queries_ext6  # noqa: F401  (registers part-7 queries)
 import batch_process_spark.queries_ext7  # noqa: F401  (registers part-8 queries)
+import batch_process_spark.queries_ext8  # noqa: F401  (registers part-9 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

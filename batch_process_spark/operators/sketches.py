@@ -64,3 +64,197 @@ def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
 def stratified_sample(df: DataFrame, key: str, fractions: dict, seed: int = 42) -> DataFrame:
     """Per-stratum sampling fractions (e.g. downsample hot classes)."""
     return df.sampleBy(key, fractions=fractions, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic, engine-portable sketches (md5 hash family)
+#
+# The native aggregates above are implementation-defined (Spark's HLL++
+# register layout, GK compaction order), so their outputs can't be
+# hash-matched against another engine. The constructions below build the
+# SAME sketch from explicit md5-derived hashes — every register /
+# counter / bit is reproducible in ANSI SQL, which makes the full
+# value-hash oracle applicable to approximate answers too. The scale
+# shape is the whole point: each one reduces an unbounded input to a
+# fixed-size table (registers / counters / bit positions) via one
+# partial-aggregated shuffle, and merges by max / sum / union — the
+# mergeability that lets 1000 executors sketch 100 TB independently.
+# ---------------------------------------------------------------------------
+
+# 48 hash bits feed the rho (leading-zero) computation; registers hold
+# rho in [1, 49] (49 = all-zero hash tail), empty registers are rho 0.
+# Exact-integer forms throughout: the harmonic denominator SUM(2^-M)
+# is scaled by 2^49 into SUM(1 << (49 - M)) — a BIGINT
+# (<= 2^p * 2^49 << 2^63) — so cross-engine float drift can't appear
+# below the single final division.
+HLL_W_BITS = 48
+_HLL_SCALE = HLL_W_BITS + 1  # rho max; 2^-M terms scaled to ints by 2^49
+
+
+def hll_alpha_num(p: int) -> float:
+    """alpha_m * m^2 * 2^49 — the numerator of the HLL estimate with the
+    harmonic denominator kept as the exact integer SUM(2^(49-M)).
+    One double constant; written as the same literal into the SQL
+    oracle so both engines perform the identical single division."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m * float(1 << _HLL_SCALE)
+
+
+def hll_hash_cols(key: Column | str, p: int = 8) -> tuple[Column, Column]:
+    """The per-row HLL pieces: (bucket = first p hash bits, rho =
+    leading zeros of the next 48 bits + 1), from md5(key). Pure map
+    expressions — compose them under any grouping (plain groupBy,
+    rollup, grouping sets) before the max-aggregate."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(key)
+    hex_chars = p // 4  # p must be a multiple of 4 (hex-aligned buckets)
+    bucket = F.conv(F.substring(h, 1, hex_chars), 16, 10).cast("long")
+    w = F.conv(F.substring(h, hex_chars + 1, HLL_W_BITS // 4), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return bucket, rho
+
+
+def hll_register_table(
+    df: DataFrame, key: Column | str, group_cols: Sequence[str] = (), p: int = 8
+) -> DataFrame:
+    """Explicit HyperLogLog registers: md5(key) -> (bucket = first p
+    bits, rho = leading zeros of the next 48 bits + 1), max-aggregated
+    per (group, bucket). Map-only expressions into one partial-agg
+    shuffle of <= groups * 2^p rows; registers from disjoint data
+    merge with MAX, so per-source (or per-executor) tables union
+    losslessly — build once, answer distinct-count questions later."""
+    bucket, rho = hll_hash_cols(key, p)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: Sequence[str], p: int = 8) -> DataFrame:
+    """Cardinality estimate from a register table, empty buckets
+    included implicitly: a group with z missing buckets contributes
+    z * 2^49 to the harmonic sum (rho = 0), so no grid join is needed.
+    Small-range linear counting (E <= 2.5m, V > 0) uses m * ln(m/V) —
+    quantized to an integer like every ln in this engine."""
+    m = 1 << p
+    num = hll_alpha_num(p)
+    agg = registers.groupBy(*group_cols).agg(
+        F.expr(f"sum(shiftleft(cast(1 as bigint), {_HLL_SCALE} - max_rho))").alias("s_seen"),
+        F.count(F.lit(1)).alias("n_seen"),
+    )
+    zeros = m - F.col("n_seen")  # buckets never hit: rho 0 -> term 2^49
+    s = F.col("s_seen") + zeros.cast("long") * F.lit(1 << _HLL_SCALE).cast("long")
+    raw = F.lit(num) / s.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(
+        *group_cols, F.floor(est + F.lit(0.5)).cast("long").alias("hll_estimate")
+    )
+
+
+def cms_counter_table(
+    token_counts: DataFrame, token_col: str = "token", cnt_col: str = "cnt",
+    depth: int = 4, width: int = 512,
+) -> DataFrame:
+    """Count-Min sketch counters from a (token, count) table: depth
+    salted md5 rows x width buckets, counts summed per cell. The
+    counter table is depth*width rows regardless of vocabulary size;
+    cells from disjoint corpora merge by SUM. Build from the reduced
+    per-token counts (not raw occurrences) so the explode factor
+    applies after the map-side-combined token shuffle."""
+    salts = F.array(*[F.lit(i) for i in range(depth)])
+    exploded = token_counts.select(
+        F.col(cnt_col).alias("cnt"),
+        F.explode(salts).alias("row_salt"),
+        F.col(token_col).alias("token"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("row_salt"), F.col("token"))), 1, 8),
+            16, 10,
+        ).cast("long") % width
+    )
+    return (
+        exploded.select("row_salt", bucket.alias("bucket"), "cnt")
+        .groupBy("row_salt", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+
+
+def cms_lookup(
+    candidates: DataFrame, counters: DataFrame, token_col: str = "token",
+    depth: int = 4, width: int = 512,
+) -> DataFrame:
+    """Point-estimate candidate tokens against a counter table:
+    min over the depth cells each token hashes to (classic CMS upper
+    bound — never under exact). Counters broadcast (depth*width rows);
+    candidates explode by depth only."""
+    salts = F.array(*[F.lit(i) for i in range(depth)])
+    probed = candidates.select(
+        token_col, F.explode(salts).alias("row_salt")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("row_salt"), F.col(token_col))), 1, 8),
+            16, 10,
+        ).cast("long") % width,
+    )
+    return (
+        probed.join(F.broadcast(counters), ["row_salt", "bucket"])
+        .groupBy(token_col)
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+    )
+
+
+def bloom_bit_positions(
+    keys: DataFrame, key_col: str, k: int = 3, m_bits: int = 256
+) -> DataFrame:
+    """The distinct bit positions a key set lights in a Bloom filter of
+    ``m_bits`` bits with ``k`` md5-salted hash functions. At scale this
+    IS the runtime-filter build side: <= m_bits rows shipped to every
+    executor instead of the key set itself (Spark's AQE runtime bloom
+    filter — spark.sql.optimizer.runtime.bloomFilter.enabled — is the
+    planner-automatic form of the same pruning)."""
+    salts = F.array(*[F.lit(i) for i in range(k)])
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("__salt"), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % m_bits
+    )
+    return (
+        keys.select(F.col(key_col), F.explode(salts).alias("__salt"))
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probe: DataFrame, bits: DataFrame, key_col: str, k: int = 3, m_bits: int = 256
+) -> DataFrame:
+    """Filter ``probe`` to rows whose key passes the Bloom filter (all
+    k positions set). The bit set rides in as a single broadcast row
+    (sorted array<long>), so the probe side stays map-only — no
+    shuffle, no explode of the big side. False positives are possible
+    (by design); false negatives are not."""
+    bits_row = bits.agg(F.sort_array(F.collect_set("pos")).alias("__bits"))
+    out = probe.crossJoin(F.broadcast(bits_row))
+    key = F.col(key_col).cast("string")
+    checks = [
+        F.array_contains(
+            F.col("__bits"),
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(i), key)), 1, 8), 16, 10).cast("long")
+            % m_bits,
+        )
+        for i in range(k)
+    ]
+    passed = checks[0]
+    for c in checks[1:]:
+        passed = passed & c
+    return out.filter(passed).drop("__bits")

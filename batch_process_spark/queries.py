@@ -182,6 +182,12 @@ def invalidate_tables(path: str | None = None) -> int:
         release_dev_caches()
     except ImportError:
         pass
+    try:  # q128's count memo (import-guarded: ext8 may not be loaded)
+        from batch_process_spark.queries_ext8 import release_sketch_caches
+
+        release_sketch_caches()
+    except ImportError:
+        pass
     return dropped
 
 

@@ -47,6 +47,10 @@ NOTES = {
     "q113_skyline_parts": "bucketed prefix-max skyline: the data-sized window hash-partitions on bkt; the only unpartitioned window is the 32-row bucket table",
     "q117_prefix_filter_join": "prefix tokens only into the candidate self-join; verification is map-side array_intersect on broadcast doc arrays — no second token-granularity join",
     "q121_last_touch_attribution": "one window exchange on user_id serves the microsecond RANGE frame; the aggregate after the purchase filter is 6 groups with partials",
+    "q127_hll_distinct": "one grouping-sets pass builds per-type AND merged-union registers (partial max below the expand exchange) — 100 TB reduces to types x 256 register rows; the exact-distinct side is validation-only",
+    "q128_cms_heavy_hitters": "counters built from the REDUCED (token, count) table — the depth-explode never touches raw occurrences; the 768-row counter table broadcasts at probe time",
+    "q129_bloom_semi_join": "the bit set rides as ONE broadcast row (sorted array); the probe side is map-only — zero shuffle, zero explode of the event stream (explicit runtime-filter shape)",
+    "q130_fuzzy_name_join": "value column deduped to a 64-name dictionary first; lossless length-band blocking replicates only the tiny side x3 — no O(n^2) similarity join, counts map back via the dictionary",
 }
 
 

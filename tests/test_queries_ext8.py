@@ -1,0 +1,175 @@
+"""Semantics tests for the part-9 query catalog (q127-q130): the
+engine-portable sketches and fuzzy matching. Each query is hash-checked
+vs DuckDB by selfcheck/the driver; these tests pin the PROPERTIES the
+hash can't see — sketch error bounds, one-sided estimates, no false
+negatives, blocking losslessness."""
+
+import hashlib
+import math
+
+from batch_process_spark.queries import QUERIES, _t
+import batch_process_spark.queries_ext8  # noqa: F401  (registers q127+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q127_hll_estimates_within_bound(spark):
+    """p=8 HLL has ~6.5% RSD; every scope must land within 5 sigma of
+    exact (a deterministic construction: this either holds forever or
+    the hash/rho math broke), and the raw-estimate branch (not linear
+    counting) must be active for the fixture cardinalities."""
+    rows = QUERIES["q127_hll_distinct"](spark, SF).collect()
+    scopes = {r["scope"] for r in rows}
+    assert "ALL" in scopes and len(scopes) >= 3
+    for r in rows:
+        rel_err = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel_err < 5 * 1.04 / math.sqrt(256), (r["scope"], rel_err)
+        assert r["err_bp"] == round(rel_err * 10000) or abs(r["err_bp"] - rel_err * 10000) <= 1
+
+
+def test_q127_merged_row_dominates_each_stream(spark):
+    """The ALL row sketches the UNION of the per-type streams, so its
+    estimate must be >= the largest per-type estimate (register-wise
+    max can only raise registers) and <= the sum (union bound)."""
+    rows = {r["scope"]: r for r in QUERIES["q127_hll_distinct"](spark, SF).collect()}
+    per_type = [r["hll_estimate"] for s, r in rows.items() if s != "ALL"]
+    merged = rows["ALL"]["hll_estimate"]
+    assert merged >= max(per_type)
+    assert merged <= sum(per_type)
+
+
+def test_q127_registers_match_python_hll(spark):
+    """Register table vs a pure-Python recompute (hashlib md5): every
+    (scope, bucket) max-rho must agree — the distributed max-agg adds
+    nothing to the per-key hash math."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.operators.sketches import hll_register_table
+
+    ev = _t(spark, SF, "events")
+    key = F.concat_ws(
+        ":", F.col("user_id").cast("string"),
+        F.date_trunc("hour", F.col("ts")).cast("string"),
+    )
+    keyed = ev.select(F.col("event_type"), key.alias("key"))
+    got = {
+        (r["event_type"], r["bucket"]): r["max_rho"]
+        for r in hll_register_table(keyed, "key", ["event_type"]).collect()
+    }
+
+    want = {}
+    for r in keyed.collect():
+        h = hashlib.md5(r["key"].encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        w = int(h[2:14], 16)
+        rho = 49 if w == 0 else 49 - w.bit_length()
+        k = (r["event_type"], bucket)
+        want[k] = max(want.get(k, 0), rho)
+    assert got == want
+
+
+def test_q128_cms_never_underestimates(spark):
+    """The defining CMS property: min-over-rows estimates are an upper
+    bound on the true count, and with the deliberately tight width some
+    overcounts must actually be visible (collisions exercised)."""
+    rows = QUERIES["q128_cms_heavy_hitters"](spark, SF).collect()
+    assert len(rows) == 20
+    assert all(r["cms_estimate"] >= r["exact_cnt"] for r in rows)
+    assert all(r["overcount"] == r["cms_estimate"] - r["exact_cnt"] for r in rows)
+    assert any(r["overcount"] > 0 for r in rows), (
+        "no collisions at w=256 — fixture vocabulary changed? widen checks"
+    )
+
+
+def test_q128_counter_table_is_fixed_size(spark):
+    """The counter table must be <= depth*width rows whatever the
+    corpus — the bounded-state property that makes CMS shippable."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.operators.sketches import cms_counter_table
+
+    docs = _t(spark, SF, "documents")
+    from batch_process_spark.operators.dedup import tokens_col
+
+    counts = (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counters = cms_counter_table(counts, depth=4, width=32)
+    assert counters.count() <= 4 * 32
+    # cells sum to depth * total occurrences (every occurrence lands
+    # in exactly one bucket per row)
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    cells = counters.agg(F.sum("cell")).collect()[0][0]
+    assert cells == 4 * total
+
+
+def test_q129_no_false_negatives(spark):
+    """Bloom may overadmit, never underadmit: bloom_rows >= exact_rows
+    per type. The FP-visibility check runs at sf0.01 — the oracle
+    fixture — because sf0.001's 6-user build side underfills m=128 and
+    legitimately produces zero false positives."""
+    rows = QUERIES["q129_bloom_semi_join"](spark, SF).collect()
+    assert rows, "no event types"
+    assert all(r["bloom_rows"] >= r["exact_rows"] for r in rows)
+    assert all(r["false_pos_rows"] == r["bloom_rows"] - r["exact_rows"] for r in rows)
+
+    rows01 = QUERIES["q129_bloom_semi_join"](spark, "/root/testdata/sf0.01").collect()
+    assert any(r["false_pos_rows"] > 0 for r in rows01), (
+        "bloom FP path vacuous at the oracle fixture"
+    )
+
+
+def test_q129_probe_admits_every_build_key(spark):
+    """Every flagged user's own events must pass the filter (the
+    no-false-negative guarantee, checked at the row level)."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.operators.sketches import bloom_bit_positions, bloom_probe
+
+    ev = _t(spark, SF, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    flagged = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.sum(cents).alias("spend"))
+        .filter(F.col("spend") > 70_000).select("user_id")
+    )
+    bits = bloom_bit_positions(flagged, "user_id", k=3, m_bits=128)
+    passed_users = {
+        r["user_id"]
+        for r in bloom_probe(ev, bits, "user_id", k=3, m_bits=128)
+        .select("user_id").distinct().collect()
+    }
+    for r in flagged.collect():
+        assert r["user_id"] in passed_users
+
+
+def test_q130_matches_bruteforce_editdistance(spark):
+    """The blocked join must return EXACTLY the brute-force O(n^2)
+    answer over the name dictionary — blocking is lossless for d<=2."""
+    rows = QUERIES["q130_fuzzy_name_join"](spark, SF).collect()
+    got = {(r["name_a"], r["name_b"]): r["dist"] for r in rows}
+    assert len(got) == len(rows), "duplicate pairs from block replication"
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = sorted(
+        {r["p_name"] for r in _t(spark, SF, "part").select("p_name").distinct().collect()}
+    )
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            d = lev(a, b)
+            if d <= 2:
+                want[(a, b)] = d
+    assert got == want
+    assert any(d > 0 for d in got.values()), "only exact dupes — distance path unexercised"
