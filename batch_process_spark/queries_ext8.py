@@ -338,6 +338,114 @@ def q129_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q131: streaming HLL — registers maintained across real micro-batches
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q131_streaming_hll",
+    f"""
+    WITH k AS (
+      SELECT event_type, {_DUCK_HLL_KEY} AS key FROM events
+    ), br AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(key), 1, 2) AS BIGINT) AS bucket,
+             CAST('0x' || substr(md5(key), 3, 12) AS BIGINT) AS w
+      FROM k
+    ), regs AS (
+      SELECT event_type AS scope, bucket,
+             max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS max_rho
+      FROM br GROUP BY 1, 2
+    ), s AS (
+      SELECT scope,
+             sum(1::BIGINT << (49 - max_rho)) AS s_seen,
+             count(*) AS n_seen
+      FROM regs GROUP BY scope
+    ), e AS (
+      SELECT scope,
+             {_HLL_NUM!r} / CAST(s_seen + ({_HLL_M} - n_seen) * (1::BIGINT << 49) AS DOUBLE) AS raw,
+             {_HLL_M} - n_seen AS zeros,
+             n_seen
+      FROM s
+    )
+    SELECT scope,
+           CAST(floor(CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
+                           THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+                           ELSE raw END + 0.5) AS BIGINT) AS hll_estimate,
+           CAST(n_seen AS BIGINT) AS n_registers_hit
+    FROM e
+    """,
+)
+def q131_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch maintenance under Structured Streaming: the q127 HLL
+    registers built INCREMENTALLY over three real micro-batches of the
+    events table (the file feed ships one slice per batch), as a
+    complete-mode groupBy(type, bucket) max(rho) whose state is the
+    register table itself — bounded at types x 256 rows no matter how
+    long the stream runs, the property that makes sketches the
+    streaming distinct-count answer. Because MAX is batching- and
+    order-insensitive, the final registers must equal the batch sketch
+    over the same rows — pinned by the SAME DuckDB register/estimate
+    oracle as q127 (unified batch/stream semantics, checked not
+    assumed). The estimate step runs as a tiny batch job on the final
+    1280-row result table."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.queries_ext3 import (
+        _events_stream_schema,
+        _normalize_stream_ts,
+    )
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # Slice the real events table into 3 parquet files fed one per
+    # micro-batch (driver-side pyarrow — no Spark jobs for staging).
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    d = tempfile.mkdtemp(prefix="q131_hll_")
+    n = tbl.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+
+    def write_slice(i: int) -> None:
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       os.path.join(d, f"slice_{i}.parquet"))
+
+    write_slice(0)
+
+    def transform(stream):
+        ev = _normalize_stream_ts(stream)
+        key = F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.date_trunc("hour", F.col("ts")).cast("string"),
+        )
+        bucket, rho = hll_hash_cols(key, p=_HLL_P)
+        return (
+            ev.select(F.col("event_type"), bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").cast("long").alias("max_rho"))
+        )
+
+    regs = run_stream_to_memory(
+        spark,
+        d,
+        _events_stream_schema(sf_dir),
+        transform,
+        query_name="q131_out",
+        output_mode="complete",
+        feeds=[lambda: write_slice(1), lambda: write_slice(2)],
+    ).withColumnRenamed("event_type", "scope")
+
+    est = hll_estimate(regs, ["scope"], p=_HLL_P)
+    hits = regs.groupBy("scope").agg(F.count(F.lit(1)).alias("n_registers_hit"))
+    return est.join(hits, "scope")
+
+
+# ---------------------------------------------------------------------------
 # q130: blocked edit-distance fuzzy join over the part-name dictionary
 # ---------------------------------------------------------------------------
 

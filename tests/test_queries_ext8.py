@@ -144,6 +144,33 @@ def test_q129_probe_admits_every_build_key(spark):
         assert r["user_id"] in passed_users
 
 
+def test_q131_stream_equals_batch_sketch(spark):
+    """The streaming register table must equal the batch q127 sketch
+    over the same rows — MAX aggregation is batching-insensitive, so
+    any divergence is a bug in the stream plumbing, not the math.
+    Estimates and hit-counts must match the batch per-type values."""
+    batch = {
+        r["scope"]: r["hll_estimate"]
+        for r in QUERIES["q127_hll_distinct"](spark, SF).collect()
+        if r["scope"] != "ALL"
+    }
+    streamed = {
+        r["scope"]: r["hll_estimate"]
+        for r in QUERIES["q131_streaming_hll"](spark, SF).collect()
+    }
+    assert streamed == batch
+
+
+def test_q131_state_is_bounded(spark):
+    """The complete-mode result table (== the streaming state) must be
+    <= types x 256 rows — the bounded-state property that makes the
+    sketch streamable at all."""
+    rows = QUERIES["q131_streaming_hll"](spark, SF).collect()
+    types = {r["scope"] for r in rows}
+    assert all(r["n_registers_hit"] <= 256 for r in rows)
+    assert len(types) >= 3
+
+
 def test_q130_matches_bruteforce_editdistance(spark):
     """The blocked join must return EXACTLY the brute-force O(n^2)
     answer over the name dictionary — blocking is lossless for d<=2."""
