@@ -446,6 +446,153 @@ def q131_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q132: HLL set algebra — pairwise union/intersection via register merge
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q132_hll_set_algebra",
+    f"""
+    WITH k AS (
+      SELECT event_type, {_DUCK_HLL_KEY} AS key FROM events
+    ), br AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(key), 1, 2) AS BIGINT) AS bucket,
+             CAST('0x' || substr(md5(key), 3, 12) AS BIGINT) AS w
+      FROM k
+    ), regs AS (
+      SELECT event_type AS scope, bucket,
+             max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS max_rho
+      FROM br GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT scope FROM regs),
+    pairs AS (
+      SELECT a.scope AS type_a, b.scope AS type_b
+      FROM types a JOIN types b ON a.scope < b.scope
+    ), membership AS (
+      SELECT type_a, type_b, type_a AS t FROM pairs
+      UNION ALL
+      SELECT type_a, type_b, type_b AS t FROM pairs
+    ), pair_regs AS (
+      SELECT m.type_a, m.type_b, r.bucket, max(r.max_rho) AS max_rho
+      FROM membership m JOIN regs r ON r.scope = m.t
+      GROUP BY 1, 2, 3
+    ), est AS (
+      SELECT scope, CAST(floor({_HLL_NUM!r} / CAST(s_seen + ({_HLL_M} - n_seen) * (1::BIGINT << 49) AS DOUBLE) + 0.5) AS BIGINT) AS e
+      FROM (
+        SELECT scope, sum(1::BIGINT << (49 - max_rho)) AS s_seen, count(*) AS n_seen
+        FROM regs GROUP BY scope
+      )
+    ), est_u AS (
+      SELECT type_a, type_b,
+             CAST(floor({_HLL_NUM!r} / CAST(s_seen + ({_HLL_M} - n_seen) * (1::BIGINT << 49) AS DOUBLE) + 0.5) AS BIGINT) AS est_union
+      FROM (
+        SELECT type_a, type_b, sum(1::BIGINT << (49 - max_rho)) AS s_seen, count(*) AS n_seen
+        FROM pair_regs GROUP BY 1, 2
+      )
+    ), dk AS (SELECT DISTINCT event_type, key FROM k),
+    exact_i AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS exact_intersection
+      FROM dk a JOIN dk b ON a.key = b.key AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT u.type_a, u.type_b,
+           ea.e AS est_a, eb.e AS est_b, u.est_union,
+           greatest(0, ea.e + eb.e - u.est_union) AS est_intersection,
+           COALESCE(x.exact_intersection, 0) AS exact_intersection
+    FROM est_u u
+    JOIN est ea ON ea.scope = u.type_a
+    JOIN est eb ON eb.scope = u.type_b
+    LEFT JOIN exact_i x ON x.type_a = u.type_a AND x.type_b = u.type_b
+    """,
+)
+def q132_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra ON the sketches: for every pair of event-type
+    streams, the union cardinality comes from register-wise MAX of the
+    two register tables (the lossless HLL merge), and the intersection
+    from inclusion-exclusion (|A|+|B|-|A∪B|, clamped at 0). This is
+    the operational payoff of a sketch layer at 100 TB: overlap
+    questions between ANY two sources answered from types x 256-row
+    register tables, no re-scan, no key-level join. The register
+    pairing routes through a 2x-pairs membership table (broadcast, 2
+    rows per pair) so per-type registers are computed ONCE; the exact
+    intersection column is validation-only (it's the key-level
+    self-join the sketch replaces).
+
+    The exact column also makes the textbook caveat VISIBLE in the
+    result: inclusion-exclusion error scales with the UNION size
+    (~±1.04/√m · |A∪B| per term), so small true overlaps (≈35 here)
+    drown in p=8 noise — the reason theta/KMV sketches exist for
+    intersection-heavy workloads. Union estimates, the lossless merge,
+    stay within normal HLL error."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.date_trunc("hour", F.col("ts")).cast("string"),
+    )
+    keyed = ev.select(F.col("event_type"), key.alias("key"))
+    bucket, rho = hll_hash_cols(F.col("key"), p=_HLL_P)
+    regs = (
+        keyed.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.col("event_type").alias("scope"), "bucket")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+
+    types = regs.select("scope").distinct()
+    pairs = (
+        types.select(F.col("scope").alias("type_a"))
+        .join(types.select(F.col("scope").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    membership = pairs.select("type_a", "type_b", F.col("type_a").alias("t")).unionByName(
+        pairs.select("type_a", "type_b", F.col("type_b").alias("t"))
+    )
+    pair_regs = (
+        regs.join(F.broadcast(membership), regs.scope == membership.t)
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+    est = hll_estimate(regs, ["scope"], p=_HLL_P)
+    est_u = hll_estimate(pair_regs, ["type_a", "type_b"], p=_HLL_P).withColumnRenamed(
+        "hll_estimate", "est_union"
+    )
+
+    dk = keyed.distinct()
+    a = dk.select(F.col("event_type").alias("type_a"), "key")
+    b = dk.select(F.col("event_type").alias("type_b"), "key")
+    exact_i = (
+        a.join(b, "key")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+
+    ea = est.select(F.col("scope").alias("type_a"), F.col("hll_estimate").alias("est_a"))
+    eb = est.select(F.col("scope").alias("type_b"), F.col("hll_estimate").alias("est_b"))
+    return (
+        est_u.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(exact_i, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0).cast("long")).alias(
+                "exact_intersection"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q130: blocked edit-distance fuzzy join over the part-name dictionary
 # ---------------------------------------------------------------------------
 

@@ -184,6 +184,34 @@ def main():
         )
         print(f"| exact_dedup | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
 
+        # HLL distinct (q127 shape) vs DuckDB EXACT count(DISTINCT):
+        # the sketch's shuffle is the register table (sources x 256
+        # rows, constant in N) where exact distinct shuffles every
+        # distinct key — the whole reason the sketch exists at 100 TB.
+        from batch_process_spark.operators.sketches import (
+            hll_estimate,
+            hll_register_table,
+        )
+
+        def hll_distinct():
+            regs = hll_register_table(
+                docs.select(
+                    (F.col("doc_id") % 20).alias("grp"), F.col("text").alias("key")
+                ),
+                "key",
+                ["grp"],
+            )
+            return hll_estimate(regs, ["grp"])
+
+        gc()
+        t1, t2, sb = timed2(hll_distinct, gc)
+        d = t_duck(
+            con,
+            f"SELECT doc_id % 20 AS grp, count(DISTINCT text) AS n "
+            f"FROM ({scaled_docs_sql(n)}) GROUP BY 1",
+        )
+        print(f"| hll_distinct | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
+
         # passage-level exact dedup (q112 shape): blocks assembled
         # inside the row (filter/slice/array_join, no token explode);
         # the only wide stage is the passage-hash aggregate

@@ -171,6 +171,22 @@ def test_q131_state_is_bounded(spark):
     assert len(types) >= 3
 
 
+def test_q132_union_bounds_and_identity(spark):
+    """Register-max union monotonicity is EXACT (raising registers can
+    only raise the estimate, both branches): est_union >= each side.
+    Subadditivity (union <= a + b) holds only up to sketch noise —
+    independent per-scope errors can overshoot by ~sigma, so it gets a
+    5% margin, not equality. The intersection column is exactly
+    clamp(a + b - union, >= 0)."""
+    rows = QUERIES["q132_hll_set_algebra"](spark, SF).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1  # -1: rounding
+        assert r["est_union"] <= (r["est_a"] + r["est_b"]) * 1.05 + 1
+        assert r["est_intersection"] == max(0, r["est_a"] + r["est_b"] - r["est_union"])
+        assert r["exact_intersection"] >= 0
+
+
 def test_q130_matches_bruteforce_editdistance(spark):
     """The blocked join must return EXACTLY the brute-force O(n^2)
     answer over the name dictionary — blocking is lossless for d<=2."""
