@@ -16,8 +16,10 @@ SF = "/root/testdata/sf0.001"
 def test_q127_hll_estimates_within_bound(spark):
     """p=8 HLL has ~6.5% RSD; every scope must land within 5 sigma of
     exact (a deterministic construction: this either holds forever or
-    the hash/rho math broke), and the raw-estimate branch (not linear
-    counting) must be active for the fixture cardinalities."""
+    the hash/rho math broke). At sf0.001 the per-scope cardinalities
+    (~300) sit BELOW the 2.5m=640 threshold, so the linear-counting
+    branch is the one producing these estimates; sf0.01+ exercises the
+    raw harmonic branch — both live under the same oracle."""
     rows = QUERIES["q127_hll_distinct"](spark, SF).collect()
     scopes = {r["scope"] for r in rows}
     assert "ALL" in scopes and len(scopes) >= 3
