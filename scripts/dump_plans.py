@@ -51,6 +51,7 @@ NOTES = {
     "q128_cms_heavy_hitters": "counters built from the REDUCED (token, count) table — the depth-explode never touches raw occurrences; the 768-row counter table broadcasts at probe time",
     "q129_bloom_semi_join": "the bit set rides as ONE broadcast row (sorted array); the probe side is map-only — zero shuffle, zero explode of the event stream (explicit runtime-filter shape)",
     "q130_fuzzy_name_join": "value column deduped to a 64-name dictionary first; lossless length-band blocking replicates only the tiny side x3 — no O(n^2) similarity join, counts map back via the dictionary",
+    "q132_hll_set_algebra": "pairwise set algebra entirely on register tables: per-type registers computed once, routed through a broadcast membership table; the corpus is scanned only for registers and the validation-only exact column",
 }
 
 
