@@ -189,6 +189,68 @@ def test_q132_union_bounds_and_identity(spark):
         assert r["exact_intersection"] >= 0
 
 
+def test_q133_matches_python_kmv(spark):
+    """Full pure-Python recompute of the KMV pipeline (hashlib md5,
+    sorted sets): sketches, pairwise merged sketches, union and
+    intersection estimates must agree EXACTLY with the distributed
+    version — the windows/joins add nothing to the per-key math."""
+    from pyspark.sql import functions as F
+
+    K, R = 128, 1 << 60
+    rows = QUERIES["q133_kmv_intersection"](spark, SF).collect()
+    got = {(r["type_a"], r["type_b"]): (r["kmv_union"], r["kmv_intersection"]) for r in rows}
+
+    ev = _t(spark, SF, "events")
+    key = F.concat_ws(
+        ":", F.col("user_id").cast("string"),
+        F.date_trunc("hour", F.col("ts")).cast("string"),
+    )
+    keyed = [(r["event_type"], r["key"]) for r in ev.select(F.col("event_type"), key.alias("key")).collect()]
+
+    sets: dict = {}
+    for t, k_ in keyed:
+        sets.setdefault(t, set()).add(int(hashlib.md5(k_.encode()).hexdigest()[:15], 16))
+    sketches = {t: sorted(s)[:K] for t, s in sets.items()}
+
+    want = {}
+    for ta in sketches:
+        for tb in sketches:
+            if ta >= tb:
+                continue
+            sa, sb = set(sketches[ta]), set(sketches[tb])
+            x = sorted(sa | sb)[:K]
+            nx, kth = len(x), max(x)
+            matches = sum(1 for v in x if v in sa and v in sb)
+            if nx < K:
+                want[(ta, tb)] = (nx, matches)
+            else:
+                raw = (K - 1) * float(R) / kth
+                want[(ta, tb)] = (
+                    math.floor(raw + 0.5),
+                    math.floor(matches * raw / float(K) + 0.5),
+                )
+    assert got == want
+
+
+def test_q133_kmv_intersection_tighter_than_hll(spark):
+    """The reason q133 exists: on the same fixture, KMV's intersection
+    error must be tighter in aggregate than q132's HLL
+    inclusion-exclusion (whose error scales with union size).
+    Deterministic constructions — this comparison is stable."""
+    kmv = QUERIES["q133_kmv_intersection"](spark, SF).collect()
+    hll = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["q132_hll_set_algebra"](spark, SF).collect()
+    }
+    kmv_err = hll_err = 0
+    for r in kmv:
+        h = hll[(r["type_a"], r["type_b"])]
+        assert r["exact_intersection"] == h["exact_intersection"]
+        kmv_err += abs(r["kmv_intersection"] - r["exact_intersection"])
+        hll_err += abs(h["est_intersection"] - h["exact_intersection"])
+    assert kmv_err < hll_err, (kmv_err, hll_err)
+
+
 def test_q130_matches_bruteforce_editdistance(spark):
     """The blocked join must return EXACTLY the brute-force O(n^2)
     answer over the name dictionary — blocking is lossless for d<=2."""
