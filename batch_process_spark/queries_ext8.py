@@ -371,7 +371,42 @@ def q129_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q131: streaming HLL — registers maintained across real micro-batches
 # ---------------------------------------------------------------------------
 
-_Q131_DIRS: dict[tuple[str, str], str] = {}  # staged slice dirs, per sf_dir
+_Q131_DIRS: dict[tuple[str, str], str] = {}  # staged slice dirs, per (sf_dir, tag)
+
+
+def _staged_event_slices(sf_dir: str, tag: str, n_slices: int = 3):
+    """Slice the real events table into ``n_slices`` parquet files for
+    feeding one per micro-batch (driver-side pyarrow — no Spark jobs).
+    The dir is memoized per (sf_dir, tag) so repeated invocations don't
+    each leak a full table copy in /tmp. A reused dir already holds all
+    slices, so the first batch may drain everything and the feeds
+    rewrite identical files — final state is unchanged either way
+    (batching-insensitivity is exactly what the streaming queries
+    demonstrate); the genuinely incremental run happens on the first
+    invocation in a process. Returns (dir, write_slice) with slice 0
+    already written."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    key = (os.path.abspath(sf_dir), tag)
+    d = _Q131_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"{tag}_slices_")
+        _Q131_DIRS[key] = d
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = tbl.num_rows
+    cuts = [round(i * n / n_slices) for i in range(n_slices + 1)]
+
+    def write_slice(i: int) -> None:
+        pq.write_table(
+            tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+            os.path.join(d, f"slice_{i}.parquet"),
+        )
+
+    write_slice(0)
+    return d, write_slice
 
 
 @_q(
@@ -395,11 +430,6 @@ def q131_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as q127 (unified batch/stream semantics, checked not
     assumed). The estimate step runs as a tiny batch job on the final
     1280-row result table."""
-    import os
-    import tempfile
-
-    import pyarrow.parquet as pq
-
     from batch_process_spark.queries_ext3 import (
         _events_stream_schema,
         _normalize_stream_ts,
@@ -409,30 +439,7 @@ def q131_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    # Slice the real events table into 3 parquet files fed one per
-    # micro-batch (driver-side pyarrow — no Spark jobs for staging).
-    # The staged dir is memoized per sf_dir (same discipline as
-    # _stage_stream_dir) so repeated invocations don't each leak a full
-    # copy of the table in /tmp. A reused dir already holds all three
-    # slices, so the first batch may drain everything and the feeds
-    # rewrite identical files — the final registers are unchanged
-    # either way (max-merge batching-insensitivity IS the property
-    # under test); the genuinely incremental 3-batch run happens on
-    # the first invocation in a process.
-    key = (os.path.abspath(sf_dir), "q131")
-    d = _Q131_DIRS.get(key)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="q131_hll_")
-        _Q131_DIRS[key] = d
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    n = tbl.num_rows
-    cuts = [0, n // 3, 2 * n // 3, n]
-
-    def write_slice(i: int) -> None:
-        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
-                       os.path.join(d, f"slice_{i}.parquet"))
-
-    write_slice(0)
+    d, write_slice = _staged_event_slices(sf_dir, "q131")
 
     def transform(stream):
         ev = _normalize_stream_ts(stream)
@@ -458,6 +465,63 @@ def q131_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(regs, ["scope"], p=_HLL_P)
     hits = regs.groupBy("scope").agg(F.count(F.lit(1)).alias("n_registers_hit"))
     return est.join(hits, "scope")
+
+
+# ---------------------------------------------------------------------------
+# q134: custom stateful operator (applyInPandasWithState) under the oracle
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q134_stateful_running_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q134_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM stateful streaming operator (``applyInPandasWithState``,
+    `streaming/stateful.py` `running_totals_cents_stream`) held to the
+    full value-hash oracle: per-user running (count, cents) state
+    updated across three real micro-batches in update mode — one
+    emission per user per batch it appears in, state carried between
+    batches in the state store. The final emission per user (selected
+    by max n_events, which is strictly increasing per key) must equal
+    the batch GROUP BY — possible only because the kernel accumulates
+    exact integers (values quantized to cents INSIDE the kernel; a
+    float accumulator's low bits would depend on batch boundaries).
+    State is one (long, long) pair per user: bounded, spillable,
+    timeout-evictable — the distributed replacement for the
+    reference's mutable per-path ProcessingContext accumulators
+    (reference `decorators/processor.py:16-102`)."""
+    from batch_process_spark.queries_ext3 import _events_stream_schema
+    from batch_process_spark.streaming.stateful import running_totals_cents_stream
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    d, write_slice = _staged_event_slices(sf_dir, "q134")
+
+    out = run_stream_to_memory(
+        spark,
+        d,
+        _events_stream_schema(sf_dir),
+        running_totals_cents_stream,
+        query_name="q134_out",
+        output_mode="update",
+        feeds=[lambda: write_slice(1), lambda: write_slice(2)],
+    )
+    # Update-mode sink holds every emission; the final state per user
+    # is the row with the largest n_events (strictly increasing).
+    final = F.max(F.struct("n_events", "total_cents")).alias("s")
+    return out.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_cents").alias("total_cents"),
+    )
 
 
 # ---------------------------------------------------------------------------

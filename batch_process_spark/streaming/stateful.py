@@ -45,3 +45,42 @@ def running_totals_stream(events):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Exact-integer variant (q134): values quantized to cents INSIDE the
+# kernel, so the accumulated state is order- and batching-independent
+# BIGINTs — the only shape of custom state an engine-portable oracle
+# can pin (a float accumulator's low bits depend on summation order).
+CENTS_OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long"
+CENTS_STATE_SCHEMA = "n long, cents long"
+
+
+def _update_totals_cents(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # floor(v*100 + 0.5) per element is exact; the int sum stays
+        # < 2^53 so the float64 reduction is exact too
+        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_totals_cents_stream(events):
+    """Exact-integer running totals per user — one updated row per key
+    per micro-batch; the LAST emission per key is the final state."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals_cents,
+        outputStructType=CENTS_OUTPUT_SCHEMA,
+        stateStructType=CENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -251,6 +251,63 @@ def test_q133_kmv_intersection_tighter_than_hll(spark):
     assert kmv_err < hll_err, (kmv_err, hll_err)
 
 
+def test_q134_state_carries_across_batches(spark):
+    """Drive the stateful stream on a FRESH slice dir and observe the
+    raw update-mode emissions: a user appearing in several micro-
+    batches emits several rows with strictly increasing n_events —
+    proof the state store carried (count, cents) between batches
+    rather than recomputing per batch."""
+    import os
+
+    from batch_process_spark.queries_ext3 import _events_stream_schema
+    from batch_process_spark.queries_ext8 import _Q131_DIRS, _staged_event_slices
+    from batch_process_spark.streaming.stateful import running_totals_cents_stream
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _Q131_DIRS.pop((os.path.abspath(SF), "t134_fresh"), None)
+    d, ws = _staged_event_slices(SF, "t134_fresh")
+    out = run_stream_to_memory(
+        spark, d, _events_stream_schema(SF), running_totals_cents_stream,
+        query_name="t134_out", output_mode="update",
+        feeds=[lambda: ws(1), lambda: ws(2)],
+    )
+    rows = out.collect()
+    users = {r["user_id"] for r in rows}
+    assert len(rows) > len(users), "no user emitted twice — state never carried"
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append((r["n_events"], r["total_cents"]))
+    assert any(len(v) >= 3 for v in per_user.values()), "nobody spanned all 3 batches"
+    for v in per_user.values():
+        ns = [n for n, _ in v]
+        # each batch's emission grows the count — all distinct
+        assert len(set(ns)) == len(ns)
+        # monotone state: ordering by n_events must order cents too
+        paired = sorted(v)
+        assert all(paired[i][1] <= paired[i + 1][1] for i in range(len(paired) - 1))
+
+
+def test_q134_final_state_equals_batch(spark):
+    """The catalog query's final-state selection must equal the direct
+    batch aggregation (exact integers — no tolerance needed)."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in QUERIES["q134_stateful_running_totals"](spark, SF).collect()
+    }
+    ev = _t(spark, SF, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    want = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_q130_matches_bruteforce_editdistance(spark):
     """The blocked join must return EXACTLY the brute-force O(n^2)
     answer over the name dictionary — blocking is lossless for d<=2."""
