@@ -809,6 +809,121 @@ def q133_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q135: deterministic quantile sketch (base-2 DDSketch) — the trio's third leg
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q135_ddsketch_quantiles",
+    """
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), bk AS (
+      SELECT flag, length(bin(c)) AS b,
+             c >> greatest(length(bin(c)) - 5, 0) AS high,
+             count(*) AS cnt
+      FROM c GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT flag, b, high, cnt,
+             high << greatest(b - 5, 0) AS rep,
+             sum(cnt) OVER (PARTITION BY flag ORDER BY b, high) AS cs,
+             sum(cnt) OVER (PARTITION BY flag) AS n
+      FROM bk
+    ), est AS (
+      SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+             CAST(min(CASE WHEN cs >= (n * 50 + 99) // 100 THEN rep END) AS BIGINT) AS est_p50_cents,
+             CAST(min(CASE WHEN cs >= (n * 90 + 99) // 100 THEN rep END) AS BIGINT) AS est_p90_cents,
+             CAST(min(CASE WHEN cs >= (n * 99 + 99) // 100 THEN rep END) AS BIGINT) AS est_p99_cents
+      FROM cum GROUP BY flag
+    ), ex AS (
+      SELECT l_returnflag AS flag,
+             quantile_cont(l_extendedprice, 0.5) * 100 AS e50,
+             quantile_cont(l_extendedprice, 0.9) * 100 AS e90,
+             quantile_cont(l_extendedprice, 0.99) * 100 AS e99
+      FROM lineitem GROUP BY 1
+    )
+    SELECT est.flag, n_rows, est_p50_cents, est_p90_cents, est_p99_cents,
+           CAST(floor(abs(est_p50_cents - e50) * 10000.0 / e50 + 0.5) AS BIGINT) AS err50_bp,
+           CAST(floor(abs(est_p90_cents - e90) * 10000.0 / e90 + 0.5) AS BIGINT) AS err90_bp,
+           CAST(floor(abs(est_p99_cents - e99) * 10000.0 / e99 + 0.5) AS BIGINT) AS err99_bp
+    FROM est JOIN ex ON est.flag = ex.flag
+    """,
+)
+def q135_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch completing the deterministic trio (HLL distinct,
+    CMS frequency, DD quantiles): a base-2 DDSketch over integer cents
+    — bucket key = (bit_length, top-5-bits), i.e. the value's octave
+    and a 16-way sub-bucket, all integer shifts both engines compute
+    identically. Guarantees: relative error <= 1/16 per estimate
+    (bucket lower bound within 6.25% of any member), state bounded at
+    ~16 x 64 counters per group however large the input, counters
+    merge by SUM. The quantile readout is a cumulative-count walk over
+    the tiny bucket table (partitioned window on <= a few hundred
+    rows), never a sort of the data. err*_bp columns report measured
+    error against the exact interpolated percentile (the per-group
+    sort the sketch replaces at 100 TB — q43's exact form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cents = li.select(F.col("l_returnflag").alias("flag"), c.alias("c"))
+    bk = (
+        cents.selectExpr(
+            "flag",
+            "length(bin(c)) AS b",
+            "c >> greatest(length(bin(c)) - 5, 0) AS high",
+        )
+        .groupBy("flag", "b", "high")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("flag").orderBy("b", "high")
+    w_all = Window.partitionBy("flag")
+    cum = bk.select(
+        "flag",
+        "b",
+        "high",
+        "cnt",
+        F.expr("high << greatest(b - 5, 0)").alias("rep"),
+        F.sum("cnt").over(w_cum).alias("cs"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def pick(pct: int):
+        r = F.expr(f"(n * {pct} + 99) div 100")
+        return F.min(F.when(F.col("cs") >= r, F.col("rep"))).cast("long")
+
+    est = cum.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        pick(50).alias("est_p50_cents"),
+        pick(90).alias("est_p90_cents"),
+        pick(99).alias("est_p99_cents"),
+    )
+    ex = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        (F.expr("percentile(l_extendedprice, 0.5)") * 100).alias("e50"),
+        (F.expr("percentile(l_extendedprice, 0.9)") * 100).alias("e90"),
+        (F.expr("percentile(l_extendedprice, 0.99)") * 100).alias("e99"),
+    )
+
+    def err(est_col: str, ex_col: str, alias: str):
+        return F.floor(
+            F.abs(F.col(est_col) - F.col(ex_col)) * 10000.0 / F.col(ex_col) + F.lit(0.5)
+        ).cast("long").alias(alias)
+
+    return est.join(ex, "flag").select(
+        "flag",
+        "n_rows",
+        "est_p50_cents",
+        "est_p90_cents",
+        "est_p99_cents",
+        err("est_p50_cents", "e50", "err50_bp"),
+        err("est_p90_cents", "e90", "err90_bp"),
+        err("est_p99_cents", "e99", "err99_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q130: blocked edit-distance fuzzy join over the part-name dictionary
 # ---------------------------------------------------------------------------
 

@@ -308,6 +308,35 @@ def test_q134_final_state_equals_batch(spark):
     assert got == want
 
 
+def test_q135_error_bound_and_monotonicity(spark):
+    """The base-2/16-sub-bucket sketch guarantees <= 1/16 (625 bp)
+    relative error per estimate — a structural bound, not a fixture
+    accident; and quantile estimates must be monotone in p."""
+    rows = QUERIES["q135_ddsketch_quantiles"](spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        for col in ("err50_bp", "err90_bp", "err99_bp"):
+            assert r[col] <= 625, (r["flag"], col, r[col])
+        assert r["est_p50_cents"] <= r["est_p90_cents"] <= r["est_p99_cents"]
+
+
+def test_q135_bucket_table_is_bounded(spark):
+    """The sketch state per group is the (octave, sub-bucket) counter
+    table — <= 64 x 16 rows whatever the input size."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, SF, "lineitem")
+    c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    n = (
+        li.select(F.col("l_returnflag").alias("flag"), c.alias("c"))
+        .selectExpr("flag", "length(bin(c)) AS b", "c >> greatest(length(bin(c)) - 5, 0) AS high")
+        .groupBy("flag")
+        .agg(F.count_distinct("b", "high").alias("nb"))
+        .collect()
+    )
+    assert all(r["nb"] <= 64 * 16 for r in n)
+
+
 def test_q130_matches_bruteforce_editdistance(spark):
     """The blocked join must return EXACTLY the brute-force O(n^2)
     answer over the name dictionary — blocking is lossless for d<=2."""
