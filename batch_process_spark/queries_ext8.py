@@ -1,5 +1,5 @@
-"""Query catalog part 9 (q127-q130): engine-portable probabilistic
-sketches and fuzzy matching.
+"""Query catalog part 9 (q127-q135): engine-portable probabilistic
+sketches, fuzzy matching, and stateful streaming under the oracle.
 
 Spark's native sketch aggregates (HLL++, CountMinSketch, BloomFilter)
 are implementation-defined, so their outputs can't be value-hash-checked
@@ -43,9 +43,16 @@ _SKETCH_MEMO = PersistMemo(max_entries=2)
 
 
 def release_sketch_caches() -> None:
-    """Unpersist and drop the memoized sketch-input frames. Called by
-    invalidate_tables after mid-session file rewrites."""
+    """Unpersist and drop the memoized sketch-input frames AND the
+    staged micro-batch slice dirs (q131/q134) — a slice dir snapshots
+    the events table, so after a mid-session rewrite it would feed the
+    stream stale rows. Called by invalidate_tables."""
+    import shutil
+
     _SKETCH_MEMO.release_all()
+    for d in _Q131_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _Q131_DIRS.clear()
 
 
 def _memoized_persist(df: DataFrame) -> DataFrame:
@@ -383,8 +390,11 @@ def _staged_event_slices(sf_dir: str, tag: str, n_slices: int = 3):
     rewrite identical files — final state is unchanged either way
     (batching-insensitivity is exactly what the streaming queries
     demonstrate); the genuinely incremental run happens on the first
-    invocation in a process. Returns (dir, write_slice) with slice 0
-    already written."""
+    invocation in a process. A fully-staged dir short-circuits with
+    no-op feeds (no driver re-read of the table); staleness after a
+    mid-session events rewrite is handled by release_sketch_caches,
+    which invalidate_tables calls. Returns (dir, write_slice) with
+    slice 0 already written."""
     import os
     import tempfile
 
@@ -392,6 +402,10 @@ def _staged_event_slices(sf_dir: str, tag: str, n_slices: int = 3):
 
     key = (os.path.abspath(sf_dir), tag)
     d = _Q131_DIRS.get(key)
+    if d is not None and os.path.isdir(d) and all(
+        os.path.exists(os.path.join(d, f"slice_{i}.parquet")) for i in range(n_slices)
+    ):
+        return d, lambda i: None  # all slices staged: feeds are no-ops
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix=f"{tag}_slices_")
         _Q131_DIRS[key] = d

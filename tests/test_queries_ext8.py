@@ -1,4 +1,4 @@
-"""Semantics tests for the part-9 query catalog (q127-q130): the
+"""Semantics tests for the part-9 query catalog (q127-q135): the
 engine-portable sketches and fuzzy matching. Each query is hash-checked
 vs DuckDB by selfcheck/the driver; these tests pin the PROPERTIES the
 hash can't see — sketch error bounds, one-sided estimates, no false
@@ -264,8 +264,12 @@ def test_q134_state_carries_across_batches(spark):
     from batch_process_spark.streaming.stateful import running_totals_cents_stream
     from batch_process_spark.streaming.windows import run_stream_to_memory
 
+    import shutil
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _Q131_DIRS.pop((os.path.abspath(SF), "t134_fresh"), None)
+    stale = _Q131_DIRS.pop((os.path.abspath(SF), "t134_fresh"), None)
+    if stale:  # don't orphan the previous run's staged copy in /tmp
+        shutil.rmtree(stale, ignore_errors=True)
     d, ws = _staged_event_slices(SF, "t134_fresh")
     out = run_stream_to_memory(
         spark, d, _events_stream_schema(SF), running_totals_cents_stream,
@@ -309,9 +313,13 @@ def test_q134_final_state_equals_batch(spark):
 
 
 def test_q135_error_bound_and_monotonicity(spark):
-    """The base-2/16-sub-bucket sketch guarantees <= 1/16 (625 bp)
-    relative error per estimate — a structural bound, not a fixture
-    accident; and quantile estimates must be monotone in p."""
+    """The sketch's 1/16 (625 bp) bound is structural ONLY versus the
+    exact element at the chosen rank; the err columns compare against
+    the INTERPOLATED percentile, where a sparse group could legally
+    interpolate across buckets and exceed it. The TPC-H price columns
+    are dense (~20k values per flag), so 625 bp holds here and guards
+    against bucket-math regressions; quantile estimates must also be
+    monotone in p."""
     rows = QUERIES["q135_ddsketch_quantiles"](spark, SF).collect()
     assert len(rows) >= 2
     for r in rows:
@@ -366,3 +374,24 @@ def test_q130_matches_bruteforce_editdistance(spark):
                 want[(a, b)] = d
     assert got == want
     assert any(d > 0 for d in got.values()), "only exact dupes — distance path unexercised"
+
+
+def test_release_sketch_caches_clears_staged_dirs(spark):
+    """invalidate_tables must not leave stale micro-batch slice dirs
+    behind: a slice dir snapshots the events table, so after a
+    mid-session rewrite the stream would replay old rows. (Runs last
+    in this module: completed streaming results live in memory sinks,
+    so removing staged dirs never invalidates earlier results.)"""
+    import os
+
+    from batch_process_spark.queries_ext8 import (
+        _Q131_DIRS,
+        _staged_event_slices,
+        release_sketch_caches,
+    )
+
+    d, _ = _staged_event_slices(SF, "t_release_probe")
+    assert os.path.isdir(d)
+    release_sketch_caches()
+    assert not _Q131_DIRS, "staged-dir memo survived release"
+    assert not os.path.isdir(d), "staged dir left on disk after release"
