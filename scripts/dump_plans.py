@@ -52,6 +52,8 @@ NOTES = {
     "q129_bloom_semi_join": "the bit set rides as ONE broadcast row (sorted array); the probe side is map-only — zero shuffle, zero explode of the event stream (explicit runtime-filter shape)",
     "q130_fuzzy_name_join": "value column deduped to a 64-name dictionary first; lossless length-band blocking replicates only the tiny side x3 — no O(n^2) similarity join, counts map back via the dictionary",
     "q132_hll_set_algebra": "pairwise set algebra entirely on register tables: per-type registers computed once, routed through a broadcast membership table; the corpus is scanned only for registers and the validation-only exact column",
+    "q133_kmv_intersection": "two PARTITIONED windows (per-type top-k, per-pair merge rank) over <=k-row sketches — no unpartitioned window, no data-level pair join; the distinct-hash shuffle is the only corpus-sized stage",
+    "q135_ddsketch_quantiles": "bucket counts partial-agg to <=64x16 rows per group; the quantile readout windows walk THAT table, never the data — the per-group sort exact percentiles need no longer exists",
 }
 
 
