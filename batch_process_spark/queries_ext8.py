@@ -85,18 +85,21 @@ _DUCK_HLL_KEY = (
 # real sf0.001-only oracle failure in q132 before these were hoisted —
 # the branch is ACTIVE at sf0.001 cardinalities and dormant at
 # sf0.01+, exactly the kind of divergence a shared fragment prevents.)
-_DUCK_HLL_REG_CTES = f"""k AS (
-      SELECT event_type, {_DUCK_HLL_KEY} AS key FROM events
-    ), br AS (
-      SELECT event_type,
+_DUCK_HLL_REGS_FROM_K = """br AS (
+      SELECT scope,
              CAST('0x' || substr(md5(key), 1, 2) AS BIGINT) AS bucket,
              CAST('0x' || substr(md5(key), 3, 12) AS BIGINT) AS w
       FROM k
     ), regs AS (
-      SELECT event_type AS scope, bucket,
+      SELECT scope, bucket,
              max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS max_rho
       FROM br GROUP BY 1, 2
     )"""
+
+# the events-stream instantiation used by q127/q131/q132
+_DUCK_HLL_REG_CTES = f"""k AS (
+      SELECT event_type AS scope, {_DUCK_HLL_KEY} AS key FROM events
+    ), {_DUCK_HLL_REGS_FROM_K}"""
 
 
 def _duck_hll_estimate(group_cols: str, src: str, alias: str = "hll_estimate") -> str:
@@ -134,7 +137,7 @@ def _duck_hll_estimate(group_cols: str, src: str, alias: str = "hll_estimate") -
       SELECT 'ALL' AS scope, bucket, max(max_rho) FROM regs GROUP BY 1, 2
     ), est AS ({_duck_hll_estimate("scope", "r")}
     ), ex AS (
-      SELECT event_type AS scope, CAST(count(DISTINCT key) AS BIGINT) AS exact_distinct
+      SELECT scope, CAST(count(DISTINCT key) AS BIGINT) AS exact_distinct
       FROM k GROUP BY 1
       UNION ALL
       SELECT 'ALL', CAST(count(DISTINCT key) AS BIGINT) FROM k
@@ -560,11 +563,11 @@ def q134_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3
     ), est AS ({_duck_hll_estimate("scope", "regs", "e")}
     ), est_u AS ({_duck_hll_estimate("type_a, type_b", "pair_regs", "est_union")}
-    ), dk AS (SELECT DISTINCT event_type, key FROM k),
+    ), dk AS (SELECT DISTINCT scope, key FROM k),
     exact_i AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
+      SELECT a.scope AS type_a, b.scope AS type_b,
              CAST(count(*) AS BIGINT) AS exact_intersection
-      FROM dk a JOIN dk b ON a.key = b.key AND a.event_type < b.event_type
+      FROM dk a JOIN dk b ON a.key = b.key AND a.scope < b.scope
       GROUP BY 1, 2
     )
     SELECT u.type_a, u.type_b,
@@ -934,6 +937,98 @@ def q135_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         err("est_p50_cents", "e50", "err50_bp"),
         err("est_p90_cents", "e90", "err90_bp"),
         err("est_p99_cents", "e99", "err99_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136: table profiling — the unpivot + sketch pass a 100 TB intake runs
+# ---------------------------------------------------------------------------
+
+# (column, canonical-expression) pairs for the orders table: integers
+# cast to strings (identical formatting both engines), doubles
+# quantized to integer cents FIRST (raw double->string formatting is
+# engine-defined), timestamps via the verified '%Y-%m-%d %H:%M:%S'
+# rendering, strings as-is.
+_PROFILE_COLS_DUCK = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)"),
+    ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+_DUCK_PROFILE_UNPIVOT = " UNION ALL ".join(
+    f"SELECT '{name}' AS scope, {expr} AS key FROM orders"
+    for name, expr in _PROFILE_COLS_DUCK
+)
+
+
+@_q(
+    "q136_table_profile",
+    f"""
+    WITH u AS ({_DUCK_PROFILE_UNPIVOT}),
+    k AS (SELECT scope, key FROM u WHERE key IS NOT NULL),
+    {_DUCK_HLL_REGS_FROM_K},
+    est AS ({_duck_hll_estimate("scope", "regs", "approx_distinct")}
+    ), stats AS (
+      SELECT scope,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+      FROM u GROUP BY scope
+    ), exact AS (
+      SELECT scope, CAST(count(DISTINCT key) AS BIGINT) AS exact_distinct FROM k GROUP BY scope
+    )
+    SELECT stats.scope AS col_name, n_rows, n_nulls, approx_distinct, exact_distinct
+    FROM stats JOIN est ON est.scope = stats.scope
+    JOIN exact ON exact.scope = stats.scope
+    """,
+)
+def q136_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the intake pass a 100 TB pipeline runs before
+    touching new data: per-column row/null counts and distinct-
+    cardinality estimates, in ONE scan. The table unpivots into
+    (column, canonical value) rows map-side (stack — no join, no extra
+    scan per column), nulls aggregate per column, and the SAME HLL
+    register machinery as q127 sketches every column's cardinality at
+    once (columns x 256 register rows total). Canonical forms make the
+    hashes engine-portable: integers/strings verbatim, doubles
+    quantized to integer cents (raw double→string formatting is
+    engine-defined), timestamps via the verified UTC rendering. The
+    exact_distinct column is validation-only — per-column COUNT
+    (DISTINCT) is precisely the multi-shuffle pass the profile
+    replaces."""
+    orders = _t(spark, sf_dir, "orders")
+    pairs = [
+        ("o_orderkey", "CAST(o_orderkey AS STRING)"),
+        ("o_custkey", "CAST(o_custkey AS STRING)"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_totalprice", "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+        ("o_orderdate", "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')"),
+        ("o_orderpriority", "o_orderpriority"),
+    ]
+    stack_args = ", ".join(f"'{name}', {expr}" for name, expr in pairs)
+    u = orders.selectExpr(f"stack({len(pairs)}, {stack_args}) AS (scope, key)")
+
+    stats = u.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("key").isNull().cast("long")).alias("n_nulls"),
+    )
+    nn = u.filter(F.col("key").isNotNull())
+    est = hll_estimate(
+        hll_register_table(nn, "key", ["scope"], p=_HLL_P), ["scope"], p=_HLL_P
+    ).withColumnRenamed("hll_estimate", "approx_distinct")
+    exact = nn.groupBy("scope").agg(F.count_distinct("key").alias("exact_distinct"))
+    return (
+        stats.join(est, "scope")
+        .join(exact, "scope")
+        .select(
+            F.col("scope").alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            "approx_distinct",
+            "exact_distinct",
+        )
     )
 
 

@@ -395,3 +395,21 @@ def test_release_sketch_caches_clears_staged_dirs(spark):
     release_sketch_caches()
     assert not _Q131_DIRS, "staged-dir memo survived release"
     assert not os.path.isdir(d), "staged dir left on disk after release"
+
+
+def test_q136_profile_sanity(spark):
+    """One row per profiled column; n_rows equal across columns (one
+    table), estimates within 5-sigma HLL error of exact, and
+    tiny-cardinality columns (priority/status) effectively exact —
+    linear counting with mostly-empty registers degenerates to a
+    per-bucket count."""
+    rows = QUERIES["q136_table_profile"](spark, SF).collect()
+    assert len(rows) == 6
+    n_rows = {r["n_rows"] for r in rows}
+    assert len(n_rows) == 1
+    for r in rows:
+        assert r["n_nulls"] == 0  # fixture has no NULLs; column exists to count them
+        rel = abs(r["approx_distinct"] - r["exact_distinct"]) / max(r["exact_distinct"], 1)
+        assert rel < 5 * 1.04 / math.sqrt(256), (r["col_name"], rel)
+        if r["exact_distinct"] <= 10:
+            assert r["approx_distinct"] == r["exact_distinct"], r["col_name"]
