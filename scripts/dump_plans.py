@@ -54,6 +54,7 @@ NOTES = {
     "q132_hll_set_algebra": "pairwise set algebra entirely on register tables: per-type registers computed once, routed through a broadcast membership table; the corpus is scanned only for registers and the validation-only exact column",
     "q133_kmv_intersection": "two PARTITIONED windows (per-type top-k, per-pair merge rank) over <=k-row sketches — no unpartitioned window, no data-level pair join; the distinct-hash shuffle is the only corpus-sized stage",
     "q135_ddsketch_quantiles": "bucket counts partial-agg to <=64x16 rows per group; the quantile readout windows walk THAT table, never the data — the per-group sort exact percentiles need no longer exists",
+    "q136_table_profile": "ONE scan: stack unpivot is a map-side Generate; null counts and every column's HLL registers ride the same shuffle granularity (columns x 256 rows) — no per-column scan, no per-column distinct shuffle except the validation column",
 }
 
 

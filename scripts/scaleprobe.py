@@ -212,6 +212,48 @@ def main():
         )
         print(f"| hll_distinct | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
 
+        # DD quantile sketch (q135 shape) vs DuckDB EXACT quantile_cont:
+        # the sketch shuffles the (octave, sub-bucket) counter table —
+        # bounded rows, constant B/row — where the exact percentile is
+        # a per-group sort of the data.
+        def dd_quantiles():
+            from pyspark.sql import Window
+
+            vals = docs.select(
+                (F.col("doc_id") % 20).alias("grp"), F.length("text").alias("c")
+            )
+            bkq = (
+                vals.selectExpr(
+                    "grp",
+                    "length(bin(c)) AS b",
+                    "c >> greatest(length(bin(c)) - 5, 0) AS high",
+                )
+                .groupBy("grp", "b", "high")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            w_cum = Window.partitionBy("grp").orderBy("b", "high")
+            w_all = Window.partitionBy("grp")
+            cum = bkq.select(
+                "grp",
+                F.expr("high << greatest(b - 5, 0)").alias("rep"),
+                F.sum("cnt").over(w_cum).alias("cs"),
+                F.sum("cnt").over(w_all).alias("n"),
+            )
+            return cum.groupBy("grp").agg(
+                F.min(F.when(F.col("cs") >= F.expr("(n * 50 + 99) div 100"), F.col("rep"))).alias("p50"),
+                F.min(F.when(F.col("cs") >= F.expr("(n * 99 + 99) div 100"), F.col("rep"))).alias("p99"),
+            )
+
+        gc()
+        t1, t2, sb = timed2(dd_quantiles, gc)
+        d = t_duck(
+            con,
+            f"SELECT doc_id % 20 AS grp, quantile_cont(length(text), 0.5) AS p50, "
+            f"quantile_cont(length(text), 0.99) AS p99 "
+            f"FROM ({scaled_docs_sql(n)}) GROUP BY 1",
+        )
+        print(f"| dd_quantiles | {n} | {n_rows} | {t1:.2f} | {t2:.2f} | {d:.2f} | {min(t1, t2)/d:.1f}x | {fmt_shuffle(sb, n_rows)} |")
+
         # passage-level exact dedup (q112 shape): blocks assembled
         # inside the row (filter/slice/array_join, no token explode);
         # the only wide stage is the passage-hash aggregate

@@ -62,3 +62,72 @@ def test_stratified_sample(data):
     out = stratified_sample(data, "seven", {0: 1.0, 1: 0.0}, seed=7)
     got = {r["seven"] for r in out.select("seven").distinct().collect()}
     assert 0 in got and 1 not in got
+
+
+def test_hll_registers_match_python_on_adversarial_corpora(spark):
+    """Property-style cross-check on generated corpora batched into ONE
+    job: unicode, empty strings, long keys, heavy duplication, near-
+    collisions. Every (corpus, bucket) register must equal the hashlib
+    recompute — the md5/rho math has no data-dependent branches left
+    to hide in."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.operators.sketches import hll_register_table
+
+    rng = random.Random(42)
+    corpora: dict[str, list[str]] = {
+        "empty_and_dupes": ["", "", "a", "a", "a"],
+        "unicode": ["héllo", "мир", "日本語テキスト", "🙂🙃", "é"],
+        "long": ["x" * 10_000, "y" * 9_999, ("ab" * 5_000)],
+        "numeric_strings": [str(i) for i in range(500)],
+        "random_ascii": [
+            "".join(rng.choice("abcdefghij") for _ in range(rng.randint(1, 30)))
+            for _ in range(500)
+        ],
+    }
+    rows = [(cid, k) for cid, keys in corpora.items() for k in keys]
+    df = spark.createDataFrame(rows, "cid string, key string")
+    got = {
+        (r["cid"], r["bucket"]): r["max_rho"]
+        for r in hll_register_table(df, "key", ["cid"]).collect()
+    }
+
+    want: dict = {}
+    for cid, keys in corpora.items():
+        for k in keys:
+            h = hashlib.md5(k.encode("utf-8")).hexdigest()
+            bucket = int(h[:2], 16)
+            w = int(h[2:14], 16)
+            rho = 49 if w == 0 else 49 - w.bit_length()
+            kk = (cid, bucket)
+            want[kk] = max(want.get(kk, 0), rho)
+    assert got == want
+
+
+def test_cms_matches_python_on_adversarial_tokens(spark):
+    """Counter cells from unicode/empty-ish token counts must equal the
+    hashlib recompute, and lookups must never underestimate."""
+    import hashlib
+
+    from batch_process_spark.operators.sketches import cms_counter_table, cms_lookup
+
+    counts = {"a": 100, "héllo": 7, "🙂": 3, "x" * 1000: 1, "0": 12, "00": 5}
+    df = spark.createDataFrame(list(counts.items()), "token string, cnt long")
+    counters = cms_counter_table(df, depth=3, width=8)
+    got = {(r["row_salt"], r["bucket"]): r["cell"] for r in counters.collect()}
+
+    want: dict = {}
+    for tok, c in counts.items():
+        for salt in range(3):
+            b = int(hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()[:8], 16) % 8
+            want[(salt, b)] = want.get((salt, b), 0) + c
+    assert got == want
+
+    est = {
+        r["token"]: r["cms_estimate"]
+        for r in cms_lookup(df.select("token"), counters, depth=3, width=8).collect()
+    }
+    assert all(est[t] >= c for t, c in counts.items())
