@@ -210,6 +210,52 @@ def cms_lookup(
     )
 
 
+def dd_bucket_table(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Base-2 DDSketch bucket counts over a positive BIGINT column:
+    bucket key = (bit_length, top-5-bits) — the value's octave and a
+    16-way sub-bucket, pure integer shifts any engine computes
+    identically. <= 64 x 16 counters per group, merging by SUM;
+    ``rep`` is the bucket lower bound (within 1/16 of any member)."""
+    return (
+        df.selectExpr(
+            *group_cols,
+            f"length(bin({value_col})) AS b",
+            f"{value_col} >> greatest(length(bin({value_col})) - 5, 0) AS high",
+        )
+        .groupBy(*group_cols, "b", "high")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr(*group_cols, "b", "high", "cnt", "high << greatest(b - 5, 0) AS rep")
+    )
+
+
+def dd_quantile_readout(
+    buckets: DataFrame, group_cols: Sequence[str], pcts: Sequence[int]
+) -> DataFrame:
+    """Quantile estimates from a DD bucket table: a cumulative-count
+    walk over the tiny counter table (partitioned window — never a
+    sort of the data). ``pcts`` are integer percentiles; ranks use
+    exact integer ceil((n*p)/100)."""
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(*group_cols).orderBy("b", "high")
+    w_all = Window.partitionBy(*group_cols)
+    cum = buckets.select(
+        *group_cols,
+        "rep",
+        F.sum("cnt").over(w_cum).alias("cs"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_rows")]
+    for p in pcts:
+        r = F.expr(f"(n * {p} + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cs") >= r, F.col("rep"))).cast("long").alias(f"p{p}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
 def bloom_bit_positions(
     keys: DataFrame, key_col: str, k: int = 3, m_bits: int = 256
 ) -> DataFrame:

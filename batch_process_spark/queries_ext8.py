@@ -1,4 +1,4 @@
-"""Query catalog part 9 (q127-q135): engine-portable probabilistic
+"""Query catalog part 9 (q127-q136): engine-portable probabilistic
 sketches, fuzzy matching, and stateful streaming under the oracle.
 
 Spark's native sketch aggregates (HLL++, CountMinSketch, BloomFilter)
@@ -35,11 +35,13 @@ from batch_process_spark.operators.sketches import (
 )
 from batch_process_spark.queries import _q, _t
 
-# Plan-keyed memo of the persisted bigram-count table (q128): counts
-# feed the counter build, the candidate top-k, AND the probe — without
-# a persist each branch re-scans the corpus. Bounded (vocab-sized) and
-# released by invalidate_tables after mid-session file rewrites.
-_SKETCH_MEMO = PersistMemo(max_entries=2)
+# Plan-keyed memo of persisted sketch-input frames — q128's bigram
+# counts and q136's unpivoted profile rows each feed several aggregate
+# branches; without a persist each branch re-scans the corpus. Bounded
+# (vocab-/table-sized) and released by invalidate_tables after
+# mid-session file rewrites. max_entries sized for both queries at two
+# sf_dirs without thrashing.
+_SKETCH_MEMO = PersistMemo(max_entries=4)
 
 
 def release_sketch_caches() -> None:
@@ -881,41 +883,20 @@ def q135_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), never a sort of the data. err*_bp columns report measured
     error against the exact interpolated percentile (the per-group
     sort the sketch replaces at 100 TB — q43's exact form)."""
+    from batch_process_spark.operators.sketches import (
+        dd_bucket_table,
+        dd_quantile_readout,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     cents = li.select(F.col("l_returnflag").alias("flag"), c.alias("c"))
-    bk = (
-        cents.selectExpr(
-            "flag",
-            "length(bin(c)) AS b",
-            "c >> greatest(length(bin(c)) - 5, 0) AS high",
-        )
-        .groupBy("flag", "b", "high")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    from pyspark.sql import Window
-
-    w_cum = Window.partitionBy("flag").orderBy("b", "high")
-    w_all = Window.partitionBy("flag")
-    cum = bk.select(
-        "flag",
-        "b",
-        "high",
-        "cnt",
-        F.expr("high << greatest(b - 5, 0)").alias("rep"),
-        F.sum("cnt").over(w_cum).alias("cs"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-
-    def pick(pct: int):
-        r = F.expr(f"(n * {pct} + 99) div 100")
-        return F.min(F.when(F.col("cs") >= r, F.col("rep"))).cast("long")
-
-    est = cum.groupBy("flag").agg(
-        F.max("n").cast("long").alias("n_rows"),
-        pick(50).alias("est_p50_cents"),
-        pick(90).alias("est_p90_cents"),
-        pick(99).alias("est_p99_cents"),
+    buckets = dd_bucket_table(cents, "c", ["flag"])
+    est = (
+        dd_quantile_readout(buckets, ["flag"], [50, 90, 99])
+        .withColumnRenamed("p50", "est_p50_cents")
+        .withColumnRenamed("p90", "est_p90_cents")
+        .withColumnRenamed("p99", "est_p99_cents")
     )
     ex = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         (F.expr("percentile(l_extendedprice, 0.5)") * 100).alias("e50"),
@@ -944,24 +925,64 @@ def q135_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q136: table profiling — the unpivot + sketch pass a 100 TB intake runs
 # ---------------------------------------------------------------------------
 
-# (column, canonical-expression) pairs for the orders table: integers
-# cast to strings (identical formatting both engines), doubles
-# quantized to integer cents FIRST (raw double->string formatting is
+# ONE list of (column, duckdb-expr, spark-expr) triples for the orders
+# table — both engines' unpivots derive from it, so names, order, and
+# canonicalization cannot drift. Canonical forms: integers cast to
+# strings (identical formatting both engines), doubles quantized to
+# integer cents FIRST (raw double->string formatting is
 # engine-defined), timestamps via the verified '%Y-%m-%d %H:%M:%S'
 # rendering, strings as-is.
-_PROFILE_COLS_DUCK = [
-    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
-    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
-    ("o_orderstatus", "o_orderstatus"),
-    ("o_totalprice", "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)"),
-    ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
-    ("o_orderpriority", "o_orderpriority"),
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    (
+        "o_totalprice",
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)",
+    ),
+    (
+        "o_orderdate",
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+    ),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
 ]
 
 _DUCK_PROFILE_UNPIVOT = " UNION ALL ".join(
-    f"SELECT '{name}' AS scope, {expr} AS key FROM orders"
-    for name, expr in _PROFILE_COLS_DUCK
+    f"SELECT '{name}' AS scope, {duck} AS key FROM orders"
+    for name, duck, _ in _PROFILE_COLS
 )
+
+
+def profile_frame(unpivoted: DataFrame) -> DataFrame:
+    """Assemble the profile from an unpivoted (scope, key) frame:
+    per-column row/null counts LEFT-joined with the HLL cardinality
+    estimate and the exact validation count — LEFT so an all-NULL
+    column (exactly the data-quality case a profile exists to flag)
+    keeps its stats row with distinct counts of 0 instead of silently
+    vanishing through an inner join."""
+    u = _memoized_persist(unpivoted)
+    stats = u.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("key").isNull().cast("long")).alias("n_nulls"),
+    )
+    nn = u.filter(F.col("key").isNotNull())
+    est = hll_estimate(
+        hll_register_table(nn, "key", ["scope"], p=_HLL_P), ["scope"], p=_HLL_P
+    ).withColumnRenamed("hll_estimate", "approx_distinct")
+    exact = nn.groupBy("scope").agg(F.count_distinct("key").alias("exact_distinct"))
+    return (
+        stats.join(est, "scope", "left")
+        .join(exact, "scope", "left")
+        .select(
+            F.col("scope").alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            F.coalesce("approx_distinct", F.lit(0).cast("long")).alias("approx_distinct"),
+            F.coalesce("exact_distinct", F.lit(0).cast("long")).alias("exact_distinct"),
+        )
+    )
 
 
 @_q(
@@ -979,57 +1000,33 @@ _DUCK_PROFILE_UNPIVOT = " UNION ALL ".join(
     ), exact AS (
       SELECT scope, CAST(count(DISTINCT key) AS BIGINT) AS exact_distinct FROM k GROUP BY scope
     )
-    SELECT stats.scope AS col_name, n_rows, n_nulls, approx_distinct, exact_distinct
-    FROM stats JOIN est ON est.scope = stats.scope
-    JOIN exact ON exact.scope = stats.scope
+    SELECT stats.scope AS col_name, n_rows, n_nulls,
+           COALESCE(approx_distinct, 0) AS approx_distinct,
+           COALESCE(exact_distinct, 0) AS exact_distinct
+    FROM stats
+    LEFT JOIN est ON est.scope = stats.scope
+    LEFT JOIN exact ON exact.scope = stats.scope
     """,
 )
 def q136_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling — the intake pass a 100 TB pipeline runs before
     touching new data: per-column row/null counts and distinct-
-    cardinality estimates, in ONE scan. The table unpivots into
-    (column, canonical value) rows map-side (stack — no join, no extra
-    scan per column), nulls aggregate per column, and the SAME HLL
-    register machinery as q127 sketches every column's cardinality at
-    once (columns x 256 register rows total). Canonical forms make the
-    hashes engine-portable: integers/strings verbatim, doubles
-    quantized to integer cents (raw double→string formatting is
-    engine-defined), timestamps via the verified UTC rendering. The
-    exact_distinct column is validation-only — per-column COUNT
-    (DISTINCT) is precisely the multi-shuffle pass the profile
-    replaces."""
+    cardinality estimates, in ONE scan (the unpivot is stack — a
+    map-side Generate — and is persisted so the three aggregate
+    branches read the materialized frame instead of re-scanning).
+    Nulls aggregate per column; the SAME HLL register machinery as
+    q127 sketches every column's cardinality at once (columns x 256
+    register rows total). Canonical forms make the hashes
+    engine-portable: integers/strings verbatim, doubles quantized to
+    integer cents (raw double→string formatting is engine-defined),
+    timestamps via the verified UTC rendering; both engines' unpivots
+    derive from the single _PROFILE_COLS spec. The exact_distinct
+    column is validation-only — per-column COUNT(DISTINCT) is
+    precisely the multi-shuffle pass the profile replaces."""
     orders = _t(spark, sf_dir, "orders")
-    pairs = [
-        ("o_orderkey", "CAST(o_orderkey AS STRING)"),
-        ("o_custkey", "CAST(o_custkey AS STRING)"),
-        ("o_orderstatus", "o_orderstatus"),
-        ("o_totalprice", "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
-        ("o_orderdate", "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')"),
-        ("o_orderpriority", "o_orderpriority"),
-    ]
-    stack_args = ", ".join(f"'{name}', {expr}" for name, expr in pairs)
-    u = orders.selectExpr(f"stack({len(pairs)}, {stack_args}) AS (scope, key)")
-
-    stats = u.groupBy("scope").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("key").isNull().cast("long")).alias("n_nulls"),
-    )
-    nn = u.filter(F.col("key").isNotNull())
-    est = hll_estimate(
-        hll_register_table(nn, "key", ["scope"], p=_HLL_P), ["scope"], p=_HLL_P
-    ).withColumnRenamed("hll_estimate", "approx_distinct")
-    exact = nn.groupBy("scope").agg(F.count_distinct("key").alias("exact_distinct"))
-    return (
-        stats.join(est, "scope")
-        .join(exact, "scope")
-        .select(
-            F.col("scope").alias("col_name"),
-            "n_rows",
-            "n_nulls",
-            "approx_distinct",
-            "exact_distinct",
-        )
-    )
+    stack_args = ", ".join(f"'{name}', {sp}" for name, _, sp in _PROFILE_COLS)
+    u = orders.selectExpr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (scope, key)")
+    return profile_frame(u)
 
 
 # ---------------------------------------------------------------------------

@@ -217,31 +217,16 @@ def main():
         # bounded rows, constant B/row — where the exact percentile is
         # a per-group sort of the data.
         def dd_quantiles():
-            from pyspark.sql import Window
+            from batch_process_spark.operators.sketches import (
+                dd_bucket_table,
+                dd_quantile_readout,
+            )
 
             vals = docs.select(
                 (F.col("doc_id") % 20).alias("grp"), F.length("text").alias("c")
             )
-            bkq = (
-                vals.selectExpr(
-                    "grp",
-                    "length(bin(c)) AS b",
-                    "c >> greatest(length(bin(c)) - 5, 0) AS high",
-                )
-                .groupBy("grp", "b", "high")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-            )
-            w_cum = Window.partitionBy("grp").orderBy("b", "high")
-            w_all = Window.partitionBy("grp")
-            cum = bkq.select(
-                "grp",
-                F.expr("high << greatest(b - 5, 0)").alias("rep"),
-                F.sum("cnt").over(w_cum).alias("cs"),
-                F.sum("cnt").over(w_all).alias("n"),
-            )
-            return cum.groupBy("grp").agg(
-                F.min(F.when(F.col("cs") >= F.expr("(n * 50 + 99) div 100"), F.col("rep"))).alias("p50"),
-                F.min(F.when(F.col("cs") >= F.expr("(n * 99 + 99) div 100"), F.col("rep"))).alias("p99"),
+            return dd_quantile_readout(
+                dd_bucket_table(vals, "c", ["grp"]), ["grp"], [50, 99]
             )
 
         gc()

@@ -1,4 +1,4 @@
-"""Semantics tests for the part-9 query catalog (q127-q135): the
+"""Semantics tests for the part-9 query catalog (q127-q136): the
 engine-portable sketches and fuzzy matching. Each query is hash-checked
 vs DuckDB by selfcheck/the driver; these tests pin the PROPERTIES the
 hash can't see — sketch error bounds, one-sided estimates, no false
@@ -413,3 +413,31 @@ def test_q136_profile_sanity(spark):
         assert rel < 5 * 1.04 / math.sqrt(256), (r["col_name"], rel)
         if r["exact_distinct"] <= 10:
             assert r["approx_distinct"] == r["exact_distinct"], r["col_name"]
+
+
+def test_profile_frame_keeps_all_null_column(spark):
+    """The data-quality case a profile exists for: a column whose every
+    value is NULL must keep its stats row (n_nulls = n_rows,
+    distinct counts 0) — not vanish through an inner join — and
+    partial nulls must count exactly."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.queries_ext8 import profile_frame
+
+    rows = (
+        [("all_null", None)] * 5
+        + [("half_null", None)] * 3
+        + [("half_null", "x"), ("half_null", "y")]
+        + [("dense", str(i)) for i in range(5)]
+    )
+    u = spark.createDataFrame(rows, "scope string, key string")
+    got = {r["col_name"]: r for r in profile_frame(u).collect()}
+
+    assert set(got) == {"all_null", "half_null", "dense"}
+    an = got["all_null"]
+    assert (an["n_rows"], an["n_nulls"], an["approx_distinct"], an["exact_distinct"]) == (5, 5, 0, 0)
+    hn = got["half_null"]
+    assert (hn["n_rows"], hn["n_nulls"], hn["exact_distinct"]) == (5, 3, 2)
+    assert hn["approx_distinct"] == 2  # LC on a near-empty register set is exact
+    dn = got["dense"]
+    assert (dn["n_rows"], dn["n_nulls"], dn["exact_distinct"]) == (5, 0, 5)
