@@ -1,0 +1,174 @@
+"""Query catalog part 10 (q137-q138): time-series resampling — the
+hypertable surface (gap filling over a generated date spine, and
+multi-grain calendar rollups in one pass).
+
+Determinism discipline matches the rest of the catalog: values
+quantized to integer cents before any aggregation, calendar points
+rendered as '2024-01-01' strings (DATE dtypes reach pandas differently
+per engine), and LOCF implemented by the
+gap-group rewrite (monotone MAX windows) rather than
+last_value(... IGNORE NULLS) — the rewrite is tie-free by construction
+and identical in any engine with partitioned windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_process_spark.queries import _q, _t
+
+# ---------------------------------------------------------------------------
+# q137: gap filling over a per-user date spine with LOCF carry-forward
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q137_gap_fill_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS min_d, max(day) AS max_d FROM daily GROUP BY 1)
+    ), joined AS (
+      SELECT s.user_id, s.day, d.cents,
+             CASE WHEN d.cents IS NOT NULL THEN 1 ELSE 0 END AS active
+      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ), grouped AS (
+      SELECT *, max(CASE WHEN active = 1 THEN day END)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active_day
+      FROM joined
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           CAST(active AS BIGINT) AS active,
+           CAST(COALESCE(cents, 0) AS BIGINT) AS day_cents,
+           CAST(max(CASE WHEN active = 1 THEN cents END)
+                  OVER (PARTITION BY user_id, last_active_day) AS BIGINT) AS locf_cents,
+           CAST(datediff('day', last_active_day, day) AS BIGINT) AS days_since_last
+    FROM grouped
+    """,
+)
+def q137_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling / resampling — the hypertable staple: per-user daily
+    totals re-sampled onto a dense date spine (sequence() exploded from
+    each user's [min, max] day — generated, never scanned), missing
+    days carried forward. LOCF uses the GAP-GROUP rewrite: a monotone
+    MAX window assigns every day its most recent active day, and the
+    carried value is a per-(user, gap-group) MAX over the single
+    active row — no last_value(IGNORE NULLS) (tie semantics are
+    engine-defined; the rewrite is tie-free by construction). Shuffle
+    shape: one exchange on user_id serves the daily rollup, the spine
+    join, and both windows — everything is co-partitioned after the
+    first hash. The user_id < 30 cut keeps the compared result compact;
+    the plan is cut-independent."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("min_d"), F.max("day").alias("max_d"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(min_d, max_d, interval 1 day)")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "cents",
+        F.col("cents").isNotNull().cast("int").alias("active"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = joined.withColumn(
+        "last_active_day", F.max(F.when(F.col("active") == 1, F.col("day"))).over(w_cum)
+    )
+    w_gap = Window.partitionBy("user_id", "last_active_day")
+    return grouped.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.col("active").cast("long").alias("active"),
+        F.coalesce("cents", F.lit(0)).cast("long").alias("day_cents"),
+        F.max(F.when(F.col("active") == 1, F.col("cents")))
+        .over(w_gap)
+        .cast("long")
+        .alias("locf_cents"),
+        F.datediff("day", "last_active_day").cast("long").alias("days_since_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138: multi-grain calendar rollup (day/week/month) in ONE pass
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q138_calendar_rollup",
+    """
+    WITH g AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(date_trunc('week', ts) AS DATE) AS w,
+             CAST(date_trunc('month', ts) AS DATE) AS m,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT 'day' AS grain, CAST(d AS VARCHAR) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM g GROUP BY d
+    UNION ALL
+    SELECT 'week', CAST(w AS VARCHAR), CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM g GROUP BY w
+    UNION ALL
+    SELECT 'month', CAST(m AS VARCHAR), CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM g GROUP BY m
+    """,
+)
+def q138_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain calendar rollup — the continuous-aggregate /
+    hypertable-rollup shape: purchase counts and totals at day, week,
+    AND month grains from ONE scan via GROUPING SETS (the oracle
+    restates it as three GROUP BYs; Spark's expand produces identical
+    groups). Spark's grouping-sets expand multiplies rows by the number
+    of grains BEFORE the exchange, but partial aggregation collapses
+    them map-side to <= distinct-buckets fragments — the shuffle
+    carries the rollup, not the events. Week/month truncation verified
+    identical in both engines (Monday-start weeks); buckets rendered as
+    '2024-01-01' strings (DATE dtypes reach pandas differently per
+    engine)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.date_trunc("week", "ts").cast("date").alias("w"),
+        F.date_trunc("month", "ts").cast("date").alias("m"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    # grouping() (not isNotNull) picks the grain: a hypothetical NULL
+    # ts would null all three buckets, and isNotNull would misfile its
+    # day-grain row as 'month'.
+    rolled = g.groupingSets([["d"], ["w"], ["m"]], "d", "w", "m").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.grouping("d").alias("__gd"),
+        F.grouping("w").alias("__gw"),
+    )
+    grain = (
+        F.when(F.col("__gd") == 0, F.lit("day"))
+        .when(F.col("__gw") == 0, F.lit("week"))
+        .otherwise(F.lit("month"))
+    )
+    bucket = F.coalesce("d", "w", "m")
+    return rolled.select(
+        grain.alias("grain"),
+        bucket.cast("string").alias("bucket_start"),
+        "n_events",
+        "total_cents",
+    )

@@ -1,0 +1,64 @@
+"""Semantics tests for the part-10 query catalog (q137-q138):
+time-series resampling. Oracle hash-matching covers values; these pin
+the structural properties — dense spines, carry-forward correctness,
+cross-grain conservation."""
+
+from datetime import date, timedelta
+
+from batch_process_spark.queries import QUERIES, _t
+import batch_process_spark.queries_ext9  # noqa: F401  (registers q137+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q137_spine_is_dense_and_locf_correct(spark):
+    """Per user: days form a contiguous range (no holes, no dups —
+    the defining gap-fill property), days_since_last == 0 exactly on
+    active days, and the carried value equals a pure-Python forward
+    fill over the same rows."""
+    rows = QUERIES["q137_gap_fill_daily"](spark, SF).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps_seen = False
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        days = [date.fromisoformat(r["day"]) for r in rs]
+        assert days == [days[0] + timedelta(days=i) for i in range(len(days))], uid
+        carried = None
+        last_active = None
+        for r, d in zip(rs, days):
+            assert (r["days_since_last"] == 0) == (r["active"] == 1)
+            if r["active"] == 1:
+                assert r["day_cents"] > 0
+                carried, last_active = r["day_cents"], d
+            else:
+                gaps_seen = True
+                assert r["day_cents"] == 0
+            assert r["locf_cents"] == carried, (uid, r["day"])
+            assert r["days_since_last"] == (d - last_active).days
+    assert gaps_seen, "fixture produced no gaps — the fill path is unexercised"
+
+
+def test_q138_grains_conserve_totals(spark):
+    """Every grain partitions the same events: counts and cent totals
+    must be identical across day, week, and month rollups, and week
+    buckets must be Mondays / month buckets firsts-of-month."""
+    rows = QUERIES["q138_calendar_rollup"](spark, SF).collect()
+    by_grain: dict = {}
+    for r in rows:
+        g = by_grain.setdefault(r["grain"], {"n": 0, "cents": 0, "buckets": []})
+        g["n"] += r["n_events"]
+        g["cents"] += r["total_cents"]
+        g["buckets"].append(r["bucket_start"])
+    assert set(by_grain) == {"day", "week", "month"}
+    totals = {(g["n"], g["cents"]) for g in by_grain.values()}
+    assert len(totals) == 1, "grains disagree on the underlying events"
+    for b in by_grain["week"]["buckets"]:
+        assert date.fromisoformat(b[:10]).weekday() == 0, b  # Monday
+    for b in by_grain["month"]["buckets"]:
+        assert b[8:10] == "01", b
+    assert len(by_grain["day"]["buckets"]) >= len(by_grain["week"]["buckets"]) >= len(
+        by_grain["month"]["buckets"]
+    )
