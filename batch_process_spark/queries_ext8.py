@@ -36,12 +36,12 @@ from batch_process_spark.operators.sketches import (
 from batch_process_spark.queries import _q, _t
 
 # Plan-keyed memo of persisted sketch-input frames — q128's bigram
-# counts and q136's unpivoted profile rows each feed several aggregate
-# branches; without a persist each branch re-scans the corpus. Bounded
-# (vocab-/table-sized) and released by invalidate_tables after
-# mid-session file rewrites. max_entries sized for both queries at two
-# sf_dirs without thrashing.
-_SKETCH_MEMO = PersistMemo(max_entries=4)
+# counts, q136's unpivoted profile rows, and q137's daily rollup each
+# feed several aggregate branches; without a persist each branch
+# re-scans the corpus. Bounded (vocab-/table-sized) and released by
+# invalidate_tables after mid-session file rewrites. max_entries sized
+# for the three callers at two sf_dirs without thrashing.
+_SKETCH_MEMO = PersistMemo(max_entries=6)
 
 
 def release_sketch_caches() -> None:

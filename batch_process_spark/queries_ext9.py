@@ -61,13 +61,16 @@ def q137_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried value is a per-(user, gap-group) MAX over the single
     active row — no last_value(IGNORE NULLS) (tie semantics are
     engine-defined; the rewrite is tie-free by construction). Shuffle
-    shape: one exchange on user_id serves the daily rollup, the spine
-    join, and both windows — everything is co-partitioned after the
-    first hash. The user_id < 30 cut keeps the compared result compact;
-    the plan is cut-independent."""
+    shape: events is scanned ONCE into the persisted daily rollup (one
+    (user, day) exchange); the spine min/max and the fill join both
+    read that materialized frame — nothing re-touches the raw events.
+    The user_id < 30 cut keeps the compared result compact; the plan
+    is cut-independent."""
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
     ev = _t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    daily = (
+    daily = _memoized_persist(
         ev.filter(F.col("user_id") < 30)
         .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(F.sum(cents).alias("cents"))

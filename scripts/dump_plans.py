@@ -55,6 +55,8 @@ NOTES = {
     "q133_kmv_intersection": "two PARTITIONED windows (per-type top-k, per-pair merge rank) over <=k-row sketches — no unpartitioned window, no data-level pair join; the distinct-hash shuffle is the only corpus-sized stage",
     "q135_ddsketch_quantiles": "bucket counts partial-agg to <=64x16 rows per group; the quantile readout windows walk THAT table, never the data — the per-group sort exact percentiles need no longer exists",
     "q136_table_profile": "ONE scan: stack unpivot is a map-side Generate; null counts and every column's HLL registers ride the same shuffle granularity (columns x 256 rows) — no per-column scan, no per-column distinct shuffle except the validation column",
+    "q137_gap_fill_daily": "events scanned ONCE into the persisted daily rollup; the spine min/max and the fill join read that materialized frame (the spine itself is sequence()-generated, never scanned)",
+    "q138_calendar_rollup": "three grains from one scan: the grouping-sets expand triples rows map-side but partial agg collapses them to <= distinct-buckets fragments before the single exchange",
 }
 
 
