@@ -1,6 +1,7 @@
-"""Query catalog part 10 (q137-q138): time-series resampling — the
-hypertable surface (gap filling over a generated date spine, and
-multi-grain calendar rollups in one pass).
+"""Query catalog part 10 (q137-q139): time-series resampling — the
+hypertable surface (gap filling over a generated date spine,
+multi-grain calendar rollups in one pass) — plus weighted PageRank,
+completing the graph-algorithm set (components q79, k-means q103).
 
 Determinism discipline matches the rest of the catalog: values
 quantized to integer cents before any aggregation, calendar points
@@ -175,3 +176,99 @@ def q138_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# q139: weighted PageRank over the nation trade graph (pure integers)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # ranks in micro-units
+_PR_ITERS = 3
+
+
+def _duck_pr_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration: integer edge contributions
+    (r_src * w) // out_src summed per dst, then damped in pure integer
+    arithmetic — no doubles anywhere, so the iteration is order- and
+    engine-independent."""
+    return f"""
+      SELECT e.dst AS nation,
+             {_PR_SCALE * 15 // 100 // 25} + (sum((r.rank_micro * e.w) // e.out_w) * 85) // 100 AS rank_micro
+      FROM e JOIN {prev} r ON r.nation = e.src
+      GROUP BY e.dst"""
+
+
+@_q(
+    "q139_pagerank_trade",
+    f"""
+    WITH raw AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS w
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS out_w FROM raw
+    ), r0 AS (
+      SELECT n_name AS nation, CAST({_PR_SCALE} // 25 AS BIGINT) AS rank_micro FROM nation
+    ), r1 AS ({_duck_pr_iter("r0", "e")}
+    ), r2 AS ({_duck_pr_iter("r1", "e")}
+    ), r3 AS ({_duck_pr_iter("r2", "e")})
+    SELECT nation, CAST(rank_micro AS BIGINT) AS rank_micro FROM r3
+    """,
+)
+def q139_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 iterations) over the nation
+    trade graph: supplier-nation -> customer-nation edges weighted by
+    integer-cents revenue. The iterative-algorithm shape at scale: the
+    EDGE table partitions by src and never moves; each iteration ships
+    only the rank vector (nodes x 1 row, broadcast) back across it —
+    the classic Pregel-as-join rewrite. Every operation is INTEGER
+    (contributions (r*w) div out, damping (s*85) div 100 in micro-unit
+    ranks), so the fixpoint trajectory is bit-identical in any engine —
+    no float accumulation order to diverge on. Edge build: the q63-style
+    star join with broadcast dims; 625 edges for 25 nations here, but
+    the per-iteration shuffle is rank-vector-sized at any graph size."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+    )
+    edges = raw.withColumn(
+        "out_w", F.sum("w").over(Window.partitionBy("src"))
+    )
+
+    ranks = nation.select(
+        F.col("n_name").alias("nation"),
+        F.lit(_PR_SCALE // 25).cast("long").alias("rank_micro"),
+    )
+    base = _PR_SCALE * 15 // 100 // 25
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(
+            F.broadcast(ranks), edges.src == ranks.nation
+        ).select(
+            F.col("dst"),
+            F.expr("(rank_micro * w) div out_w").alias("c"),
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("nation")).agg(
+            (F.lit(base) + F.expr("(sum(c) * 85) div 100")).cast("long").alias("rank_micro")
+        )
+    return ranks

@@ -1,4 +1,4 @@
-"""Semantics tests for the part-10 query catalog (q137-q138):
+"""Semantics tests for the part-10 query catalog (q137-q139):
 time-series resampling. Oracle hash-matching covers values; these pin
 the structural properties — dense spines, carry-forward correctness,
 cross-grain conservation."""
@@ -64,3 +64,52 @@ def test_q138_grains_conserve_totals(spark):
     assert len(by_grain["day"]["buckets"]) >= len(by_grain["week"]["buckets"]) >= len(
         by_grain["month"]["buckets"]
     )
+
+
+def test_q139_matches_python_integer_pagerank(spark):
+    """Pure-Python recompute of the integer PageRank: identical edge
+    weights, identical (r*w)//out and (s*85)//100 arithmetic — the
+    distributed iterations must agree EXACTLY (there are no floats to
+    diverge on), and ranks must actually differentiate nations."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.queries import _t
+
+    got = {
+        r["nation"]: r["rank_micro"]
+        for r in QUERIES["q139_pagerank_trade"](spark, SF).collect()
+    }
+
+    li = _t(spark, SF, "lineitem")
+    orders = _t(spark, SF, "orders")
+    supp = _t(spark, SF, "supplier")
+    cust = _t(spark, SF, "customer")
+    nation = _t(spark, SF, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, supp.s_nationkey == F.col("s_nk"))
+        .join(n2, cust.c_nationkey == F.col("c_nk"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+        .collect()
+    )
+    out: dict = {}
+    for e in edges:
+        out[e["src"]] = out.get(e["src"], 0) + e["w"]
+    nations = sorted({r["n_name"] for r in nation.select("n_name").collect()})
+    ranks = {n: 1_000_000 // 25 for n in nations}
+    base = 1_000_000 * 15 // 100 // 25
+    for _ in range(3):
+        sums: dict = {}
+        for e in edges:
+            sums[e["dst"]] = sums.get(e["dst"], 0) + (ranks[e["src"]] * e["w"]) // out[e["src"]]
+        ranks = {n: base + (s * 85) // 100 for n, s in sums.items()}
+    assert got == ranks
+    assert len(set(got.values())) > 1, "ranks failed to differentiate nations"
