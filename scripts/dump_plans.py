@@ -57,6 +57,7 @@ NOTES = {
     "q136_table_profile": "ONE scan: stack unpivot is a map-side Generate; null counts and every column's HLL registers ride the same shuffle granularity (columns x 256 rows) — no per-column scan, no per-column distinct shuffle except the validation column",
     "q137_gap_fill_daily": "events scanned ONCE into the persisted daily rollup; the spine min/max and the fill join read that materialized frame (the spine itself is sequence()-generated, never scanned)",
     "q138_calendar_rollup": "three grains from one scan: the grouping-sets expand triples rows map-side but partial agg collapses them to <= distinct-buckets fragments before the single exchange",
+    "q139_pagerank_trade": "Pregel-as-join: the edge build is the q63-style all-broadcast star join; each of the 3 iterations broadcasts only the 25-row rank vector back across the edges — per-iteration shuffle is rank-vector-sized at any graph size",
 }
 
 
