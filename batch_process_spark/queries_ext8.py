@@ -1036,6 +1036,50 @@ def q136_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZ_D = 2  # max edit distance; block size d+1 keeps blocking lossless
 
 
+def blocked_fuzzy_pairs(
+    names: DataFrame, name_col: str = "p_name", d: int = _FUZZ_D
+) -> DataFrame:
+    """(name_a, name_b, dist) pairs within edit distance ``d`` over a
+    name dictionary, via LOSSLESS length banding: with block =
+    len div (d+1), |len_a - len_b| <= d forces blocks to differ by at
+    most 1, so replicating one side into its 3 neighbor blocks and
+    equi-joining on block covers every qualifying pair exactly once
+    (probe block = build block + offset is unique per pair). The
+    O(dict^2) explosion of a naive similarity join never happens.
+    Extra columns on ``names`` ride through suffixed _a/_b."""
+    blk = F.floor(F.length(name_col) / (d + 1)).cast("long")
+    others = [c for c in names.columns if c != name_col]
+
+    probe = names.select(
+        F.col(name_col).alias("name_a"),
+        *[F.col(c).alias(f"{c}_a") for c in others],
+        blk.alias("blk"),
+    )
+    build = names.select(
+        F.col(name_col).alias("name_b"),
+        *[F.col(c).alias(f"{c}_b") for c in others],
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("__off"),
+        blk.alias("__b"),
+    ).select(
+        "name_b", *[f"{c}_b" for c in others], (F.col("__b") + F.col("__off")).alias("blk")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        probe.join(build, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= d)
+        .filter(dist <= d)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("dist"),
+            *[f"{c}_a" for c in others],
+            *[f"{c}_b" for c in others],
+        )
+    )
+
+
+
 @_q(
     "q130_fuzzy_name_join",
     f"""
@@ -1053,44 +1097,12 @@ def q130_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-join: part-name pairs within edit distance 2. The
     dictionary pattern for string similarity at scale: dedupe the value
     column first (the 2000-part fixture has 64 distinct names; real
-    corpora compress similarly), join the tiny dictionary, map back via
-    the per-name counts. Blocking is LOSSLESS length banding — with
-    block = len div (d+1), |len_a - len_b| <= d forces blocks to differ
-    by at most 1, so replicating one side into its 3 neighbor blocks
-    and equi-joining on block covers every qualifying pair exactly once
-    (probe block = build block + offset is unique per pair). The
-    O(dict^2) explosion of a naive similarity join never happens; the
-    oracle is the INDEPENDENT brute-force formulation."""
+    corpora compress similarly), join the tiny dictionary via the
+    lossless length-banded ``blocked_fuzzy_pairs``, map back via the
+    per-name counts. The oracle is the INDEPENDENT brute-force
+    formulation."""
     parts = _t(spark, sf_dir, "part")
     names = parts.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
-    blk = F.floor(F.length("p_name") / (_FUZZ_D + 1)).cast("long")
-
-    probe = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("n_parts").alias("n_parts_a"),
-        blk.alias("blk"),
-    )
-    build = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("n_parts").alias("n_parts_b"),
-        F.explode(
-            F.array(F.lit(-1), F.lit(0), F.lit(1))
-        ).alias("__off"),
-        blk.alias("__b"),
-    ).select(
-        "name_b", "n_parts_b", (F.col("__b") + F.col("__off")).alias("blk")
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    return (
-        probe.join(build, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZ_D)
-        .filter(dist <= _FUZZ_D)
-        .select(
-            "name_a",
-            "name_b",
-            dist.cast("long").alias("dist"),
-            "n_parts_a",
-            "n_parts_b",
-        )
+    return blocked_fuzzy_pairs(names).select(
+        "name_a", "name_b", "dist", "n_parts_a", "n_parts_b"
     )

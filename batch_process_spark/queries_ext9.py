@@ -1,4 +1,4 @@
-"""Query catalog part 10 (q137-q139): time-series resampling — the
+"""Query catalog part 10 (q137-q140): time-series resampling — the
 hypertable surface (gap filling over a generated date spine,
 multi-grain calendar rollups in one pass) — plus weighted PageRank,
 completing the graph-algorithm set (components q79, k-means q103).
@@ -272,3 +272,72 @@ def q139_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(base) + F.expr("(sum(c) * 85) div 100")).cast("long").alias("rank_micro")
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# q140: entity resolution end-to-end (fuzzy pairs -> components -> canonical)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q140_entity_resolution",
+    """
+    WITH RECURSIVE n AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM part GROUP BY 1
+    ), prs AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM n a JOIN n b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+      SELECT na AS src, nb AS dst FROM prs UNION SELECT nb, na FROM prs
+    ), reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    ), cc AS (
+      SELECT src AS nm, min(node) AS canonical FROM reach GROUP BY 1
+    ), asgn AS (
+      SELECT n.p_name, n.n_parts, n.cents,
+             COALESCE(cc.canonical, n.p_name) AS canonical
+      FROM n LEFT JOIN cc ON cc.nm = n.p_name
+    )
+    SELECT canonical AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n_parts) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS retail_cents
+    FROM asgn GROUP BY 1
+    """,
+)
+def q140_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the composition the fuzzy-match
+    machinery exists for: blocked edit-distance pairs (q130's lossless
+    length banding) -> connected components (q79's machinery — a-b and
+    b-c merge even though (a,c) was never a candidate) -> min-name
+    canonical election -> facts re-keyed to the resolved entity.
+    Singleton names (no fuzzy neighbor) stay their own canonical via
+    the LEFT join. Every stage is dictionary-sized after the first
+    rollup; the part table itself is touched once. Oracle: recursive-
+    CTE transitive closure over the INDEPENDENT brute-force pair
+    formulation."""
+    from batch_process_spark.operators.graph import connected_components
+    from batch_process_spark.queries_ext8 import blocked_fuzzy_pairs
+
+    parts = _t(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    names = parts.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum(cents).alias("cents")
+    )
+    pairs = blocked_fuzzy_pairs(names.select("p_name"))
+    cc = connected_components(pairs, "name_a", "name_b")
+    asgn = names.join(cc, names.p_name == cc.node, "left").select(
+        F.coalesce("component", "p_name").alias("canonical_name"),
+        "n_parts",
+        "cents",
+    )
+    return asgn.groupBy("canonical_name").agg(
+        F.count(F.lit(1)).alias("n_names"),
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("retail_cents"),
+    )
