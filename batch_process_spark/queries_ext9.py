@@ -186,16 +186,22 @@ _PR_SCALE = 1_000_000  # ranks in micro-units
 _PR_ITERS = 3
 
 
-def _duck_pr_iter(prev: str, out: str) -> str:
+def _duck_pr_iter(prev: str) -> str:
     """One unrolled PageRank iteration: integer edge contributions
     (r_src * w) // out_src summed per dst, then damped in pure integer
     arithmetic — no doubles anywhere, so the iteration is order- and
-    engine-independent."""
+    engine-independent. LEFT-joins from the full node list so a node
+    with no inbound edge keeps its teleport-base rank instead of
+    silently vanishing (and keeps contributing on later iterations)."""
     return f"""
-      SELECT e.dst AS nation,
-             {_PR_SCALE * 15 // 100 // 25} + (sum((r.rank_micro * e.w) // e.out_w) * 85) // 100 AS rank_micro
-      FROM e JOIN {prev} r ON r.nation = e.src
-      GROUP BY e.dst"""
+      SELECT nodes.nation,
+             (150000 // (SELECT count(*) FROM nation))
+               + (COALESCE(s.c, 0) * 85) // 100 AS rank_micro
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS nation, sum((r.rank_micro * e.w) // e.out_w) AS c
+        FROM e JOIN {prev} r ON r.nation = e.src
+        GROUP BY e.dst
+      ) s ON s.nation = nodes.nation"""
 
 
 @_q(
@@ -213,11 +219,13 @@ def _duck_pr_iter(prev: str, out: str) -> str:
       GROUP BY 1, 2
     ), e AS (
       SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS out_w FROM raw
+    ), nodes AS (SELECT n_name AS nation FROM nation
     ), r0 AS (
-      SELECT n_name AS nation, CAST({_PR_SCALE} // 25 AS BIGINT) AS rank_micro FROM nation
-    ), r1 AS ({_duck_pr_iter("r0", "e")}
-    ), r2 AS ({_duck_pr_iter("r1", "e")}
-    ), r3 AS ({_duck_pr_iter("r2", "e")})
+      SELECT nation, CAST({_PR_SCALE} // (SELECT count(*) FROM nation) AS BIGINT) AS rank_micro
+      FROM nodes
+    ), r1 AS ({_duck_pr_iter("r0")}
+    ), r2 AS ({_duck_pr_iter("r1")}
+    ), r3 AS ({_duck_pr_iter("r2")})
     SELECT nation, CAST(rank_micro AS BIGINT) AS rank_micro FROM r3
     """,
 )
@@ -243,6 +251,8 @@ def q139_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("long")
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
     raw = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -252,15 +262,21 @@ def q139_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.sum(cents).alias("w"))
     )
-    edges = raw.withColumn(
-        "out_w", F.sum("w").over(Window.partitionBy("src"))
+    # persisted: the 3 unrolled iterations each reference the edge
+    # frame — without it the 5-way star join re-executes per iteration
+    edges = _memoized_persist(
+        raw.withColumn("out_w", F.sum("w").over(Window.partitionBy("src")))
     )
 
-    ranks = nation.select(
-        F.col("n_name").alias("nation"),
-        F.lit(_PR_SCALE // 25).cast("long").alias("rank_micro"),
+    # N derived from the node table (a tiny plan-time count), never a
+    # magic constant — initial mass and teleport base scale with the
+    # actual graph
+    n_nodes = nation.count()
+    nodes = nation.select(F.col("n_name").alias("nation"))
+    ranks = nodes.select(
+        "nation", F.lit(_PR_SCALE // n_nodes).cast("long").alias("rank_micro")
     )
-    base = _PR_SCALE * 15 // 100 // 25
+    base = _PR_SCALE * 15 // 100 // n_nodes
     for _ in range(_PR_ITERS):
         contrib = edges.join(
             F.broadcast(ranks), edges.src == ranks.nation
@@ -268,8 +284,16 @@ def q139_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst"),
             F.expr("(rank_micro * w) div out_w").alias("c"),
         )
-        ranks = contrib.groupBy(F.col("dst").alias("nation")).agg(
-            (F.lit(base) + F.expr("(sum(c) * 85) div 100")).cast("long").alias("rank_micro")
+        sums = contrib.groupBy(F.col("dst").alias("nation")).agg(
+            F.sum("c").alias("s")
+        )
+        # LEFT from the node list: a node with no inbound edge keeps
+        # its teleport-base rank instead of vanishing from the vector
+        ranks = nodes.join(sums, "nation", "left").select(
+            "nation",
+            (F.lit(base) + F.expr("(coalesce(s, 0) * 85) div 100"))
+            .cast("long")
+            .alias("rank_micro"),
         )
     return ranks
 
@@ -322,12 +346,16 @@ def q140_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE transitive closure over the INDEPENDENT brute-force pair
     formulation."""
     from batch_process_spark.operators.graph import connected_components
-    from batch_process_spark.queries_ext8 import blocked_fuzzy_pairs
+    from batch_process_spark.queries_ext8 import _memoized_persist, blocked_fuzzy_pairs
 
     parts = _t(spark, sf_dir, "part")
     cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
-    names = parts.groupBy("p_name").agg(
-        F.count(F.lit(1)).alias("n_parts"), F.sum(cents).alias("cents")
+    # persisted: the dictionary feeds the pair probe, the pair build,
+    # and the final re-key join — one part scan, three readers
+    names = _memoized_persist(
+        parts.groupBy("p_name").agg(
+            F.count(F.lit(1)).alias("n_parts"), F.sum(cents).alias("cents")
+        )
     )
     pairs = blocked_fuzzy_pairs(names.select("p_name"))
     cc = connected_components(pairs, "name_a", "name_b")

@@ -58,7 +58,7 @@ NOTES = {
     "q137_gap_fill_daily": "events scanned ONCE into the persisted daily rollup; the spine min/max and the fill join read that materialized frame (the spine itself is sequence()-generated, never scanned)",
     "q138_calendar_rollup": "three grains from one scan: the grouping-sets expand triples rows map-side but partial agg collapses them to <= distinct-buckets fragments before the single exchange",
     "q139_pagerank_trade": "Pregel-as-join: the edge build is the q63-style all-broadcast star join; each of the 3 iterations broadcasts only the 25-row rank vector back across the edges — per-iteration shuffle is rank-vector-sized at any graph size",
-    "q140_entity_resolution": "the part table is scanned once into the name dictionary; fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows) — facts re-key via one join back",
+    "q140_entity_resolution": "the part table is scanned once into the PERSISTED name dictionary (pair probe, pair build, and the re-key join all read the materialized frame); fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows)",
 }
 
 

@@ -104,12 +104,13 @@ def test_q139_matches_python_integer_pagerank(spark):
     for e in edges:
         out[e["src"]] = out.get(e["src"], 0) + e["w"]
     nations = sorted({r["n_name"] for r in nation.select("n_name").collect()})
-    ranks = {n: 1_000_000 // 25 for n in nations}
-    base = 1_000_000 * 15 // 100 // 25
+    n_nodes = len(nations)
+    ranks = {n: 1_000_000 // n_nodes for n in nations}
+    base = 1_000_000 * 15 // 100 // n_nodes
     for _ in range(3):
-        sums: dict = {}
+        sums = {n: 0 for n in nations}  # no-inbound nodes keep base rank
         for e in edges:
-            sums[e["dst"]] = sums.get(e["dst"], 0) + (ranks[e["src"]] * e["w"]) // out[e["src"]]
+            sums[e["dst"]] += (ranks[e["src"]] * e["w"]) // out[e["src"]]
         ranks = {n: base + (s * 85) // 100 for n, s in sums.items()}
     assert got == ranks
     assert len(set(got.values())) > 1, "ranks failed to differentiate nations"
@@ -133,3 +134,25 @@ def test_q140_conserves_parts_and_elects_min_canonical(spark):
     assert sum(r["retail_cents"] for r in rows) == total_cents
     assert any(r["n_names"] > 1 for r in rows), "no fuzzy merges — vacuous"
     assert sum(r["n_names"] for r in rows) == parts.select("p_name").distinct().count()
+
+    # min-election recheck: if a canonical name had a SMALLER name
+    # within distance 2, that name is in the same component and the
+    # canonical could not be the minimum
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    all_names = sorted(r["p_name"] for r in parts.select("p_name").distinct().collect())
+    for r in rows:
+        c = r["canonical_name"]
+        for s in all_names:
+            if s >= c:
+                break
+            assert lev(s, c) > 2, (c, s, "canonical is not its component's minimum")
