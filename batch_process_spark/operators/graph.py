@@ -55,6 +55,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     strategy: str = "auto",
+    report: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the smallest node id in the component.
@@ -64,13 +65,24 @@ def connected_components(
     min-label propagation (unbounded scale, O(diameter) shuffle
     rounds), 'auto' = driver below the threshold else distributed.
     Raises if the distributed loop needs more than ``max_iter`` rounds.
+
+    ``report`` (optional dict): filled with probe telemetry —
+    ``{"strategy": <taken>, "rounds": <label-propagation rounds>}``
+    (rounds=0 on the driver path). The scale probe reads it; callers
+    that don't pass one pay nothing.
     """
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"strategy must be auto|driver|distributed, got {strategy!r}")
     spark = pairs.sparkSession
     p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
-    n_pairs = p.count()
+    # The pair count only arbitrates 'auto'; forcing 'distributed' must
+    # not pay a full count job (at real scale that is a whole extra
+    # pass over the pair stream before any useful work).
+    if strategy != "distributed":
+        n_pairs = p.count()
     if strategy == "driver" or (strategy == "auto" and n_pairs <= DRIVER_UF_MAX_PAIRS):
+        if report is not None:
+            report.update(strategy="driver", rounds=0)
         comp = _driver_union_find((r["src"], r["dst"]) for r in p.toLocalIterator())
         p.unpersist()
         id_type = dict(pairs.dtypes)[id_a]
@@ -93,8 +105,10 @@ def connected_components(
         edges.select("src").distinct().withColumn("component", F.col("src"))
         .localCheckpoint()
     )
+    if report is not None:
+        report.update(strategy="distributed", rounds=0)
     try:
-        for _ in range(max_iter):
+        for _round in range(1, max_iter + 1):
             nbr_min = (
                 edges.join(
                     labels.select(
@@ -123,6 +137,8 @@ def connected_components(
                 .count()
             )
             labels = new_labels
+            if report is not None:
+                report["rounds"] = _round
             if changed == 0:
                 return labels.select(F.col("src").alias("node"), "component")
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -8,10 +8,63 @@ coalesce. We expose that pattern plus the standard surface.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Default build-side size gate for ``gated_broadcast`` (bytes). 50 MB
+#: is ~5x Spark's own autoBroadcastJoinThreshold default — generous for
+#: a deliberate hint, still far below executor memory. Overridable via
+#: SPARK_GRAFT_BROADCAST_CAP_BYTES (tests force it low to exercise the
+#: shuffle fallback).
+BROADCAST_CAP_BYTES = 50 * 1024 * 1024
+
+
+def broadcast_cap_bytes() -> int:
+    return int(os.environ.get("SPARK_GRAFT_BROADCAST_CAP_BYTES", str(BROADCAST_CAP_BYTES)))
+
+
+def estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df``'s optimized plan — from plan
+    statistics only, NO job runs. For parquet scans this is file size
+    scaled by column pruning; joins multiply child sizes (size-only
+    estimator), so gate FK-join build sides on their INPUTS, not the
+    join output. Returns None when the probe isn't available (mocked
+    sessions, connect mode)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def gated_broadcast(df: DataFrame, *gate_on: DataFrame, cap_bytes: int | None = None):
+    """Broadcast ``df`` ONLY when plan stats say it is small; otherwise
+    return it hinted ``shuffle_hash`` so the join shuffles instead of
+    OOMing the executors. This is the scale-safe form of an explicit
+    ``F.broadcast``: the hint bypasses size-based planning, so a bare
+    broadcast of anything fact-derived (filtered orders, a pre-joined
+    composite) is a 100x-scale killer even when it wins at bench scale.
+
+    ``gate_on``: optional frames whose SUMMED estimates stand in for
+    ``df``'s. Needed when ``df`` is a join — the size-only estimator
+    multiplies child sizes, wildly overestimating FK equi-joins whose
+    output is bounded by the fact-side row count. Callers pass the join
+    inputs (sound proxy when each fact row matches at most one build
+    row). Unknown stats (None) fail SAFE to the shuffle path."""
+    cap = broadcast_cap_bytes() if cap_bytes is None else cap_bytes
+    probes = gate_on if gate_on else (df,)
+    total = 0
+    for p in probes:
+        est = estimated_bytes(p)
+        if est is None:
+            total = None
+            break
+        total += est
+    if total is not None and total <= cap:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
 
 
 def fold_dim_to_map(
@@ -29,6 +82,14 @@ def fold_dim_to_map(
     caller must fall back to a real broadcast join — when the dim
     exceeds ``max_rows`` or any key is NULL; duplicate keys raise
     (a fold would silently drop rows a join duplicates).
+
+    EAGER SNAPSHOT: the fold collects NOW (one tiny job at
+    plan-construction time) and bakes the dim's current contents into
+    the plan as literals. A plan held across a dim-table update serves
+    the stale snapshot — unlike the broadcast join it replaces, which
+    re-reads at execution. Callers that hold built plans must rebuild
+    after table changes (our ``queries()`` callables reconstruct the
+    plan on every call, so the catalog path is always fresh).
     """
     rows = dim.select(key_col, val_col).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
@@ -53,14 +114,26 @@ def map_literal(mapping: dict):
     return F.create_map(*args)
 
 
-def semi_join_to_inset(keys_df: DataFrame, key_col: str, max_keys: int = 100_000) -> list | None:
+def semi_join_to_inset(keys_df: DataFrame, key_col: str, max_keys: int = 10_000) -> list | None:
     """Collect the (bounded) distinct key set of a semi-join's build
     side so the caller can replace the join with ``col.isin(keys)`` —
     Catalyst compiles large IN-lists to InSet (O(1) hash probe), and the
     probe side pays zero broadcast-build jobs. Returns None (caller
     keeps the real semi join) past ``max_keys`` or if any key is NULL.
     Exact only when the caller needs no columns from the build side —
-    i.e. the join really is a semi join on a unique key set."""
+    i.e. the join really is a semi join on a unique key set.
+
+    ``max_keys`` bounds the literals BAKED INTO THE PLAN: every task
+    ships the set and explain() prints it, so the cap is a plan-size
+    budget (10k longs ~ 80 KB serialized), not an InSet probe-cost
+    limit.
+
+    EAGER SNAPSHOT: this runs a Spark job NOW (distinct scan of the
+    build side) and freezes the key set into the returned list. Plans
+    built from it do not see later updates to the underlying table —
+    rebuild the plan (our ``queries()`` callables reconstruct per call)
+    after any table change, or keep the real semi join when the build
+    side is mutable."""
     rows = keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
     if len(rows) > max_keys:
         return None
@@ -90,6 +163,10 @@ def enrich_labels(
     job. Larger dims broadcast-join — at 100 TB the fact side must
     never shuffle for a lookup table. Pass ``fold_max_rows=0`` to force
     the join path (e.g. when the dim has duplicate keys on purpose).
+
+    The fold path is an EAGER SNAPSHOT (see ``fold_dim_to_map``): it
+    reads the dim at plan-construction time, not execution time. Use
+    ``fold_max_rows=0`` when the dim mutates under held plans.
     """
     if default_col is not None:
         fallback = F.col(default_col)

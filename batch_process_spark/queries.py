@@ -138,8 +138,20 @@ def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Dat
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{target}".encode()
     ).hexdigest()[:16]
     path = os.path.join(_layout_dir(), f"{name}-{key}")
+    # Atomic publish: write to a staging dir and rename into place only
+    # on success — a partial write (disk full, interrupt) must never be
+    # served as if valid on a later retry. rename() on the same tmpfs
+    # is atomic; a racing writer losing the rename just leaves its
+    # staging dir for the atexit sweep.
     if not os.path.isdir(path):
-        df.repartition(target).write.mode("overwrite").parquet(path)
+        stage = f"{path}.staging-{os.getpid()}"
+        df.repartition(target).write.mode("overwrite").parquet(stage)
+        try:
+            os.rename(stage, path)
+        except OSError:  # concurrent publisher won; serve theirs
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -541,8 +541,12 @@ def q29_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure SEMI join (no customer columns survive), so it folds to an
     InSet filter on orders when the segment's key set is bounded
     (semi_join_to_inset; falls back to a broadcast semi join past the
-    cap) — one broadcast build job for orders', then lineitem (the
-    100 TB side) probes map-only and never shuffles for the join."""
+    cap). orders' is fact-DERIVED, so its broadcast is size-GATED
+    (gated_broadcast on the pruned-scan estimate): below the cap
+    lineitem (the 100 TB side) probes a broadcast map-side and never
+    shuffles; past it — real-scale orders — the join falls back to a
+    shuffle-hash equi-join on l_orderkey instead of OOMing a forced
+    broadcast."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -553,13 +557,15 @@ def q29_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bldg_keys = joins.semi_join_to_inset(cust, "c_custkey")
     if bldg_keys is not None:
         orders2 = orders.filter(F.col("o_custkey").isin(bldg_keys))
-    else:  # unbounded segment: keep the real semi join
+    else:  # unbounded segment: keep a real (size-gated) semi join
         orders2 = orders.join(
-            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+            joins.gated_broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
             "o_custkey", "left_semi",
         )
+    # Gate on the pruned orders scan (the InSet filter doesn't change
+    # the size-only estimate, which is the conservative read we want).
     return (
-        li.join(F.broadcast(orders2), li.l_orderkey == F.col("o_orderkey"))
+        li.join(joins.gated_broadcast(orders2, orders), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -585,21 +591,28 @@ def q29_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join, restructured so lineitem (the
-    100 TB side) probes exactly TWO broadcast build sides — each
+    100 TB side) probes at most TWO broadcast build sides — each
     broadcast materialization is a whole Spark job, and the naive
     all-dims-broadcast tree pays five of them per run:
 
     - nation><region (ASIA) folds to a constant 5-entry map literal
       (fold_dim_to_map): zero jobs, applied to supplier as an InSet
       filter + n_name lookup inside supplier's own broadcast build;
-    - orders><customer pre-joins INSIDE one broadcast build side with a
+    - orders><customer pre-joins INSIDE one build side with a
       shuffle-hash hint (a nested broadcast(customer) would spawn its
       own job; the hash join rides the same build job's stages).
 
-    lineitem itself never shuffles; the only post-probe exchange is the
-    final n_name aggregation. Falls back to the classic all-broadcast
-    tree if the nation fold overflows its bound (it cannot: nations are
-    schema-bounded at 25)."""
+    The orders><customer composite is fact-DERIVED, so its broadcast is
+    size-GATED on its join INPUTS (gated_broadcast(oc, orders', cust');
+    a join's own size-only estimate multiplies children and would
+    always overshoot — the summed inputs bound an FK equi-join whose
+    output has at most one customer row per order). Below the cap
+    lineitem never shuffles and the only post-probe exchange is the
+    final n_name agg; past it — real-scale orders — lineitem><oc runs
+    as a shuffle-hash equi-join on l_orderkey with only the true dims
+    (ASIA suppliers + folded nation map) broadcast. Falls back to the
+    classic all-broadcast tree if the nation fold overflows its bound
+    (it cannot: nations are schema-bounded at 25)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -632,12 +645,11 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             joins.map_literal(asia_nations)[F.col("s_nationkey")].alias("n_name"),
         )
     )
-    oc = orders.select("o_orderkey", "o_custkey").join(
-        cust.select("c_custkey", "c_nationkey").hint("shuffle_hash"),
-        orders.o_custkey == cust.c_custkey,
-    )
+    o2 = orders.select("o_orderkey", "o_custkey")
+    c2 = cust.select("c_custkey", "c_nationkey")
+    oc = o2.join(c2.hint("shuffle_hash"), o2.o_custkey == c2.c_custkey)
     return (
-        li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
+        li.join(joins.gated_broadcast(oc, o2, c2), li.l_orderkey == F.col("o_orderkey"))
         .join(
             F.broadcast(supp2),
             (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),

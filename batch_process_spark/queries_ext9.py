@@ -369,3 +369,44 @@ def q140_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_parts").cast("long").alias("n_parts"),
         F.sum("cents").cast("long").alias("retail_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q141: real image-container metadata without a decoder library
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q141_image_header_meta",
+    """
+    SELECT doc_id AS media_id,
+           'png' AS format,
+           CAST(16 + doc_id % 64 AS INT)       AS width,
+           CAST(16 + (doc_id * 7) % 64 AS INT) AS height
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q141_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof of the stdlib image header parser
+    (multimodal.parse_image_meta): synthesize structurally VALID PNG
+    containers (signature + IHDR + IDAT + IEND, correct CRCs) with
+    per-row dimensions, then recover format/width/height by parsing
+    the real header bytes — no Pillow anywhere. Both stages are
+    map-only Arrow kernels (no shuffle); the oracle states the
+    expected dimensions independently, so a parser that read the
+    wrong offsets or endianness hash-mismatches. Malformed-container
+    behavior (JPEG/GIF/BMP, truncations -> errors-as-data) is locked
+    by the fixture pytest."""
+    from batch_process_spark.operators.multimodal import parse_image_meta, synth_png
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            (16 + F.col("doc_id") % 64).alias("w"),
+            (16 + (F.col("doc_id") * 7) % 64).alias("h"),
+        )
+    )
+    media = synth_png(docs, "doc_id", "w", "h")
+    return parse_image_meta(media).select("media_id", "format", "width", "height")

@@ -329,3 +329,34 @@ def test_brute_force_topk_nan_ranks_first(spark):
     out = {r["rank"]: r["vec_id"] for r in brute_force_topk(corpus, queries, k=3).collect()}
     assert out[1] == 3  # NaN (zero-norm) ranks first, matching desc/NaN-largest
     assert out[2] == 1  # then exact match, score 1.0
+
+
+def test_connected_components_report_and_no_driver_pass(spark):
+    """The distributed branch reports its telemetry (strategy + label
+    propagation rounds) and labels a generated chain graph correctly —
+    the same shape scripts/graphprobe.py runs at 10M+ pairs. Forcing
+    'distributed' must also skip the auto-arbitration count (a full
+    extra pass over the pair stream at real scale): the driver path
+    reports rounds=0, the distributed path reports the chain diameter
+    plus the final no-change round."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.operators.graph import connected_components
+
+    n, chain = 400, 4  # 400 nodes in 100 chains of 4
+    pairs = (
+        spark.range(n)
+        .filter((F.col("id") % chain) != chain - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    rep = {}
+    out = connected_components(pairs, strategy="distributed", report=rep)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {i: i - i % chain for i in range(n)}
+    assert rep["strategy"] == "distributed"
+    # chain diameter 3 -> labels settle by round 3; one more round
+    # observes no change and terminates
+    assert 3 <= rep["rounds"] <= 4
+    rep2 = {}
+    connected_components(pairs, strategy="driver", report=rep2)
+    assert rep2 == {"strategy": "driver", "rounds": 0}

@@ -120,3 +120,103 @@ def test_decode_audio_wav_real(spark):
 
     bad = out[3]
     assert bad["error"] is not None and bad["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# stdlib image header parse (no Pillow): real container bytes
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(w, h):
+    import struct, zlib
+
+    def chunk(tag, payload):
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+            ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    # SOI, APP0 (JFIF), a COM segment the walker must skip, SOF0, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _bmp_bytes(w, h):
+    import struct
+
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 10
+
+
+def test_parse_image_header_all_containers():
+    from batch_process_spark.operators.multimodal import _parse_image_header
+
+    assert _parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert _parse_image_header(_jpeg_bytes(123, 456)) == ("jpeg", 123, 456)
+    assert _parse_image_header(_gif_bytes(320, 200)) == ("gif", 320, 200)
+    assert _parse_image_header(_bmp_bytes(800, 600)) == ("bmp", 800, 600)
+    # top-down BMP stores negative height; dims reported positive
+    assert _parse_image_header(_bmp_bytes(800, -600)) == ("bmp", 800, 600)
+
+
+def test_parse_image_header_rejects_garbage():
+    from batch_process_spark.operators.multimodal import _parse_image_header
+
+    for bad in (b"", b"not an image", _png_bytes(1, 1)[:10], b"\xff\xd8\xff\xd9"):
+        with pytest.raises(ValueError):
+            _parse_image_header(bad)
+
+
+def test_parse_image_meta_errors_as_data(spark):
+    from batch_process_spark.operators.multimodal import parse_image_meta
+
+    rows = [
+        (1, _png_bytes(32, 64)),
+        (2, _jpeg_bytes(100, 50)),
+        (3, b"corrupt shard"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in parse_image_meta(df).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 32, 64)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("jpeg", 100, 50)
+    assert out[3]["format"] is None and "ValueError" in out[3]["error"]
+    assert out[4]["error"] is not None  # NULL payload -> error row, not a crash
+    assert out[1]["error"] is None
+
+
+def test_synth_png_roundtrip_and_pillow_agreement(spark):
+    """synth_png emits REAL containers: our parser recovers the dims,
+    and — when Pillow exists — PIL agrees on the same bytes."""
+    from batch_process_spark.operators.multimodal import (
+        parse_image_meta,
+        pil_available,
+        synth_png,
+    )
+
+    src = spark.createDataFrame([(7, 20, 30), (8, 64, 16)], "doc_id long, w int, h int")
+    media = synth_png(src, "doc_id", "w", "h")
+    out = {r["media_id"]: r for r in parse_image_meta(media).collect()}
+    assert (out[7]["width"], out[7]["height"]) == (20, 30)
+    assert (out[8]["width"], out[8]["height"]) == (64, 16)
+    if pil_available():
+        import io
+
+        from PIL import Image
+
+        payload = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+        with Image.open(io.BytesIO(payload[7])) as im:
+            assert im.size == (20, 30)

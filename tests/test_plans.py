@@ -43,12 +43,15 @@ def test_q31_column_pruning(spark, qs):
 
 
 def test_q30_star_join_two_broadcasts(spark, qs):
-    """Restructured Q5: lineitem probes exactly TWO broadcast build
-    sides (orders><customer composite, ASIA suppliers) — each broadcast
-    materialization is a whole job per run, and the naive tree pays 5.
-    nation><region folded to a constant map; orders><customer pre-joins
-    INSIDE the build side as a shuffle-hash join (never a nested
-    broadcast, never SortMergeJoin)."""
+    """Restructured Q5 BELOW the broadcast gate (bench scale): lineitem
+    probes exactly TWO broadcast build sides (orders><customer
+    composite, ASIA suppliers) — each broadcast materialization is a
+    whole job per run, and the naive tree pays 5. nation><region folded
+    to a constant map; orders><customer pre-joins INSIDE the build side
+    as a shuffle-hash join (never a nested broadcast, never
+    SortMergeJoin). The composite broadcast is stats-GATED — the
+    over-cap fallback shape is locked by
+    test_broadcast_gate_falls_back_to_shuffle below."""
     plan = plan_of(qs["q30_local_supplier_volume"](spark, SF))
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastExchange") == 2
@@ -58,6 +61,53 @@ def test_q30_star_join_two_broadcasts(spark, qs):
     # lineitem itself never shuffles: its column never appears in an
     # Exchange hashpartitioning other than the final n_name agg
     assert "hashpartitioning(l_" not in plan
+
+
+def test_broadcast_gate_falls_back_to_shuffle(spark, qs, monkeypatch):
+    """The q29/q30 fact-derived build sides are broadcast ONLY below a
+    plan-stats size gate (gated_broadcast). Forcing the cap to 1 byte
+    simulates real-scale orders: both queries must re-plan to a
+    shuffle-hash equi-join on l_orderkey with NO fact-derived
+    broadcast — only q30's true dim (ASIA suppliers) still rides a
+    BroadcastExchange. This is the 100 TB shape; an unconditional
+    F.broadcast(orders-derived) would OOM the executors there.
+    The gate is read at plan-CONSTRUCTION time, so the session plan
+    cache must be invalidated around the cap change (same contract as
+    any underlying-table change)."""
+    from batch_process_spark.queries import invalidate_tables
+
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_CAP_BYTES", "1")
+    invalidate_tables()
+    try:
+        p29 = plan_of(qs["q29_shipping_priority"](spark, SF))
+        t29 = p29.split("\n\n")[0]
+        assert "ShuffledHashJoin" in t29
+        assert "BroadcastExchange" not in t29  # nothing fact-derived broadcast
+        assert "SortMergeJoin" not in p29
+        p30 = plan_of(qs["q30_local_supplier_volume"](spark, SF))
+        t30 = p30.split("\n\n")[0]
+        assert t30.count("ShuffledHashJoin") == 2  # oc internal + lineitem><oc
+        assert t30.count("BroadcastExchange") == 1  # only the supplier dim
+        assert "SortMergeJoin" not in p30
+    finally:
+        # plans built under the forced cap must not leak to later tests
+        monkeypatch.delenv("SPARK_GRAFT_BROADCAST_CAP_BYTES")
+        invalidate_tables()
+
+
+def test_gated_broadcast_helper_shapes(spark):
+    """Unit shape: below cap -> BroadcastHashJoin; above cap ->
+    ShuffledHashJoin. gate_on inputs stand in for join outputs whose
+    size-only estimate multiplies children."""
+    from batch_process_spark.operators.joins import gated_broadcast
+
+    a = spark.range(1000).withColumnRenamed("id", "k")
+    b = spark.range(100).withColumnRenamed("id", "k")
+    small = plan_of(a.join(gated_broadcast(b, cap_bytes=1 << 30), "k"))
+    big = plan_of(a.join(gated_broadcast(b, cap_bytes=1), "k"))
+    assert "BroadcastHashJoin" in small.split("\n\n")[0]
+    t = big.split("\n\n")[0]
+    assert "ShuffledHashJoin" in t and "BroadcastExchange" not in t
 
 
 def test_q06_enrichment_folds_to_map_literal(spark, qs):
