@@ -1,0 +1,115 @@
+"""IVF recall under stress: nprobe sweep on a CLUSTERED corpus.
+
+The §5 IVF table measured recall 1.00 everywhere — because the scaled
+probe corpus is near-uniform (perturbed copies), every centroid cell
+is self-contained and even nprobe=1 finds the true neighbors. That is
+not evidence; an ANN method earns trust by showing WHERE it degrades.
+
+This probe builds a deliberately clustered corpus (vectors drawn
+around Gaussian cluster centers, generated DISTRIBUTED via mapInPandas
+with per-partition seeds) and queries sampled near cluster BOUNDARIES
+(midpoints of two centers + noise) — the worst case for a coarse
+quantizer, where a query's true top-k straddles two or more KMeans
+cells. Sweeps nprobe over 1/2/4/8 and reports recall@10 against exact
+brute force, plus probed-fraction (the cost proxy: candidates scanned
+/ corpus).
+
+Usage: python scripts/ivfrecall.py [n_vectors] [dim]  (default 131072 64)
+Prints a markdown table for BASELINE.md (IVF recall-under-stress).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.similarity import brute_force_topk, ivf_index, ivf_topk
+from batch_process_spark.session import get_spark
+
+N_CLUSTERS = 50  # true generative clusters
+N_CENTROIDS = 32  # KMeans cells (deliberately != true k: realistic mismatch)
+N_QUERIES = 64
+K = 10
+SEED = 7
+
+
+def clustered_corpus(spark, n: int, dim: int):
+    """n vectors around N_CLUSTERS Gaussian centers, generated in
+    parallel (per-partition seeds; nothing materializes on the driver)."""
+    centers = np.random.default_rng(SEED).normal(size=(N_CLUSTERS, dim))
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(SEED + 1 + int(ids[0]))
+            cl = ids % N_CLUSTERS
+            vecs = centers[cl] + 0.15 * rng.normal(size=(len(ids), dim))
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    return (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, schema="vec_id long, embedding array<double>")
+    )
+
+
+def boundary_queries(spark, dim: int):
+    """Queries at midpoints of adjacent cluster-center pairs + noise —
+    their true neighbors live in (at least) two cells."""
+    centers = np.random.default_rng(SEED).normal(size=(N_CLUSTERS, dim))
+    rng = np.random.default_rng(SEED + 999)
+    rows = []
+    for qid in range(N_QUERIES):
+        a, b = rng.choice(N_CLUSTERS, size=2, replace=False)
+        mid = (centers[a] + centers[b]) / 2 + 0.1 * rng.normal(size=dim)
+        rows.append((qid, [float(x) for x in mid]))
+    return spark.createDataFrame(rows, "query_id long, embedding array<double>")
+
+
+def main() -> None:
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 131_072
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    spark = get_spark("ivfrecall")
+    corpus = clustered_corpus(spark, n, dim).persist()
+    corpus.count()
+    queries = boundary_queries(spark, dim)
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=K).collect()
+    }
+    t0 = time.time()
+    assigned, cents = ivf_index(corpus, n_centroids=N_CENTROIDS)
+    assigned = assigned.persist()
+    n_assigned = assigned.count()
+    t_build = time.time() - t0
+    cell_sizes = {
+        r["centroid_id"]: r["count"]
+        for r in assigned.groupBy("centroid_id").count().collect()
+    }
+    print(
+        f"n={n:,} dim={dim} clusters={N_CLUSTERS} centroids={N_CENTROIDS} "
+        f"queries={N_QUERIES}(boundary) build={t_build:.1f}s "
+        f"cells min/med/max={min(cell_sizes.values()):,}/"
+        f"{sorted(cell_sizes.values())[len(cell_sizes)//2]:,}/{max(cell_sizes.values()):,}"
+    )
+    print("| nprobe | recall@10 | probed fraction | query wall (s) |")
+    print("|---|---|---|---|")
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.time()
+        approx_rows = ivf_topk(assigned, cents, queries, k=K, nprobe=nprobe).collect()
+        wall = time.time() - t0
+        approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+        recall = len(exact & approx) / max(len(exact), 1)
+        probed_frac = nprobe / N_CENTROIDS  # upper bound; cells are uneven
+        print(f"| {nprobe} | {recall:.3f} | <= {probed_frac:.3f} | {wall:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
