@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batch_process_spark.operators import joins
 from batch_process_spark.queries import _q, _t
 
 def _events_stream_schema(sf_dir: str) -> str:
@@ -90,8 +91,8 @@ def q62_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     rel = li.select("l_partkey", "l_suppkey").distinct()
     j = (
-        rel.join(F.broadcast(part), rel.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), rel.l_suppkey == supp.s_suppkey)
+        rel.join(joins.gated_broadcast(part), rel.l_partkey == part.p_partkey)
+        .join(joins.gated_broadcast(supp), rel.l_suppkey == supp.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
     )
     mn = j.groupBy(F.col("p_partkey").alias("__pk")).agg(F.min("s_acctbal").alias("__mn"))
@@ -133,7 +134,7 @@ def q63_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.year("l_shipdate").between(1996, 1997))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(joins.gated_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
@@ -180,8 +181,8 @@ def q64_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     cents = F.floor(profit * 100 + 0.5).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(joins.gated_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(joins.gated_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
@@ -243,7 +244,7 @@ def q66_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = li.select("l_partkey", "l_suppkey").distinct()
     return (
         rel.join(F.broadcast(excluded), rel.l_suppkey == excluded.s_suppkey, "left_anti")
-        .join(F.broadcast(part), rel.l_partkey == part.p_partkey)
+        .join(joins.gated_broadcast(part), rel.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -273,7 +274,7 @@ def q67_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(joins.gated_broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -330,7 +331,7 @@ def q68_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        sole_late.join(joins.gated_broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -471,7 +472,7 @@ def q72_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def transform(stream):
         return (
             stream.withColumn("c_custkey", (F.col("user_id") % n_cust) + 1)
-            .join(F.broadcast(cust), "c_custkey")
+            .join(joins.gated_broadcast(cust), "c_custkey")
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batch_process_spark.operators import joins
 from batch_process_spark.queries import _q, _t
 
 # ---------------------------------------------------------------------------
@@ -255,7 +256,7 @@ def q139_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(joins.gated_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))

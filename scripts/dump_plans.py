@@ -21,7 +21,8 @@ NOTES = {
     "q09_topk_orders": "TakeOrderedAndProject: per-partition heaps, no global sort",
     "q18_minhash_lsh_neardup": "shuffle carries (id, 16 minhash longs) — shingles stay inside the Arrow stage and the persisted frame",
     "q25_embedding_topk": "corpus scanned once through the Arrow BLAS kernel; only partitions x Q x k candidate rows shuffle",
-    "q30_local_supplier_volume": "5 broadcast joins, zero fact-side join shuffles, one agg exchange",
+    "q29_shipping_priority": "segment semi-join folded to an InSet filter on orders; the orders' broadcast is stats-GATED (gated_broadcast) — below the cap lineitem probes map-only, past it (real-scale orders) the join re-plans to shuffle-hash on l_orderkey (forced-cap shape locked in test_plans.py)",
+    "q30_local_supplier_volume": "two stats-GATED broadcast build sides (orders><customer composite pre-joined shuffle-hash inside the build; ASIA suppliers carrying the folded 5-entry nation map literal) — lineitem never shuffles below the cap; past it the fallback is shuffle-hash on l_orderkey with only the supplier dim broadcast (plan-guarded)",
     "q31_revenue_forecast": "all three predicates in PushedFilters; ReadSchema pruned to 4 columns",
     "q63_volume_shipping": "4+ broadcast dims; disjunctive nation pair as a post-join filter",
     "q67_disjunctive_revenue": "3-way disjunction stays one scan + one join (no union of branches)",
@@ -58,6 +59,7 @@ NOTES = {
     "q137_gap_fill_daily": "events scanned ONCE into the persisted daily rollup; the spine min/max and the fill join read that materialized frame (the spine itself is sequence()-generated, never scanned)",
     "q138_calendar_rollup": "three grains from one scan: the grouping-sets expand triples rows map-side but partial agg collapses them to <= distinct-buckets fragments before the single exchange",
     "q139_pagerank_trade": "Pregel-as-join: the edge build is the q63-style all-broadcast star join; each of the 3 iterations broadcasts only the 25-row rank vector back across the edges — per-iteration shuffle is rank-vector-sized at any graph size",
+    "q141_image_header_meta": "two chained Arrow map-only kernels (PNG synth -> header parse): no join, no exchange, nothing but the scan — the multimodal decode shape at any corpus size",
     "q140_entity_resolution": "the part table is scanned once into the PERSISTED name dictionary (pair probe, pair build, and the re-key join all read the materialized frame); fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows)",
 }
 
