@@ -305,14 +305,16 @@ def _parse_image_header(content: bytes) -> tuple[str, int, int]:
             i += 2 + seglen
         raise ValueError("JPEG without SOF marker")
     if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
-        import struct as _s
-
-        w, h = _s.unpack("<HH", content[6:10])
+        w, h = struct.unpack("<HH", content[6:10])
         return "gif", w, h
     if len(content) >= 26 and content[:2] == b"BM":
-        import struct as _s
-
-        w, h = _s.unpack("<ii", content[18:26])
+        # the i32-dims layout holds only for BITMAPINFOHEADER-family
+        # DIBs; an OS/2 BITMAPCOREHEADER (size 12, u16 dims) would
+        # decode to garbage — route it to errors-as-data instead
+        dib = struct.unpack("<I", content[14:18])[0]
+        if dib not in (40, 52, 56, 108, 124):
+            raise ValueError(f"unsupported BMP DIB header size {dib}")
+        w, h = struct.unpack("<ii", content[18:26])
         return "bmp", w, abs(h)
     raise ValueError("unrecognized image container")
 

@@ -141,10 +141,14 @@ def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Dat
     # Atomic publish: write to a staging dir and rename into place only
     # on success — a partial write (disk full, interrupt) must never be
     # served as if valid on a later retry. rename() on the same tmpfs
-    # is atomic; a racing writer losing the rename just leaves its
-    # staging dir for the atexit sweep.
+    # is atomic. The stage name must be unique PER WRITER, not per
+    # process: _layout_dir is process-local, so the only writers that
+    # can race are threads sharing this pid — a pid-keyed name would
+    # have them overwrite each other's half-written staging dir.
     if not os.path.isdir(path):
-        stage = f"{path}.staging-{os.getpid()}"
+        import uuid
+
+        stage = f"{path}.staging-{uuid.uuid4().hex}"
         df.repartition(target).write.mode("overwrite").parquet(stage)
         try:
             os.rename(stage, path)

@@ -80,7 +80,7 @@ def test_stateful_totals_restore_state_across_restart(spark, tmp_path):
             str(src)
         )
 
-    def run_once(name):
+    def run_once():
         # memory sink refuses checkpoint recovery; foreachBatch is the
         # recovery-capable sink (same as the CDC path), collecting each
         # batch's emissions driver-side
@@ -104,12 +104,12 @@ def test_stateful_totals_restore_state_across_restart(spark, tmp_path):
         }
 
     write_events([(1, t, 1, 10.0), (2, t, 1, 5.5), (3, t, 2, 1.0)])
-    first = run_once("totals_run1")
+    first = run_once()
     assert first[1] == (2, 1550) and first[2] == (1, 100)
 
     # "crash", then new events arrive while the stream is down
     write_events([(4, t, 1, 2.5), (5, t, 3, 7.0)])
-    second = run_once("totals_run2")
+    second = run_once()
     # state restored: user 1 continues from (2, 1550), not from zero
     assert second[1] == (3, 1800)
     assert second[3] == (1, 700)

@@ -158,7 +158,10 @@ def _gif_bytes(w, h):
 def _bmp_bytes(w, h):
     import struct
 
-    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 10
+    # 14-byte file header, then BITMAPINFOHEADER (DIB size 40) + dims
+    return (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h) + b"\x00" * 10
+    )
 
 
 def test_parse_image_header_all_containers():
@@ -173,9 +176,16 @@ def test_parse_image_header_all_containers():
 
 
 def test_parse_image_header_rejects_garbage():
+    import struct
+
     from batch_process_spark.operators.multimodal import _parse_image_header
 
-    for bad in (b"", b"not an image", _png_bytes(1, 1)[:10], b"\xff\xd8\xff\xd9"):
+    # OS/2 BITMAPCOREHEADER: u16 dims at different offsets — decoding it
+    # with the i32 layout would return garbage, so it must error instead
+    core_bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 100, 100) + b"\x00" * 8
+    )
+    for bad in (b"", b"not an image", _png_bytes(1, 1)[:10], b"\xff\xd8\xff\xd9", core_bmp):
         with pytest.raises(ValueError):
             _parse_image_header(bad)
 
