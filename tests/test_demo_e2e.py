@@ -59,7 +59,7 @@ def test_demo_pipeline_end_to_end(spark, demo_tree, tmp_path):
     sa = {(r["level0"], r["ext"]): r["mean"] for r in stats.collect()}
     assert sa[("group_A", "json")] == 150.0
 
-    # 5. report artifacts (plot spec sidecar + markdown table fallback)
+    # 5. report artifacts (SVG chart + real .docx via the stdlib writers)
     agg = stats.orderBy("level0", "ext")
     plot = plot_from_spec(
         agg, {"title": "means", "series": [{"x": "ext", "y": "mean"}]},
