@@ -84,23 +84,51 @@ def _svg_plot(pdf, spec: Mapping[str, Any], out_path: str) -> str:
         ox, oy = (ax_i % cols) * CW, (ax_i // cols) * CH
         x0, y0 = ox + M, oy + CH - M  # plot origin (bottom-left)
         pw, ph = CW - 2 * M, CH - 2 * M
-        pts_per_series = []
-        cat_labels: list | None = None  # categorical x: positions + labels
+        # Two passes: decide whether this AXIS is categorical (any
+        # series with a non-numeric x column makes it so — mixing raw
+        # numeric x values with ordinal positions on one scale would
+        # scatter points off-range), then map every series through ONE
+        # shared category->position index so different series'
+        # categories line up with the same ticks.
+        raw_series = []
+        axis_categorical = False
         for idx, s in series:
             xs = pdf[s["x"]].tolist() if "x" in s else list(range(len(pdf)))
             ys = pdf[s["y"]].tolist()
             try:
-                xnum = [None if x is None else float(x) for x in xs]
-            except (TypeError, ValueError):  # string/categorical x axis
-                if cat_labels is None:
-                    cat_labels = [str(x) for x in xs]
-                xnum = list(range(len(xs)))
+                [float(x) for x in xs if x is not None]
+            except (TypeError, ValueError):
+                axis_categorical = True
+            raw_series.append((idx, s, xs, ys))
+        cat_index: dict[str, int] = {}
+
+        def fnum(v):
+            """float or None; NaN (Spark NULL via toPandas) -> None."""
+            if v is None:
+                return None
+            f = float(v)
+            return None if f != f else f
+
+        pts_per_series = []
+        for idx, s, xs, ys in raw_series:
+            if axis_categorical:
+                xnum = [
+                    None if x is None else cat_index.setdefault(str(x), len(cat_index))
+                    for x in xs
+                ]
+            else:
+                xnum = [fnum(x) for x in xs]
             pairs = [
-                (x, float(y))
-                for x, y in zip(xnum, ys)
+                (x, y)
+                for x, y in ((x, None if y is None else fnum(y)) for x, y in zip(xnum, ys))
                 if x is not None and y is not None
             ]
             pts_per_series.append((idx, s, pairs))
+        cat_labels = (
+            [lab for lab, _ in sorted(cat_index.items(), key=lambda kv: kv[1])]
+            if axis_categorical
+            else None
+        )
         allpts = [p for _, _, pts in pts_per_series for p in pts]
         if not allpts:
             continue
@@ -145,8 +173,10 @@ def _svg_plot(pdf, spec: Mapping[str, Any], out_path: str) -> str:
                     f'<text x="{x:.1f}" y="{y:.1f}" text-anchor="middle" '
                     f'transform="rotate({rot} {x:.1f} {y:.1f})">{escape(str(lab))}</text>'
                 )
-        for idx, s, pts in pts_per_series:
+        for ax_pos, (idx, s, pts) in enumerate(pts_per_series):
             color = palette[idx % len(palette)]
+            if not pts:  # an all-NULL series on a non-empty axis
+                continue
             if "bar" in str(s.get("style", "")):
                 bw = max(pw / (len(pts) * 1.5), 1.0)
                 for x, y in pts:
@@ -159,8 +189,8 @@ def _svg_plot(pdf, spec: Mapping[str, Any], out_path: str) -> str:
                 parts.append(
                     f'<polyline points="{path}" fill="none" stroke="{color}" stroke-width="1.5"/>'
                 )
-            if len(series) > 1:  # legend
-                ly = oy + 16 + 12 * idx
+            if len(series) > 1:  # legend (stacked per axis, not global)
+                ly = oy + 16 + 12 * ax_pos
                 parts.append(f'<rect x="{ox + CW - M - 60}" y="{ly - 8}" width="10" height="10" fill="{color}"/>')
                 parts.append(
                     f'<text x="{ox + CW - M - 46}" y="{ly}">'
@@ -194,12 +224,18 @@ def plot_from_spec(df: DataFrame, spec: Mapping[str, Any], out_path: str) -> str
         for s in spec["series"]:
             ax = flat[s.get("ax", 0)]
             x = pdf[s["x"]] if "x" in s else pdf.index
-            ax.plot(x, pdf[s["y"]], s.get("style", "-"), label=s.get("label", s["y"]))
+            style = str(s.get("style", "-"))
+            # 'bar' is a chart kind, not a matplotlib format string —
+            # the SVG renderer and this branch must accept the same spec
+            if "bar" in style:
+                ax.bar(x, pdf[s["y"]], label=s.get("label", s["y"]))
+            else:
+                ax.plot(x, pdf[s["y"]], style, label=s.get("label", s["y"]))
         for ax in flat:
-            if ax.lines:
+            if ax.lines or ax.patches:
                 ax.set_xlabel(spec.get("xlabel", ""))
                 ax.set_ylabel(spec.get("ylabel", ""))
-                if len(ax.lines) > 1:
+                if len(ax.lines) + len(ax.containers) > 1:
                     ax.legend()
         flat[0].set_title(spec.get("title", ""))
         fig.savefig(out_path)

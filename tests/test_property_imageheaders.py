@@ -8,26 +8,15 @@ No Spark needed: the kernel is a pure function.
 """
 
 import struct
-import zlib
 
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from batch_process_spark.operators.multimodal import _parse_image_header
 
-
-def png_bytes(w, h):
-    def chunk(tag, payload):
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+# container builders shared with the fixture tests — one definition of
+# what a valid file looks like
+from tests.test_multimodal import _bmp_bytes, _gif_bytes, _png_bytes as png_bytes
 
 
 @given(w=st.integers(1, 2**31 - 1), h=st.integers(1, 2**31 - 1))
@@ -37,16 +26,12 @@ def test_png_roundtrip_full_domain(w, h):
 
 @given(w=st.integers(1, 2**16 - 1), h=st.integers(1, 2**16 - 1))
 def test_gif_roundtrip(w, h):
-    blob = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
-    assert _parse_image_header(blob) == ("gif", w, h)
+    assert _parse_image_header(_gif_bytes(w, h)) == ("gif", w, h)
 
 
 @given(w=st.integers(1, 2**31 - 1), h=st.integers(-(2**31) + 1, 2**31 - 1))
 def test_bmp_roundtrip_including_topdown(w, h):
-    blob = (
-        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
-        + struct.pack("<ii", w, h) + b"\x00" * 10
-    )
+    blob = _bmp_bytes(w, h)
     if h == 0:
         _parse_image_header(blob)  # degenerate but must not crash
     else:
@@ -101,7 +86,7 @@ def test_total_function_contract_random_bytes(blob):
 def test_truncations_parse_or_valueerror(w, h, cut):
     """Every prefix of a valid file is either still parseable (cut past
     the header) or a clean ValueError."""
-    for blob in (png_bytes(w, h), b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6):
+    for blob in (png_bytes(w, h), _gif_bytes(w, h)):
         t = blob[: max(0, len(blob) - cut)]
         try:
             got = _parse_image_header(t)

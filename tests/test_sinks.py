@@ -1,6 +1,5 @@
 """Sink tests: writers, content-hash cache, report adapters."""
 
-import json
 import os
 
 import pytest
@@ -258,3 +257,58 @@ def test_svg_plot_categorical_x(small, tmp_path):
     body = open(out).read()
     assert ">csv</text>" in body and ">txt</text>" in body
     assert "<polyline" in body
+
+
+def test_svg_plot_null_and_nan_safe(tmp_path):
+    """Spark NULL numerics surface as NaN through toPandas; the
+    renderer must drop those points (invalid 'nan' SVG coordinates
+    would make renderers discard whole polylines) and survive a series
+    with no plottable points at all — including an empty BAR series,
+    whose width computation divides by the point count."""
+    import math
+
+    import pandas as pd
+
+    from batch_process_spark.sinks.report import _svg_plot
+
+    pdf = pd.DataFrame(
+        {
+            "x": [1.0, 2.0, 3.0],
+            "y": [1.0, math.nan, 3.0],
+            "allnull": [None, None, None],
+        }
+    )
+    out = _svg_plot(
+        pdf,
+        {
+            "series": [
+                {"x": "x", "y": "y", "label": "vals"},
+                {"x": "x", "y": "allnull", "label": "ghost", "style": "bar"},
+            ]
+        },
+        str(tmp_path / "nan.svg"),
+    )
+    body = open(out).read()
+    assert "nan" not in body.lower().replace("text-anchor", "")  # no NaN coords
+    assert body.count(",") >= 2 and "<polyline" in body  # real points survived
+
+
+def test_svg_plot_shared_categorical_index(tmp_path):
+    """Two categorical series on one axis share ONE category->position
+    index: the same category name lands at the same x position for
+    both, and every distinct category appears as a tick label."""
+    import pandas as pd
+
+    from batch_process_spark.sinks.report import _svg_plot
+
+    pdf = pd.DataFrame(
+        {"c1": ["a", "b", "c"], "v1": [1.0, 2.0, 3.0], "c2": ["b", "c", "d"], "v2": [4.0, 5.0, 6.0]}
+    )
+    out = _svg_plot(
+        pdf,
+        {"series": [{"x": "c1", "y": "v1", "label": "s1"}, {"x": "c2", "y": "v2", "label": "s2"}]},
+        str(tmp_path / "cat2.svg"),
+    )
+    body = open(out).read()
+    for cat in ("a", "b", "c", "d"):
+        assert f">{cat}</text>" in body
