@@ -627,9 +627,9 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     if asia_nations is None:  # unreachable for TPC-H; classic tree as fallback
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(joins.gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
             .join(
-                F.broadcast(supp),
+                joins.gated_broadcast(supp),
                 (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
             )
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
