@@ -316,3 +316,36 @@ def test_q103_centroid_joins_adaptively_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_swept_queries_gate_both_shapes(spark, qs, monkeypatch):
+    """The round-6 gating sweep (every direct broadcast of an
+    SF-scaling table routed through gated_broadcast) must preserve the
+    bench-scale broadcast AND produce a shuffle fallback under a forced
+    cap — spot-checked on the TPC-H Q14/Q10 shapes whose part/customer
+    broadcasts were swept."""
+    from batch_process_spark.queries import invalidate_tables
+
+    for name in ("q47_promo_revenue", "q48_returned_revenue"):
+        tree = plan_of(qs[name](spark, SF)).split("\n\n")[0]
+        assert "BroadcastHashJoin" in tree, name  # below cap: broadcast kept
+        assert "SortMergeJoin" not in tree, name
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_CAP_BYTES", "1")
+    invalidate_tables()
+    try:
+        # The gated (previously hint-forced) build side must now
+        # shuffle. Remaining BroadcastExchanges are fine IF they are
+        # size-BASED (planner-chosen from actual stats — they vanish at
+        # real scale on their own): q47's only join is the gated part
+        # side, so zero broadcasts; q48 keeps its 25-row nation dim
+        # plus the planner's own auto-broadcast of tiny orders —
+        # neither is a forced hint.
+        t47 = plan_of(qs["q47_promo_revenue"](spark, SF)).split("\n\n")[0]
+        assert "ShuffledHashJoin" in t47 and "BroadcastExchange" not in t47
+        assert "SortMergeJoin" not in t47
+        t48 = plan_of(qs["q48_returned_revenue"](spark, SF)).split("\n\n")[0]
+        assert "ShuffledHashJoin" in t48  # the gated customer side shuffles
+        assert "SortMergeJoin" not in t48
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BROADCAST_CAP_BYTES")
+        invalidate_tables()
