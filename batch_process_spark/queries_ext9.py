@@ -411,3 +411,64 @@ def q141_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synth_png(docs, "doc_id", "w", "h")
     return parse_image_meta(media).select("media_id", "format", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# q142: data-quality constraint suite (intake gate)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q142_quality_checks",
+    """
+    SELECT 'not_null:o_custkey' AS check_name,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(o_orderkey) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'range:o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') AND o_orderstatus IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') AND o_orderstatus IS NOT NULL
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey',
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL) AS BIGINT),
+           count(*) FILTER (WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q142_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake data-quality gate (Deequ/dbt-test shape): completeness,
+    key uniqueness, range, accepted values, and referential integrity
+    over orders — the four column checks share ONE aggregation scan
+    (stack-unpivoted to a row per check, nothing collects) and the FK
+    check is an anti-join count against customer's distinct keys on a
+    size-gated broadcast. At 100 TB this replaces N per-rule scans
+    with one pass plus one join; unique swaps to the HLL register
+    machinery when exactness stops paying."""
+    from batch_process_spark.operators.quality import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return check_constraints(
+        orders,
+        [
+            {"type": "not_null", "column": "o_custkey"},
+            {"type": "unique", "column": "o_orderkey"},
+            {"type": "range", "column": "o_totalprice", "min": 0, "max": 600000},
+            {"type": "accepted_values", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"type": "foreign_key", "column": "o_custkey", "ref_df": customer, "ref_column": "c_custkey"},
+        ],
+    )

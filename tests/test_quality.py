@@ -1,0 +1,105 @@
+"""Data-quality constraint suite: violations must be DETECTED (the
+catalog oracle runs on clean TPC-H data where every check passes, so
+these tests feed dirty data), and the column checks must share one
+aggregation scan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.quality import check_constraints
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        (1, 10, 50.0, "O"),
+        (2, 20, -5.0, "F"),    # range violation
+        (2, 30, 60.0, "X"),    # duplicate key + bad status
+        (3, None, 70.0, "P"),  # null custkey
+        (4, 99, 700000.0, "O"),  # over max + orphan FK
+    ]
+    return spark.createDataFrame(rows, "k long, cust long, price double, status string")
+
+
+@pytest.fixture(scope="module")
+def parents(spark):
+    return spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+
+
+def test_all_violation_kinds_detected(dirty, parents):
+    out = {
+        r["check_name"]: (r["violations"], r["passed"])
+        for r in check_constraints(
+            dirty,
+            [
+                {"type": "not_null", "column": "cust"},
+                {"type": "unique", "column": "k"},
+                {"type": "range", "column": "price", "min": 0, "max": 600000},
+                {"type": "accepted_values", "column": "status", "values": ["O", "F", "P"]},
+                {"type": "foreign_key", "column": "cust", "ref_df": parents, "ref_column": "pk"},
+            ],
+        ).collect()
+    }
+    assert out["not_null:cust"] == (1, False)
+    assert out["unique:k"] == (1, False)          # one extra row for k=2
+    assert out["range:price"] == (2, False)       # -5 and 700000
+    assert out["accepted:status"] == (1, False)   # 'X'
+    assert out["fk:cust->pk"] == (1, False)       # cust=99 orphan (NULL exempt)
+
+
+def test_clean_data_passes(spark, parents):
+    clean = spark.createDataFrame([(1, 10, 5.0), (2, 20, 6.0)], "k long, cust long, price double")
+    out = check_constraints(
+        clean,
+        [
+            {"type": "not_null", "column": "cust"},
+            {"type": "unique", "column": "k"},
+            {"type": "range", "column": "price", "min": 0},
+            {"type": "foreign_key", "column": "cust", "ref_df": parents, "ref_column": "pk"},
+        ],
+    )
+    assert all(r["passed"] and r["violations"] == 0 for r in out.collect())
+
+
+def test_nulls_exempt_from_range_and_accepted(spark):
+    df = spark.createDataFrame([(None, None)], "price double, status string")
+    out = {
+        r["check_name"]: r["violations"]
+        for r in check_constraints(
+            df,
+            [
+                {"type": "range", "column": "price", "min": 0},
+                {"type": "accepted_values", "column": "status", "values": ["O"]},
+            ],
+        ).collect()
+    }
+    assert out == {"range:price": 0, "accepted:status": 0}  # use not_null for NULLs
+
+
+def test_column_checks_share_one_scan(spark, dirty):
+    """However many column checks, the plan reads the table ONCE (one
+    aggregate over one scan; the stack unpivot is map-side)."""
+    import contextlib
+    import io
+
+    df = check_constraints(
+        dirty,
+        [
+            {"type": "not_null", "column": "cust"},
+            {"type": "unique", "column": "k"},
+            {"type": "range", "column": "price", "min": 0},
+            {"type": "accepted_values", "column": "status", "values": ["O", "F", "P"]},
+        ],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert tree.count("Scan") == 1
+
+
+def test_bad_check_type_and_empty_list(spark, dirty):
+    with pytest.raises(ValueError, match="unknown column check"):
+        check_constraints(dirty, [{"type": "nope", "column": "k"}])
+    with pytest.raises(ValueError, match="empty check list"):
+        check_constraints(dirty, [])
