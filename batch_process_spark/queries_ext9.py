@@ -472,3 +472,66 @@ def q142_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"type": "foreign_key", "column": "o_custkey", "ref_df": customer, "ref_column": "c_custkey"},
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# q143: distribution drift monitor (PSI between two time windows)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q143_drift_psi",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref
+      FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(sum(is_ref) AS BIGINT)     AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM per)
+    SELECT bucket, n_ref, n_cur,
+           round(((n_cur + 1.0) / (t_cur + 10.0) - (n_ref + 1.0) / (t_ref + 10.0))
+                 * ln(((n_cur + 1.0) / (t_cur + 10.0)) / ((n_ref + 1.0) / (t_ref + 10.0))),
+                 6) AS psi_contrib
+    FROM per, tot
+    """,
+)
+def q143_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor (the ML-ops intake twin of q142):
+    Population Stability Index of the value distribution between a
+    reference window and the current window, per fixed-width bucket
+    with Laplace smoothing (+1 per bucket over nominal 10) so empty
+    cells never hit ln(0). ONE scan builds both windows' histograms
+    (conditional partial aggs per bucket); the 1-row totals ride a
+    broadcast back over the <=10-row bucket table — at 100 TB the
+    corpus-sized stage is the single bucket rollup, everything after
+    is dictionary arithmetic. Sum(psi_contrib) > 0.2 is the classic
+    retrain/alert threshold; contributions are emitted per bucket so
+    the alert names WHICH part of the distribution moved."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per = (
+        ev.select(
+            F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long").alias("bucket"),
+            (F.col("ts") < cut).cast("int").alias("is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10.0)
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10.0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_ref", "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_contrib"),
+    )

@@ -103,3 +103,49 @@ def test_bad_check_type_and_empty_list(spark, dirty):
         check_constraints(dirty, [{"type": "nope", "column": "k"}])
     with pytest.raises(ValueError, match="empty check list"):
         check_constraints(dirty, [])
+
+
+def test_q143_psi_detects_synthetic_drift(spark, tmp_path):
+    """PSI must actually move when the distribution moves: rebuild the
+    q143 pipeline shape on synthetic data where the current window
+    shifts mass into high buckets — total PSI over the drifted feed
+    must clear the classic 0.2 alert bar, and an undrifted feed must
+    sit near zero."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def psi_total(ref_vals, cur_vals):
+        from datetime import datetime
+
+        rows = [(datetime(2024, 1, 1), float(v)) for v in ref_vals] + [
+            (datetime(2024, 1, 20), float(v)) for v in cur_vals
+        ]
+        ev = spark.createDataFrame(rows, "ts timestamp, value double")
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        per = (
+            ev.select(
+                F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long").alias("bucket"),
+                (F.col("ts") < cut).cast("int").alias("is_ref"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("is_ref").cast("long").alias("n_ref"),
+                F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+            )
+        )
+        tot = per.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+        p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10.0)
+        p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10.0)
+        rows = (
+            per.crossJoin(F.broadcast(tot))
+            .select(((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("c"))
+            .collect()
+        )
+        return sum(r["c"] for r in rows)
+
+    same = [i % 500 for i in range(1000)]
+    shifted = [400 + (i % 100) for i in range(1000)]  # mass into buckets 8-9
+    assert psi_total(same, same) < 0.01
+    drifted = psi_total(same, shifted)
+    assert drifted > 0.2 and math.isfinite(drifted)
