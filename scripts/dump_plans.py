@@ -60,6 +60,8 @@ NOTES = {
     "q138_calendar_rollup": "three grains from one scan: the grouping-sets expand triples rows map-side but partial agg collapses them to <= distinct-buckets fragments before the single exchange",
     "q139_pagerank_trade": "Pregel-as-join: the edge build is the q63-style all-broadcast star join; each of the 3 iterations broadcasts only the 25-row rank vector back across the edges — per-iteration shuffle is rank-vector-sized at any graph size",
     "q141_image_header_meta": "two chained Arrow map-only kernels (PNG synth -> header parse): no join, no exchange, nothing but the scan — the multimodal decode shape at any corpus size",
+    "q142_quality_checks": "intake gate: four rule aggregates in ONE scan (stack unpivot is map-side over the 1-row agg); the FK check's anti-join probes a size-gated broadcast of parent keys",
+    "q143_drift_psi": "two-window histograms from one conditional-agg scan; totals broadcast back over the <=10-row bucket table — no corpus-sized stage after the rollup",
     "q140_entity_resolution": "the part table is scanned once into the PERSISTED name dictionary (pair probe, pair build, and the re-key join all read the materialized frame); fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows)",
 }
 
