@@ -535,3 +535,92 @@ def q143_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n_ref", "n_cur",
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q144: streaming data-quality monitor (violation counters over micro-batches)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q144_streaming_quality",
+    """
+    SELECT 'not_null:user_id' AS check_name,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'range:value',
+           CAST(sum(CASE WHEN value < 0 OR value > 450 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN value < 0 OR value > 450 THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'accepted:event_type',
+           CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+                         AND event_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+               AND event_type IS NOT NULL THEN 1 ELSE 0 END) = 0
+    FROM events
+    """,
+)
+def q144_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q142 intake gate run CONTINUOUSLY: violation counters
+    maintained as a complete-mode streaming aggregation over three real
+    micro-batches of the events feed — per-batch flag sums merge into
+    the running totals (SUM is batching- and order-insensitive, so the
+    final counters must equal the batch gate over the same rows, which
+    is exactly what the shared oracle pins). State is ONE row of
+    counters however long the stream runs; the stack unpivot to
+    (check_name, violations, passed) runs as a tiny batch job on the
+    final result table. This is how a 100 TB ingest watches quality
+    without re-scanning history: the counters ARE the monitor."""
+    from batch_process_spark.queries_ext3 import (
+        _events_stream_schema,
+        _normalize_stream_ts,
+    )
+    from batch_process_spark.queries_ext8 import _staged_event_slices
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d, write_slice = _staged_event_slices(sf_dir, "q144")
+
+    def transform(stream):
+        ev = _normalize_stream_ts(stream)
+        z = F.lit(0).cast("long")
+        return ev.agg(
+            F.coalesce(F.sum(F.col("user_id").isNull().cast("long")), z).alias("__c0"),
+            F.coalesce(
+                F.sum(
+                    F.coalesce(
+                        (F.col("value") < 0) | (F.col("value") > 450), F.lit(False)
+                    ).cast("long")
+                ),
+                z,
+            ).alias("__c1"),
+            F.coalesce(
+                F.sum(
+                    (
+                        ~F.col("event_type").isin("click", "view", "purchase", "signup")
+                        & F.col("event_type").isNotNull()
+                    ).cast("long")
+                ),
+                z,
+            ).alias("__c2"),
+        )
+
+    counters = run_stream_to_memory(
+        spark,
+        d,
+        _events_stream_schema(sf_dir),
+        transform,
+        query_name="q144_out",
+        output_mode="complete",
+        feeds=[lambda: write_slice(1), lambda: write_slice(2)],
+    )
+    return counters.select(
+        F.expr(
+            "stack(3, 'not_null:user_id', __c0, 'range:value', __c1, "
+            "'accepted:event_type', __c2) as (check_name, violations)"
+        )
+    ).withColumn("passed", F.col("violations") == 0)

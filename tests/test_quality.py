@@ -149,3 +149,44 @@ def test_q143_psi_detects_synthetic_drift(spark, tmp_path):
     assert psi_total(same, same) < 0.01
     drifted = psi_total(same, shifted)
     assert drifted > 0.2 and math.isfinite(drifted)
+
+
+def test_streaming_quality_counters_accumulate(spark, tmp_path):
+    """The q144 monitor shape on dirty data: violation counters carry
+    across micro-batches (batch 2's violations ADD to batch 1's), and
+    the final totals equal the batch gate over all rows."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    schema = "user_id long, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    write("b0", [(1, 10.0), (None, 20.0)])          # 1 null violation
+
+    def transform(stream):
+        z = F.lit(0).cast("long")
+        return stream.agg(
+            F.coalesce(F.sum(F.col("user_id").isNull().cast("long")), z).alias("nulls"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("value") > 100, F.lit(False)).cast("long")), z
+            ).alias("over"),
+        )
+
+    out = run_stream_to_memory(
+        spark,
+        str(src),
+        schema,
+        transform,
+        query_name="quality_stream_test",
+        output_mode="complete",
+        feeds=[lambda: write("b1", [(None, 500.0), (2, 30.0)])],  # +1 null, +1 over
+    )
+    row = out.collect()[0]
+    assert (row["nulls"], row["over"]) == (2, 1)
