@@ -624,3 +624,66 @@ def q144_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'accepted:event_type', __c2) as (check_name, violations)"
         )
     ).withColumn("passed", F.col("violations") == 0)
+
+
+# ---------------------------------------------------------------------------
+# q145: incremental view maintenance — delta refresh equals full recompute
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q145_incremental_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                              AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           round(min(value), 4)                                  AS min_value,
+           round(max(value), 4)                                  AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q145_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the oracle: the per-type
+    rollup materialized from HISTORY (ts < Jan 16) then refreshed with
+    the remaining rows as two successive DELTAS (Jan 16-23, Jan 23+) —
+    `refresh_rollup` aggregates each delta alone and key-merges it with
+    the standing partials, so history is scanned once ever and each
+    refresh costs one pass over its delta. Because every partial is
+    mergeable (count/sum -> sum, min/max -> min/max; cents exact in
+    integer space), the twice-refreshed rollup must equal the one-shot
+    GROUP BY over all rows — which is exactly the oracle's
+    formulation. Avg-style reads derive from (cents, n_events) at
+    query time rather than storing a non-mergeable mean."""
+    from batch_process_spark.operators.ivm import refresh_rollup, rollup_aggregate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.col("value"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents_v"),
+    )
+    cut1 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cut2 = F.lit("2024-01-23 00:00:00").cast("timestamp")
+    measures = {
+        "n_events": ("count", ""),
+        "cents": ("sum", "cents_v"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    rollup = rollup_aggregate(ev.filter(F.col("ts") < cut1), ["event_type"], measures)
+    rollup = refresh_rollup(
+        rollup,
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ["event_type"],
+        measures,
+    )
+    rollup = refresh_rollup(
+        rollup, ev.filter(F.col("ts") >= cut2), ["event_type"], measures
+    )
+    return rollup.select(
+        "event_type",
+        "n_events",
+        F.col("cents").cast("long").alias("cents"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
