@@ -190,3 +190,28 @@ def test_streaming_quality_counters_accumulate(spark, tmp_path):
     )
     row = out.collect()[0]
     assert (row["nulls"], row["over"]) == (2, 1)
+
+
+def test_quality_gate_pipeline_operator(spark, dirty):
+    """The config-driven pipeline form: rule dicts from config produce
+    the report frame, and fail_on_violation turns it into a hard gate
+    that names the failing checks."""
+    import batch_process_spark.plans.builtin_ops  # noqa: F401  (registers on import)
+    from batch_process_spark.plans.registry import REGISTRY
+
+    op = REGISTRY.get("quality_gate")
+    checks = [
+        {"type": "not_null", "column": "cust"},
+        {"type": "range", "column": "price", "min": 0, "max": 600000},
+    ]
+    report = {r["check_name"]: r["violations"] for r in op(dirty, checks=checks).collect()}
+    assert report == {"not_null:cust": 1, "range:price": 2}
+    with pytest.raises(ValueError, match=r"quality gate failed: .*not_null:cust\(1\)"):
+        op(dirty, checks=checks, fail_on_violation=True)
+    with pytest.raises(ValueError, match="non-empty 'checks'"):
+        op(dirty)
+    with pytest.raises(ValueError, match="foreign_key"):
+        op(dirty, checks=[{"type": "foreign_key", "column": "cust"}])
+    # clean data passes the hard gate and returns the report
+    clean = dirty.filter("cust IS NOT NULL AND price >= 0 AND price <= 600000")
+    assert op(clean, checks=checks, fail_on_violation=True).count() == 2
