@@ -304,3 +304,46 @@ def bloom_probe(
     for c in checks[1:]:
         passed = passed & c
     return out.filter(passed).drop("__bits")
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    keys,
+    k: int,
+    id_col: str,
+    salt: int = 0,
+    hash_col=None,
+) -> DataFrame:
+    """Deterministic FIXED-SIZE uniform sample per group: keep the k
+    rows whose ``xxhash64(id, salt)`` is smallest — consistent
+    (bottom-k) sampling, the distributed answer to reservoir sampling:
+
+    - deterministic across retries/partitioning (no rand());
+    - uniform when the hash is (ids are arbitrary, the hash whitens);
+    - MERGEABLE: bottom-k of a union == bottom-k of the merged
+      bottom-k's, so shards/micro-batches sample independently and
+      merge — the property rand()-reservoirs lack;
+    - sample membership is STABLE under corpus growth: a kept row is
+      evicted only when a smaller-hash row arrives, never reshuffled.
+
+    ``stratified_sample`` (rate-based) keeps a FRACTION per group; this
+    keeps a COUNT per group — the training-data "n examples per source"
+    contract. Ties cannot occur (xxhash64 over distinct ids collides
+    with probability ~2^-64; the id itself breaks any residual tie
+    deterministically).
+
+    ``hash_col``: override the ordering hash with any deterministic
+    Column (e.g. md5 of the stringified id for engine-portable
+    ordering an external oracle can reproduce; xxhash64 stays the fast
+    JVM-side default).
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    h = hash_col if hash_col is not None else F.xxhash64(F.col(id_col), F.lit(salt))
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -687,3 +687,41 @@ def q145_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146: fixed-size per-group sampling (bottom-k by hash)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q146_bottomk_sample",
+    """
+    SELECT event_type, event_id
+    FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR) || ':0'), event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q146_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-source sampling (the training-data "n examples
+    per source" contract): keep the 3 events per type whose hash of the
+    id is smallest — deterministic bottom-k/consistent sampling, the
+    distributed reservoir replacement (no rand(): retry-stable,
+    mergeable across shards, membership stable under corpus growth —
+    see sketches.bottom_k_sample). The catalog instantiation orders by
+    the engine-portable md5 of the stringified id so the oracle
+    reproduces the exact sample; production uses the default JVM
+    xxhash64 ordering."""
+    from batch_process_spark.operators.sketches import bottom_k_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    portable = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":0")))
+    return bottom_k_sample(
+        ev, "event_type", 3, "event_id", hash_col=portable
+    ).select("event_type", "event_id")

