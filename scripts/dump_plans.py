@@ -63,6 +63,7 @@ NOTES = {
     "q142_quality_checks": "intake gate: four rule aggregates in ONE scan (stack unpivot is map-side over the 1-row agg); the FK check's anti-join probes a size-gated broadcast of parent keys",
     "q143_drift_psi": "two-window histograms from one conditional-agg scan; totals broadcast back over the <=10-row bucket table — no corpus-sized stage after the rollup",
     "q145_incremental_rollup": "IVM refresh: history aggregated once, each delta aggregated alone and key-merged with standing partials — three narrow scans, no re-aggregation of raw history",
+    "q146_bottomk_sample": "per-group window on the hash order: one hash-partitioned exchange, row_number + filter — no global sort, no rand()",
     "q140_entity_resolution": "the part table is scanned once into the PERSISTED name dictionary (pair probe, pair build, and the re-key join all read the materialized frame); fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows)",
 }
 
