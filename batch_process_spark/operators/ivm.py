@@ -1,10 +1,16 @@
 """Incremental view maintenance (IVM) for algebraic rollups.
 
-At 100 TB the history is never re-scanned: a materialized per-key
-rollup holds MERGEABLE partial state (count / sum / min / max), and
-each new drop of rows folds in with one aggregation over the DELTA
-plus a key-wise merge with the existing rollup — cost proportional to
-the delta and the touched keys, not the history. Derived measures
+At 100 TB the RAW HISTORY is never re-scanned: a materialized
+per-key rollup holds MERGEABLE partial state (count / sum / min /
+max), and each new drop of rows folds in with one aggregation over
+the DELTA plus a merge with the existing rollup. Honest cost
+accounting: the merge re-aggregates the standing rollup (one pass
+over |rollup| + |delta| partials, with a key shuffle) — what is
+saved is every pass over the raw event history, which dominates by
+the compression ratio of the rollup. Storing the rollup bucketed on
+the keys removes the merge's shuffle; a touched-keys-only rewrite
+(anti-join passthrough of untouched keys) trades the shuffle for two
+joins and wins when deltas touch few keys. Derived measures
 (avg) reconstruct from the partials at read time; non-mergeable
 holistic measures (exact median) are exactly what the sketch layer
 (`operators/sketches.py`) replaces with mergeable state.
@@ -58,7 +64,9 @@ def refresh_rollup(
     and re-aggregate per key with each measure's MERGE function
     (count/sum -> sum of partials, min/max -> min/max of partials).
     Keys present only in the delta appear; untouched keys pass through
-    the re-aggregation unchanged. History is never re-read."""
+    the re-aggregation with unchanged VALUES (they do ride the merge
+    shuffle — see the module docstring's cost note). Raw history is
+    never re-read."""
     keys = list(keys)
     delta = rollup_aggregate(delta_rows, keys, measures)
     merged = existing.select(delta.columns).unionByName(delta)

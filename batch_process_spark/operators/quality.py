@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 from batch_process_spark.operators.joins import gated_broadcast
 
 
+class GateError(RuntimeError):
+    """A hard quality gate failed. Pipeline.run treats this class
+    specially: the failing stage records as failed AND every later
+    stage is skipped — unlike ordinary operator errors, which are
+    errors-as-data and do not stop the run."""
+
+
 def _column_check_expr(check: Mapping[str, Any]):
     """(check_name, aggregate Column counting violating rows)."""
     c = check["column"]
@@ -44,6 +51,11 @@ def _column_check_expr(check: Mapping[str, Any]):
         # duplicate rows beyond the first occurrence of each value
         return f"unique:{c}", F.count(col) - F.count_distinct(col)
     if t == "range":
+        if "min" not in check and "max" not in check:
+            raise ValueError(
+                f"range check on {c!r} has neither 'min' nor 'max' — "
+                "a bound-less range always passes (likely a config typo)"
+            )
         cond = F.lit(False)
         if "min" in check:
             cond = cond | (col < F.lit(check["min"]))
@@ -74,11 +86,20 @@ def check_constraints(df: DataFrame, checks: Sequence[Mapping[str, Any]]) -> Dat
         agg = df.agg(
             *[expr.cast("long").alias(f"__c{i}") for i, (_, expr) in enumerate(named)]
         )
-        stack_args = ", ".join(
-            f"'{name}', __c{i}" for i, (name, _) in enumerate(named)
+        # unpivot via explode of literal structs — check names are
+        # BOUND as literals, never interpolated into SQL text (a column
+        # name with a quote must not break the generated plan)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col(f"__c{i}").alias("violations"),
+                )
+                for i, (name, _) in enumerate(named)
+            ]
         )
-        out = agg.select(
-            F.expr(f"stack({len(named)}, {stack_args}) as (check_name, violations)")
+        out = agg.select(F.explode(rows).alias("__r")).select(
+            "__r.check_name", "__r.violations"
         )
     for c in fk_checks:
         child_col, parent, pk = c["column"], c["ref_df"], c["ref_column"]

@@ -52,16 +52,19 @@ def backup(df, root=".", backup_dir="backup", **cfg):
     return backup_files(df.filter(~F.col("is_dir")), root, backup_dir)
 
 
-@operator(name="quality_gate", phase="post", priority=10)
+@operator(name="quality_gate", phase="post")
 def quality_gate(df, checks=None, fail_on_violation=False, **cfg):
     """Pipeline-stage form of the intake gate (`operators/quality.py`):
     rule dicts come straight from the YAML/JSON pipeline config (the
     reference's plugin-config pattern), the result is the per-check
     report frame, and ``fail_on_violation=True`` turns the stage into a
-    hard gate that raises before any downstream sink runs. FK checks
+    hard gate: it raises GateError, which Pipeline.run treats as
+    halting — the failing stage records failed and every later stage
+    (including sinks) records skipped instead of running. Order the
+    gate before sinks via the config rule's priority. FK checks
     are not config-expressible (they need a second DataFrame) — use
     check_constraints directly for those."""
-    from batch_process_spark.operators.quality import check_constraints
+    from batch_process_spark.operators.quality import GateError, check_constraints
 
     if not checks:
         raise ValueError("quality_gate needs a non-empty 'checks' list in config")
@@ -74,5 +77,5 @@ def quality_gate(df, checks=None, fail_on_violation=False, **cfg):
         bad = report.filter(~F.col("passed")).collect()
         if bad:
             names = ", ".join(f"{r['check_name']}({r['violations']})" for r in bad)
-            raise ValueError(f"quality gate failed: {names}")
+            raise GateError(f"quality gate failed: {names}")
     return report

@@ -175,6 +175,11 @@ class Pipeline:
     def run(self, tree: DataFrame, eager: bool = False) -> "PipelineResult":
         """Execute all stages; never raises on operator failure.
 
+        Exception: a stage raising ``GateError`` (a failed hard quality
+        gate) HALTS the run — the gate stage records failed and every
+        later stage records skipped without executing, so sinks can
+        never run on data a gate rejected.
+
         Operators return LAZY DataFrames, so by default a stage's
         ``status`` covers plan construction + Catalyst analysis errors
         only — a runtime failure (bad data, failing UDF) surfaces later
@@ -186,9 +191,12 @@ class Pipeline:
         (``engine.py:519-537``), at the cost of executing each stage
         at record time.
         """
+        from batch_process_spark.operators.quality import GateError
+
         spark = tree.sparkSession
         results: list[dict] = []
         outputs: dict[int, DataFrame] = {}
+        halted_at: int | None = None
         for st in self.stages:
             rec = {
                 "step": st.step,
@@ -199,6 +207,14 @@ class Pipeline:
                 "error": None,
                 "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
             }
+            if halted_at is not None:
+                # a hard gate failed upstream: later stages (sinks
+                # included) must NOT run on the bad data — recorded as
+                # skipped, not silently dropped from the history
+                rec["status"] = "skipped"
+                rec["error"] = f"skipped: gate failed at step {halted_at}"
+                results.append(rec)
+                continue
             try:
                 op = self.registry.get(st.op_name)
                 frame = tree if st.pattern is None else tree.filter(match_rule(st.pattern))
@@ -206,6 +222,10 @@ class Pipeline:
                 if eager and isinstance(out, DataFrame):
                     out.write.format("noop").mode("overwrite").save()
                 outputs[st.step] = out
+            except GateError as exc:
+                rec["status"] = "failed"
+                rec["error"] = f"{type(exc).__name__}: {exc}"
+                halted_at = st.step
             except Exception as exc:
                 rec["status"] = "failed"
                 rec["error"] = f"{type(exc).__name__}: {exc}"

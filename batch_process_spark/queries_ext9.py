@@ -647,8 +647,9 @@ def q145_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup materialized from HISTORY (ts < Jan 16) then refreshed with
     the remaining rows as two successive DELTAS (Jan 16-23, Jan 23+) —
     `refresh_rollup` aggregates each delta alone and key-merges it with
-    the standing partials, so history is scanned once ever and each
-    refresh costs one pass over its delta. Because every partial is
+    the standing partials, so RAW history is scanned once ever and each
+    refresh costs one delta pass plus a merge over the (compressed)
+    rollup — never a re-aggregation of raw history. Because every partial is
     mergeable (count/sum -> sum, min/max -> min/max; cents exact in
     integer space), the twice-refreshed rollup must equal the one-shot
     GROUP BY over all rows — which is exactly the oracle's

@@ -206,7 +206,9 @@ def test_quality_gate_pipeline_operator(spark, dirty):
     ]
     report = {r["check_name"]: r["violations"] for r in op(dirty, checks=checks).collect()}
     assert report == {"not_null:cust": 1, "range:price": 2}
-    with pytest.raises(ValueError, match=r"quality gate failed: .*not_null:cust\(1\)"):
+    from batch_process_spark.operators.quality import GateError
+
+    with pytest.raises(GateError, match=r"quality gate failed: .*not_null:cust\(1\)"):
         op(dirty, checks=checks, fail_on_violation=True)
     with pytest.raises(ValueError, match="non-empty 'checks'"):
         op(dirty)
@@ -215,3 +217,46 @@ def test_quality_gate_pipeline_operator(spark, dirty):
     # clean data passes the hard gate and returns the report
     clean = dirty.filter("cust IS NOT NULL AND price >= 0 AND price <= 600000")
     assert op(clean, checks=checks, fail_on_violation=True).count() == 2
+
+
+def test_gate_error_halts_pipeline(spark, dirty):
+    """The property the gate exists for: in a Pipeline, a GateError
+    stops the run — downstream stages (sinks included) record skipped
+    and never execute on the rejected data; ordinary rules stay
+    errors-as-data."""
+    import batch_process_spark.plans.builtin_ops  # noqa: F401
+    from batch_process_spark.plans.compiler import Pipeline
+    from batch_process_spark.plans.registry import REGISTRY, Registry
+
+    ran = []
+
+    reg = Registry()
+    reg._ops.update(REGISTRY._ops)
+
+    @reg.register(name="probe_sink")
+    def probe_sink(df, **cfg):
+        ran.append(1)
+        return df
+
+    def config(hard):
+        return {
+            "post_process": [
+                {"name": "quality_gate", "config": {
+                    "checks": [{"type": "not_null", "column": "cust"}],
+                    "fail_on_violation": hard}},
+                {"name": "probe_sink", "config": {}},
+            ]
+        }
+
+    res = Pipeline(config(True), registry=reg).run(dirty)
+    recs = {r["processor"]: (r["status"], r["error"]) for r in res.results.collect()}
+    assert recs["quality_gate"][0] == "failed" and "GateError" in recs["quality_gate"][1]
+    assert recs["probe_sink"][0] == "skipped"
+    assert "gate failed at step" in recs["probe_sink"][1]
+    assert ran == []  # the sink never executed
+
+    # without the hard flag the same rules are errors-as-data: the
+    # report stage succeeds and downstream stages run
+    res2 = Pipeline(config(False), registry=reg).run(dirty)
+    assert all(r["status"] == "success" for r in res2.results.collect())
+    assert ran == [1]

@@ -162,16 +162,30 @@ def test_bottom_k_sample_properties(spark):
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rows))
 
-    # growth stability: adding rows never RESHUFFLES the sample — every
-    # newly-kept id replaces an evicted one, the rest stay
+    # growth stability: adding rows never RESHUFFLES the sample — a
+    # member leaves ONLY when evicted by a new smaller-hash arrival,
+    # asserted against the actual hash values
     bigger = spark.createDataFrame([(i % 3, i) for i in range(600)], "grp long, id long")
+    hashes = {
+        r["id"]: r["h"]
+        for r in bigger.select("id", F.xxhash64("id", F.lit(0)).alias("h")).collect()
+    }
     s2 = {r["grp"]: set() for r in rows}
     for r in bottom_k_sample(bigger, "grp", 5, "id").collect():
         s2[r["grp"]].add(r["id"])
+    new_ids = {i for i in range(300, 600)}
     for g in per:
-        kept = per[g] & s2[g]
-        # all changes are strict replacements by smaller-hash arrivals
-        assert len(s2[g]) == 5 and len(kept) >= 0
-        # determinism: rerunning on the same data is identical
+        assert len(s2[g]) == 5
+        evicted = per[g] - s2[g]
+        newcomers = s2[g] - per[g]
+        # every newcomer is genuinely new data, and each one's hash
+        # beats every evicted member's hash (strict replacement)
+        assert newcomers <= new_ids
+        assert len(newcomers) == len(evicted)
+        if evicted:
+            assert max(hashes[n] for n in newcomers) < min(hashes[e] for e in evicted)
+        # survivors are exactly the old members not displaced
+        assert per[g] - evicted <= s2[g]
+    # determinism: rerunning on the same data is identical
     again = bottom_k_sample(df, "grp", 5, "id").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
