@@ -665,19 +665,24 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
            count(*) AS n_rows
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
 )
 def q31_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan+filter+agg — the pushdown/codegen
-    showcase (no shuffle beyond the final scalar agg)."""
+    showcase (no shuffle beyond the final scalar agg). Window moved to
+    1996 in round 6: the round-3 testdata regeneration shifted
+    shipdates to start in 1995, leaving the canonical 1994 window
+    EMPTY — the query was passing vacuously on (NULL, 0) = (NULL, 0)
+    for three rounds. 1996 selects ~12k rows at sf0.1, so the revenue
+    aggregate is load-bearing again."""
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)

@@ -726,3 +726,112 @@ def q146_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottom_k_sample(
         ev, "event_type", 3, "event_id", hash_col=portable
     ).select("event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q147/q148: the last two TPC-H shapes (Q12, Q20) — full 22-shape sweep
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q147_late_returns_by_priority",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q147_late_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the generated schema ships no
+    shipmode/commitdate, so returned-flag lines shipped on/after their
+    order date stand in for late shipmode lines): selective fact
+    filter, orders join carrying a NON-EQUI residual (l_shipdate >=
+    o_orderdate rides the equi-join, never a nested loop), and the
+    classic two-way conditional counts by priority class. The orders
+    build side is fact-derived, so it goes through the stats gate like
+    q29/q30."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o2 = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            joins.gated_broadcast(o2),
+            (li.l_orderkey == o2.o_orderkey) & (li.l_shipdate >= o2.o_orderdate),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q148_dominant_part_suppliers",
+    """
+    WITH rel AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, sum(qty) AS total FROM rel GROUP BY l_partkey),
+    reds AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT r.l_suppkey
+      FROM rel r JOIN tot t ON r.l_partkey = t.l_partkey
+      WHERE r.l_partkey IN (SELECT p_partkey FROM reds)
+        AND 5 * r.qty > t.total
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q148_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp/availqty in the schema, so
+    'holds excess stock' becomes 'shipped an outsized share of a red
+    part's total volume' — the same nested structure: name-filtered
+    part semi-join, correlated per-part aggregate threshold — here a
+    >20% volume share, sized to the generator's supplier fan-out so the
+    result is non-vacuous — supplier semi-join at the top). All in
+    exact integer quantities. The rollup
+    is scanned once into both the per-pair and per-part totals; the
+    threshold join runs at rollup granularity, never over raw
+    lineitem; the final supplier probe is a semi join against the
+    (dictionary-sized) qualifying supplier keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    reds = part.filter(F.col("p_name").like("%red%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    rel = (
+        li.select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q"))
+        .join(joins.gated_broadcast(reds), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("qty"))
+    )
+    tot = rel.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    dominant = (
+        rel.join(tot, "l_partkey")
+        .filter(5 * F.col("qty") > F.col("total"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(joins.gated_broadcast(dominant), "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
