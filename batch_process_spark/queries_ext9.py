@@ -835,3 +835,79 @@ def q148_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149: distributed triangle counting (co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q149_triangle_count",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT part AS l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([u, v, w]) AS part FROM tri)
+    GROUP BY part
+    ORDER BY n_triangles DESC, part ASC
+    LIMIT 20
+    """,
+)
+def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    (parts appearing in the same order are adjacent; orderkey-capped
+    prefix keeps the catalog instance bounded) — the classic
+    edge-iterator algorithm as joins: canonical u<v edges, wedge join
+    on the middle vertex (u<v<w for free from canonical order — each
+    triangle enumerated exactly once), closure semi-join back against
+    the edge set, then per-node participation via explode. Every stage
+    is an equi-join at EDGE granularity: no node ever sees more than
+    its neighborhood, no adjacency matrix, no driver state — the shape
+    that scales to billions of edges (wedge skew on hub nodes is the
+    known hot spot; salting the middle vertex, operators/skew.py, is
+    the standard hardening)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    # persisted via the bounded memo pool (released by invalidate_tables):
+    # the edge set feeds the wedge join twice and the closure probe
+    edges = _memoized_persist(
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = edges.join(e2, "v").select("u", "v", "w")
+    tri = wedges.join(
+        edges.select(F.col("u").alias("u"), F.col("v").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    )
+    out = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("l_partkey"))
+        .limit(20)
+    )
+    return out

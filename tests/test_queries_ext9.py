@@ -156,3 +156,35 @@ def test_q140_conserves_parts_and_elects_min_canonical(spark):
             if s >= c:
                 break
             assert lev(s, c) > 2, (c, s, "canonical is not its component's minimum")
+
+
+def test_q149_triangle_math_exact(spark):
+    """Triangle counting on a hand-built graph with known answers: a
+    4-clique (4 triangles, each node in 3) plus a pendant edge (no
+    triangles) — validates canonical-order enumeration counts each
+    triangle exactly once and per-node participation is right."""
+    from pyspark.sql import functions as F
+
+    # orders: one per edge of K4 {1,2,3,4} + pendant edge {4,9}
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    rows = []
+    for o, (a, b) in enumerate(edges):
+        rows += [(o, a), (o, b)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = e.join(e2, "v").select("u", "v", "w").join(
+        e.select(F.col("u").alias("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
+    )
+    assert tri.count() == 4  # C(4,3) triangles in K4, none through node 9
+    per = {
+        r["p"]: r["n"]
+        for r in tri.select(F.explode(F.array("u", "v", "w")).alias("p"))
+        .groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {1: 3, 2: 3, 3: 3, 4: 3}  # node 9 absent
