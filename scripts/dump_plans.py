@@ -66,6 +66,7 @@ NOTES = {
     "q146_bottomk_sample": "per-group window on the hash order: one hash-partitioned exchange, row_number + filter — no global sort, no rand()",
     "q147_late_returns_by_priority": "Q12 shape: pushed fact filter; the non-equi shipdate>=orderdate residual rides the gated orders equi-join (no nested loop); conditional counts collapse map-side",
     "q148_dominant_part_suppliers": "Q20 shape: lineitem reduced to the (part,supp) rollup once; threshold join runs at rollup granularity; supplier probes a semi join of the dictionary-sized qualifying keys",
+    "q149_triangle_count": "edge-iterator triangles: all equi-joins at edge granularity (wedge join + left-semi closure over the persisted edge set); no adjacency matrix, no driver state",
     "q140_entity_resolution": "the part table is scanned once into the PERSISTED name dictionary (pair probe, pair build, and the re-key join all read the materialized frame); fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows)",
 }
 
