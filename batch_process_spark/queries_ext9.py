@@ -911,3 +911,77 @@ def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# q150: native session windows run as a real stream (complete mode)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q150_streaming_sessions",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM d
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q150_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (`F.session_window`, streaming/windows.py
+    `session_window_agg`) driven as a REAL stream: three micro-batches
+    of the events feed, session state merged across batches in the
+    state store, held to the full value-hash oracle. The batch twin is
+    q38 (lag + running-sum islands); here the engine's own session
+    operator does the merging, so sessions that SPAN a micro-batch
+    boundary are stitched by state, not by a shuffle-wide window — the
+    100 TB shape for sessionization over an unbounded feed. Complete
+    mode keeps every closed-and-open session in the result table so
+    the final table must equal the batch islands (the oracle); the
+    production profile is append mode + watermark, whose late-drop
+    semantics are pinned by q99 and the session parity pytest.
+    Spark's session bound is [min(ts), last event + gap], so the
+    oracle emits max(ts) + INTERVAL 30 MINUTE as session_end — same
+    contract, engine-portable."""
+    from batch_process_spark.queries_ext3 import (
+        _events_stream_schema,
+        _normalize_stream_ts,
+    )
+    from batch_process_spark.queries_ext8 import _staged_event_slices
+    from batch_process_spark.streaming.windows import (
+        run_stream_to_memory,
+        session_window_agg,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d, write_slice = _staged_event_slices(sf_dir, "q150")
+
+    def transform(stream):
+        return session_window_agg(
+            _normalize_stream_ts(stream), gap="30 minutes"
+        )
+
+    return run_stream_to_memory(
+        spark,
+        d,
+        _events_stream_schema(sf_dir),
+        transform,
+        query_name="q150_out",
+        output_mode="complete",
+        feeds=[lambda: write_slice(1), lambda: write_slice(2)],
+    ).select("user_id", "session_start", "session_end", "n_events", "sum_value")

@@ -188,3 +188,106 @@ def test_q149_triangle_math_exact(spark):
         .groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per == {1: 3, 2: 3, 3: 3, 4: 3}  # node 9 absent
+
+
+def test_q150_sessions_match_batch_islands(spark):
+    """q150 drives session_window as a real 3-micro-batch stream in
+    complete mode; this pins what the oracle can't see: session BOUNDS
+    honor the gap contract (end == last event + 30min, so end - 30min
+    >= start) and the emitted session starts equal a driver-side
+    islands recomputation per user — i.e. the stream's final table is
+    exactly the batch sessionization, however the micro-batches cut."""
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.queries import QUERIES
+
+    sf = SF
+    rows = QUERIES["q150_streaming_sessions"](spark, sf).collect()
+    assert rows
+    gap_s = 30 * 60
+    sessions = {}
+    for r in rows:
+        start, end = r["session_start"], r["session_end"]
+        assert (end - start).total_seconds() >= gap_s, "end must be last+gap"
+        sessions.setdefault(r["user_id"], []).append(r)
+
+    tbl = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    by_user: dict = {}
+    for uid, ts in zip(
+        tbl.column("user_id").to_pylist(), tbl.column("ts").to_pylist()
+    ):
+        by_user.setdefault(uid, []).append(ts)
+    n_sessions = 0
+    for uid, e in by_user.items():
+        e.sort()
+        starts = [e[0]]
+        for prev, nxt in zip(e, e[1:]):
+            if (nxt - prev).total_seconds() > gap_s:
+                starts.append(nxt)
+        n_sessions += len(starts)
+        got = sorted(r["session_start"].replace(tzinfo=None) for r in sessions[uid])
+        want = sorted(t.replace(tzinfo=None) for t in starts)
+        assert got == want, uid
+    assert n_sessions == len(rows)
+
+
+def test_session_window_stream_stitches_across_microbatches(spark, tmp_path):
+    """NON-VACUITY of the cross-batch merge (the testdata's sessions
+    are too short to span its row-third slice cuts, so q150 alone
+    can't witness it): a synthetic feed where one user's session is
+    split across all three micro-batches — 10:00 in batch 0, 10:10 in
+    batch 1, 10:20 in batch 2, each within the 30-minute gap — must
+    come back as ONE session [10:00, 10:50) with n_events=3, while a
+    second user's far-apart events stay two sessions. This is the
+    state-store stitching a shuffle-wide batch window never does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.streaming.windows import (
+        run_stream_to_memory,
+        session_window_agg,
+    )
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("value", pa.float64())]
+    )
+
+    def write_slice(i, rows):
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema), d / f"slice_{i}.parquet"
+        )
+
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    write_slice(0, [{"user_id": 1, "ts": t(0), "value": 1.0},
+                    {"user_id": 2, "ts": t(0), "value": 5.0}])
+    feeds = [
+        lambda: write_slice(1, [{"user_id": 1, "ts": t(10), "value": 2.0}]),
+        lambda: write_slice(2, [{"user_id": 1, "ts": t(20), "value": 4.0},
+                                {"user_id": 2, "ts": t(55), "value": 7.0}]),
+    ]
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        out = run_stream_to_memory(
+            spark,
+            str(d),
+            "user_id long, ts timestamp, value double",
+            lambda st: session_window_agg(st, gap="30 minutes"),
+            query_name="t_sess_stitch",
+            output_mode="complete",
+            feeds=feeds,
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 1, "cross-batch events within gap must merge"
+    s1 = by_user[1][0]
+    assert s1["n_events"] == 3 and s1["sum_value"] == 7.0
+    assert (s1["session_end"] - s1["session_start"]).total_seconds() == 50 * 60
+    assert len(by_user[2]) == 2, "events 55min apart must stay split"
