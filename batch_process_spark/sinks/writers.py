@@ -49,6 +49,30 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+) -> None:
+    """ORC sink (JVM-native, splittable, predicate-pushdown-capable —
+    the columnar alternative when downstream consumers are Hive/Trino
+    rather than parquet-first). Same layout levers as ``write_parquet``;
+    Spark's ORC writer embeds min/max stripe statistics so filters
+    push down on re-read (pinned by ``test_sinks.py``)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source twin of the sink: a plain ``spark.read.orc`` wrapper
+    kept symmetric with the other formats so the mixed-format catalog
+    (sources/readers.py S6) can route by extension."""
+    return spark.read.orc(path)
+
+
 #: pickle is a driver-side convenience sink (reference parity:
 #: ``test/blade_load_extract/plugins/process_blade_load.py:63-65``
 #: pickles the result frame next to the report) — small results only.

@@ -312,3 +312,31 @@ def test_svg_plot_shared_categorical_index(tmp_path):
     body = open(out).read()
     for cat in ("a", "b", "c", "d"):
         assert f">{cat}</text>" in body
+
+
+def test_write_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
+    """ORC sink/source: values survive the round trip, a value filter
+    reaches the ORC reader as a pushed predicate, and a
+    partition_by layout prunes directories exactly like parquet."""
+    from batch_process_spark.sinks.writers import read_orc, write_orc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "orc_flat")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    got = {r["doc_id"]: r["n_chars"] for r in back.collect()}
+    want = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert got == want
+
+    scan = back.filter(F.col("doc_id") == 7)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1][:120]
+
+    part = str(tmp_path / "orc_bysource")
+    write_orc(docs, part, partition_by=["source"])
+    pscan = read_orc(spark, part).filter(F.col("source") == "src3")
+    pplan = pscan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in pplan and "src3" in pplan
+    assert pscan.count() == docs.filter(F.col("source") == "src3").count() > 0
