@@ -985,3 +985,84 @@ def q150_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
         feeds=[lambda: write_slice(1), lambda: write_slice(2)],
     ).select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# q151: BFS shortest hops from a seed node (frontier iteration as joins)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q151_bfs_hops",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey
+    ),
+    walk(node, d) AS (
+      SELECT (SELECT min(u) FROM edges), 0
+      UNION
+      SELECT e.v, w.d + 1
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.d < 4
+    )
+    SELECT node AS l_partkey, CAST(min(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q151_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS, 4 hops) over the
+    part co-purchase graph, from the smallest node in the edge set —
+    the frontier-iteration graph shape q79's components and q139's
+    PageRank don't cover. Each round is two equi-joins over the
+    PERSISTED symmetric edge set: frontier ⋈ edges to expand, then
+    anti-join against the visited set so a node keeps its FIRST
+    (minimal) hop count; each round's new frontier is persisted so
+    round k never recomputes rounds 1..k-1. At scale the edge table
+    hash-partitions on the source column once and never moves; only
+    the frontier (nodes discovered last round) and the visited keys
+    ship per round — the Pregel BFS rewrite, 4 unrolled supersteps.
+    The oracle is the same walk as a recursive CTE (UNION-dedup)
+    reduced by min(d)."""
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = _memoized_persist(
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .join(b, "o")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    seed = edges.agg(F.min("u").alias("node"))
+    visited = _memoized_persist(seed.withColumn("hops", F.lit(0).cast("long")))
+    rounds = [visited]
+    frontier = visited
+    for d in range(1, 5):
+        nbrs = (
+            frontier.select(F.col("node").alias("u"))
+            .join(edges, "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = _memoized_persist(
+            nbrs.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(d).cast("long"))
+        )
+        rounds.append(new)
+        frontier = new
+        visited = visited.unionByName(new)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.select(F.col("node").alias("l_partkey"), "hops")

@@ -291,3 +291,48 @@ def test_session_window_stream_stitches_across_microbatches(spark, tmp_path):
     assert s1["n_events"] == 3 and s1["sum_value"] == 7.0
     assert (s1["session_end"] - s1["session_start"]).total_seconds() == 50 * 60
     assert len(by_user[2]) == 2, "events 55min apart must stay split"
+
+
+def test_q151_hops_match_python_bfs(spark):
+    """The iterative-join BFS must equal a textbook queue BFS run
+    driver-side on the same (collected) edge set: identical reachable
+    sets within 4 hops and identical minimal hop counts — pinning that
+    the anti-join keeps FIRST discovery and no round leaks a stale
+    frontier."""
+    from collections import deque
+
+    from batch_process_spark.queries import QUERIES, _t
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q151_bfs_hops"](spark, SF).collect()
+    got = {r["l_partkey"]: r["hops"] for r in rows}
+    assert got, "empty BFS result"
+
+    li = (
+        _t(spark, SF, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    adj: dict = {}
+    for parts in by_order.values():
+        for a in parts:
+            for bb in parts:
+                if a != bb:
+                    adj.setdefault(a, set()).add(bb)
+    seed = min(adj)
+    want = {seed: 0}
+    q = deque([seed])
+    while q:
+        n = q.popleft()
+        if want[n] >= 4:
+            continue
+        for m in adj.get(n, ()):
+            if m not in want:
+                want[m] = want[n] + 1
+                q.append(m)
+    assert got == want
