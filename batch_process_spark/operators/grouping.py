@@ -82,14 +82,39 @@ def merge_results(
 ) -> DataFrame:
     """Per-file merge of execution records (``utils/exporters.py:34-53``):
     lines->max, words->sum, chars->sum, lang->first-by-time,
-    status->sorted list, timestamp->max."""
-    return df.groupBy(file_col).agg(
-        F.max(lines_col).alias("max_lines"),
-        F.sum(words_col).alias("sum_words"),
-        F.sum(chars_col).alias("sum_chars"),
-        F.min_by(lang_col, order_col).alias("first_lang"),
-        F.array_sort(F.collect_list(status_col)).alias("statuses"),
-        F.max(order_col).alias("last_ts"),
+    status->sorted list, timestamp->max.
+
+    Two-stage formulation: the status list is the only non-codegen
+    aggregate (``collect_list`` forces ObjectHashAggregate and ships
+    every status string through the shuffle), but statuses are
+    low-cardinality, so stage 1 pre-aggregates on (file, status) —
+    all codegen, map-side partial combine reduces the exchange to
+    ~files x distinct-statuses rows however many records there are —
+    and stage 2 rebuilds the sorted multiset from (status, count) via
+    ``array_repeat`` over a few rows per file. Every other aggregate
+    composes exactly across the two stages (max of maxes, sum of
+    sums, min_by of min_bys); the tiny second exchange costs less
+    than object-serializing the full status column."""
+    s1 = df.groupBy(file_col, status_col).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max(lines_col).alias("__max_lines"),
+        F.sum(words_col).alias("__sum_words"),
+        F.sum(chars_col).alias("__sum_chars"),
+        F.min_by(lang_col, order_col).alias("__lang0"),
+        F.min(order_col).alias("__ts0"),
+        F.max(order_col).alias("__ts1"),
+    )
+    return s1.groupBy(file_col).agg(
+        F.max("__max_lines").alias("max_lines"),
+        F.sum("__sum_words").alias("sum_words"),
+        F.sum("__sum_chars").alias("sum_chars"),
+        F.min_by("__lang0", "__ts0").alias("first_lang"),
+        F.array_sort(
+            F.flatten(
+                F.collect_list(F.array_repeat(F.col(status_col), F.col("__cnt").cast("int")))
+            )
+        ).alias("statuses"),
+        F.max("__ts1").alias("last_ts"),
     )
 
 
