@@ -1066,3 +1066,111 @@ def q151_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out.select(F.col("node").alias("l_partkey"), "hops")
+
+
+# ---------------------------------------------------------------------------
+# q152: BM25 ranked retrieval, corpus stage map-only
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "table", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@_q(
+    "q152_bm25_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+    ),
+    t2 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM t2 WHERE token IN ('spark', 'table', 'hash')
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * base.dl / stats.avgdl))
+               AS c
+      FROM tf
+      JOIN base ON tf.doc_id = base.doc_id
+      CROSS JOIN stats
+      JOIN df ON tf.token = df.token
+    )
+    SELECT doc_id, round(sum(c), 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q152_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query
+    — the relevance layer over the q125 inverted index, scored WITHOUT
+    ever shuffling tokens: per-document term frequencies and document
+    length are pure array expressions over the split text (map-only,
+    whole-stage codegen), the 3-row document-frequency table and the
+    1-row (N, avgdl) stats both broadcast back, and the only wide
+    stages are a tiny per-doc sum and the TakeOrderedAndProject top-20
+    — at 100 TB the corpus is touched exactly once, map-side. The
+    oracle computes the identical formula from an exploded token
+    stream (different plan, same values); scores quantized to 6
+    decimals in both engines before ranking, ties broken by doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "dl", F.size("toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    def _tf(term: str):
+        # NB: the lambda must stay unary — a second (default) parameter
+        # flips PySpark's HOF into the (element, index) binary form
+        return F.filter(F.col("toks"), lambda x: x == F.lit(term))
+
+    tf_cols = [
+        F.size(_tf(t)).cast("long").alias(f"__tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    stack_expr = "stack({}, {}) as (token, tf)".format(
+        len(_BM25_TERMS),
+        ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(_BM25_TERMS)),
+    )
+    hits = (
+        base.select("doc_id", "dl", *tf_cols)
+        .select("doc_id", "dl", F.expr(stack_expr))
+        .filter(F.col("tf") > 0)
+    )
+    dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    k1, bb = _BM25_K1, _BM25_B
+    contrib = (
+        hits.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - bb + bb * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

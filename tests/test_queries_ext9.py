@@ -336,3 +336,51 @@ def test_q151_hops_match_python_bfs(spark):
                 want[m] = want[n] + 1
                 q.append(m)
     assert got == want
+
+
+def test_q152_bm25_matches_python_recompute(spark):
+    """Recompute BM25 for every returned doc in pure Python from the
+    raw text (same k1/b/term set) and compare at 6 decimals — pinning
+    the formula, the map-only tf/dl derivation, and the ranking order
+    (score desc, doc_id asc)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.queries import QUERIES
+    from batch_process_spark.queries_ext9 import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    rows = QUERIES["q152_bm25_search"](spark, SF).collect()
+    assert len(rows) == 20
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: [t for t in txt.split(" ") if t]
+        for d, txt in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = {
+        term: sum(1 for v in toks.values() if term in v) for term in _BM25_TERMS
+    }
+    def score(d):
+        s = 0.0
+        dl = len(toks[d])
+        for term in _BM25_TERMS:
+            tf = toks[d].count(term)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1)
+            s += idf * (tf * (_BM25_K1 + 1)) / (
+                tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+        return round(s, 6)
+
+    for r in rows:
+        assert abs(r["score"] - score(r["doc_id"])) < 2e-6, r["doc_id"]
+    got = [(r["score"], r["doc_id"]) for r in rows]
+    assert got == sorted(got, key=lambda p: (-p[0], p[1]))
+    want_top = sorted(
+        ((score(d), d) for d in toks), key=lambda p: (-p[0], p[1])
+    )[:20]
+    assert [(s, d) for s, d in want_top] == got
