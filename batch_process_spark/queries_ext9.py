@@ -1174,3 +1174,86 @@ def q152_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q153: stream-stream LEFT OUTER join — outer emission on state eviction
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q153_stream_outer_join",
+    """
+    WITH imps(ad_id, imp_ts) AS (VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00'),
+      (2, TIMESTAMP '2024-01-01 10:05:00'),
+      (3, TIMESTAMP '2024-01-01 11:00:00')),
+    clicks(ad_id, click_ts, click_value) AS (VALUES
+      (1, TIMESTAMP '2024-01-01 10:04:00', 1.0),
+      (3, TIMESTAMP '2024-01-01 11:05:00', 4.0))
+    SELECT i.ad_id, i.imp_ts, c.click_ts, c.click_value
+    FROM imps i LEFT JOIN clicks c
+      ON i.ad_id = c.ad_id
+     AND c.click_ts >= i.imp_ts
+     AND c.click_ts <= i.imp_ts + INTERVAL '10 minutes'
+    """,
+)
+def q153_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q100 attribution join as LEFT OUTER: impressions that never
+    get a click must still emit — with NULL click columns — and in a
+    stream that can only happen at STATE EVICTION, when the global
+    watermark proves no matching click can ever arrive (imp_ts +
+    attribution horizon behind the watermark). Three real micro-batches:
+    ad 1 and ad 3 match inside their windows (inner rows emit on
+    match), ad 2's impression is never clicked and emits as the outer
+    row only after a later batch advances the watermark past its
+    horizon. A sentinel pair (ad 99) exists purely to push the final
+    watermark and is filtered from the result and omitted from the
+    oracle. This is the semantics batch LEFT JOIN gets for free and a
+    stream must buy with bounded per-key state — same
+    ``stream_interval_join`` builder, ``how='left_outer'``.
+    ``sf_dir`` unused: engine semantics, not data."""
+    import tempfile
+    from datetime import datetime
+
+    from batch_process_spark.streaming.feed import append_feed
+    from batch_process_spark.streaming.joins import (
+        run_two_streams_to_memory,
+        stream_interval_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    si = "ad_id int, imp_ts timestamp"
+    sc = "ad_id int, click_ts timestamp, click_value double"
+    di = tempfile.mkdtemp(prefix="q153_imp_")
+    dc = tempfile.mkdtemp(prefix="q153_clk_")
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    append_feed(di, si, [(1, t(10, 0)), (2, t(10, 5))])
+    append_feed(dc, sc, [(1, t(10, 4), 1.0)])
+    feeds = [
+        # watermark -> min(11:00, 11:05) - 10 min = 10:50, past ad 2's
+        # horizon 10:15: its outer row becomes emittable
+        lambda: (append_feed(di, si, [(3, t(11, 0))]),
+                 append_feed(dc, sc, [(3, t(11, 5), 4.0)])),
+        # sentinel pair pushes the final watermark to 11:50 so every
+        # real impression's state is resolved before the query stops
+        lambda: (append_feed(di, si, [(99, t(12, 0))]),
+                 append_feed(dc, sc, [(99, t(12, 0), 9.0)])),
+    ]
+    out = run_two_streams_to_memory(
+        spark, di, si, dc, sc,
+        lambda l, r: stream_interval_join(
+            l, r, on="ad_id", left_ts="imp_ts", right_ts="click_ts",
+            max_delay="10 minutes", watermark="10 minutes",
+            how="left_outer",
+        ).select("l.ad_id", "imp_ts", "click_ts", "click_value"),
+        query_name="q153_out",
+        feeds=feeds,
+        scoped_conf={
+            "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+        },
+    )
+    return out.filter(F.col("ad_id") != 99)

@@ -384,3 +384,21 @@ def test_q152_bm25_matches_python_recompute(spark):
         ((score(d), d) for d in toks), key=lambda p: (-p[0], p[1])
     )[:20]
     assert [(s, d) for s, d in want_top] == got
+
+
+def test_q153_outer_row_emitted_with_nulls(spark):
+    """The unclicked impression (ad 2) must appear exactly once with
+    NULL click columns — the state-eviction outer emission — and the
+    sentinel watermark-pusher must not leak into the result."""
+    from batch_process_spark.queries import QUERIES
+
+    rows = QUERIES["q153_stream_outer_join"](spark, SF).collect()
+    by_ad = {}
+    for r in rows:
+        by_ad.setdefault(r["ad_id"], []).append(r)
+    assert 99 not in by_ad
+    assert len(by_ad[2]) == 1
+    outer = by_ad[2][0]
+    assert outer["click_ts"] is None and outer["click_value"] is None
+    assert by_ad[1][0]["click_value"] == 1.0
+    assert by_ad[3][0]["click_value"] == 4.0
