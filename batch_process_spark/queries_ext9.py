@@ -1257,3 +1257,70 @@ def q153_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.filter(F.col("ad_id") != 99)
+
+
+# ---------------------------------------------------------------------------
+# q154: SCD2 dimension build + point-in-time (as-of) reconstruction
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q154_scd2_asof",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events WHERE user_id < 20
+    ),
+    hist AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                      TIMESTAMP '9999-12-31 23:59:59') AS valid_to
+      FROM ev
+    )
+    SELECT user_id, event_type AS state_at,
+           valid_from, valid_to,
+           (valid_to = TIMESTAMP '9999-12-31 23:59:59') AS is_current
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+      AND TIMESTAMP '2024-01-20 00:00:00' < valid_to
+    """,
+)
+def q154_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 under the full oracle (operators/merge.py `scd2_init` /
+    `scd2_apply` were pytest-only until this query): each user's event
+    stream becomes a slowly-changing attribute — the FIRST event is
+    the snapshot, every later event a timestamped change — and the
+    built dimension is probed AS OF Jan 20: exactly one validity
+    interval per user active before the probe instant, [valid_from,
+    valid_to) half-open. The oracle reconstructs the same history with
+    one lead() window, so every interval boundary, the open-end
+    sentinel, and the is_current flag are value-hash pinned — i.e. the
+    MERGE machinery's chaining (multiple changes per key in one
+    batch), current-row closing, and untouched-key passthrough are all
+    checked against SQL, not just fixtures. Shuffle shape: one
+    exchange on user_id serves the first/rest split, the apply's chain
+    window, and the probe filter — the dimension is a fraction of the
+    feed after the rollup, and the as-of probe is a map-side filter."""
+    from batch_process_spark.operators.merge import scd2_apply, scd2_init
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts", "event_type")
+    )
+    first = ev.groupBy("user_id").agg(
+        F.min("ts").alias("ts"), F.min_by("event_type", "ts").alias("event_type")
+    )
+    snapshot = first.select("user_id", "event_type", "ts")
+    changes = ev.join(
+        first.select("user_id", F.col("ts").alias("__t0")), "user_id"
+    ).filter(F.col("ts") > F.col("__t0")).select("user_id", "event_type", "ts")
+    dim = scd2_apply(scd2_init(snapshot, "ts"), changes, ["user_id"], "ts")
+    probe = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    return dim.filter((F.col("valid_from") <= probe) & (probe < F.col("valid_to"))).select(
+        "user_id",
+        F.col("event_type").alias("state_at"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
