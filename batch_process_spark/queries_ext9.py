@@ -1324,3 +1324,114 @@ def q154_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# q155: linear-interpolation resampling (the interpolating twin of q137)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q155_interpolate_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS min_d, max(day) AS max_d FROM daily GROUP BY 1)
+    ), joined AS (
+      SELECT s.user_id, s.day, d.cents
+      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ), fenced AS (
+      SELECT *,
+             max(CASE WHEN cents IS NOT NULL THEN day END)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             min(CASE WHEN cents IS NOT NULL THEN day END)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    ), valued AS (
+      SELECT *,
+             max(CASE WHEN cents IS NOT NULL THEN cents END)
+               OVER (PARTITION BY user_id, pd) AS pc,
+             max(CASE WHEN cents IS NOT NULL THEN cents END)
+               OVER (PARTITION BY user_id, nd) AS nc
+      FROM fenced
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS active,
+           CAST(CASE
+             WHEN cents IS NOT NULL THEN cents * 1000000
+             ELSE (pc * datediff('day', pd, nd)
+                   + (nc - pc) * datediff('day', pd, day)) * 1000000
+                  // datediff('day', pd, nd)
+           END AS BIGINT) AS interp_micro
+    FROM valued
+    """,
+)
+def q155_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling — the interpolating twin of
+    q137's LOCF: gap days on the dense per-user date spine take the
+    straight line between their two fencing active days instead of
+    carrying the last value. Same gap-group discipline (monotone
+    MAX/MIN windows assign each day its previous/next active day; the
+    fence VALUES ride per-(user, fence-day) MAX over the single active
+    row — no IGNORE NULLS navigation, tie-free by construction), and
+    the interpolated value is EXACT INTEGER MICRO-CENTS: (pc*(nd-pd) +
+    (nc-pc)*(day-pd)) * 1e6 div (nd-pd) — integer div is bit-identical
+    in any engine, no float rounding seam. Spine endpoints are active
+    by construction so every gap day has both fences. Shuffle shape
+    matches q137: one (user, day) exchange into the persisted daily
+    rollup; every window is user-partitioned."""
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = _memoized_persist(
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("min_d"), F.max("day").alias("max_d"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(min_d, max_d, interval 1 day)")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    fenced = joined.withColumn("pd", F.max(known_day).over(w_prev)).withColumn(
+        "nd", F.min(known_day).over(w_next)
+    )
+    known_cents = F.when(F.col("cents").isNotNull(), F.col("cents"))
+    valued = fenced.withColumn(
+        "pc", F.max(known_cents).over(Window.partitionBy("user_id", "pd"))
+    ).withColumn("nc", F.max(known_cents).over(Window.partitionBy("user_id", "nd")))
+    interp = F.expr(
+        "(pc * datediff(nd, pd) + (nc - pc) * datediff(day, pd)) * 1000000L "
+        "div datediff(nd, pd)"
+    )
+    return valued.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.col("cents").isNotNull().cast("long").alias("active"),
+        F.when(F.col("cents").isNotNull(), F.col("cents") * 1000000)
+        .otherwise(interp)
+        .cast("long")
+        .alias("interp_micro"),
+    )

@@ -402,3 +402,42 @@ def test_q153_outer_row_emitted_with_nulls(spark):
     assert outer["click_ts"] is None and outer["click_value"] is None
     assert by_ad[1][0]["click_value"] == 1.0
     assert by_ad[3][0]["click_value"] == 4.0
+
+
+def test_q155_interpolation_is_linear_between_fences(spark):
+    """Per user: active days carry cents*1e6 exactly; every gap day's
+    value equals the integer-division linear interpolation between its
+    fencing active days (recomputed driver-side), and gap values are
+    monotone between their fences (no overshoot)."""
+    from batch_process_spark.queries import QUERIES
+
+    rows = QUERIES["q155_interpolate_daily"](spark, SF).collect()
+    assert rows
+    from datetime import date
+
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps_seen = 0
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        days = [date.fromisoformat(r["day"]) for r in rs]
+        actives = [
+            (d, r["interp_micro"] // 1_000_000)
+            for d, r in zip(days, rs)
+            if r["active"] == 1
+        ]
+        assert actives, uid
+        for d, r in zip(days, rs):
+            if r["active"] == 1:
+                continue
+            gaps_seen += 1
+            pd_, pc = max((a for a in actives if a[0] < d), key=lambda a: a[0])
+            nd_, nc = min((a for a in actives if a[0] > d), key=lambda a: a[0])
+            span = (nd_ - pd_).days
+            into = (d - pd_).days
+            want = (pc * span + (nc - pc) * into) * 1_000_000 // span
+            assert r["interp_micro"] == want, (uid, r["day"])
+            lo, hi = min(pc, nc) * 1_000_000, max(pc, nc) * 1_000_000
+            assert lo - 1_000_000 <= r["interp_micro"] <= hi + 1_000_000
+    assert gaps_seen > 0, "fixture produced no gap days"
