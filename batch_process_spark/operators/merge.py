@@ -105,3 +105,53 @@ def scd2_apply(
         first_change.select(*keys), on=keys, how="left_semi"
     )
     return untouched.unionByName(closed_history).unionByName(affected_current).unionByName(ch)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Derive a change feed from two table snapshots — the INVERSE of
+    ``merge_upsert``: classify every key as ``insert`` (new only),
+    ``delete`` (old only), ``update`` (both, any compared column
+    differs; NULL-safe) or ``unchanged``. Emits one row per key with
+    the change type plus the new-side values (old-side for deletes).
+
+    ``compare_cols`` defaults to every shared non-key column. Scale
+    shape: ONE co-partitioned full-outer equi-join on the keys — both
+    snapshots hash-shuffle once, comparison is map-side; at 100 TB
+    this is the anti-entropy / CDC-derivation pass over two table
+    versions, and the output feeds ``merge_upsert``/``scd2_apply``
+    unchanged."""
+    keys = list(keys)
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    # presence flags must come from non-null markers, not compared
+    # columns (which may legitimately be NULL on either side)
+    o = old.select(
+        keys + [F.col(c).alias(f"__o_{c}") for c in compare_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        keys + [F.col(c).alias(f"__n_{c}") for c in compare_cols]
+    ).withColumn("__in_new", F.lit(True))
+    j = o.join(n, on=keys, how="full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed if changed is not None else F.lit(False), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_vals = [
+        F.when(F.col("__in_new").isNull(), F.col(f"__o_{c}"))
+        .otherwise(F.col(f"__n_{c}"))
+        .alias(c)
+        for c in compare_cols
+    ]
+    return j.select(*keys, change_type.alias("change_type"), *out_vals)

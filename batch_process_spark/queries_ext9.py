@@ -1435,3 +1435,76 @@ def q155_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("interp_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156: snapshot diff — derive the change feed between two table versions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q156_snapshot_diff",
+    """
+    WITH old_s AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 10 <= 6
+    ),
+    new_s AS (
+      SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END,
+                   2) AS price
+      FROM orders WHERE o_orderkey % 10 >= 3
+    ),
+    d AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                       OR o.price IS DISTINCT FROM n.price THEN 'update'
+                  ELSE 'unchanged' END AS change_type
+      FROM old_s o FULL JOIN new_s n USING (o_orderkey)
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           md5(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey))
+             AS keys_md5
+    FROM d GROUP BY change_type
+    """,
+)
+def q156_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed derivation between two table versions
+    (operators/merge.py `snapshot_diff` — the inverse of q61's MERGE):
+    two modulo-keyed snapshots of orders (so every change class is
+    non-vacuous at ANY scale factor), the newer with a +1.00 price
+    touch on every 5th key, classified insert/delete/update/unchanged
+    by ONE co-partitioned full-outer join (NULL-safe column compare,
+    presence decided by join-side markers, never by nullable values).
+    The per-type ordered-key md5 pins EXACT membership of every class,
+    not just the counts — the anti-entropy reconciliation pass two
+    100 TB table versions need before a MERGE can repair them."""
+    from batch_process_spark.operators.merge import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    price = F.round(F.col("o_totalprice"), 2)
+    old_s = orders.filter(F.col("o_orderkey") % 10 <= 6).select(
+        "o_orderkey", "o_orderstatus", price.alias("price")
+    )
+    bump = F.when(F.col("o_orderkey") % 5 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    new_s = orders.filter(F.col("o_orderkey") % 10 >= 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") + bump, 2).alias("price"),
+    )
+    d = snapshot_diff(old_s, new_s, ["o_orderkey"])
+    keys_md5 = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"), keys_md5.alias("keys_md5")
+    )

@@ -96,3 +96,52 @@ def test_scd2_apply_idempotent_on_untouched_keys(spark):
     changes = spark.createDataFrame([], "id long, name string, ts string")
     out = scd2_apply(dim, changes, ["id"], "ts")
     assert rows_set(out.select("id", "name", "is_current")) == [(9, "zed", True)]
+
+
+def test_snapshot_diff_classifies_with_null_safety(spark):
+    """insert/delete/update/unchanged classification, NULL-safe: a
+    NULL->value or value->NULL column change is an update, NULL->NULL
+    is unchanged, and presence comes from join-side markers so an
+    all-NULL row still classifies correctly."""
+    from batch_process_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, None), (3, "c", 30.0), (4, None, 40.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, None, None), (3, "c", 31.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "id long, s string, v double",
+    )
+    out = {r["id"]: r for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert out[1]["change_type"] == "delete" and out[1]["s"] == "a"
+    assert out[2]["change_type"] == "unchanged"  # NULL == NULL, null-safe
+    assert out[3]["change_type"] == "update" and out[3]["v"] == 31.0
+    assert out[4]["change_type"] == "update" and out[4]["s"] == "d"  # NULL -> value
+    assert out[5]["change_type"] == "insert" and out[5]["v"] == 50.0
+
+
+def test_snapshot_diff_feed_replays_to_new_snapshot(spark):
+    """The derived feed must reconstruct the new snapshot: applying
+    inserts+updates via merge_upsert and deletes via apply_deletes to
+    the old snapshot yields exactly the new one — the CDC round-trip
+    contract."""
+    from batch_process_spark.operators.merge import (
+        apply_deletes,
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "x", 30.0), (9, "z", 90.0)],
+        "id long, s string, v double",
+    )
+    feed = snapshot_diff(old, new, ["id"])
+    ups = feed.filter(feed.change_type.isin("insert", "update")).drop("change_type")
+    dels = feed.filter(feed.change_type == "delete").select("id")
+    rebuilt = apply_deletes(merge_upsert(old, ups, ["id"]), dels, ["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
