@@ -36,12 +36,14 @@ from batch_process_spark.operators.sketches import (
 from batch_process_spark.queries import _q, _t
 
 # Plan-keyed memo of persisted sketch-input frames — q128's bigram
-# counts, q136's unpivoted profile rows, and q137's daily rollup each
-# feed several aggregate branches; without a persist each branch
-# re-scans the corpus. Bounded (vocab-/table-sized) and released by
-# invalidate_tables after mid-session file rewrites. max_entries sized
-# for the three callers at two sf_dirs without thrashing.
-_SKETCH_MEMO = PersistMemo(max_entries=6)
+# counts, q136's unpivoted profile rows, q137/q155's daily rollup,
+# q139/q149's edge builds, and q151's per-superstep frontiers (six
+# puts in one build) each feed several aggregate branches; without a
+# persist each branch re-scans the corpus. Bounded (vocab-/table-/
+# edge-sized) and released by invalidate_tables after mid-session
+# file rewrites. max_entries must at least fit q151's six single-build
+# entries plus the reusable rollups without evicting them mid-round.
+_SKETCH_MEMO = PersistMemo(max_entries=12)
 
 
 def release_sketch_caches() -> None:

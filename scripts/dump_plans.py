@@ -69,6 +69,9 @@ NOTES = {
     "q149_triangle_count": "edge-iterator triangles: all equi-joins at edge granularity (wedge join + left-semi closure over the persisted edge set); no adjacency matrix, no driver state",
     "q151_bfs_hops": "frontier BFS, 4 unrolled supersteps: each round is frontier-join-edges (persisted, partitioned once) + anti-join vs visited — only the frontier ships per round, rounds never recompute",
     "q152_bm25_search": "corpus stage map-only: tf/dl as array expressions inside codegen (no token explode); 3-row df table and 1-row stats broadcast back; top-20 is TakeOrderedAndProject",
+    "q154_scd2_asof": "one user_id exchange serves the first/rest split, the SCD2 chain window, and the as-of probe filter (map-side); history assembly is unions of co-partitioned frames",
+    "q155_interpolate_daily": "events scanned once into the persisted daily rollup (as q137); fences via user-partitioned monotone windows; interpolation is exact integer arithmetic, map-side",
+    "q156_snapshot_diff": "ONE co-partitioned full-outer join on the key classifies all four change types; compares are map-side null-safe expressions; the per-class rollup is 4 groups",
     "q140_entity_resolution": "the part table is scanned once into the PERSISTED name dictionary (pair probe, pair build, and the re-key join all read the materialized frame); fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows)",
 }
 
