@@ -1508,3 +1508,51 @@ def q156_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n"), keys_md5.alias("keys_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157: cross-source leakage matrix (shared prefix fingerprints)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q157_cross_source_leakage",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_fingerprints
+    FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q157_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — the governance view a
+    training-data pipeline needs before mixing corpora: for every
+    source pair, how many document pairs share a 16-token prefix
+    fingerprint (the q112 passage-blocking key), i.e. content leaking
+    between nominally independent sources (q93 decontaminates against
+    an EVAL suite; this audits the training sources against each
+    other). One equi-join on the fingerprint — the dedup blocking
+    shape, never all-pairs across the corpus; within-fingerprint pair
+    enumeration IS the requested semantics and is bounded by duplicate
+    cluster size (hot boilerplate fingerprints are the known skew spot
+    — operators/skew.py salting applies unchanged)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 16), " "))
+    h = docs.select("doc_id", "source", fp.alias("fp"))
+    a = h.select(F.col("source").alias("src_a"), F.col("fp"))
+    b = h.select(F.col("source").alias("src_b"), F.col("fp"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+        )
+    )
