@@ -441,3 +441,16 @@ def test_q155_interpolation_is_linear_between_fences(spark):
             lo, hi = min(pc, nc) * 1_000_000, max(pc, nc) * 1_000_000
             assert lo - 1_000_000 <= r["interp_micro"] <= hi + 1_000_000
     assert gaps_seen > 0, "fixture produced no gap days"
+
+
+def test_q157_leakage_matrix_nonvacuous_and_canonical(spark):
+    """The fixture must actually contain cross-source shared prefixes
+    (else the query is vacuously green), every pair is canonical
+    (src_a < src_b), and pair counts are >= fingerprint counts."""
+    from batch_process_spark.queries import QUERIES
+
+    rows = QUERIES["q157_cross_source_leakage"](spark, SF).collect()
+    assert rows, "no cross-source shared fingerprints in fixture"
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["n_pairs"] >= r["n_fingerprints"] >= 1
