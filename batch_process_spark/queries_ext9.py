@@ -1556,3 +1556,63 @@ def q157_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").alias("n_fingerprints"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q158: exact running uniques via the first-touch rewrite
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q158_cumulative_uniques",
+    """
+    WITH fs AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    nu AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1)
+    SELECT CAST(d.day AS VARCHAR) AS day, d.dau,
+           CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(nu.new_users, 0))
+                  OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_uniques
+    FROM daily d LEFT JOIN nu ON d.day = nu.day
+    """,
+)
+def q158_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + EXACT cumulative unique users — the
+    running-distinct time series, distributed via the FIRST-TOUCH
+    rewrite: a naive running COUNT(DISTINCT) window would drag every
+    user set through an ever-growing state; instead each user
+    collapses to their first-seen day (one user-keyed aggregation —
+    the only corpus-sized stage), and the cumulative curve is a
+    running SUM of per-day first-touches over the ~days-sized rollup.
+    The one unpartitioned window runs over THAT calendar table (tens
+    of rows at any corpus size — same justification as q133's k-row
+    sketch windows), never over events. dau stays a per-day distinct
+    (hash partial-agg per day); the oracle states the identical
+    rewrite, so cum_uniques is pinned exactly, not estimated —
+    q127's HLL is the sketch twin when exactness can be traded."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    fs = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    nu = fs.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(nu, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn("cum_uniques", F.sum("new_users").over(w).cast("long"))
+        .withColumn("day", F.col("day").cast("string"))
+    )

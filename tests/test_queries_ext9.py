@@ -454,3 +454,27 @@ def test_q157_leakage_matrix_nonvacuous_and_canonical(spark):
     for r in rows:
         assert r["src_a"] < r["src_b"]
         assert r["n_pairs"] >= r["n_fingerprints"] >= 1
+
+
+def test_q158_cumulative_curve_properties(spark):
+    """cum_uniques is non-decreasing, ends at the total distinct user
+    count, new_users sums to the same total, and dau <= cum_uniques on
+    every day (a day can't have more actives than users ever seen)."""
+    from batch_process_spark.queries import QUERIES, _t
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        QUERIES["q158_cumulative_uniques"](spark, SF).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    total = (
+        _t(spark, SF, "events").select("user_id").distinct().count()
+    )
+    prev = 0
+    for r in rows:
+        assert r["cum_uniques"] >= prev
+        assert r["dau"] <= r["cum_uniques"]
+        prev = r["cum_uniques"]
+    assert rows[-1]["cum_uniques"] == total
+    assert sum(r["new_users"] for r in rows) == total
