@@ -1616,3 +1616,79 @@ def q158_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_uniques", F.sum("new_users").over(w).cast("long"))
         .withColumn("day", F.col("day").cast("string"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q159: int8 vector quantization (storage-side embedding compression)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q159_vector_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') AS scale,
+             list_aggregate(list_transform(e, x -> x * x), 'sum') AS sumsq
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, label, scale, sumsq,
+             list_transform(
+               e, x -> CASE WHEN scale = 0 THEN 0
+                            ELSE CAST(floor(x * 127 / scale + 0.5) AS BIGINT) END
+             ) AS codes
+      FROM s
+    )
+    SELECT vec_id, label,
+           CAST(floor(sqrt(sumsq) * 1000000 + 0.5) AS BIGINT) AS norm_micro,
+           CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+           CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_maxed,
+           md5(array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ','))
+             AS codes_md5
+    FROM q
+    """,
+)
+def q159_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization — the storage/transport compression
+    step an embedding pipeline runs before ANN indexing (4x smaller
+    than float32; q25-q27 search, THIS compresses): symmetric max-abs
+    scaling, code = floor(x*127/scale + 0.5) — the repo's standard
+    half-up-via-floor idiom, bit-identical in any IEEE engine once
+    elements are cast float32->double (exact). Entirely map-side array
+    expressions inside codegen: no shuffle at all, the 100 TB plan is
+    scan -> project -> write. The md5 over the comma-joined codes pins
+    every code of every vector under the oracle (the list itself would
+    crash the driver's collection-column sort); zero vectors quantize
+    to all-zero codes by the same CASE in both engines; norm and scale
+    are exact-integer micro units."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", "label", e.alias("e"))
+    scale = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    sumsq = F.aggregate(
+        F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    s = d.select("vec_id", "label", "e", scale.alias("scale"), sumsq.alias("sumsq"))
+    codes = F.transform(
+        "e",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x * 127 / F.col("scale") + 0.5)
+        ),
+    )
+    q = s.select("vec_id", "label", "scale", "sumsq", codes.alias("codes"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.floor(F.sqrt("sumsq") * 1000000 + F.lit(0.5)).cast("long").alias("norm_micro"),
+        F.floor(F.col("scale") * 1000000 + F.lit(0.5)).cast("long").alias("scale_micro"),
+        F.size(F.filter("codes", lambda c: F.abs(c) == 127)).cast("long").alias("n_maxed"),
+        F.md5(
+            F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
+        ).alias("codes_md5"),
+    )

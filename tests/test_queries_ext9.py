@@ -478,3 +478,34 @@ def test_q158_cumulative_curve_properties(spark):
         prev = r["cum_uniques"]
     assert rows[-1]["cum_uniques"] == total
     assert sum(r["new_users"] for r in rows) == total
+
+
+def test_q159_quantization_reconstruction_bound(spark):
+    """Recompute codes driver-side for every vector: the max-|x|
+    element must map to exactly +/-127 (so n_maxed >= 1 for nonzero
+    vectors), dequantized values sit within half a step of the
+    original, and norm_micro matches the exact L2 norm."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.queries import QUERIES
+
+    rows = {r["vec_id"]: r for r in QUERIES["q159_vector_quantize"](spark, SF).collect()}
+    assert rows
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    for vid, emb in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()):
+        r = rows[vid]
+        e = [float(x) for x in emb]
+        scale = max(abs(x) for x in e)
+        assert r["norm_micro"] == math.floor(
+            math.sqrt(sum(x * x for x in e)) * 1_000_000 + 0.5
+        )
+        if scale == 0:
+            assert r["n_maxed"] == 0
+            continue
+        codes = [math.floor(x * 127 / scale + 0.5) for x in e]
+        assert r["n_maxed"] == sum(1 for c in codes if abs(c) == 127) >= 1
+        step = scale / 127
+        for x, c in zip(e, codes):
+            assert abs(x - c * step) <= step / 2 + 1e-12
