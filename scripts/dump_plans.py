@@ -72,6 +72,9 @@ NOTES = {
     "q154_scd2_asof": "one user_id exchange serves the first/rest split, the SCD2 chain window, and the as-of probe filter (map-side); history assembly is unions of co-partitioned frames",
     "q155_interpolate_daily": "events scanned once into the persisted daily rollup (as q137); fences via user-partitioned monotone windows; interpolation is exact integer arithmetic, map-side",
     "q156_snapshot_diff": "ONE co-partitioned full-outer join on the key classifies all four change types; compares are map-side null-safe expressions; the per-class rollup is 4 groups",
+    "q157_cross_source_leakage": "blocking-key equi-join on the 16-token prefix fingerprint — never all-pairs; pair enumeration bounded by duplicate-cluster size; 2-column rollup after",
+    "q158_cumulative_uniques": "first-touch rewrite: the only corpus-sized stage is the user-keyed min; the running-sum window runs over the days-sized rollup, never over events",
+    "q159_vector_quantize": "zero shuffles: quantization, norms, and the code md5 are all map-side array expressions — scan -> project, nothing else at any corpus size",
     "q140_entity_resolution": "the part table is scanned once into the PERSISTED name dictionary (pair probe, pair build, and the re-key join all read the materialized frame); fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows)",
 }
 

@@ -340,3 +340,39 @@ def test_write_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
     pplan = pscan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in pplan and "src3" in pplan
     assert pscan.count() == docs.filter(F.col("source") == "src3").count() > 0
+
+
+def test_bucketed_join_plans_with_zero_exchanges(spark):
+    """write_bucketed's whole point: two tables bucketed on the same
+    key and count must sort-merge join with NO shuffle exchange on
+    either side — the plan shape that amortizes one write-time shuffle
+    over every downstream join at 100 TB. Also pins that the join
+    result equals the plain (shuffled) join."""
+    import uuid
+
+    from batch_process_spark.sinks.writers import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_l = f"t_bkt_o_{tag}", f"t_bkt_l_{tag}"
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, t_o, "o_orderkey", n_buckets=8, sort_cols="o_orderkey")
+        write_bucketed(li, t_l, "o_orderkey", n_buckets=8, sort_cols="o_orderkey")
+        j = spark.table(t_o).join(spark.table(t_l), "o_orderkey")
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+        assert "BroadcastExchange" not in plan, plan[:800]
+        assert n == orders.join(li, "o_orderkey").count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
