@@ -1692,3 +1692,107 @@ def q159_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
         ).alias("codes_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q160: market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q160_association_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),
+    items AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+    ),
+    pairs AS (
+      SELECT x.l_partkey AS u, y.l_partkey AS v, CAST(count(*) AS BIGINT) AS both_cnt
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT p.u AS antecedent, p.v AS consequent, p.both_cnt,
+             iu.cnt AS ante_cnt,
+             round(p.both_cnt * 1.0 / iu.cnt, 6) AS confidence,
+             round(p.both_cnt * 1.0 * n.n_baskets / (iu.cnt * iv.cnt), 6) AS lift
+      FROM pairs p
+      JOIN items iu ON p.u = iu.l_partkey
+      JOIN items iv ON p.v = iv.l_partkey
+      CROSS JOIN n
+      UNION ALL
+      SELECT p.v, p.u, p.both_cnt, iv.cnt,
+             round(p.both_cnt * 1.0 / iv.cnt, 6),
+             round(p.both_cnt * 1.0 * n.n_baskets / (iu.cnt * iv.cnt), 6)
+      FROM pairs p
+      JOIN items iu ON p.u = iu.l_partkey
+      JOIN items iv ON p.v = iv.l_partkey
+      CROSS JOIN n
+    )
+    SELECT antecedent, consequent, both_cnt, ante_cnt, confidence, lift
+    FROM rules WHERE both_cnt >= 2
+    ORDER BY lift DESC, antecedent ASC, consequent ASC LIMIT 20
+    """,
+)
+def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets — the
+    metrics layer on q149's co-purchase pairs: per directional rule
+    u=>v, support pair count, confidence both/cnt(u), lift
+    both*N/(cnt(u)*cnt(v)); min support 2 baskets, top-20 by lift
+    with full deterministic tie-break. Scale shape: baskets reduce to
+    the distinct (order, part) table once (persisted — the pair join,
+    the item counts, and the basket count all read it); the pair join
+    is the q149 wedge shape at basket granularity, never all-pairs
+    across parts; item counts and the 1-row basket count broadcast
+    back onto the pair rollup; top-20 is TakeOrderedAndProject.
+    Metrics are single divisions of exact integers, rounded at 6 in
+    both engines."""
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
+    b = _memoized_persist(
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = b.select("l_orderkey").distinct().count()
+    items = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    right = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    pairs = (
+        b.select("l_orderkey", F.col("l_partkey").alias("u"))
+        .join(right, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 2)
+    )
+    iu = items.select(F.col("l_partkey").alias("u"), F.col("cnt").alias("cnt_u"))
+    iv = items.select(F.col("l_partkey").alias("v"), F.col("cnt").alias("cnt_v"))
+    base = pairs.join(F.broadcast(iu), "u").join(F.broadcast(iv), "v")
+    lift = F.round(
+        F.col("both_cnt") * 1.0 * F.lit(n_baskets) / (F.col("cnt_u") * F.col("cnt_v")), 6
+    )
+    fwd = base.select(
+        F.col("u").alias("antecedent"),
+        F.col("v").alias("consequent"),
+        "both_cnt",
+        F.col("cnt_u").alias("ante_cnt"),
+        F.round(F.col("both_cnt") * 1.0 / F.col("cnt_u"), 6).alias("confidence"),
+        lift.alias("lift"),
+    )
+    rev = base.select(
+        F.col("v").alias("antecedent"),
+        F.col("u").alias("consequent"),
+        "both_cnt",
+        F.col("cnt_v").alias("ante_cnt"),
+        F.round(F.col("both_cnt") * 1.0 / F.col("cnt_v"), 6).alias("confidence"),
+        lift.alias("lift"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(20)
+    )

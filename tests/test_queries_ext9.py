@@ -509,3 +509,43 @@ def test_q159_quantization_reconstruction_bound(spark):
         step = scale / 127
         for x, c in zip(e, codes):
             assert abs(x - c * step) <= step / 2 + 1e-12
+
+
+def test_q160_rules_match_python_recompute(spark):
+    """Recompute support/confidence/lift for every returned rule from
+    the raw baskets and check the ranking invariants (lift desc with
+    deterministic tie-break, min-support honored)."""
+    from batch_process_spark.queries import QUERIES, _t
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q160_association_rules"](spark, SF).collect()
+    assert rows
+    b = (
+        _t(spark, SF, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in b:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n = len(baskets)
+    from collections import Counter
+
+    cnt = Counter(p for parts in baskets.values() for p in parts)
+    pair = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                pair[(u, v)] += 1
+    for r in rows:
+        a, c = r["antecedent"], r["consequent"]
+        both = pair[tuple(sorted((a, c)))]
+        assert both == r["both_cnt"] >= 2
+        assert cnt[a] == r["ante_cnt"]
+        assert abs(r["confidence"] - round(both / cnt[a], 6)) < 1e-9
+        assert abs(r["lift"] - round(both * n / (cnt[a] * cnt[c]), 6)) < 1e-9
+    key = [(-r["lift"], r["antecedent"], r["consequent"]) for r in rows]
+    assert key == sorted(key)
