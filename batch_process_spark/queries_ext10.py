@@ -1,0 +1,250 @@
+"""Query catalog part 11 (q161-q163): planar grid radius join (the 2-D
+bucketed-join family), CUSUM change-point detection via the
+cumsum-minus-running-min rewrite, and per-key lag-1 autocorrelation —
+all in exact integer arithmetic until one final, identically-phrased
+double expression, per the catalog's determinism discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_process_spark.queries import _q, _t
+
+# ---------------------------------------------------------------------------
+# q161: grid-bucketed planar radius join (spatial self-join, never all-pairs)
+# ---------------------------------------------------------------------------
+
+#: centi-degree grid: y in [0, 18000), x in [0, 36000), radius 150
+#: (1.5 deg). Coordinates are md5-derived so the two axes decorrelate —
+#: two LINEAR hashes of the same key put every point on a lattice line
+#: (measured: zero close pairs at sf0.01); md5 nibbles are uniform.
+_GRID_R = 150
+
+
+@_q(
+    "q161_grid_radius_join",
+    f"""
+    WITH p AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 18000 AS y,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+               % 36000 AS x
+      FROM customer
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST((a.y - b.y) * (a.y - b.y)
+              + (a.x - b.x) * (a.x - b.x) AS BIGINT) AS dist2
+    FROM p a JOIN p b
+      ON a.c_custkey < b.c_custkey
+     AND (a.y - b.y) * (a.y - b.y) + (a.x - b.x) * (a.x - b.x)
+         < {_GRID_R * _GRID_R}
+    """,
+)
+def q161_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar radius self-join over synthetic customer coordinates
+    (md5-derived integer centi-degrees — deterministic, engine-portable,
+    and axis-decorrelated) via ``operators/spatial.py::grid_radius_join``:
+    the plane tiles into radius-sized cells, the right side replicates to
+    its 3x3 neighborhood (O(1) fan-out), and the join is a hash equi-join
+    on the cell id with the exact integer squared-distance residual — the
+    2-D member of the bucketed-join family (1-D time: interval_join q75;
+    ordered: as-of q39). The oracle brute-forces the same predicate
+    (all-pairs is fine at oracle scale and is exactly what the grid plan
+    must reproduce). Never all-pairs in Spark: candidate pairs are
+    bounded by cell density (hot-cell skew salts like any hot join key).
+    Distances are exact integers end to end — no trig, no floats, no
+    cross-engine seam; the planar (no-wraparound) contract is the query's
+    own semantics, identical in both engines."""
+    from batch_process_spark.operators.spatial import grid_radius_join
+
+    cust = _t(spark, sf_dir, "customer")
+    hexpart = lambda pos: F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), pos, 6), 16, 10
+    ).cast("long")
+    p = cust.select(
+        "c_custkey",
+        (hexpart(1) % 18000).alias("y"),
+        (hexpart(7) % 36000).alias("x"),
+    )
+    joined = grid_radius_join(p, p, "y", "x", radius=_GRID_R)
+    dy = F.col("y") - F.col("y_r")
+    dx = F.col("x") - F.col("x_r")
+    return (
+        joined.filter(F.col("c_custkey") < F.col("c_custkey_r"))
+        .select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col("c_custkey_r").alias("cust_b"),
+            (dy * dy + dx * dx).cast("long").alias("dist2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162: CUSUM change-point detection (max(0, ...) recursion as two windows)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q162_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ), scaled AS (
+      SELECT user_id, day, cents,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_days,
+             cents * count(*) OVER (PARTITION BY user_id)
+               - sum(cents) OVER (PARTITION BY user_id) AS d
+      FROM daily
+    ), walked AS (
+      SELECT user_id, day, n_days,
+             sum(d) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM scaled
+    ), s AS (
+      SELECT user_id, day, n_days,
+             c - least(CAST(0 AS BIGINT),
+                       min(c) OVER (PARTITION BY user_id ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)) AS stat
+      FROM walked
+    ), m AS (
+      SELECT user_id, day, n_days, stat,
+             max(stat) OVER (PARTITION BY user_id) AS max_s
+      FROM s
+    )
+    SELECT user_id, CAST(min(day) AS VARCHAR) AS change_day,
+           CAST(max_s AS BIGINT) AS max_s,
+           n_days
+    FROM m WHERE stat = max_s
+    GROUP BY user_id, max_s, n_days
+    """,
+)
+def q162_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per user over the daily
+    cents series. The textbook statistic is recursive —
+    ``S_i = max(0, S_{i-1} + d_i)`` — which no SQL window expresses
+    directly; the exact rewrite is ``S_i = C_i - min(0, min_{j<=i} C_j)``
+    (running sum minus its running minimum clamped at zero), two plain
+    user-partitioned windows. Deviations stay integer by scaling:
+    ``d_i = n*x_i - sum(x)`` (n times the mean-centered value), so every
+    statistic is exact and the argmax day (earliest on ties) is
+    deterministic in both engines. The detected change point is the day
+    the positive drift statistic peaks. Shuffle shape: one exchange on
+    (user, day) for the rollup, then every window and the final pick
+    ride a single user_id partitioning — at 100 TB the series table
+    shuffles once; no window is unpartitioned."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_u = Window.partitionBy("user_id")
+    w_run = w_u.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaled = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w_u).cast("long").alias("n_days"),
+        (F.col("cents") * F.count(F.lit(1)).over(w_u) - F.sum("cents").over(w_u)).alias("d"),
+    )
+    walked = scaled.withColumn("c", F.sum("d").over(w_run))
+    s = walked.withColumn(
+        "stat", F.col("c") - F.least(F.lit(0).cast("long"), F.min("c").over(w_run))
+    )
+    m = s.withColumn("max_s", F.max("stat").over(w_u))
+    return (
+        m.filter(F.col("stat") == F.col("max_s"))
+        .groupBy("user_id", "max_s", "n_days")
+        .agg(F.min("day").cast("string").alias("change_day"))
+        .select("user_id", "change_day", F.col("max_s").cast("long"), "n_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163: per-key lag-1 autocorrelation (exact integer sums, one double seam)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q163_lag1_autocorr",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id < 60 GROUP BY 1, 2
+    ), lagged AS (
+      SELECT user_id, cents AS x,
+             lag(cents) OVER (PARTITION BY user_id ORDER BY day) AS y
+      FROM daily
+    ), sums AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM lagged WHERE y IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(floor(
+                  CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0
+                  / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                         * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+                  + 0.5) AS BIGINT)
+           END AS r_micro
+    FROM sums WHERE n_pairs >= 2
+    """,
+)
+def q163_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's daily series — the
+    time-series diagnostic (is today's spend predicted by yesterday's?)
+    q116's group regression doesn't cover, because here BOTH variables
+    come from the same column via a lag window. Pearson r over the
+    (x_t, x_{t-1}) pairs from the computational formula's integer
+    sums: n*Sxy - Sx*Sy over sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) — every
+    sum is an exact bigint; the single float seam is the final
+    division+sqrt, phrased IDENTICALLY in both engines (cast-to-double
+    of exact integers, one multiply, one sqrt, one divide, half-up
+    floor to micro units — each step correctly rounded IEEE, so
+    bit-identical). Constant series (zero variance) yield NULL by the
+    same CASE in both. Shuffle shape: the (user, day) rollup exchange,
+    then the lag window and the per-user sums ride one user_id
+    partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.filter(F.col("user_id") < 60)
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = daily.select(
+        "user_id", F.col("cents").alias("x"), F.lag("cents").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    sums = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_micro = F.when((vx == 0) | (vy == 0), F.lit(None).cast("long")).otherwise(
+        F.floor(
+            num.cast("double") * 1000000.0
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+            + 0.5
+        ).cast("long")
+    )
+    return sums.filter(F.col("n_pairs") >= 2).select(
+        "user_id", "n_pairs", r_micro.alias("r_micro")
+    )

@@ -1,0 +1,99 @@
+"""grid_radius_join (operators/spatial.py) + the q162/q163 rewrites.
+
+The load-bearing property for the grid join is COMPLETENESS across
+cell boundaries: a qualifying pair whose points land in different grid
+cells must still be found (that is exactly what the 3x3 neighbor
+explode buys), and each qualifying pair must appear exactly once (no
+dedup pass exists to hide double-matches). CUSUM's window rewrite and
+the autocorrelation sums are checked against plain-Python recursions.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.spatial import grid_radius_join
+
+
+def _pairs(spark, pts, radius):
+    df = spark.createDataFrame(pts, "id long, y long, x long")
+    out = grid_radius_join(df, df, "y", "x", radius=radius)
+    got = out.filter(F.col("id") < F.col("id_r")).select("id", "id_r").collect()
+    return sorted((r["id"], r["id_r"]) for r in got)
+
+
+def _brute(pts, radius):
+    r2 = radius * radius
+    out = []
+    for i, (ia, ya, xa) in enumerate(pts):
+        for ib, yb, xb in pts[i + 1 :]:
+            if (ya - yb) ** 2 + (xa - xb) ** 2 < r2:
+                out.append((min(ia, ib), max(ia, ib)))
+    return sorted(out)
+
+
+def test_cross_cell_pair_found(spark):
+    # radius 10 -> cells of side 10; points at x=9 and x=11 sit in
+    # DIFFERENT cells but are 2 apart: only the neighbor explode finds them
+    pts = [(1, 0, 9), (2, 0, 11)]
+    assert _pairs(spark, pts, 10) == [(1, 2)]
+
+
+def test_far_pair_excluded_and_boundary_strict(spark):
+    # dist exactly == radius is excluded (strict <): (0,0) vs (0,10), r=10
+    pts = [(1, 0, 0), (2, 0, 10), (3, 500, 500)]
+    assert _pairs(spark, pts, 10) == []
+
+
+def test_no_duplicate_candidates(spark):
+    # two points in the SAME cell: the pair must appear exactly once even
+    # though the right side is replicated to 9 cells
+    df = spark.createDataFrame([(1, 3, 3), (2, 4, 4)], "id long, y long, x long")
+    out = grid_radius_join(df, df, "y", "x", radius=10)
+    rows = out.filter(F.col("id") < F.col("id_r")).collect()
+    assert len(rows) == 1
+
+
+def test_matches_brute_force_random(spark):
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 400), rng.randrange(0, 400)) for i in range(120)]
+    assert _pairs(spark, pts, 37) == _brute(pts, 37)
+
+
+def test_q162_rewrite_equals_recursion(spark):
+    # S_i = max(0, S_{i-1} + d_i)  ==  C_i - min(0, running_min(C_i))
+    rng = random.Random(3)
+    ds = [rng.randrange(-50, 51) for _ in range(200)]
+    s, c, mn, best = 0, 0, 0, []
+    for d in ds:
+        s = max(0, s + d)
+        c += d
+        mn = min(mn, c)
+        best.append((s, c - min(0, mn)))
+    assert all(a == b for a, b in best)
+
+
+def test_q163_autocorr_matches_definition(spark):
+    # exact-integer computational formula == definition-form Pearson r
+    rng = random.Random(11)
+    xs = [rng.randrange(0, 1000) for _ in range(40)]
+    pairs = list(zip(xs[1:], xs[:-1]))
+    n = len(pairs)
+    sx = sum(a for a, _ in pairs)
+    sy = sum(b for _, b in pairs)
+    sxy = sum(a * b for a, b in pairs)
+    sxx = sum(a * a for a, _ in pairs)
+    syy = sum(b * b for _, b in pairs)
+    num = n * sxy - sx * sy
+    den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    got = num / den
+    mx = sx / n
+    my = sy / n
+    ref = sum((a - mx) * (b - my) for a, b in pairs) / math.sqrt(
+        sum((a - mx) ** 2 for a, _ in pairs) * sum((b - my) ** 2 for _, b in pairs)
+    )
+    assert got == pytest.approx(ref, abs=1e-12)
