@@ -349,3 +349,16 @@ def test_swept_queries_gate_both_shapes(spark, qs, monkeypatch):
     finally:
         monkeypatch.delenv("SPARK_GRAFT_BROADCAST_CAP_BYTES")
         invalidate_tables()
+
+
+def test_q161_grid_join_is_hash_not_nested_loop(spark, qs):
+    """The grid-bucketed radius join must compile to a hash equi-join
+    on the cell id — the raw distance predicate has no equi-key and
+    would fall back to BroadcastNestedLoopJoin (all-pairs). Also pins
+    column pruning: only c_custkey reaches either customer scan."""
+    plan = plan_of(qs["q161_grid_radius_join"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+    assert "struct<c_custkey:bigint>" in plan
