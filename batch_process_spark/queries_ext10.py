@@ -248,3 +248,169 @@ def q163_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.filter(F.col("n_pairs") >= 2).select(
         "user_id", "n_pairs", r_micro.alias("r_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# q164: hierarchy flattening via pointer doubling (parallel list ranking)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q164_hierarchy_flatten",
+    """
+    WITH RECURSIVE walk(node, cur, depth) AS (
+      SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+    )
+    SELECT node AS p_partkey, CAST(cur AS BIGINT) AS root, depth
+    FROM walk WHERE cur < 10
+    """,
+)
+def q164_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten a parent-child hierarchy to (node, root, depth) — the
+    org-chart/BOM staple SQL does with a recursive CTE and Spark has no
+    operator for. Tree: parent(k) = k div 10, root when k < 10 (depth =
+    digits - 1, so max depth 6 through sf100 — but the ALGORITHM never
+    uses that closed form). Implemented as POINTER DOUBLING (parallel
+    list ranking): state (node, anc, dist) self-joins on anc = node so
+    every row's ancestor pointer jumps 2^r edges in round r — roots
+    carry a self-loop of dist 0, making the jump idempotent once
+    resolved. ceil(log2(max_depth)) = 3 rounds suffice for depth 8;
+    each round is ONE hash equi-join of the state table with itself —
+    at 100 TB that is 3 shuffles total where naive parent-chasing pays
+    one fact-scale join PER LEVEL (and a per-row loop never
+    distributes at all). The oracle walks the same tree recursively."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    is_root = F.col("p_partkey") < 10
+    state = part.select(
+        F.col("p_partkey").alias("node"),
+        F.when(is_root, F.col("p_partkey"))
+        .otherwise(F.floor(F.col("p_partkey") / 10).cast("long"))
+        .alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("dist"),
+    )
+    for _ in range(3):  # 2^3 = 8 >= max depth (6 digits at sf100)
+        jump = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("dist2"),
+        )
+        state = state.join(jump, "anc").select(
+            "node",
+            F.col("anc2").alias("anc"),
+            (F.col("dist") + F.col("dist2")).alias("dist"),
+        )
+    return state.select(
+        F.col("node").alias("p_partkey"),
+        F.col("anc").alias("root"),
+        F.col("dist").alias("depth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165: leakage-safe train/eval split (group split by dedup fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q165_leakage_safe_split",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')) AS fp
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, fp,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 < 8
+               AS naive_train,
+             CAST(('0x' || substr(md5(fp), 1, 6)) AS BIGINT) % 10 < 8
+               AS safe_train
+      FROM h
+    ),
+    pairs AS (
+      SELECT CAST(count(*) FILTER (a.naive_train <> b2.naive_train) AS BIGINT) AS naive_cross,
+             CAST(count(*) FILTER (a.safe_train <> b2.safe_train) AS BIGINT) AS safe_cross,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+    )
+    SELECT s.strategy, s.n_train, s.n_eval, p.n_pairs,
+           CASE WHEN s.strategy = 'naive_by_doc' THEN p.naive_cross
+                ELSE p.safe_cross END AS cross_split_pairs
+    FROM (
+      SELECT 'naive_by_doc' AS strategy,
+             CAST(count(*) FILTER (naive_train) AS BIGINT) AS n_train,
+             CAST(count(*) FILTER (NOT naive_train) AS BIGINT) AS n_eval
+      FROM b
+      UNION ALL
+      SELECT 'group_by_fingerprint',
+             CAST(count(*) FILTER (safe_train) AS BIGINT),
+             CAST(count(*) FILTER (NOT safe_train) AS BIGINT)
+      FROM b
+    ) s CROSS JOIN pairs p
+    """,
+)
+def q165_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval splitting — the governance step between
+    dedup (q18/q112) and the hash split (q91): near-duplicate documents
+    must land in the SAME split or the eval set leaks into training.
+    Naive per-doc hash splitting strands ~2*p*(1-p) of each duplicate
+    cluster across the boundary; splitting by the duplicate GROUP key
+    (the 16-token prefix fingerprint — q112/q157's blocking key) makes
+    cross-split contamination structurally zero. The query measures
+    both strategies on the same corpus: per-split doc counts plus the
+    number of fingerprint-sharing pairs that straddle the boundary
+    (naive > 0 on real data — non-vacuity pinned by pytest — and
+    group-keyed = 0 BY CONSTRUCTION, which is the point). Scale shape:
+    split assignment is map-only (md5 both engines); the audit join is
+    the q157 blocking join at fingerprint granularity, never
+    all-pairs; the two strategy rows broadcast the 1-row pair stats."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 16), " "))
+    bucket = lambda col: (
+        F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % 10 < 8
+    )
+    b = docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        bucket(F.col("doc_id").cast("string")).alias("naive_train"),
+        bucket(fp).alias("safe_train"),
+    )
+    rhs = b.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("fp"),
+        F.col("naive_train").alias("nt2"),
+        F.col("safe_train").alias("st2"),
+    )
+    pairs = (
+        b.join(rhs, "fp")
+        .filter(F.col("doc_id") < F.col("doc_id2"))
+        .agg(
+            F.sum((F.col("naive_train") != F.col("nt2")).cast("long")).alias("naive_cross"),
+            F.sum((F.col("safe_train") != F.col("st2")).cast("long")).alias("safe_cross"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    counts = b.agg(
+        F.sum(F.col("naive_train").cast("long")).alias("naive_tr"),
+        F.sum((~F.col("naive_train")).cast("long")).alias("naive_ev"),
+        F.sum(F.col("safe_train").cast("long")).alias("safe_tr"),
+        F.sum((~F.col("safe_train")).cast("long")).alias("safe_ev"),
+    )
+    both = counts.crossJoin(F.broadcast(pairs))
+    naive_row = both.select(
+        F.lit("naive_by_doc").alias("strategy"),
+        F.col("naive_tr").alias("n_train"),
+        F.col("naive_ev").alias("n_eval"),
+        "n_pairs",
+        F.col("naive_cross").alias("cross_split_pairs"),
+    )
+    safe_row = both.select(
+        F.lit("group_by_fingerprint").alias("strategy"),
+        F.col("safe_tr").alias("n_train"),
+        F.col("safe_ev").alias("n_eval"),
+        "n_pairs",
+        F.col("safe_cross").alias("cross_split_pairs"),
+    )
+    return naive_row.unionByName(safe_row)

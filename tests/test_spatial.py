@@ -97,3 +97,36 @@ def test_q163_autocorr_matches_definition(spark):
         sum((a - mx) ** 2 for a, _ in pairs) * sum((b - my) ** 2 for _, b in pairs)
     )
     assert got == pytest.approx(ref, abs=1e-12)
+
+
+def test_q164_pointer_doubling_resolves_all_depths(spark):
+    # depth up to 4 at a 5-digit key: 3 doubling rounds (2^3=8) must
+    # resolve every node to a single-digit root with depth = digits-1
+    import batch_process_spark.queries_ext10 as x
+
+    out = {
+        r["p_partkey"]: (r["root"], r["depth"])
+        for r in x.q164_hierarchy_flatten(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(out) > 0
+    for k, (root, depth) in out.items():
+        s = str(k)
+        assert root == int(s[0])
+        assert depth == len(s) - 1
+
+
+def test_q165_split_leakage_nonvacuous(spark):
+    # the naive per-doc split must actually leak pairs on real data and
+    # the group split must leak ZERO — if n_pairs or naive_cross is 0
+    # the query proves nothing
+    import batch_process_spark.queries_ext10 as x
+
+    rows = {
+        r["strategy"]: r
+        for r in x.q165_leakage_safe_split(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows["naive_by_doc"]["n_pairs"] > 0
+    assert rows["naive_by_doc"]["cross_split_pairs"] > 0
+    assert rows["group_by_fingerprint"]["cross_split_pairs"] == 0
+    for r in rows.values():
+        assert r["n_train"] > 0 and r["n_eval"] > 0
