@@ -111,7 +111,17 @@ def merge_results(
         F.min_by("__lang0", "__ts0").alias("first_lang"),
         F.array_sort(
             F.flatten(
-                F.collect_list(F.array_repeat(F.col(status_col), F.col("__cnt").cast("int")))
+                # NULL statuses must stay OUT of the list (collect_list's
+                # contract in the one-stage form drops NULL elements):
+                # masking the whole array to NULL for the NULL-status
+                # group lets collect_list drop it, while that group's
+                # rows still feed every other aggregate
+                F.collect_list(
+                    F.when(
+                        F.col(status_col).isNotNull(),
+                        F.array_repeat(F.col(status_col), F.col("__cnt").cast("int")),
+                    )
+                )
             )
         ).alias("statuses"),
         F.max("__ts1").alias("last_ts"),

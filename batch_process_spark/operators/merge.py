@@ -119,23 +119,32 @@ def snapshot_diff(
     differs; NULL-safe) or ``unchanged``. Emits one row per key with
     the change type plus the new-side values (old-side for deletes).
 
-    ``compare_cols`` defaults to every shared non-key column. Scale
-    shape: ONE co-partitioned full-outer equi-join on the keys — both
-    snapshots hash-shuffle once, comparison is map-side; at 100 TB
-    this is the anti-entropy / CDC-derivation pass over two table
-    versions, and the output feeds ``merge_upsert``/``scd2_apply``
-    unchanged."""
+    ``compare_cols`` narrows only the CHANGE TEST (default: every
+    shared non-key column); the emitted feed always carries every
+    shared non-key column, so a narrowed compare still round-trips
+    through ``merge_upsert`` without nulling the non-compared columns
+    (``unionByName(allowMissingColumns)`` would silently fill NULL for
+    any column the feed dropped). Scale shape: ONE co-partitioned
+    full-outer equi-join on the keys — both snapshots hash-shuffle
+    once, comparison is map-side; at 100 TB this is the anti-entropy /
+    CDC-derivation pass over two table versions, and the output feeds
+    ``merge_upsert``/``scd2_apply`` unchanged."""
     keys = list(keys)
+    shared = [c for c in new.columns if c in set(old.columns)]
+    emit_cols = [c for c in shared if c not in keys]
     if compare_cols is None:
-        shared = [c for c in new.columns if c in set(old.columns)]
-        compare_cols = [c for c in shared if c not in keys]
+        compare_cols = emit_cols
+    else:
+        missing = [c for c in compare_cols if c not in emit_cols]
+        if missing:
+            raise ValueError(f"snapshot_diff: compare_cols not shared non-key: {missing}")
     # presence flags must come from non-null markers, not compared
     # columns (which may legitimately be NULL on either side)
     o = old.select(
-        keys + [F.col(c).alias(f"__o_{c}") for c in compare_cols]
+        keys + [F.col(c).alias(f"__o_{c}") for c in emit_cols]
     ).withColumn("__in_old", F.lit(True))
     n = new.select(
-        keys + [F.col(c).alias(f"__n_{c}") for c in compare_cols]
+        keys + [F.col(c).alias(f"__n_{c}") for c in emit_cols]
     ).withColumn("__in_new", F.lit(True))
     j = o.join(n, on=keys, how="full_outer")
     changed = None
@@ -152,6 +161,6 @@ def snapshot_diff(
         F.when(F.col("__in_new").isNull(), F.col(f"__o_{c}"))
         .otherwise(F.col(f"__n_{c}"))
         .alias(c)
-        for c in compare_cols
+        for c in emit_cols
     ]
     return j.select(*keys, change_type.alias("change_type"), *out_vals)

@@ -271,14 +271,16 @@ def q164_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flatten a parent-child hierarchy to (node, root, depth) — the
     org-chart/BOM staple SQL does with a recursive CTE and Spark has no
     operator for. Tree: parent(k) = k div 10, root when k < 10 (depth =
-    digits - 1, so max depth 6 through sf100 — but the ALGORITHM never
-    uses that closed form). Implemented as POINTER DOUBLING (parallel
-    list ranking): state (node, anc, dist) self-joins on anc = node so
-    every row's ancestor pointer jumps 2^r edges in round r — roots
-    carry a self-loop of dist 0, making the jump idempotent once
-    resolved. ceil(log2(max_depth)) = 3 rounds suffice for depth 8;
-    each round is ONE hash equi-join of the state table with itself —
-    at 100 TB that is 3 shuffles total where naive parent-chasing pays
+    digits - 1: 7 at sf100's ~20M parts, 8 at sf1000 — but the
+    ALGORITHM never uses that closed form). Implemented as POINTER
+    DOUBLING (parallel list ranking): state (node, anc, dist)
+    self-joins on anc = node so every row's ancestor pointer jumps 2^r
+    edges in round r — roots carry a self-loop of dist 0, making the
+    jump idempotent once resolved. 4 rounds resolve depth 16 (17-digit
+    keys — far past any scale factor, and the margin is structural,
+    not data-dependent); each round is ONE hash equi-join of the state
+    table with itself — at 100 TB that is 4 shuffles total where
+    naive parent-chasing pays
     one fact-scale join PER LEVEL (and a per-row loop never
     distributes at all). The oracle walks the same tree recursively."""
     part = _t(spark, sf_dir, "part").select("p_partkey")
@@ -290,7 +292,7 @@ def q164_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("anc"),
         F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("dist"),
     )
-    for _ in range(3):  # 2^3 = 8 >= max depth (6 digits at sf100)
+    for _ in range(4):  # 2^4 = 16 >= max depth (sf100 is depth 7, sf1000 depth 8)
         jump = state.select(
             F.col("node").alias("anc"),
             F.col("anc").alias("anc2"),

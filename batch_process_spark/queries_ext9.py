@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from batch_process_spark.operators import joins
 from batch_process_spark.queries import _q, _t
 
+#: q153's memoized (impressions, clicks) feed-dir pair — see the wipe
+#: discipline at the use site.
+_Q153_DIRS: dict = {}
+
 # ---------------------------------------------------------------------------
 # q137: gap filling over a per-user date spine with LOCF carry-forward
 # ---------------------------------------------------------------------------
@@ -924,7 +928,7 @@ def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1213,6 +1217,7 @@ def q153_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream must buy with bounded per-key state — same
     ``stream_interval_join`` builder, ``how='left_outer'``.
     ``sf_dir`` unused: engine semantics, not data."""
+    import os
     import tempfile
     from datetime import datetime
 
@@ -1225,8 +1230,19 @@ def q153_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     si = "ad_id int, imp_ts timestamp"
     sc = "ad_id int, click_ts timestamp, click_value double"
-    di = tempfile.mkdtemp(prefix="q153_imp_")
-    dc = tempfile.mkdtemp(prefix="q153_clk_")
+    # memoized feed dirs, WIPED per invocation: repeated bench/selfcheck
+    # runs in one process must not leak a fresh mkdtemp pair per call
+    # (the _staged_event_slices discipline), and the staged batch
+    # SEQUENCE must rebuild identically each run — stale files from a
+    # prior run would double the feed
+    di, dc = _Q153_DIRS.get("dirs") or (
+        tempfile.mkdtemp(prefix="q153_imp_"),
+        tempfile.mkdtemp(prefix="q153_clk_"),
+    )
+    _Q153_DIRS["dirs"] = (di, dc)
+    for d in (di, dc):
+        for f in os.listdir(d):
+            os.unlink(os.path.join(d, f))
 
     def t(h, m):
         return datetime(2024, 1, 1, h, m)
@@ -1758,7 +1774,11 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    n_baskets = b.select("l_orderkey").distinct().count()
+    # 1-row basket count folds in via a broadcast crossJoin (the
+    # q152/q165 stats pattern) — NOT an eager .count(), which would run
+    # two real jobs at plan-BUILD time (every explain/audit pays them)
+    # and freeze a stale literal across table invalidation
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     items = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     right = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
     pairs = (
@@ -1771,9 +1791,13 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iu = items.select(F.col("l_partkey").alias("u"), F.col("cnt").alias("cnt_u"))
     iv = items.select(F.col("l_partkey").alias("v"), F.col("cnt").alias("cnt_v"))
-    base = pairs.join(F.broadcast(iu), "u").join(F.broadcast(iv), "v")
+    base = (
+        pairs.join(F.broadcast(iu), "u")
+        .join(F.broadcast(iv), "v")
+        .crossJoin(F.broadcast(n))
+    )
     lift = F.round(
-        F.col("both_cnt") * 1.0 * F.lit(n_baskets) / (F.col("cnt_u") * F.col("cnt_v")), 6
+        F.col("both_cnt") * 1.0 * F.col("n_baskets") / (F.col("cnt_u") * F.col("cnt_v")), 6
     )
     fwd = base.select(
         F.col("u").alias("antecedent"),

@@ -196,3 +196,26 @@ def test_with_provenance_strips_digit_schemes():
     assert re.sub(_SCHEME_RX, "/", "s3a://bucket/x.parquet") == "/bucket/x.parquet"
     assert re.sub(_SCHEME_RX, "/", "file:///root/x.parquet") == "/root/x.parquet"
     assert re.sub(_SCHEME_RX, "/", "o3fs://vol/x.parquet") == "/vol/x.parquet"
+
+
+def test_merge_results_drops_null_statuses(spark):
+    """The two-stage rewrite must keep collect_list's contract: NULL
+    statuses stay OUT of the sorted list while the NULL-status rows
+    still feed every other aggregate (review finding)."""
+    from batch_process_spark.operators.grouping import merge_results
+
+    df = spark.createDataFrame(
+        [
+            ("f", 10, 5, 100, "en", None, 1.0),
+            ("f", 99, 7, 200, "de", "ok", 2.0),
+        ],
+        "file string, lines int, words int, chars int, lang string, status string, ts double",
+    )
+    row = merge_results(
+        df, file_col="file", lines_col="lines", words_col="words",
+        chars_col="chars", lang_col="lang", status_col="status", order_col="ts",
+    ).collect()[0]
+    assert row["statuses"] == ["ok"]          # no NULL element
+    assert row["max_lines"] == 99             # NULL-status row still aggregated
+    assert row["sum_words"] == 12
+    assert row["first_lang"] == "en"

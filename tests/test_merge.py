@@ -145,3 +145,34 @@ def test_snapshot_diff_feed_replays_to_new_snapshot(spark):
     dels = feed.filter(feed.change_type == "delete").select("id")
     rebuilt = apply_deletes(merge_upsert(old, ups, ["id"]), dels, ["id"])
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_snapshot_diff_narrowed_compare_still_emits_all_columns(spark):
+    """compare_cols narrows only the change TEST; the feed must still
+    carry every shared non-key column or the merge_upsert round-trip
+    nulls them out (review finding)."""
+    from batch_process_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, status string, price double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "CHANGED", 20.0)], "id long, status string, price double"
+    )
+    out = {r["id"]: r for r in snapshot_diff(old, new, ["id"], compare_cols=["price"]).collect()}
+    # price changed -> update; status-only change is invisible to the test...
+    assert out[1]["change_type"] == "update"
+    assert out[2]["change_type"] == "unchanged"
+    # ...but BOTH columns ride the feed with new-side values
+    assert out[1]["status"] == "a" and out[1]["price"] == 11.0
+    assert out[2]["status"] == "CHANGED"
+
+
+def test_snapshot_diff_rejects_unknown_compare_cols(spark):
+    from batch_process_spark.operators.merge import snapshot_diff
+    import pytest as _pytest
+
+    old = spark.createDataFrame([(1, "a")], "id long, s string")
+    new = spark.createDataFrame([(1, "a")], "id long, s string")
+    with _pytest.raises(ValueError, match="compare_cols"):
+        snapshot_diff(old, new, ["id"], compare_cols=["nope"])
