@@ -416,3 +416,164 @@ def q165_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("safe_cross").alias("cross_split_pairs"),
     )
     return naive_row.unionByName(safe_row)
+
+
+# ---------------------------------------------------------------------------
+# q166: local clustering coefficient (triangles / possible wedges per node)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q166_clustering_coefficient",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcnt AS (
+      SELECT part AS node, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (SELECT unnest([u, v, w]) AS part FROM tri)
+      GROUP BY part
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node, v FROM edges UNION ALL SELECT v, u FROM edges)
+      GROUP BY node
+    )
+    SELECT d.node AS l_partkey, d.degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(2 * coalesce(t.n_tri, 0) * 1000000
+                // (d.degree * (d.degree - 1)) AS BIGINT) AS coef_micro
+    FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+    WHERE d.degree >= 2
+    """,
+)
+def q166_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2*T(v) / (deg(v) *
+    (deg(v)-1)) in exact integer micro units (integer div, bit-identical
+    both engines) — the how-cliquish-is-my-neighborhood metric layered
+    on q149's edge-iterator triangle enumeration (same canonical u<v<w
+    wedge join + closure semi-join, each triangle counted once, then
+    per-corner participation via explode). Degrees come from one
+    symmetric-union aggregation of the persisted edge set; nodes with
+    no triangles keep coefficient 0 through the LEFT join (coalesce).
+    Every stage is edge-granularity — no adjacency matrix, no driver
+    state; hub-node wedge skew salts like any hot key."""
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = _memoized_persist(
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = edges.join(e2, "v").select("u", "v", "w")
+    tri = wedges.join(
+        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("l_partkey"),
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+    )
+    coef = F.expr("2 * n_tri * 1000000L div (degree * (degree - 1))")
+    return out.withColumn("coef_micro", coef.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q167: Benford first-digit audit (exact integers, no log10 seam)
+# ---------------------------------------------------------------------------
+
+#: Benford P(d) = log10(1 + 1/d) in micro units, HARDCODED: computing
+#: log10 at query time would put a not-correctly-rounded libm/JVM call
+#: on both sides of the oracle — a 1-ulp seam a floor() can flip.
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@_q(
+    "q167_benford_audit",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+      FROM orders WHERE o_totalprice >= 0.01
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+    SELECT c.digit, c.n,
+           c.n * 1000000 AS observed_ppm_x_total,
+           n.total * CASE c.digit
+             WHEN '1' THEN 301030 WHEN '2' THEN 176091 WHEN '3' THEN 124939
+             WHEN '4' THEN 96910  WHEN '5' THEN 79181  WHEN '6' THEN 66947
+             WHEN '7' THEN 57992  WHEN '8' THEN 51153  WHEN '9' THEN 45757
+           END AS expected_ppm_x_total
+    FROM c CROSS JOIN n
+    """,
+)
+def q167_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    fraud/synthetic-data smell test a data-quality suite runs on any
+    monetary column. The digit is extracted WITHOUT floats: exact
+    integer cents (the catalog's half-up idiom), cast to string
+    (bigint rendering is identical in every engine — double rendering
+    is not), first character; shifting the decimal point by 2 never
+    changes the leading significant digit for values >= 0.01. Both
+    observed and expected frequencies stay integer by comparing in
+    cross-multiplied ppm (n * 1e6 vs total * P_micro) with Benford's
+    probabilities HARDCODED in micro units — a query-time log10 would
+    be a 1-ulp libm/JVM seam. Map-only until a 9-group agg: the 100 TB
+    plan is scan -> project -> tiny hash agg; the 1-row total
+    broadcasts back."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 0.01)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    d = orders.select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    pm = F.create_map(
+        *[x for k, v in _BENFORD_MICRO.items() for x in (F.lit(str(k)), F.lit(v))]
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") * 1000000).alias("observed_ppm_x_total"),
+            (F.col("total") * pm[F.col("digit")]).alias("expected_ppm_x_total"),
+        )
+    )

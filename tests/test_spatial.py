@@ -130,3 +130,30 @@ def test_q165_split_leakage_nonvacuous(spark):
     assert rows["group_by_fingerprint"]["cross_split_pairs"] == 0
     for r in rows.values():
         assert r["n_train"] > 0 and r["n_eval"] > 0
+
+
+def test_q166_coefficient_bounds_and_triangle_consistency(spark):
+    # coefficient in [0, 1e6]; a node with n_tri > 0 needs degree >= 2
+    # and coefficient > 0
+    import batch_process_spark.queries_ext10 as x
+
+    rows = x.q166_clustering_coefficient(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["coef_micro"] <= 1_000_000
+        assert r["degree"] >= 2
+        if r["n_tri"] > 0:
+            assert r["coef_micro"] > 0
+
+
+def test_q167_benford_totals_and_digit_domain(spark):
+    import batch_process_spark.queries_ext10 as x
+
+    rows = x.q167_benford_audit(spark, "/root/testdata/sf0.01").collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set("123456789")
+    # observed ppm-x-total sums to exactly total * 1e6 == sum(n) * 1e6
+    total = sum(r["n"] for r in rows)
+    assert sum(r["observed_ppm_x_total"] for r in rows) == total * 1_000_000
+    for r in rows:
+        assert r["expected_ppm_x_total"] > 0
