@@ -577,3 +577,54 @@ def q167_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total") * pm[F.col("digit")]).alias("expected_ppm_x_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q168: Python UDTF (engine-native table function) under the oracle
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q168_udtf_token_windows",
+    """
+    WITH t2 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    w AS (
+      -- parallel unnest zips positionally in DuckDB
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 8)) AS s,
+             CAST(unnest(generate_series(1, (greatest(len(toks) - 1, 0)) // 8 + 1))
+                  - 1 AS INTEGER) AS idx
+      FROM t2 WHERE len(toks) > 0
+    )
+    SELECT doc_id, idx,
+           CAST(least(16, len(toks) - s) AS INTEGER) AS n_tokens,
+           md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS window_md5
+    FROM w
+    """,
+)
+def q168_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows (width 16, stride 8) through a
+    REGISTERED PYTHON UDTF (functions/udtfs.py `TokenWindows`) consumed
+    as a SQL LATERAL table function — the engine-native §2.12 1->N
+    surface, now under the full value-hash oracle rather than pytest
+    alone (the sliding-context cut an LLM pipeline makes for training
+    windows; the non-overlapping Arrow twin is q76). The oracle states
+    the identical start arithmetic with zipped parallel unnests.
+    Row-at-a-time Python is the slow path — functions/udtfs.py points
+    corpus-scale 1->N work at the Arrow kernels; this query pins the
+    API's correctness, capped at 200 docs. The md5 keeps long window
+    strings out of the driver's row sort."""
+    from batch_process_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs.createOrReplaceTempView("q168_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.idx, w.n_tokens, md5(w.window) AS window_md5
+        FROM q168_docs d, LATERAL token_windows(d.text, 16, 8) w
+        """
+    )

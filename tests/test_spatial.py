@@ -157,3 +157,33 @@ def test_q167_benford_totals_and_digit_domain(spark):
     assert sum(r["observed_ppm_x_total"] for r in rows) == total * 1_000_000
     for r in rows:
         assert r["expected_ppm_x_total"] > 0
+
+
+def test_udtf_sentence_split_multi_sentence(spark):
+    from batch_process_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM sentence_split('Hello there. How are you? Fine!')"
+    ).collect()
+    assert [(r["idx"], r["sentence"], r["n_tokens"]) for r in rows] == [
+        (0, "Hello there.", 2),
+        (1, "How are you?", 3),
+        (2, "Fine!", 1),
+    ]
+
+
+def test_udtf_token_windows_stride_and_tail(spark):
+    from batch_process_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    text = " ".join(f"t{i}" for i in range(20))  # 20 tokens, width 16 stride 8
+    rows = spark.sql(
+        f"SELECT * FROM token_windows('{text}', 16, 8)"
+    ).collect()
+    got = [(r["idx"], r["n_tokens"]) for r in rows]
+    assert got == [(0, 16), (1, 12), (2, 4)]  # starts 0, 8, 16
+    assert rows[2]["window"] == "t16 t17 t18 t19"
+    # NULL text and degenerate stride emit nothing
+    assert spark.sql("SELECT * FROM token_windows(CAST(NULL AS STRING), 16, 8)").count() == 0
+    assert spark.sql("SELECT * FROM token_windows('a b', 4, 0)").count() == 0
