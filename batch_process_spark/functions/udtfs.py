@@ -58,7 +58,7 @@ class TokenWindows:
     are the catalog's split-on-single-space convention."""
 
     def eval(self, text: str, width: int, stride: int):
-        if text is None or width is None or stride is None or stride <= 0:
+        if text is None or width is None or stride is None or stride <= 0 or width <= 0:
             return
         toks = [t for t in text.split(" ") if t]
         idx = 0

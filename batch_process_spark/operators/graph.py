@@ -158,3 +158,39 @@ def dedup_clusters(
     cc = connected_components(pairs, id_a, id_b)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "component").select("node", "component", "cluster_size")
+
+
+def wedge_join(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+    salt_buckets: int = 1,
+) -> DataFrame:
+    """Wedge enumeration (u—v—w paths) over a CANONICAL edge set
+    (``u < v`` on every row): self-join on the middle vertex, yielding
+    (u, v, w) with u < v < w — each open wedge exactly once, the first
+    stage of triangle counting / clustering-coefficient queries.
+
+    Hub skew is the known hot spot: the middle-vertex key's join fan-in
+    is the vertex DEGREE, so one celebrity node owns a quadratic task.
+    ``salt_buckets > 1`` opts into hot-key salting (the
+    operators/skew.py scheme applied to the middle vertex): the
+    in-edge side salts deterministically, the out-edge side replicates
+    ``salt_buckets``x, the join runs on (v, salt) — a hub's wedge
+    output spreads over ``salt_buckets`` tasks (pairs per task drop
+    from d^2 to ~d^2/buckets). Output is identical: each wedge still
+    meets on exactly one (v, salt). Leave at 1 under AQE skew-split,
+    which splits oversized partitions at runtime without inflating the
+    out-edge side.
+    """
+    e2 = edges.select(
+        F.col(u_col).alias(v_col), F.col(v_col).alias(w_col)
+    )
+    if salt_buckets > 1:
+        from batch_process_spark.operators.skew import salted_join
+
+        return salted_join(edges, e2, on=[v_col], buckets=salt_buckets).select(
+            u_col, v_col, w_col
+        )
+    return edges.join(e2, v_col).select(u_col, v_col, w_col)

@@ -119,7 +119,24 @@ def merge_results(
                 F.collect_list(
                     F.when(
                         F.col(status_col).isNotNull(),
-                        F.array_repeat(F.col(status_col), F.col("__cnt").cast("int")),
+                        F.array_repeat(
+                            F.col(status_col),
+                            # array_repeat takes int; past 2^31 rows per
+                            # (file,status) the cast would wrap silently
+                            # (negative -> empty array, dropped status).
+                            # A multiset that large is unbuildable
+                            # anyway, so fail loudly instead.
+                            F.when(
+                                F.col("__cnt") > F.lit(2**31 - 1),
+                                F.raise_error(
+                                    F.lit(
+                                        "merge_results: per-(file,status) count "
+                                        "exceeds Int.MaxValue; statuses multiset "
+                                        "is unbuildable at this cardinality"
+                                    )
+                                ).cast("int"),
+                            ).otherwise(F.col("__cnt").cast("int")),
+                        ),
                     )
                 )
             )

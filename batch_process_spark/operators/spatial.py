@@ -27,6 +27,7 @@ def grid_radius_join(
     x_col: str,
     radius: int,
     suffix: str = "_r",
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """All (left, right) pairs with squared planar distance
     ``(dy^2 + dx^2) < radius^2``, via grid bucketing.
@@ -41,8 +42,16 @@ def grid_radius_join(
 
     Scale shape: one hash equi-join on (cell_y, cell_x) — both sides
     shuffle once on the cell id; density skew (urban hot cells) is the
-    known hot spot and salts like any other hot join key
-    (operators/skew.py). The residual distance filter is map-side
+    known hot spot. ``salt_buckets > 1`` opts into hot-cell salting
+    (composes operators/skew.py's scheme onto the composite cell key):
+    the left side salts deterministically, the right side replicates
+    ``salt_buckets``x further (on top of its 3x3 neighbor fan-out), and
+    the join key becomes (cell_y, cell_x, salt) — a hot cell's left
+    rows spread over ``salt_buckets`` tasks, bounding the max task at
+    ~1/buckets of the unsalted hot task. Results are identical: each
+    qualifying pair still meets on exactly one (cell, salt). Leave at 1
+    when AQE skew-split is on — the runtime splitter handles it without
+    inflating the right side. The residual distance filter is map-side
     codegen. Right-side columns are renamed with ``suffix`` on
     collision. Distance semantics are planar (no wraparound at the
     modulus seam): the caller defines the torus/plane contract.
@@ -65,10 +74,21 @@ def grid_radius_join(
     lt = left.withColumn("__cy", F.floor(F.col(y_col) / radius)).withColumn(
         "__cx", F.floor(F.col(x_col) / radius)
     )
+    keys = ["__cy", "__cx"]
+    drop = ["__cy", "__cx", "__oy", "__ox"]
+    if salt_buckets > 1:
+        from batch_process_spark.operators.skew import with_salt
+
+        lt = with_salt(lt, salt_buckets)
+        rt = rt.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        keys.append("__salt")
+        drop.append("__salt")
     dy = F.col(y_col) - F.col(ry)
     dx = F.col(x_col) - F.col(rx)
     return (
-        lt.join(rt, ["__cy", "__cx"])
+        lt.join(rt, keys)
         .filter(dy * dy + dx * dx < F.lit(r2))
-        .drop("__cy", "__cx", "__oy", "__ox")
+        .drop(*drop)
     )

@@ -156,6 +156,11 @@ def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Dat
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.isdir(path):
+                # Not a lost race — the rename failed for a real reason
+                # (permissions, cross-device). Swallowing it here would
+                # surface later as a confusing missing-path read error.
+                raise
     return spark.read.parquet(path)
 
 

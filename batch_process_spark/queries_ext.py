@@ -651,7 +651,10 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(joins.gated_broadcast(oc, o2, c2), li.l_orderkey == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp2),
+            # supplier scales linearly with SF (~1/5 kept by the ASIA
+            # filter) — at the 100 TB target it is a 100M+-row table,
+            # so the broadcast must be stats-gated like the oc side.
+            joins.gated_broadcast(supp2),
             (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")

@@ -7,6 +7,8 @@ double expression, per the catalog's determinism discipline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -69,7 +71,12 @@ def q161_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hexpart(1) % 18000).alias("y"),
         (hexpart(7) % 36000).alias("x"),
     )
-    joined = grid_radius_join(p, p, "y", "x", radius=_GRID_R)
+    # Hot-cell salting is opt-in (SPARK_GRAFT_GRID_SALT=N): identical
+    # pairs, hot-cell tasks bounded at ~1/N (tests/test_skew.py).
+    joined = grid_radius_join(
+        p, p, "y", "x", radius=_GRID_R,
+        salt_buckets=int(os.environ.get("SPARK_GRAFT_GRID_SALT", "1")),
+    )
     dy = F.col("y") - F.col("y_r")
     dx = F.col("x") - F.col("x_r")
     return (
@@ -227,13 +234,20 @@ def q163_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = daily.select(
         "user_id", F.col("cents").alias("x"), F.lag("cents").over(w).alias("y")
     ).filter(F.col("y").isNotNull())
+    # Product sums ride decimal(38,0): the DuckDB oracle promotes
+    # integer sums to HUGEINT, so long-typed sums here could silently
+    # overflow (non-ANSI) where the oracle stays exact. Decimal keeps
+    # both engines exact to 38 digits; the final correlation is a
+    # single double division either way.
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
     sums = lagged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((dx * dy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dx * dx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dy * dy).cast("decimal(38,0)")).alias("syy"),
     )
     vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -484,8 +498,12 @@ def q166_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    wedges = edges.join(e2, "v").select("u", "v", "w")
+    from batch_process_spark.operators.graph import wedge_join
+
+    # Hub salting opt-in, same knob as q149 (see wedge_join docstring).
+    wedges = wedge_join(
+        edges, salt_buckets=int(os.environ.get("SPARK_GRAFT_WEDGE_SALT", "1"))
+    )
     tri = wedges.join(
         edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
     )

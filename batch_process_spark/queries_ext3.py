@@ -243,7 +243,9 @@ def q66_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     rel = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        rel.join(F.broadcast(excluded), rel.l_suppkey == excluded.s_suppkey, "left_anti")
+        # excluded is SF-scaling (a supplier subset) — stats-gated, not
+        # hint-forced; shuffled-hash anti-join is the safe fallback.
+        rel.join(joins.gated_broadcast(excluded), rel.l_suppkey == excluded.s_suppkey, "left_anti")
         .join(joins.gated_broadcast(part), rel.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))

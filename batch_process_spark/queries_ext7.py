@@ -62,6 +62,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batch_process_spark.operators import joins
 from batch_process_spark.operators.caching import PersistMemo
 from batch_process_spark.queries import _q, _t
 
@@ -625,7 +626,9 @@ def q117_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = (
         a.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
-        .join(F.broadcast(ranked), "tok")
+        # the rank table is VOCABULARY-sized (Heaps-sublinear but still
+        # corpus-growing) — stats-gated, shuffles on `tok` at scale
+        .join(joins.gated_broadcast(ranked), "tok")
         .withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") <= k)
         .select("doc_id", "tok")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batch_process_spark.operators import joins
 from batch_process_spark.operators.caching import PersistMemo
 from batch_process_spark.operators.sketches import (
     bloom_bit_positions,
@@ -359,7 +360,10 @@ def q129_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_counts = passed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("bloom_rows")
     )
-    exact = ev.join(F.broadcast(flagged), "user_id", "left_semi")
+    # flagged grows with the corpus (high-spend users) — the Bloom path
+    # is the scale story, but this exact-validation side must not be a
+    # hint-forced broadcast; stats-gate it so it shuffles at scale.
+    exact = ev.join(joins.gated_broadcast(flagged), "user_id", "left_semi")
     exact_counts = exact.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_rows")
     )

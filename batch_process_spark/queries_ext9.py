@@ -14,6 +14,8 @@ and identical in any engine with partitioned windows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -879,9 +881,11 @@ def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge set, then per-node participation via explode. Every stage
     is an equi-join at EDGE granularity: no node ever sees more than
     its neighborhood, no adjacency matrix, no driver state — the shape
-    that scales to billions of edges (wedge skew on hub nodes is the
-    known hot spot; salting the middle vertex, operators/skew.py, is
-    the standard hardening)."""
+    that scales to billions of edges. Wedge skew on hub nodes is the
+    known hot spot; middle-vertex salting is WIRED (opt-in
+    SPARK_GRAFT_WEDGE_SALT via operators/graph.py::wedge_join, which
+    composes operators/skew.py::salted_join) and pytest-proved to
+    bound hub tasks while preserving the exact wedge set."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 2000)
@@ -900,8 +904,14 @@ def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    wedges = edges.join(e2, "v").select("u", "v", "w")
+    from batch_process_spark.operators.graph import wedge_join
+
+    # Hub salting is opt-in (SPARK_GRAFT_WEDGE_SALT=N): identical
+    # output, hub wedge tasks bounded at ~1/N — pytest-proved in
+    # tests/test_skew.py::test_wedge_join_salting_bounds_hub_tasks.
+    wedges = wedge_join(
+        edges, salt_buckets=int(os.environ.get("SPARK_GRAFT_WEDGE_SALT", "1"))
+    )
     tri = wedges.join(
         edges.select(F.col("u").alias("u"), F.col("v").alias("w")),
         ["u", "w"],
@@ -1792,8 +1802,11 @@ def q160_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     iu = items.select(F.col("l_partkey").alias("u"), F.col("cnt").alias("cnt_u"))
     iv = items.select(F.col("l_partkey").alias("v"), F.col("cnt").alias("cnt_v"))
     base = (
-        pairs.join(F.broadcast(iu), "u")
-        .join(F.broadcast(iv), "v")
+        # per-item counts grow with the part catalog — stats-gated, not
+        # hint-forced; gate on the persisted basket table (aggregate
+        # output is bounded by its input). n stays a true 1-row frame.
+        pairs.join(joins.gated_broadcast(iu, b), "u")
+        .join(joins.gated_broadcast(iv, b), "v")
         .crossJoin(F.broadcast(n))
     )
     lift = F.round(

@@ -190,9 +190,18 @@ def write_zordered(
     loudly rather than silently corrupting the curve."""
     from pyspark.sql import functions as F
 
+    # The interleave spreads bit 31 of an operand to bit 62, and the
+    # odd-operand shiftleft lands it on bit 63 — the sign bit — so any
+    # value >= 2**31 would silently break the Morton sort order (and
+    # >= 2**32 aliases under the 32-bit mask). The documented fail-loud
+    # contract therefore bounds BOTH ends of the domain.
+    _max = F.lit(2**31)
     guard = F.when(
-        (F.col(col_a) < 0) | (F.col(col_b) < 0),
-        F.raise_error(F.lit(f"write_zordered: negative value in {col_a}/{col_b}")),
+        (F.col(col_a) < 0) | (F.col(col_b) < 0)
+        | (F.col(col_a) >= _max) | (F.col(col_b) >= _max),
+        F.raise_error(
+            F.lit(f"write_zordered: value outside [0, 2^31) in {col_a}/{col_b}")
+        ),
     ).otherwise(zorder_value(col_a, col_b))
     zdf = df.withColumn("__z", guard)
     (

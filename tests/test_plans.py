@@ -68,8 +68,8 @@ def test_broadcast_gate_falls_back_to_shuffle(spark, qs, monkeypatch):
     plan-stats size gate (gated_broadcast). Forcing the cap to 1 byte
     simulates real-scale orders: both queries must re-plan to a
     shuffle-hash equi-join on l_orderkey with NO fact-derived
-    broadcast — only q30's true dim (ASIA suppliers) still rides a
-    BroadcastExchange. This is the 100 TB shape; an unconditional
+    broadcast — and since round 7 q30's ASIA-supplier side (SF-scaling
+    too) shuffles as well. This is the 100 TB shape; an unconditional
     F.broadcast(orders-derived) would OOM the executors there.
     The gate is read at plan-CONSTRUCTION time, so the session plan
     cache must be invalidated around the cap change (same contract as
@@ -86,8 +86,11 @@ def test_broadcast_gate_falls_back_to_shuffle(spark, qs, monkeypatch):
         assert "SortMergeJoin" not in p29
         p30 = plan_of(qs["q30_local_supplier_volume"](spark, SF))
         t30 = p30.split("\n\n")[0]
-        assert t30.count("ShuffledHashJoin") == 2  # oc internal + lineitem><oc
-        assert t30.count("BroadcastExchange") == 1  # only the supplier dim
+        # oc internal + lineitem><oc + lineitem><supp2: since round 7
+        # the ASIA-supplier side is ALSO gated (supplier scales with
+        # SF), so under the forced cap NOTHING broadcasts.
+        assert t30.count("ShuffledHashJoin") == 3
+        assert t30.count("BroadcastExchange") == 0
         assert "SortMergeJoin" not in p30
     finally:
         # plans built under the forced cap must not leak to later tests
@@ -346,6 +349,55 @@ def test_swept_queries_gate_both_shapes(spark, qs, monkeypatch):
         t48 = plan_of(qs["q48_returned_revenue"](spark, SF)).split("\n\n")[0]
         assert "ShuffledHashJoin" in t48  # the gated customer side shuffles
         assert "SortMergeJoin" not in t48
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BROADCAST_CAP_BYTES")
+        invalidate_tables()
+
+
+def test_round7_gated_sites_both_shapes(spark, qs, monkeypatch):
+    """Round-7 sweep residue: the four raw F.broadcast sites on
+    SF-scaling frames named by the round-6 verdict (q66 excluded
+    suppliers, q129 flagged users, q160 per-item counts, q117
+    vocabulary ranks) are now stats-gated. Below the cap each keeps its
+    broadcast (bench-scale win); under a forced 1-byte cap each
+    re-plans to shuffle with zero HINT-forced BroadcastExchange.
+    (q30's supp2 is covered by test_broadcast_gate_falls_back_to_
+    shuffle above.)"""
+    from batch_process_spark.queries import invalidate_tables
+
+    names = (
+        "q66_supplier_part_counts",
+        "q129_bloom_semi_join",
+        "q160_association_rules",
+        "q117_prefix_filter_join",
+    )
+    for name in names:
+        tree = plan_of(qs[name](spark, SF)).split("\n\n")[0]
+        assert "BroadcastExchange" in tree, name  # below cap: broadcast kept
+        assert "SortMergeJoin" not in tree, name
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_CAP_BYTES", "1")
+    invalidate_tables()
+    try:
+        # q66: the anti-join build side must shuffle; the part dim is
+        # gated too, so nothing broadcasts at all.
+        t66 = plan_of(qs["q66_supplier_part_counts"](spark, SF)).split("\n\n")[0]
+        assert "ShuffledHashJoin" in t66 and "BroadcastExchange" not in t66
+        assert "SortMergeJoin" not in t66
+        # q129: the exact-validation semi-join shuffles. The Bloom bit
+        # set (<= m positions, schema-bounded) legitimately stays a
+        # 1-row broadcast — that IS the scale design.
+        t129 = plan_of(qs["q129_bloom_semi_join"](spark, SF)).split("\n\n")[0]
+        assert "ShuffledHashJoin" in t129
+        assert "SortMergeJoin" not in t129
+        # q160: both per-item count joins shuffle; only the 1-row
+        # basket-count crossJoin remains broadcast.
+        t160 = plan_of(qs["q160_association_rules"](spark, SF)).split("\n\n")[0]
+        assert t160.count("ShuffledHashJoin") >= 2
+        assert "SortMergeJoin" not in t160
+        # q117: the vocabulary rank join shuffles on tok.
+        t117 = plan_of(qs["q117_prefix_filter_join"](spark, SF)).split("\n\n")[0]
+        assert "ShuffledHashJoin" in t117
+        assert "SortMergeJoin" not in t117
     finally:
         monkeypatch.delenv("SPARK_GRAFT_BROADCAST_CAP_BYTES")
         invalidate_tables()

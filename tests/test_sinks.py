@@ -447,5 +447,17 @@ def test_write_zordered_rejects_negative(spark, tmp_path):
     from batch_process_spark.sinks.writers import write_zordered
 
     df = spark.createDataFrame([(1, -2)], "a long, b long")
-    with _pytest.raises(Exception, match="negative"):
+    with _pytest.raises(Exception, match="outside"):
         write_zordered(df, str(tmp_path / "neg"), "a", "b")
+
+
+def test_write_zordered_rejects_over_31_bits(spark, tmp_path):
+    """Values >= 2^31 would spread into the sign bit (bit 31 -> 62,
+    odd-operand shift -> 63), silently breaking the Morton order; the
+    fail-loud contract covers the upper bound too."""
+    import pytest as _pytest
+    from batch_process_spark.sinks.writers import write_zordered
+
+    df = spark.createDataFrame([(2**31, 2)], "a long, b long")
+    with _pytest.raises(Exception, match="outside"):
+        write_zordered(df, str(tmp_path / "big"), "a", "b")

@@ -108,3 +108,109 @@ def test_salted_join_bounds_max_task_rows(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _max_task_rows(df):
+    return (
+        df.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+
+
+def _noaqe(spark, parts=32):
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return saved
+
+
+def test_wedge_join_salting_bounds_hub_tasks(spark):
+    """Hub hardening for the q149/q166 wedge shape: a star vertex with
+    in-degree and out-degree d owns a d^2 wedge task under the plain
+    middle-vertex join; wedge_join(salt_buckets=b) spreads it across b
+    (v, salt) tasks while producing the IDENTICAL wedge set."""
+    from batch_process_spark.operators.graph import wedge_join
+
+    hub, d, buckets, parts = 10_000, 300, 8, 32
+    # star: u in [0,d) -> hub, hub -> w in (hub, hub+d]; canonical u<v
+    edges = (
+        spark.range(d)
+        .select(F.col("id").alias("u"), F.lit(hub).alias("v"))
+        .unionByName(
+            spark.range(hub + 1, hub + 1 + d).select(
+                F.lit(hub).alias("u"), F.col("id").alias("v")
+            )
+        )
+        # background cold edges so the bound is non-vacuous
+        .unionByName(
+            spark.range(2000, 6000).select(
+                F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+            )
+        )
+    )
+    saved = _noaqe(spark, parts)
+    try:
+        plain = wedge_join(edges)
+        salted = wedge_join(edges, salt_buckets=buckets)
+        from tests.conftest import rows_set
+
+        assert rows_set(plain) == rows_set(salted)  # exact same wedges
+        mp = _max_task_rows(plain)
+        ms = _max_task_rows(salted)
+        assert mp >= d * d  # hub's d^2 wedges in one task
+        # each (hub, salt) task carries ~d/buckets in-edges x d
+        # out-edges; allow 2x placement variance
+        assert ms <= 2 * (d * d // buckets) + 1000
+        assert ms < mp / 2
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_grid_radius_join_salting_matches_and_bounds(spark):
+    """Hot-cell hardening for the q161 grid-radius shape: a dense cell
+    owning most points concentrates its candidate pairs in one task;
+    salt_buckets=b bounds the max task near 1/b while the qualifying
+    pair set stays IDENTICAL."""
+    from batch_process_spark.operators.spatial import grid_radius_join
+
+    buckets, parts, radius = 8, 32, 10
+    # 400 points in one cell (urban core) + a sparse background
+    dense = spark.range(400).select(
+        F.col("id").alias("pid"),
+        (F.pmod(F.hash("id"), 10)).alias("y"),
+        (F.pmod(F.hash("id", F.lit(1)), 10)).alias("x"),
+    )
+    sparse = spark.range(400, 800).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 37 % 5000).alias("y"),
+        (F.col("id") * 61 % 5000).alias("x"),
+    )
+    pts = dense.unionByName(sparse)
+    saved = _noaqe(spark, parts)
+    try:
+        plain = grid_radius_join(pts, pts, "y", "x", radius=radius)
+        salted = grid_radius_join(
+            pts, pts, "y", "x", radius=radius, salt_buckets=buckets
+        )
+        from tests.conftest import rows_set
+
+        key = lambda df: df.select("pid", "pid_r")
+        assert rows_set(key(plain)) == rows_set(key(salted))
+        mp = _max_task_rows(plain)
+        ms = _max_task_rows(salted)
+        assert mp >= 400 * 400 * 0.9  # hot cell's ~160k pairs, one task
+        assert ms <= 2 * (400 * 400 // buckets)
+        assert ms < mp / 2
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -184,6 +184,9 @@ def test_udtf_token_windows_stride_and_tail(spark):
     got = [(r["idx"], r["n_tokens"]) for r in rows]
     assert got == [(0, 16), (1, 12), (2, 4)]  # starts 0, 8, 16
     assert rows[2]["window"] == "t16 t17 t18 t19"
-    # NULL text and degenerate stride emit nothing
+    # NULL text and degenerate stride/width emit nothing (a zero or
+    # negative width used to yield one empty-window row per stride)
     assert spark.sql("SELECT * FROM token_windows(CAST(NULL AS STRING), 16, 8)").count() == 0
     assert spark.sql("SELECT * FROM token_windows('a b', 4, 0)").count() == 0
+    assert spark.sql("SELECT * FROM token_windows('a b', 0, 1)").count() == 0
+    assert spark.sql("SELECT * FROM token_windows('a b', -3, 1)").count() == 0
