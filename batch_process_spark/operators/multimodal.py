@@ -5,14 +5,17 @@ per-item decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas iterators (``mapInPandas``) so bytes never pass
 through row-at-a-time Python.
 
-Decoding has two kernels behind one schema: a Pillow-backed real image
-decoder (``fake=False``, used when Pillow is importable — this
+Decoding has three kernels behind one schema: a Pillow-backed real
+image decoder (``fake=False`` when Pillow is importable — this
 container ships no media libs, so it is exercised by a skipif test
-elsewhere) and a deterministic fake decoder (``fake=True``,
+elsewhere), a dependency-free STDLIB real decoder (``fake=False``
+fallback: PNG via zlib inflate + scanline unfiltering, uncompressed
+24/32-bpp BMP — real pixels, real dimensions, same luma/binning as the
+Pillow branch), and a deterministic fake decoder (``fake=True``,
 bytes -> pseudo dimensions/features) that keeps the Spark-side
 plumbing — schema, batching, partitioning — real and testable
-everywhere. ``fake=False`` without any decoder library raises
-``NotImplementedError`` at plan time.
+everywhere. Containers needing codec libraries (JPEG/GIF) raise
+``NotImplementedError`` inside the stdlib decode.
 """
 
 from __future__ import annotations
@@ -107,37 +110,180 @@ def pil_available() -> bool:
         return False
 
 
+def _luma(r: int, g: int, b: int) -> int:
+    """PIL's RGB->L integer luma (ITU-R 601-2): matches convert("L") so
+    the stdlib and Pillow branches histogram identically on RGB data."""
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+def _hist8(grays) -> list[float]:
+    """8-bin normalized intensity histogram over 0..255 gray values —
+    the shared feature shape of every decode branch."""
+    hist = [0.0] * 8
+    for v in grays:
+        hist[v >> 5] += 1.0
+    total = sum(hist) or 1.0
+    return [h / total for h in hist]
+
+
+def _png_decode(content: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfiltering):
+    8-bit depth, color types 0/2/3/4/6, non-interlaced — the common
+    PNG profile. Returns the same (width, height, 8-bin gray histogram)
+    as the Pillow branch (identical luma + binning)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, plte, ihdr = 8, bytearray(), None, None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "stdlib PNG decoder supports 8-bit non-interlaced only "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    prev = bytearray(stride)
+    grays = []
+    p = 0
+    for _ in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"PNG filter type {f}")
+        prev = line
+        if ctype == 0:
+            grays.extend(line)
+        elif ctype == 4:  # gray+alpha: alpha dropped, like convert("L")
+            grays.extend(line[0::2])
+        elif ctype == 3:
+            if plte is None:
+                raise ValueError("paletted PNG missing PLTE")
+            for idx in line:
+                o = idx * 3
+                grays.append(_luma(plte[o], plte[o + 1], plte[o + 2]))
+        else:  # 2 = RGB, 6 = RGBA (alpha dropped)
+            for i in range(0, stride, nch):
+                grays.append(_luma(line[i], line[i + 1], line[i + 2]))
+    return w, h, _hist8(grays)
+
+
+def _bmp_decode(content: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib BMP decode: uncompressed 24/32-bpp (BI_RGB), the
+    classic DIB layout — bottom-up or top-down, 4-byte row padding.
+    Same output shape as the PNG/Pillow branches."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", content[10:14])
+    w, h = struct.unpack("<ii", content[18:26])
+    (bpp,) = struct.unpack("<H", content[28:30])
+    (comp,) = struct.unpack("<I", content[30:34])
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"stdlib BMP decoder supports uncompressed 24/32-bpp only "
+            f"(bpp={bpp}, compression={comp})"
+        )
+    h_abs = abs(h)  # h<0 = top-down; row order is histogram-irrelevant
+    nb = bpp // 8
+    stride = ((w * nb + 3) // 4) * 4
+    grays = []
+    for row in range(h_abs):
+        base = off + row * stride
+        for col in range(w):
+            i = base + col * nb  # BGR(A) byte order
+            grays.append(_luma(content[i + 2], content[i + 1], content[i]))
+    return w, h_abs, _hist8(grays)
+
+
+def _stdlib_decode(content: bytes) -> tuple[int, int, list[float]]:
+    """Dependency-free real decode: dispatches on the container
+    signature to the PNG or BMP decoder. Formats needing codec
+    libraries (JPEG/GIF/…) raise ``NotImplementedError`` — install
+    Pillow for those; the header-only path (``parse_image_meta``)
+    covers their metadata regardless."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(content)
+    if content[:2] == b"BM":
+        return _bmp_decode(content)
+    raise NotImplementedError(
+        "stdlib decoder handles PNG and BMP; other containers require "
+        "Pillow (not available in this environment)"
+    )
+
+
 def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + featurize media rows via ``mapInPandas``.
 
     ``fake=True`` (default, oracle-checked path) runs the deterministic
-    byte-histogram stand-in. ``fake=False`` decodes real images with
-    Pillow when importable — same output schema, real width/height and
-    an intensity-histogram feature — and raises ``NotImplementedError``
-    at plan time when no decoder library is present (this container
-    ships none; the Spark-side plumbing is identical either way).
+    byte-histogram stand-in. ``fake=False`` decodes REAL pixels: via
+    Pillow when importable (any format), else via the dependency-free
+    stdlib decoder (PNG through zlib inflate + unfiltering, and
+    uncompressed BMP) — same output schema, real width/height and an
+    intensity-histogram feature either way, with identical luma/binning
+    so the two branches agree on shared formats. Containers the stdlib
+    path can't handle without a codec library (JPEG/GIF) raise
+    ``NotImplementedError`` inside the decode.
     """
-    _PIL_MISSING = (
-        "real media decoding requires Pillow (images) — not available in this "
-        "environment; pass fake=True for the deterministic stub decoder"
-    )
-    # Driver-side gate: fail at plan time when possible…
-    if not fake and not pil_available():
-        raise NotImplementedError(_PIL_MISSING)
-    decode = _fake_decode if fake else _pil_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        # …and executor-side probe: on a real cluster Pillow may exist on
-        # the driver but not the workers — the import inside _pil_decode
-        # would then surface as a raw mid-job ImportError. Probe once per
-        # task and raise the SAME explicit message instead.
-        if not fake:
+        # Decoder choice probes PER TASK: on a real cluster Pillow may
+        # exist on the driver but not the workers (or vice versa) — each
+        # executor picks its best available real decoder, and both
+        # branches produce identical features on shared formats.
+        if fake:
+            decode = _fake_decode
+        else:
             try:
                 import PIL  # noqa: F401
+
+                decode = _pil_decode
             except ImportError:
-                raise NotImplementedError(_PIL_MISSING + " (missing on executor)")
+                decode = _stdlib_decode
 
         for pdf in it:
             rows = []

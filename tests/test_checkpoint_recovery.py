@@ -115,3 +115,92 @@ def test_stateful_totals_restore_state_across_restart(spark, tmp_path):
     assert second[3] == (1, 700)
     # user 2 had no new events -> no new emission in run 2's sink table
     assert 2 not in second
+
+
+def test_stream_interval_outer_join_recovers_across_restart(spark, tmp_path):
+    """q100/q153's stream-stream interval join under kill-and-restart:
+    a NEW query on the SAME checkpoint must (a) never re-emit a pair a
+    committed batch already produced, and (b) still emit the left-outer
+    NULL row for an impression whose match window expired — even though
+    the impression arrived BEFORE the restart and the watermark passed
+    its horizon only AFTER. State (both join sides + watermark) lives
+    in the checkpoint, not the query object."""
+    from batch_process_spark.streaming.joins import stream_interval_join
+
+    ldir, rdir = str(tmp_path / "left"), str(tmp_path / "right")
+    ckpt = str(tmp_path / "ckpt")
+    lschema, rschema = "k string, lts timestamp", "k string, rts timestamp"
+    from datetime import datetime
+
+    def t(m, s=0):
+        return datetime(2024, 1, 1, 10, m, s)
+
+    def write(d, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    emitted = []  # (k, lts, rts) across BOTH runs, every applied batch
+
+    def run_once(feeds=()):
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        l = spark.readStream.schema(lschema).parquet(ldir)
+        r = spark.readStream.schema(rschema).parquet(rdir)
+        out = stream_interval_join(
+            l, r, "k", "lts", "rts",
+            max_delay="1 minute", watermark="10 seconds", how="left_outer",
+        ).select(F.col("l.k").alias("k"), "lts", "rts")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(
+                    (row["k"], row["lts"], row["rts"]) for row in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for feed in feeds:
+                feed()
+                q.processAllAvailable()
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    # run 1: A matches, B's window is still open at shutdown
+    write(ldir, lschema, [("A", t(0, 0)), ("B", t(0, 5))])
+    write(rdir, rschema, [("A", t(0, 30))])
+    run_once()
+    assert (("A", t(0, 0), t(0, 30))) in emitted
+    assert not any(k == "B" for k, _, _ in emitted)  # window open, no emission
+
+    # "crash"; while down, a new matching pair arrives
+    write(ldir, lschema, [("C", t(5, 0))])
+    write(rdir, rschema, [("C", t(5, 20))])
+
+    # run 2: drain the new files, then push the watermark far past B's
+    # horizon (10:00:05 + 1m) with late traffic on BOTH sides (global
+    # watermark is the min across sides), draining after each feed so
+    # the outer emission flushes.
+    def push1():
+        write(ldir, lschema, [("Z1", t(20, 0))])
+        write(rdir, rschema, [("Z2", t(20, 0))])
+
+    def push2():
+        write(ldir, lschema, [("Z3", t(21, 0))])
+        write(rdir, rschema, [("Z4", t(21, 0))])
+
+    run_once(feeds=[push1, push2])
+
+    pairs = [(k, rts is not None) for k, _, rts in emitted]
+    # exactly-once across restart: the committed A pair never replays
+    assert pairs.count(("A", True)) == 1
+    # the pair that arrived while the stream was down joins once
+    assert pairs.count(("C", True)) == 1
+    # the outer emission is NOT lost: B's NULL row appears exactly once
+    assert pairs.count(("B", False)) == 1
+    assert ("B", t(0, 5), None) in emitted
+    # and nothing else snuck out as a spurious match
+    assert not any(k == "A" and rts is None for k, _, rts in emitted)
+    assert not any(k == "C" and rts is None for k, _, rts in emitted)

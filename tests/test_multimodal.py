@@ -34,13 +34,16 @@ def test_decode_features_checksum_and_dims(media):
     assert abs(sum(out[1]["feat"]) - 1.0) < 1e-9
 
 
-def test_decode_real_is_explicit_stub_without_pillow(media):
+def test_decode_real_rejects_unknown_container_without_pillow(media):
     from batch_process_spark.operators.multimodal import pil_available
 
     if pil_available():
         pytest.skip("Pillow present; real branch covered below")
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_features(media, fake=False)
+    # the media fixture's payloads are raw text bytes, not PNG/BMP: the
+    # stdlib real decoder must refuse them loudly (mid-job, since the
+    # decoder is picked per task), naming the Pillow escape hatch
+    with pytest.raises(Exception, match="Pillow"):
+        decode_features(media, fake=False).collect()
 
 
 def test_decode_real_images_with_pillow(spark):
@@ -230,3 +233,170 @@ def test_synth_png_roundtrip_and_pillow_agreement(spark):
         payload = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
         with Image.open(io.BytesIO(payload[7])) as im:
             assert im.size == (20, 30)
+
+
+def _png_pixel_bytes(pixels, ctype, filters=None, plte=None):
+    """Build a real PNG from a row-major list of per-pixel tuples (or
+    ints for gray), choosing the per-scanline filter types — so the
+    unfiltering paths are exercised against KNOWN pixel values."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    filters = filters or [0] * h
+
+    def flat(row):
+        out = bytearray()
+        for px in row:
+            out.extend(bytes([px]) if isinstance(px, int) else bytes(px))
+        return out
+
+    def filt(f, cur, prev):
+        out = bytearray()
+        for i, x in enumerate(cur):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                out.append(x)
+            elif f == 1:
+                out.append((x - a) & 0xFF)
+            elif f == 2:
+                out.append((x - b) & 0xFF)
+            elif f == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((x - pr) & 0xFF)
+        return out
+
+    raw = bytearray()
+    prev = bytearray(w * nch)
+    for f, row in zip(filters, pixels):
+        cur = flat(row)
+        raw.append(f)
+        raw.extend(filt(f, cur, prev))
+        prev = cur
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    png = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if plte is not None:
+        png += chunk(b"PLTE", bytes(plte))
+    return png + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def _bmp_pixel_bytes(pixels_rgb, bpp=24):
+    """Real uncompressed bottom-up BMP from row-major RGB tuples."""
+    import struct
+
+    h = len(pixels_rgb)
+    w = len(pixels_rgb[0])
+    nb = bpp // 8
+    stride = ((w * nb + 3) // 4) * 4
+    body = bytearray()
+    for row in reversed(pixels_rgb):  # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line.extend((b, g, r) if nb == 3 else (b, g, r, 0xFF))
+        line.extend(b"\x00" * (stride - len(line)))
+        body += line
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(hdr + dib + body)
+
+
+def test_stdlib_png_decode_all_filters_known_histogram():
+    """Real PNG pixels through every filter type (0-4): the stdlib
+    decoder must recover EXACT dimensions and the exact 8-bin gray
+    histogram computed independently from the source pixel array."""
+    from batch_process_spark.operators.multimodal import _stdlib_decode
+
+    # 5 rows x 4 cols of RGB with spread intensities; one row per filter
+    pixels = [
+        [((r * 40 + c * 17) % 256, (r * 90 + c * 31) % 256, (r * 13 + c * 77) % 256)
+         for c in range(4)]
+        for r in range(5)
+    ]
+    png = _png_pixel_bytes(pixels, ctype=2, filters=[0, 1, 2, 3, 4])
+    w, h, feat = _stdlib_decode(png)
+    assert (w, h) == (4, 5)
+    expect = [0.0] * 8
+    for row in pixels:
+        for r, g, b in row:
+            expect[((r * 299 + g * 587 + b * 114) // 1000) >> 5] += 1.0
+    expect = [e / 20.0 for e in expect]
+    assert feat == pytest.approx(expect, abs=1e-12)
+
+
+def test_stdlib_png_gray_and_palette_variants():
+    from batch_process_spark.operators.multimodal import _stdlib_decode
+
+    gray = [[(i * 5 + j * 50) % 256 for j in range(6)] for i in range(3)]
+    w, h, feat = _stdlib_decode(_png_pixel_bytes(gray, ctype=0, filters=[0, 2, 1]))
+    assert (w, h) == (6, 3)
+    expect = [0.0] * 8
+    for row in gray:
+        for v in row:
+            expect[v >> 5] += 1.0
+    assert feat == pytest.approx([e / 18.0 for e in expect], abs=1e-12)
+
+    # paletted: indices 0..2 -> black / mid gray / white
+    plte = [0, 0, 0, 128, 128, 128, 255, 255, 255]
+    idx = [[0, 1, 2, 1], [2, 2, 0, 0]]
+    w, h, feat = _stdlib_decode(_png_pixel_bytes(idx, ctype=3, plte=plte))
+    assert (w, h) == (4, 2)
+    assert feat[0] == pytest.approx(3 / 8)   # three black
+    assert feat[4] == pytest.approx(2 / 8)   # two mid-gray (128 -> bin 4)
+    assert feat[7] == pytest.approx(3 / 8)   # three white
+
+
+def test_stdlib_bmp_decode_known_histogram():
+    from batch_process_spark.operators.multimodal import _stdlib_decode
+
+    pixels = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    for bpp in (24, 32):
+        w, h, feat = _stdlib_decode(_bmp_pixel_bytes(pixels, bpp=bpp))
+        assert (w, h) == (2, 2)
+        lumas = [76, 149, 29, 255]  # PIL ITU-R 601-2 integer luma
+        expect = [0.0] * 8
+        for v in lumas:
+            expect[v >> 5] += 0.25
+        assert feat == pytest.approx(expect, abs=1e-12)
+
+
+def test_decode_features_real_pixels_without_pillow(spark):
+    """End-to-end Spark path: decode_features(fake=False) produces real
+    intensity features from genuine PNG/BMP payloads with no decoder
+    library installed — the executor-side stdlib fallback."""
+    pngs = [(1, _png_pixel_bytes([[0, 255], [128, 64]], ctype=0)),
+            (2, _bmp_pixel_bytes([[(255, 255, 255), (0, 0, 0)]]))]
+    df = spark.createDataFrame(pngs, "media_id long, raw binary").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("raw").alias("content"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:bigint>")
+        .alias("meta"),
+    )
+    rows = {r["media_id"]: r for r in decode_features(df, fake=False).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
+    assert rows[1]["feat"][0] == pytest.approx(0.25)  # the 0 pixel
+    assert rows[1]["feat"][7] == pytest.approx(0.25)  # the 255 pixel
+    assert (rows[2]["width"], rows[2]["height"]) == (2, 1)
+    assert rows[2]["feat"] == pytest.approx([0.5, 0, 0, 0, 0, 0, 0, 0.5])
+    for r in rows.values():
+        assert abs(sum(r["feat"]) - 1.0) < 1e-9
