@@ -1,0 +1,90 @@
+"""Hierarchy flattening — (node, root, depth) over a parent-pointer
+table, the org-chart/BOM staple SQL expresses with a recursive CTE and
+Spark has no operator for (reference: none — §2-beyond surface like the
+graph/spatial modules).
+
+Two formulations over the same ``(node, parent)`` input (roots carry a
+SELF-LOOP, ``parent == node``):
+
+- ``flatten_pointer_doubling`` — parallel list ranking: each round the
+  state self-joins on ``anc = node`` so every row's ancestor pointer
+  jumps 2^r edges; ceil(log2(max_depth)) rounds resolve everything.
+- ``flatten_per_level`` — the naive baseline: chase ONE parent edge
+  per round, ``max_depth`` joins. Exists so probes can measure what
+  the log2 trick actually buys.
+
+THE PLAN-DOUBLING TRAP (why ``checkpoint`` exists): Spark has no
+common-subexpression reuse across a self-join, so joining round r's
+state with itself evaluates that state TWICE — unmaterialized, the
+logical plan doubles every round (2^rounds scan leaves) and the "R
+shuffles" claim silently becomes 2^R joins of recomputed lineage.
+``checkpoint=True`` cuts lineage per round via eager
+``localCheckpoint``, making each round exactly one self-join of a
+MATERIALIZED table — the shape the 100 TB claim is about, measured in
+``scripts/opprobe.py`` (BASELINE §5j). Default False: at dimension
+scale (the q164 catalog instance) the 2^4-leaf plan is cheaper than 4
+materialization jobs, and ``localCheckpoint`` pins executor memory/disk
+that small plans never earn back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _initial_state(parents: DataFrame) -> DataFrame:
+    return parents.select(
+        "node",
+        F.col("parent").alias("anc"),
+        F.when(F.col("node") == F.col("parent"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+def flatten_pointer_doubling(
+    parents: DataFrame, rounds: int, checkpoint: bool = False
+) -> DataFrame:
+    """(node, root, depth) in ``rounds`` self-joins; resolves any node
+    of depth <= 2**rounds. Roots' self-loops make the jump idempotent
+    once resolved, so over-provisioned rounds are harmless (each costs
+    one more join of already-stable state)."""
+    state = _initial_state(parents)
+    for _ in range(rounds):
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+        jump = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("dist2"),
+        )
+        state = state.join(jump, "anc").select(
+            "node",
+            F.col("anc2").alias("anc"),
+            (F.col("dist") + F.col("dist2")).alias("dist"),
+        )
+    return state.select(
+        "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
+    )
+
+
+def flatten_per_level(parents: DataFrame, max_depth: int) -> DataFrame:
+    """The depth-many-joins baseline: each round advances every
+    unresolved pointer ONE edge via a join against the parent table.
+    Linear plan growth (the hop side is a fixed frame), ``max_depth``
+    shuffle joins — the shape pointer doubling exists to beat."""
+    state = _initial_state(parents)
+    hop = parents.select(F.col("node").alias("anc"), F.col("parent").alias("anc2"))
+    for _ in range(max_depth):
+        state = state.join(hop, "anc").select(
+            "node",
+            F.col("anc2").alias("anc"),
+            F.when(F.col("anc") == F.col("anc2"), F.col("dist"))
+            .otherwise(F.col("dist") + 1)
+            .alias("dist"),
+        )
+    return state.select(
+        "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
+    )

@@ -229,3 +229,66 @@ def distinct_tokens_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame({"t": sorted(seen)})
 
     return df.select(text_col).mapInPandas(batches, schema="t string")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval for a FIXED query-term tuple, scored
+    without ever shuffling tokens (the q152 engine, factored out so
+    scale probes and alternate corpora reuse it): per-document term
+    frequencies and document length are pure array expressions over
+    the split text (map-only, whole-stage codegen), the |terms|-row
+    document-frequency table and the 1-row (N, avgdl) stats broadcast
+    back, and the only wide stages are the tiny per-doc sum and the
+    TakeOrderedAndProject top-``limit``. At 100 TB the corpus is
+    touched exactly once, map-side. Scores round to 6 decimals; ties
+    break by ``id_col``."""
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).withColumn(
+        "dl", F.size("toks")
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+    def _tf(term: str):
+        # the lambda must stay unary — a second (default) parameter
+        # flips PySpark's HOF into the (element, index) binary form
+        return F.filter(F.col("toks"), lambda x: x == F.lit(term))
+
+    tf_cols = [
+        F.size(_tf(t)).cast("long").alias(f"__tf{i}") for i, t in enumerate(terms)
+    ]
+    stack_expr = "stack({}, {}) as (token, tf)".format(
+        len(terms),
+        ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(terms)),
+    )
+    hits = (
+        base.select("doc_id", "dl", *tf_cols)
+        .select("doc_id", "dl", F.expr(stack_expr))
+        .filter(F.col("tf") > 0)
+    )
+    dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        hits.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(limit)
+    )

@@ -287,40 +287,32 @@ def q164_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator for. Tree: parent(k) = k div 10, root when k < 10 (depth =
     digits - 1: 7 at sf100's ~20M parts, 8 at sf1000 — but the
     ALGORITHM never uses that closed form). Implemented as POINTER
-    DOUBLING (parallel list ranking): state (node, anc, dist)
-    self-joins on anc = node so every row's ancestor pointer jumps 2^r
-    edges in round r — roots carry a self-loop of dist 0, making the
-    jump idempotent once resolved. 4 rounds resolve depth 16 (17-digit
-    keys — far past any scale factor, and the margin is structural,
-    not data-dependent); each round is ONE hash equi-join of the state
-    table with itself — at 100 TB that is 4 shuffles total where
-    naive parent-chasing pays
-    one fact-scale join PER LEVEL (and a per-row loop never
-    distributes at all). The oracle walks the same tree recursively."""
+    DOUBLING (parallel list ranking) via
+    ``operators/hierarchy.py::flatten_pointer_doubling``: state
+    (node, anc, dist) self-joins on anc = node so every row's ancestor
+    pointer jumps 2^r edges in round r — roots carry a self-loop of
+    dist 0, making the jump idempotent once resolved. 4 rounds resolve
+    depth 16 (17-digit keys — far past any scale factor, and the
+    margin is structural, not data-dependent). At 100 TB the rounds
+    run with checkpoint=True so each is ONE self-join of materialized
+    state (4 shuffle rounds vs naive parent-chasing's one fact-scale
+    join PER LEVEL) — without it Spark's missing self-join CSE doubles
+    the plan every round; measured in BASELINE §5j. At this dimension
+    scale the unmaterialized 16-leaf plan is cheaper, so checkpoint
+    stays False here. The oracle walks the same tree recursively."""
+    from batch_process_spark.operators.hierarchy import flatten_pointer_doubling
+
     part = _t(spark, sf_dir, "part").select("p_partkey")
     is_root = F.col("p_partkey") < 10
-    state = part.select(
+    parents = part.select(
         F.col("p_partkey").alias("node"),
         F.when(is_root, F.col("p_partkey"))
         .otherwise(F.floor(F.col("p_partkey") / 10).cast("long"))
-        .alias("anc"),
-        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("dist"),
+        .alias("parent"),
     )
-    for _ in range(4):  # 2^4 = 16 >= max depth (sf100 is depth 7, sf1000 depth 8)
-        jump = state.select(
-            F.col("node").alias("anc"),
-            F.col("anc").alias("anc2"),
-            F.col("dist").alias("dist2"),
-        )
-        state = state.join(jump, "anc").select(
-            "node",
-            F.col("anc2").alias("anc"),
-            (F.col("dist") + F.col("dist2")).alias("dist"),
-        )
-    return state.select(
-        F.col("node").alias("p_partkey"),
-        F.col("anc").alias("root"),
-        F.col("dist").alias("depth"),
+    # 2^4 = 16 >= max depth (sf100 is depth 7, sf1000 depth 8)
+    return flatten_pointer_doubling(parents, rounds=4).select(
+        F.col("node").alias("p_partkey"), "root", "depth"
     )
 
 

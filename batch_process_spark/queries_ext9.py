@@ -1139,55 +1139,10 @@ def q152_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the identical formula from an exploded token
     stream (different plan, same values); scores quantized to 6
     decimals in both engines before ranking, ties broken by doc_id."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    base = docs.select("doc_id", toks.alias("toks")).withColumn(
-        "dl", F.size("toks")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    def _tf(term: str):
-        # NB: the lambda must stay unary — a second (default) parameter
-        # flips PySpark's HOF into the (element, index) binary form
-        return F.filter(F.col("toks"), lambda x: x == F.lit(term))
+    from batch_process_spark.operators.text import bm25_topk
 
-    tf_cols = [
-        F.size(_tf(t)).cast("long").alias(f"__tf{i}")
-        for i, t in enumerate(_BM25_TERMS)
-    ]
-    stack_expr = "stack({}, {}) as (token, tf)".format(
-        len(_BM25_TERMS),
-        ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(_BM25_TERMS)),
-    )
-    hits = (
-        base.select("doc_id", "dl", *tf_cols)
-        .select("doc_id", "dl", F.expr(stack_expr))
-        .filter(F.col("tf") > 0)
-    )
-    dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    k1, bb = _BM25_K1, _BM25_B
-    contrib = (
-        hits.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-                * (F.col("tf") * (k1 + 1))
-                / (
-                    F.col("tf")
-                    + k1 * (1 - bb + bb * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("c"),
-        )
-    )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-    )
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, limit=20)
 
 
 # ---------------------------------------------------------------------------

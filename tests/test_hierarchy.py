@@ -1,0 +1,55 @@
+"""Hierarchy flattening operators: the pointer-doubling and per-level
+formulations must agree with each other, with the checkpointed variant,
+and with a driver-computed ground truth on a multi-root forest."""
+
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators.hierarchy import (
+    flatten_per_level,
+    flatten_pointer_doubling,
+)
+
+
+def _forest(spark, n=300):
+    # parent(k) = k div 3; roots are 1 and 2 (self-loop)
+    return spark.range(1, n + 1).select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") < 3, F.col("id"))
+        .otherwise(F.floor(F.col("id") / 3))
+        .cast("long")
+        .alias("parent"),
+    )
+
+
+def _truth(n=300):
+    out = {}
+    for k in range(1, n + 1):
+        cur, d = k, 0
+        while cur >= 3:
+            cur, d = cur // 3, d + 1
+        out[k] = (cur, d)
+    return out
+
+
+def test_all_formulations_agree_with_ground_truth(spark):
+    parents = _forest(spark)
+    truth = _truth()
+    max_depth = max(d for _, d in truth.values())
+    rounds = max(1, (max_depth - 1).bit_length())
+    for df in (
+        flatten_pointer_doubling(parents, rounds),
+        flatten_pointer_doubling(parents, rounds, checkpoint=True),
+        flatten_per_level(parents, max_depth),
+    ):
+        got = {r["node"]: (r["root"], r["depth"]) for r in df.collect()}
+        assert got == truth
+
+
+def test_overprovisioned_rounds_are_idempotent(spark):
+    parents = _forest(spark, n=50)
+    truth = _truth(50)
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in flatten_pointer_doubling(parents, rounds=6).collect()
+    }
+    assert got == truth
