@@ -638,3 +638,131 @@ def q168_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q168_docs d, LATERAL token_windows(d.text, 16, 8) w
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q169: PageRank by power iteration (fixed 5 rounds, damping 0.85)
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE oracle: DuckDB's recursive CTEs forbid aggregates
+    in the recursive term, so the fixed iteration count is unrolled
+    textually — r1..r5 each restate one power-iteration step."""
+    base = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY u),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg),
+    r0 AS (SELECT node, outdeg, 1.0 / n_nodes AS rank FROM deg CROSS JOIN n)
+    """
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT d.node, d.outdeg,
+             {1 - _PR_D} / n.n_nodes + {_PR_D} * COALESCE(s.s, 0) AS rank
+      FROM deg d CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.v AS node, sum(r.rank / r.outdeg) AS s
+        FROM r{i - 1} r JOIN edges e ON r.node = e.u GROUP BY e.v
+      ) s ON d.node = s.node
+    )"""
+        )
+    return (
+        base
+        + ", "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT node AS l_partkey, round(rank * n.n_nodes, 6) AS rank_rel
+    FROM r{_PR_ITERS} CROSS JOIN n
+    ORDER BY rank_rel DESC, l_partkey ASC LIMIT 20
+    """
+    )
+
+
+@_q("q169_pagerank", _pagerank_oracle())
+def q169_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (q149's orderkey-capped
+    edge set, symmetrized) by POWER ITERATION: 5 fixed rounds of
+    rank'(v) = (1-d)/N + d * sum(rank(u)/outdeg(u) over in-neighbors),
+    d = 0.85 — the canonical iterative-algorithm shape Spark expresses
+    as a per-round (state >< edges) equi-join + groupBy(v) partial-agg
+    sum, with NOTHING driver-side: N rides a 1-row broadcast crossJoin,
+    the edge set is persisted once via the bounded memo pool and
+    re-read every round, and each round's plan appends one join + one
+    aggregation to a LINEAR lineage (state joins the fixed edge frame,
+    never itself — no self-join plan doubling, the trap
+    operators/hierarchy.py documents for pointer doubling; at true
+    scale the rounds checkpoint like §5j measures). Symmetrizing the
+    graph removes dangling nodes by construction, so no rank mass
+    leaks and the per-round mass total stays 1 (a float-drift-tolerant
+    invariant, not an oracle column). Output is the top-20 by rank
+    RELATIVE to uniform (rank * N, rounded to 6 decimals — ~1.0-scale
+    values where raw ranks at 1/N-scale would round to 3 significant
+    digits), ordered by the ROUNDED value then node in BOTH engines so
+    the limit cut is deterministic under float sum-order drift. The
+    oracle unrolls the 5 iterations as chained CTEs."""
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e0 = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = _memoized_persist(
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")).select(
+        F.col("u").alias("node"), "outdeg"
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    state = deg.crossJoin(F.broadcast(n)).select(
+        "node", "outdeg", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            state.join(edges, state.node == edges.u)
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        state = (
+            deg.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(1 - _PR_D) / F.col("n_nodes")
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return (
+        state.crossJoin(F.broadcast(n))
+        .select(
+            F.col("node").alias("l_partkey"),
+            F.round(F.col("rank") * F.col("n_nodes"), 6).alias("rank_rel"),
+        )
+        .orderBy(F.desc("rank_rel"), F.asc("l_partkey"))
+        .limit(20)
+    )

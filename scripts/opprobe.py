@@ -76,17 +76,24 @@ def timed2(build, gc):
 def synth_docs(spark, n: int):
     """Doc i: 'spark' x(i%4), 'table' x(i%3), 'hash' x(i%2), filler
     x(5 + i%7) — every BM25 code path (absent term, tf>1, varying dl)
-    exercised, all generated map-side."""
+    exercised, all generated map-side.
+
+    doc_id is ``id * 2``, NOT ``id``: a bare alias of range's id lets
+    Catalyst prove the per-doc aggregation's clustering requirement
+    from range's own partitioning and elide the exchange entirely —
+    0 shuffle bytes that a real (parquet-backed) corpus would never
+    see. The expression breaks the alias so the probe measures the
+    operator's true per-doc exchange."""
     rep = lambda w, m: F.expr(f"repeat('{w} ', CAST(id % {m} AS INT))")
     pad = F.expr("repeat('pad ', CAST(5 + id % 7 AS INT))")
     return spark.range(n).select(
-        F.col("id").alias("doc_id"),
+        (F.col("id") * 2).alias("doc_id"),
         F.concat(rep("spark", 4), rep("table", 3), rep("hash", 2), pad).alias("text"),
     )
 
 
 DOCS_SQL = """
-SELECT range AS doc_id,
+SELECT range * 2 AS doc_id,
        repeat('spark ', CAST(range % 4 AS INT)) || repeat('table ', CAST(range % 3 AS INT))
        || repeat('hash ', CAST(range % 2 AS INT)) || repeat('pad ', CAST(5 + range % 7 AS INT)) AS text
 FROM range({n})
