@@ -766,3 +766,92 @@ def q169_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_rel"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q170: hierarchical HLL rollup — day registers merged to week estimates
+# ---------------------------------------------------------------------------
+
+
+def _q170_oracle() -> str:
+    from batch_process_spark.queries_ext8 import (
+        _DUCK_HLL_REGS_FROM_K,
+        _duck_hll_estimate,
+    )
+
+    return f"""
+    WITH k AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS scope,
+             CAST(user_id AS VARCHAR) AS key
+      FROM events
+    ), {_DUCK_HLL_REGS_FROM_K}, wr AS (
+      SELECT CAST(CAST(date_trunc('week', CAST(scope AS DATE)) AS DATE) AS VARCHAR) AS week,
+             bucket, max(max_rho) AS max_rho
+      FROM regs GROUP BY 1, 2
+    ), est AS ({_duck_hll_estimate("week", "wr")}
+    ), ex AS (
+      SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT est.week, exact_distinct, hll_estimate,
+           CAST(floor(abs(hll_estimate - exact_distinct) * 10000.0
+                      / exact_distinct + 0.5) AS BIGINT) AS err_bp
+    FROM est JOIN ex ON est.week = ex.week
+    """
+
+
+@_q("q170_hll_week_rollup", _q170_oracle())
+def q170_hll_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sketch rollup — the incremental-ingest pattern that
+    makes sketches the 100 TB distinct-count tool: per-DAY HyperLogLog
+    registers (p=8, built once at ingest, <= days x 256 rows) merge to
+    per-WEEK distinct-user estimates by register-wise MAX, never
+    re-reading raw events — yesterday's raw data can be cold/deleted
+    and every coarser granularity (week here; month/quarter
+    identically) still answers from the register table. Where q127
+    merges across STREAMS (per-type -> ALL in one grouping-sets pass),
+    this merges across TIME LEVELS from a stored finer-grained sketch.
+    The estimate is exact-integer arithmetic below one double division
+    (shared fragment), so the DuckDB oracle hash-matches bit-for-bit;
+    exact_distinct is validation-only — at scale it is the full
+    re-scan the rollup exists to avoid."""
+    from batch_process_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    keyed = ev.select(
+        day.cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    day_regs = hll_register_table(keyed, "key", ["day"])
+    week = F.date_trunc("week", F.col("day").cast("date")).cast("date").cast("string")
+    week_regs = (
+        day_regs.select(week.alias("week"), "bucket", "max_rho")
+        .groupBy("week", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = hll_estimate(week_regs, ["week"])
+    exact = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").cast("string").alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "week").select(
+        "week",
+        "exact_distinct",
+        "hll_estimate",
+        F.floor(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct")) * 10000.0
+            / F.col("exact_distinct")
+            + 0.5
+        )
+        .cast("long")
+        .alias("err_bp"),
+    )
