@@ -693,7 +693,13 @@ def _pagerank_oracle() -> str:
 @_q("q169_pagerank", _pagerank_oracle())
 def q169_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (q149's orderkey-capped
-    edge set, symmetrized) by POWER ITERATION: 5 fixed rounds of
+    edge set, symmetrized) by POWER ITERATION — the FACT-SCALE sibling
+    of q139 (which runs weighted integer PageRank over the 25-node
+    nation graph, where the rank vector broadcasts): here the graph is
+    corpus-derived (thousands to billions of nodes), so each round is
+    a real state><edges shuffle join at edge granularity — the shape
+    that survives when the rank vector no longer fits a broadcast.
+    5 fixed rounds of
     rank'(v) = (1-d)/N + d * sum(rank(u)/outdeg(u) over in-neighbors),
     d = 0.85 — the canonical iterative-algorithm shape Spark expresses
     as a per-round (state >< edges) equi-join + groupBy(v) partial-agg
@@ -739,14 +745,17 @@ def q169_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "outdeg", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
     for _ in range(_PR_ITERS):
+        # shuffle_hash on both per-round joins: sizes are fact-derived
+        # (planner stats unknown mid-loop) and the per-key groups are
+        # degree-bounded — hash beats SortMergeJoin's per-round sorts
         contrib = (
-            state.join(edges, state.node == edges.u)
+            state.join(edges.hint("shuffle_hash"), state.node == edges.u)
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
         state = (
-            deg.join(contrib, "node", "left")
+            deg.join(contrib.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(n))
             .select(
                 "node",
