@@ -194,3 +194,61 @@ def wedge_join(
             u_col, v_col, w_col
         )
     return edges.join(e2, v_col).select(u_col, v_col, w_col)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    u_col: str = "u",
+    v_col: str = "v",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """PageRank by power iteration over a DIRECTED edge list — returns
+    (node, rank) for every node with at least one out-edge. Callers
+    with undirected/dangling-node graphs symmetrize first (every node
+    then has out-edges and no rank mass leaks — the q169 shape).
+
+    Scale shape: each round is one shuffle-hash state><edges equi-join
+    at edge granularity plus one per-destination partial-agg sum and
+    one shuffle-hash merge back onto the node table; the rank vector
+    never broadcasts (the fact-scale regime — for schema-bounded
+    graphs where it does fit, see the q139 broadcast-vector variant).
+    Lineage grows LINEARLY in rounds (state joins the fixed edge
+    frame, never itself); ``checkpoint=True`` still bounds plan depth
+    via eager localCheckpoint per round for long runs at true scale.
+    Node count rides a 1-row broadcast crossJoin — no eager job."""
+    deg = (
+        edges.groupBy(u_col)
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .select(F.col(u_col).alias("node"), "outdeg")
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    state = deg.crossJoin(F.broadcast(n)).select(
+        "node", "outdeg", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(iters):
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+        contrib = (
+            state.join(edges.hint("shuffle_hash"), state.node == edges[u_col])
+            .select(
+                F.col(v_col).alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        state = (
+            deg.join(contrib.hint("shuffle_hash"), "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(1 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return state.select("node", "rank")

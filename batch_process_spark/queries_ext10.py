@@ -737,37 +737,16 @@ def q169_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _memoized_persist(
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")).select(
-        F.col("u").alias("node"), "outdeg"
+    from batch_process_spark.operators.graph import pagerank
+
+    ranks = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
+    n = (
+        edges.select("u")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     )
-    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
-    state = deg.crossJoin(F.broadcast(n)).select(
-        "node", "outdeg", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
-    )
-    for _ in range(_PR_ITERS):
-        # shuffle_hash on both per-round joins: sizes are fact-derived
-        # (planner stats unknown mid-loop) and the per-key groups are
-        # degree-bounded — hash beats SortMergeJoin's per-round sorts
-        contrib = (
-            state.join(edges.hint("shuffle_hash"), state.node == edges.u)
-            .select(F.col("v").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        state = (
-            deg.join(contrib.hint("shuffle_hash"), "node", "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "node",
-                "outdeg",
-                (
-                    F.lit(1 - _PR_D) / F.col("n_nodes")
-                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
     return (
-        state.crossJoin(F.broadcast(n))
+        ranks.crossJoin(F.broadcast(n))
         .select(
             F.col("node").alias("l_partkey"),
             F.round(F.col("rank") * F.col("n_nodes"), 6).alias("rank_rel"),

@@ -277,6 +277,30 @@ def main():
         )
     edges.unpersist()
 
+    # ---- PageRank ---------------------------------------------------
+    # symmetric regular graph (disjoint cliques): uniform rank is the
+    # exact fixpoint, so rank * N rounds to 1.0 for EVERY node — the
+    # closed form the mismatch count checks after 5 real iterations.
+    from batch_process_spark.operators.graph import pagerank
+
+    sym = synth_edges(spark, n_cliques)
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    n_dir_edges = sym.count()
+
+    def pr():
+        return pagerank(sym, iters=5)
+
+    t1, t2, t2s, sb = timed_both(pr)
+    nn = float(n_cliques * CLIQUE)
+    mism = pr().filter(F.round(F.col("rank") * nn, 6) != 1.0).count()
+    print(
+        f"| pagerank 5 iters | {n_dir_edges} | {t1:.2f} | {t2:.2f} | {t2s:.2f} | — | — | "
+        f"{fmt_shuffle(sb, n_dir_edges)} | {mism} |"
+    )
+    sym.unpersist()
+
     # ---- pointer doubling vs per-level ------------------------------
     depth_max = n_nodes.bit_length() - 1
     rounds = max(1, (depth_max - 1).bit_length())  # ceil(log2(depth))
