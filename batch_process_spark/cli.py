@@ -10,6 +10,9 @@ config.yaml`` lifecycle (SURVEY §3.1):
                                                      # small-files rewrite
     python -m batch_process_spark.cli template config.yaml
                                                      # starter rule config
+    python -m batch_process_spark.cli query q01_pricing_summary \
+        --sf-dir /root/testdata/sf0.01 [--limit 20] [--json] [--explain]
+                                                     # run a catalog query
 
 Plugins: ``--plugins <dir>`` imports every ``*.py`` there; modules
 self-register via the ``@operator`` decorator.
@@ -33,14 +36,20 @@ def load_plugins(plugin_dir: str) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="batch_process_spark")
-    ap.add_argument("command", choices=["run", "simulate", "ops", "compact", "template"])
-    ap.add_argument("root", nargs="?", help="directory tree to process")
+    ap.add_argument(
+        "command", choices=["run", "simulate", "ops", "compact", "template", "query"]
+    )
+    ap.add_argument("root", nargs="?", help="directory tree to process / query name")
     ap.add_argument("-c", "--config", help="YAML/JSON rule config")
     ap.add_argument("--plugins", help="directory of plugin modules")
     ap.add_argument("--history", help="parquet dir for the run history sink")
     ap.add_argument("--with-text", action="store_true", help="read file contents (text) for stages")
     ap.add_argument("--target-mb", type=int, default=128, help="compact: target file size")
     ap.add_argument("--sort-by", help="compact: comma-separated sort columns for data skipping")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="query: parquet table dir")
+    ap.add_argument("--limit", type=int, default=50, help="query: max rows printed")
+    ap.add_argument("--json", action="store_true", help="query: JSON-lines output")
+    ap.add_argument("--explain", action="store_true", help="query: print the physical plan instead of rows")
     args = ap.parse_args(argv)
 
     import batch_process_spark.plans.builtin_ops  # noqa: F401  (registers built-ins)
@@ -52,6 +61,37 @@ def main(argv=None) -> int:
     if args.command == "ops":
         for op in REGISTRY.all():
             print(f"{op.phase:>8}  prio={op.priority:<3} {op.name}  {op.metadata or ''}")
+        return 0
+
+    if args.command == "query":
+        import __spark_entry__ as entrymod
+        from batch_process_spark.session import get_spark
+
+        qs = entrymod.queries()
+        if not args.root:
+            ap.error(
+                "query needs a <name>; available: " + " ".join(sorted(qs)[:8]) + " ..."
+            )
+        if args.root not in qs:
+            import difflib
+
+            close = difflib.get_close_matches(args.root, qs, n=3)
+            ap.error(f"unknown query {args.root!r}" + (f"; did you mean {close}?" if close else ""))
+        spark = get_spark("batch_process_spark.cli")
+        df = qs[args.root](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+            return 0
+        rows = df.limit(args.limit).collect()
+        if args.json:
+            for r in rows:
+                print(json.dumps(r.asDict(recursive=True), default=str))
+        else:
+            widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) if rows else len(c) for c in df.columns}
+            print("  ".join(c.ljust(widths[c]) for c in df.columns))
+            for r in rows:
+                print("  ".join(str(r[c]).ljust(widths[c]) for c in df.columns))
+        print(f"({len(rows)} row{'s' if len(rows) != 1 else ''})", file=sys.stderr)
         return 0
 
     if args.command == "template":

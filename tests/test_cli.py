@@ -152,3 +152,27 @@ def test_plan_cache_reuses_and_invalidates(spark):
     d = QUERIES["q01_pricing_summary"](spark, sf)
     invalidate_tables(f"{sf}/lineitem.parquet")
     assert QUERIES["q01_pricing_summary"](spark, sf) is not d
+
+
+def test_cli_query_subcommand(spark, capsys):
+    """`cli query <name>` runs a catalog query against --sf-dir: table
+    output with a row-count stderr line, JSON-lines mode, and a
+    did-you-mean error for unknown names."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from batch_process_spark.cli import main
+
+    rc = main(
+        ["query", "q01_pricing_summary", "--sf-dir", "/root/testdata/sf0.001", "--json"]
+    )
+    assert rc == 0
+    out = capsys.readouterr()
+    rows = [_json.loads(line) for line in out.out.strip().splitlines()]
+    assert len(rows) >= 4 and {"l_returnflag", "sum_qty"} <= set(rows[0])
+    assert f"{len(rows)} rows" in out.err
+
+    with _pytest.raises(SystemExit):
+        main(["query", "q01_pricing_sumary"])  # typo -> did-you-mean error
+    assert "did you mean" in capsys.readouterr().err
