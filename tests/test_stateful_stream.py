@@ -50,3 +50,58 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
         assert latest[2] == (1, 1.0)
     finally:
         q.stop()
+
+
+def test_tws_variant_gated_or_equivalent(spark, tmp_path):
+    """The transformWithStateInPandas twin of the q134 kernel: without
+    protobuf (this container) it must refuse LOUDLY at plan-build time
+    — the raw failure is a confusing mid-query worker crash — and with
+    protobuf present it must emit exactly what the
+    applyInPandasWithState kernel emits."""
+    import pytest as _pytest
+
+    from batch_process_spark.streaming.stateful import (
+        running_totals_cents_tws,
+        tws_available,
+        tws_conf,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, t, 1, 10.0), (2, t, 1, 5.5), (3, t, 2, 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    if not tws_available():
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            running_totals_cents_tws(stream)
+        return
+
+    saved = {k: spark.conf.get(k, None) for k in tws_conf()}
+    for k, v in tws_conf().items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            running_totals_cents_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_eq")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = sorted(
+            (r["user_id"], r["n_events"], r["total_cents"])
+            for r in spark.sql("SELECT * FROM tws_eq").collect()
+        )
+        assert rows == [(1, 2, 1550), (2, 1, 100)]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
