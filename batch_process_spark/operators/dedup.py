@@ -196,6 +196,30 @@ def minhash_docs(
     )
 
 
+def band_key_array(num_hashes: int = 16, bands: int = 4, sig_col: str = "sig") -> Column:
+    """The LSH band keys of a minhash signature column as an array —
+    md5 of each band's rows, band index salted in so equal row-slices
+    in different bands never collide. Shared by the batch self-join
+    (``lsh_candidate_pairs``), the streaming corpus index
+    (``streaming/neardup.py``), and the DuckDB oracle's band_exprs."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(sig_col, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -208,19 +232,9 @@ def lsh_candidate_pairs(
     collide. The self-join shuffles only on band keys; hot buckets
     (boilerplate-heavy corpora) are handled by AQE skew-join splitting.
     """
-    rows = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
-            )
-        ).alias("band_key")
-        for b in range(bands)
-    ]
     banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+        F.col(id_col),
+        F.explode(band_key_array(num_hashes, bands)).alias("band_key"),
     )
     left = banded.alias("l")
     right = banded.alias("r")

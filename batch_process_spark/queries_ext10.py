@@ -843,3 +843,142 @@ def q170_hll_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171: streaming near-dup against a static corpus LSH index
+# ---------------------------------------------------------------------------
+
+_Q171_DIRS: dict = {}
+
+
+def _q171_slices(sf_dir: str, n_slices: int = 3):
+    """Stage the mutated-copy documents (the q18 near-dup mutations:
+    doc_id % 20 == 0, id + 1000000, suffix appended) as parquet slices
+    to feed one per micro-batch — pyarrow driver-side, memoized per
+    sf_dir like the q131/q134 event slices."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = os.path.abspath(sf_dir)
+    d = _Q171_DIRS.get(key)
+    if d is not None and os.path.isdir(d) and all(
+        os.path.exists(os.path.join(d, f"slice_{i}.parquet")) for i in range(n_slices)
+    ):
+        return d, lambda i: None
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="q171_slices_")
+        _Q171_DIRS[key] = d
+    pdf = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    pdf = pdf[pdf["doc_id"] % 20 == 0]
+    muts = pa.table(
+        {
+            "doc_id": pa.array((pdf["doc_id"] + 1000000).to_numpy(), pa.int64()),
+            "text": pa.array(
+                (pdf["text"].astype(str) + " extra trailing words appended").tolist(),
+                pa.string(),
+            ),
+        }
+    )
+    n = muts.num_rows
+    cuts = [round(i * n / n_slices) for i in range(n_slices + 1)]
+
+    def write_slice(i: int) -> None:
+        pq.write_table(
+            muts.slice(cuts[i], cuts[i + 1] - cuts[i]),
+            os.path.join(d, f"slice_{i}.parquet"),
+        )
+
+    write_slice(0)
+    return d, write_slice
+
+
+def _q171_oracle() -> str:
+    from batch_process_spark.operators import dedup
+    from batch_process_spark.queries_ext import _NEAR_DUP_CORPUS, duck_shingles
+
+    num_hashes, bands, threshold = 16, 4, 0.7
+    rows = num_hashes // bands
+    sh = duck_shingles("text", 3)
+    P = dedup.MINHASH_P
+    minhashes = ", ".join(
+        f"list_aggregate(list_transform(xs, x -> ({dedup.MINHASH_A[j]} * x + {dedup.MINHASH_B[j]}) % {P}), 'min') AS m{j}"
+        for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '%d', %s))" % (b, ", ".join(f"m{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({_NEAR_DUP_CORPUS}),
+    docs AS (SELECT doc_id, {sh} AS shingles FROM corpus),
+    fps AS (SELECT doc_id, shingles,
+                   list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
+            FROM docs),
+    sigs AS (SELECT doc_id, shingles, {minhashes} FROM fps),
+    banded AS (
+      SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS stream_id, r.doc_id AS corpus_id
+      FROM banded l JOIN banded r USING (band_key)
+      WHERE l.doc_id >= 1000000 AND r.doc_id < 1000000
+    )
+    SELECT stream_id, corpus_id,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6)
+             AS jaccard_sim
+    FROM cands
+    JOIN docs a ON a.doc_id = cands.stream_id
+    JOIN docs b ON b.doc_id = cands.corpus_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
+    """
+
+
+@_q("q171_streaming_neardup", _q171_oracle())
+def q171_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingest near-dup shape RUN AS A REAL STREAM: the base
+    documents table is indexed once (banded MinHash signatures,
+    persisted — ``streaming/neardup.py::build_lsh_index``) and the q18
+    mutated copies arrive as three real micro-batches, each checked
+    against the index map-side + one stream-static band-key equi-join
+    (``stream_neardup_against_corpus``). STATELESS streaming: no
+    watermark requirement, no state store — the index is a cached
+    table, so ingest dedup scales with batch size, not corpus size.
+    The oracle is the batch restatement (same band/signature SQL as
+    q18, restricted to stream x corpus pairs) — streaming vs batch
+    equivalence is CHECKED, not assumed. Per-band duplicate emissions
+    within a batch are deduped at the sink (documented operator
+    contract); kernel-identical signatures make the pairs bit-equal to
+    the batch path's."""
+    from batch_process_spark.streaming.neardup import (
+        build_lsh_index,
+        stream_neardup_against_corpus,
+    )
+    from batch_process_spark.streaming.windows import drive_stream_to_memory
+
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = build_lsh_index(corpus)
+    d, write_slice = _q171_slices(sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").format("parquet").load(d)
+    )
+    out = stream_neardup_against_corpus(stream, index)
+    result = drive_stream_to_memory(
+        spark,
+        out,
+        "q171_out",
+        "append",
+        feeds=[lambda: write_slice(1), lambda: write_slice(2)],
+        scoped_conf={"spark.sql.shuffle.partitions": "4"},
+    )
+    try:
+        return result.distinct()
+    finally:
+        index.unpersist()

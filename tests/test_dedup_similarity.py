@@ -360,3 +360,38 @@ def test_connected_components_report_and_no_driver_pass(spark):
     rep2 = {}
     connected_components(pairs, strategy="driver", report=rep2)
     assert rep2 == {"strategy": "driver", "rounds": 0}
+
+
+def test_stream_neardup_matches_batch_self_join(spark):
+    """The corpus-index path (streaming/neardup.py) run over a BATCH
+    frame must flag exactly the cross-split pairs the batch self-join
+    pipeline finds, modulo per-band duplicate emissions (documented:
+    distinct() at the sink)."""
+    from batch_process_spark.operators.dedup import minhash_near_dup_pairs
+    from batch_process_spark.streaming.neardup import (
+        build_lsh_index,
+        stream_neardup_against_corpus,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}") for i in range(30)]
+    rows += [(100 + i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} tail") for i in range(0, 30, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") < 100)
+    incoming = df.filter(F.col("doc_id") >= 100)
+
+    index = build_lsh_index(corpus)
+    try:
+        got = {
+            (r["stream_id"], r["corpus_id"], r["jaccard_sim"])
+            for r in stream_neardup_against_corpus(incoming, index).distinct().collect()
+        }
+    finally:
+        index.unpersist()
+
+    full = minhash_near_dup_pairs(df, "doc_id", "text")
+    expect = {
+        (r["id_b"], r["id_a"], r["jaccard_sim"])
+        for r in full.collect()
+        if r["id_b"] >= 100 and r["id_a"] < 100
+    }
+    assert got == expect and got  # non-vacuous
