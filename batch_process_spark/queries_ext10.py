@@ -982,3 +982,109 @@ def q171_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.distinct()
     finally:
         index.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# q172: streaming top-k similarity serving (foreachBatch over the kernel)
+# ---------------------------------------------------------------------------
+
+_Q172_DIRS: dict = {}
+
+
+def _q172_slices(sf_dir: str, n_slices: int = 3):
+    """Stage the query vectors (vec_id < 15) as parquet slices, one per
+    micro-batch — pyarrow driver-side, memoized per sf_dir."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    key = os.path.abspath(sf_dir)
+    d = _Q172_DIRS.get(key)
+    if d is not None and os.path.isdir(d) and all(
+        os.path.exists(os.path.join(d, f"slice_{i}.parquet")) for i in range(n_slices)
+    ):
+        return d, lambda i: None
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="q172_slices_")
+        _Q172_DIRS[key] = d
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc
+
+    tbl = tbl.filter(pc.less(tbl["vec_id"], 15)).rename_columns(
+        ["query_id", "embedding"]
+    )
+    n = tbl.num_rows
+    cuts = [round(i * n / n_slices) for i in range(n_slices + 1)]
+
+    def write_slice(i: int) -> None:
+        pq.write_table(
+            tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+            os.path.join(d, f"slice_{i}.parquet"),
+        )
+
+    write_slice(0)
+    return d, write_slice
+
+
+def _q172_oracle() -> str:
+    from batch_process_spark.queries_ext import _DOT
+
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 15),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_DOT.format(a='e.embedding', b='q.qe')} /
+                   (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+                    sqrt({_DOT.format(a='q.qe', b='q.qe')})), 6) AS score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@_q("q172_streaming_topk", _q172_oracle())
+def q172_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity SERVING as a real stream: 15 query vectors arrive
+    over three micro-batches; each batch is answered against the
+    persisted corpus by the exact q25 kernel inside ``foreachBatch``
+    (``streaming/similarity.py::stream_topk_serving``) — the standard
+    pattern for inference-shaped streaming work, since a per-query
+    ranking window is inexpressible in append mode and retrieval needs
+    no cross-batch state anyway. Every query is answered exactly once
+    in its arrival batch, so the union of batch answers must equal the
+    all-at-once batch answer — which is exactly what the oracle (the
+    q25 brute-force SQL over all 15 queries) checks. Per batch the
+    corpus is scanned once through the Arrow BLAS kernel; only
+    partitions x Q x k candidate rows shuffle."""
+    from batch_process_spark.streaming.similarity import stream_topk_serving
+
+    corpus = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d, write_slice = _q172_slices(sf_dir)
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .format("parquet")
+        .load(d)
+    )
+    collected: list = []
+
+    def sink(df: DataFrame, _bid: int) -> None:
+        collected.extend(df.collect())
+
+    q = stream_topk_serving(stream, corpus, sink, k=10)
+    try:
+        q.processAllAvailable()
+        write_slice(1)
+        q.processAllAvailable()
+        write_slice(2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        collected, "query_id long, vec_id long, score double, rank int"
+    )
