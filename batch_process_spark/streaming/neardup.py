@@ -56,6 +56,36 @@ def build_lsh_index(
     return idx.persist() if persist else idx
 
 
+def build_lsh_index_bucketed(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """The at-scale index layout: the banded corpus index written as a
+    ``band_key``-BUCKETED (and sorted) managed table, returned as the
+    table's DataFrame. Why this exists (measured, BASELINE §5k): a
+    stream-static hash join re-shuffles a merely-PERSISTED static side
+    on EVERY micro-batch — linear in corpus size per batch — and
+    local-mode AQE hides it by broadcasting the capped index. The
+    bucketed layout pays the index shuffle ONCE at build; each
+    micro-batch then shuffles only its own (batch x bands) rows into
+    the bucket partitioning, so per-batch cost scales with batch size
+    alone. Plan-guarded: the join against this index has NO exchange
+    above the index scan (tests/test_sinks.py)."""
+    from batch_process_spark.sinks.writers import write_bucketed
+
+    idx = build_lsh_index(
+        corpus, id_col, text_col, k, num_hashes, bands, persist=False
+    )
+    write_bucketed(idx, table, "band_key", n_buckets=n_buckets, sort_cols="band_key")
+    return corpus.sparkSession.table(table)
+
+
 def stream_neardup_against_corpus(
     stream_docs: DataFrame,
     index: DataFrame,

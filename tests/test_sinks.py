@@ -461,3 +461,68 @@ def test_write_zordered_rejects_over_31_bits(spark, tmp_path):
     df = spark.createDataFrame([(2**31, 2)], "a long, b long")
     with _pytest.raises(Exception, match="outside"):
         write_zordered(df, str(tmp_path / "big"), "a", "b")
+
+
+def test_bucketed_lsh_index_join_no_static_side_exchange(spark):
+    """The BASELINE §5k fix wired: against the band_key-bucketed index
+    the near-dup probe join shuffles ONLY the incoming-batch side —
+    zero Exchange above the bucketed index scan (the merely-persisted
+    form re-shuffles the whole index every micro-batch), and the
+    results are identical to the persisted-index path."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.streaming.neardup import (
+        build_lsh_index,
+        build_lsh_index_bucketed,
+        stream_neardup_against_corpus,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta doc{i}") for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta epsilon zeta doc{i} tail") for i in range(0, 40, 4)],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+    bidx = build_lsh_index_bucketed(corpus, "lsh_idx_test", n_buckets=4)
+    # disable broadcast: at real scale the index fits no broadcast, and
+    # the point under test is the bucket layout, not AQE's size call
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = stream_neardup_against_corpus(incoming, bidx)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        tree = plan.split("\n\n")[0]
+        # one probe-side exchange at most; the bucketed scan feeds the
+        # join directly (its hashpartitioning comes from the layout)
+        n_exchanges = sum(
+            1
+            for line in tree.splitlines()
+            if "Exchange" in line and "BroadcastExchange" not in line and "Reused" not in line
+        )
+        assert n_exchanges <= 1, tree
+        # and no broadcast of the index either (the layout, not AQE
+        # luck, is what makes the static side cheap)
+        assert "BroadcastExchange" not in tree, tree
+        got = {
+            (r["stream_id"], r["corpus_id"], r["jaccard_sim"])
+            for r in out.distinct().collect()
+        }
+        pidx = build_lsh_index(corpus)
+        try:
+            expect = {
+                (r["stream_id"], r["corpus_id"], r["jaccard_sim"])
+                for r in stream_neardup_against_corpus(incoming, pidx).distinct().collect()
+            }
+        finally:
+            pidx.unpersist()
+        assert got == expect and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
