@@ -1088,3 +1088,101 @@ def q172_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         collected, "query_id long, vec_id long, score double, rank int"
     )
+
+
+# ---------------------------------------------------------------------------
+# q173: streaming multimodal ingest — header parse on arriving media
+# ---------------------------------------------------------------------------
+
+_Q173_DIRS: dict = {}
+
+
+def _q173_slices(sf_dir: str, n_slices: int = 3):
+    """Stage 200 structurally valid PNG payloads (same dimensions
+    recipe as q141's synth_png: w = 16 + id%64, h = 16 + 7id%64, CRCs
+    correct) as binary-column parquet slices — pure driver-side
+    stdlib, memoized per sf_dir."""
+    import os
+    import struct
+    import tempfile
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = os.path.abspath(sf_dir)
+    d = _Q173_DIRS.get(key)
+    if d is not None and os.path.isdir(d) and all(
+        os.path.exists(os.path.join(d, f"slice_{i}.parquet")) for i in range(n_slices)
+    ):
+        return d, lambda i: None
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="q173_slices_")
+        _Q173_DIRS[key] = d
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ids, blobs = [], []
+    for i in range(200):
+        w, h = 16 + i % 64, 16 + (i * 7) % 64
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = zlib.compress(b"\x00" * (h * (1 + w)))
+        ids.append(i)
+        blobs.append(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+        )
+    tbl = pa.table({"media_id": pa.array(ids, pa.int64()), "content": pa.array(blobs, pa.binary())})
+    cuts = [round(i * 200 / n_slices) for i in range(n_slices + 1)]
+
+    def write_slice(i: int) -> None:
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), os.path.join(d, f"slice_{i}.parquet"))
+
+    write_slice(0)
+    return d, write_slice
+
+
+@_q(
+    "q173_streaming_media_ingest",
+    """
+    SELECT doc_id AS media_id,
+           'png' AS format,
+           CAST(16 + doc_id % 64 AS INT)       AS width,
+           CAST(16 + (doc_id * 7) % 64 AS INT) AS height
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q173_streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal intake as a REAL STREAM: genuine PNG containers
+    (CRC-valid, staged driver-side) arrive over three micro-batches and
+    flow through the stdlib header parser (`multimodal.parse_image_meta`,
+    a map-only Arrow kernel — streaming-legal because it is stateless:
+    zero shuffle, zero watermark, each payload parsed exactly once in
+    its arrival batch). This is the q141 pipeline's streaming member,
+    completing the family pattern of q171 (dedup) and q172 (serving):
+    every corpus-scale intake op in this engine runs identically over
+    batch and stream inputs, checked against the SAME oracle. The
+    oracle states the expected dimensions independently of the parser."""
+    from batch_process_spark.operators.multimodal import parse_image_meta
+    from batch_process_spark.streaming.windows import drive_stream_to_memory
+
+    d, write_slice = _q173_slices(sf_dir)
+    stream = (
+        spark.readStream.schema("media_id long, content binary")
+        .format("parquet")
+        .load(d)
+    )
+    out = parse_image_meta(stream).select("media_id", "format", "width", "height")
+    return drive_stream_to_memory(
+        spark,
+        out,
+        "q173_out",
+        "append",
+        feeds=[lambda: write_slice(1), lambda: write_slice(2)],
+        scoped_conf={"spark.sql.shuffle.partitions": "4"},
+    )
