@@ -204,3 +204,64 @@ def test_stream_interval_outer_join_recovers_across_restart(spark, tmp_path):
     # and nothing else snuck out as a spurious match
     assert not any(k == "A" and rts is None for k, _, rts in emitted)
     assert not any(k == "C" and rts is None for k, _, rts in emitted)
+
+
+def test_foreachbatch_serving_exactly_once_across_restart(spark, tmp_path):
+    """The q172 serving shape under kill-and-restart: with a checkpoint,
+    a NEW query on the same location must not re-answer queries a
+    committed batch already served — each arriving query vector gets
+    exactly ONE top-k answer across the crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.streaming.similarity import stream_topk_serving
+
+    src = tmp_path / "queries"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    ).persist()
+    corpus.count()
+
+    def write_q(ids):
+        tbl = pa.table(
+            {
+                "query_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([[float(i), 1.0] for i in ids], pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(tbl, str(src / f"q{ids[0]}.parquet"))
+
+    answered = []  # (query_id, rank-1 neighbor) across BOTH runs
+
+    def sink(df, _bid):
+        answered.extend(
+            (r["query_id"], r["vec_id"]) for r in df.filter("rank = 1").collect()
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "query_id long, embedding array<float>"
+        ).parquet(str(src))
+        q = stream_topk_serving(stream, corpus, sink, k=3, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_q([100, 101])
+    run_once()
+    assert sorted(q_ for q_, _ in answered) == [100, 101]
+
+    # crash; new queries arrive while down; restart from the checkpoint
+    write_q([102])
+    run_once()
+    qids = sorted(q_ for q_, _ in answered)
+    assert qids == [100, 101, 102]  # 102 answered once, 100/101 NOT re-answered
+    # and the answers are right: by COSINE every near-x-axis query
+    # vector [q, 1] is closest in angle to the most-aligned corpus
+    # vector, [19, 1]
+    top = dict(answered)
+    assert top == {100: 19, 101: 19, 102: 19}
+    corpus.unpersist()
