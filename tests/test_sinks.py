@@ -486,7 +486,8 @@ def test_bucketed_lsh_index_join_no_static_side_exchange(spark):
         [(100 + i, f"alpha beta gamma delta epsilon zeta doc{i} tail") for i in range(0, 40, 4)],
         "doc_id long, text string",
     )
-    spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+    for t in ("lsh_idx_test_bands", "lsh_idx_test_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     bidx = build_lsh_index_bucketed(corpus, "lsh_idx_test", n_buckets=4)
     # disable broadcast: at real scale the index fits no broadcast, and
     # the point under test is the bucket layout, not AQE's size call
@@ -499,14 +500,16 @@ def test_bucketed_lsh_index_join_no_static_side_exchange(spark):
             out.explain("formatted")
         plan = buf.getvalue()
         tree = plan.split("\n\n")[0]
-        # one probe-side exchange at most; the bucketed scan feeds the
-        # join directly (its hashpartitioning comes from the layout)
+        # probe-side exchanges only (one per join: band_key for the
+        # candidate join, corpus_id for the shingle fetch); both
+        # bucketed index scans feed their joins directly — their
+        # hashpartitioning comes from the layout
         n_exchanges = sum(
             1
             for line in tree.splitlines()
             if "Exchange" in line and "BroadcastExchange" not in line and "Reused" not in line
         )
-        assert n_exchanges <= 1, tree
+        assert n_exchanges <= 2, tree
         # and no broadcast of the index either (the layout, not AQE
         # luck, is what makes the static side cheap)
         assert "BroadcastExchange" not in tree, tree
@@ -525,4 +528,5 @@ def test_bucketed_lsh_index_join_no_static_side_exchange(spark):
         assert got == expect and got
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+        for t in ("lsh_idx_test_bands", "lsh_idx_test_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
