@@ -88,3 +88,47 @@ def flatten_per_level(parents: DataFrame, max_depth: int) -> DataFrame:
     return state.select(
         "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
     )
+
+
+def ancestor_closure(
+    parents: DataFrame, rounds: int, checkpoint: bool = False
+) -> DataFrame:
+    """FULL transitive closure (node, anc, dist) of a parent-pointer
+    forest — every (node, ancestor) pair including (node, node, 0),
+    excluding anything above a root (self-loops contribute no edge).
+    Where ``flatten_pointer_doubling`` keeps only each node's FURTHEST
+    resolved ancestor, the closure keeps every intermediate pair — the
+    input shape for subtree aggregation (BOM cost rollups, org-chart
+    headcounts: group the closure by ``anc`` and aggregate node
+    payloads).
+
+    Closure-by-doubling: C_{r+1} = C_r UNION (C_r composed with C_r),
+    so ``rounds`` rounds cover distances up to 2**rounds — ceil(log2(
+    depth)) SELF-joins instead of depth-many edge joins. Tree paths
+    are unique, so composition can rediscover a pair only at the SAME
+    dist; the per-round distinct dedupes exactly. Output size is
+    O(N x avg depth) — the price of closure vs flatten, paid by any
+    formulation of subtree rollup. Same plan-doubling caveat as the
+    module doc: ``checkpoint=True`` for real scale."""
+    edges = parents.filter(F.col("node") != F.col("parent")).select(
+        "node", F.col("parent").alias("anc"), F.lit(1).cast("long").alias("dist")
+    )
+    self_rows = parents.select(
+        "node", F.col("node").alias("anc"), F.lit(0).cast("long").alias("dist")
+    )
+    clo = self_rows.unionByName(edges)
+    for _ in range(rounds):
+        if checkpoint:
+            clo = clo.localCheckpoint(eager=True)
+        hop = clo.filter(F.col("dist") > 0).select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("dist2"),
+        )
+        composed = clo.join(hop, "anc").select(
+            "node",
+            F.col("anc2").alias("anc"),
+            (F.col("dist") + F.col("dist2")).alias("dist"),
+        )
+        clo = clo.unionByName(composed).distinct()
+    return clo

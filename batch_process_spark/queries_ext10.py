@@ -1186,3 +1186,81 @@ def q173_streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         feeds=[lambda: write_slice(1), lambda: write_slice(2)],
         scoped_conf={"spark.sql.shuffle.partitions": "4"},
     )
+
+
+# ---------------------------------------------------------------------------
+# q174: BOM-style subtree rollup over the ancestor closure
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q174_subtree_rollup",
+    """
+    WITH RECURSIVE walk(node, anc, dist) AS (
+      SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+      UNION ALL
+      SELECT node, anc // 10, dist + 1 FROM walk WHERE anc >= 10
+    ),
+    cents AS (
+      SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS c
+      FROM part
+    )
+    SELECT w.anc AS p_partkey,
+           CAST(count(*) AS BIGINT) AS n_subtree,
+           CAST(sum(c.c) AS BIGINT) AS subtree_cents,
+           CAST(max(w.dist) AS BIGINT) AS subtree_depth
+    FROM walk w JOIN cents c ON c.p_partkey = w.node
+    WHERE w.anc IN (SELECT p_partkey FROM part)
+    GROUP BY w.anc
+    """,
+)
+def q174_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM/org-chart subtree rollup — for EVERY node of the digit
+    hierarchy (parent(k) = k div 10, the q164 tree), the count, total
+    retail value (exact integer cents), and depth of its inclusive
+    subtree. The primitive underneath is
+    ``operators/hierarchy.py::ancestor_closure``: the full (node,
+    ancestor, dist) transitive closure built in ceil(log2(depth))
+    self-joins (closure-by-doubling — q164's pointer doubling keeps
+    only the furthest ancestor; subtree AGGREGATION needs every
+    intermediate pair), then one groupBy(ancestor) over the closure
+    joined to per-node payloads. Ancestors outside the part table
+    (digit prefixes that aren't part keys) are dropped in both engines
+    — the rollup is over REAL nodes. Closure size is N x avg-depth
+    rows — the price any subtree-rollup formulation pays; at 100 TB
+    the rounds run checkpoint=True (BASELINE §5j's materialization
+    discipline). The oracle walks every ancestor chain recursively."""
+    from batch_process_spark.operators.hierarchy import ancestor_closure
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    is_root = F.col("p_partkey") < 10
+    parents = part.select(
+        F.col("p_partkey").alias("node"),
+        F.when(is_root, F.col("p_partkey"))
+        .otherwise(F.floor(F.col("p_partkey") / 10).cast("long"))
+        .alias("parent"),
+    )
+    clo = ancestor_closure(parents, rounds=4)
+    # ancestors that are real part keys only (digit prefixes of a key
+    # need not themselves be keys; the parents frame guarantees the
+    # semi-join is the same filter the oracle's IN applies)
+    keys = part.select(F.col("p_partkey").alias("anc"))
+    return (
+        clo.join(part.withColumnRenamed("p_partkey", "node"), "node")
+        .join(keys.hint("shuffle_hash"), "anc", "left_semi")
+        .groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).alias("n_subtree"),
+            F.sum("c").alias("subtree_cents"),
+            F.max("dist").alias("subtree_depth"),
+        )
+        .select(
+            F.col("anc").alias("p_partkey"),
+            "n_subtree",
+            "subtree_cents",
+            "subtree_depth",
+        )
+    )

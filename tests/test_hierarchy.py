@@ -53,3 +53,30 @@ def test_overprovisioned_rounds_are_idempotent(spark):
         for r in flatten_pointer_doubling(parents, rounds=6).collect()
     }
     assert got == truth
+
+
+def test_ancestor_closure_complete_and_exact(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.operators.hierarchy import ancestor_closure
+
+    parents = _forest(spark, n=120)
+    got = {
+        (r["node"], r["anc"]): r["dist"]
+        for r in ancestor_closure(parents, rounds=4).collect()
+    }
+    # ground truth: walk each chain
+    expect = {}
+    for k in range(1, 121):
+        cur, d = k, 0
+        expect[(k, cur)] = 0
+        while cur >= 3:
+            cur, d = cur // 3, d + 1
+            expect[(k, cur)] = d
+    assert got == expect
+    # checkpointed variant identical
+    got2 = {
+        (r["node"], r["anc"]): r["dist"]
+        for r in ancestor_closure(parents, rounds=4, checkpoint=True).collect()
+    }
+    assert got2 == expect
