@@ -1264,3 +1264,69 @@ def q174_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subtree_depth",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q175: max concurrent intervals per user (the +1/-1 sweep)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q175_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s,
+             ts + INTERVAL 1 MINUTE * (1 + CAST(floor(value) AS BIGINT) % 30) AS e
+      FROM events WHERE user_id < 40
+    ),
+    pts AS (
+      SELECT user_id, s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, CAST(-1 AS BIGINT) AS delta FROM iv
+    ),
+    swept AS (
+      SELECT user_id,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts
+    )
+    SELECT user_id, CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY user_id
+    """,
+)
+def q175_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrent sessions per user — the +1/-1 SWEEP: each
+    derived interval (start = ts, duration = 1 + floor(value) % 30
+    minutes, integer arithmetic so both engines build identical
+    endpoints) unpivots to a +1 start point and a -1 end point; a
+    user-partitioned ordered running sum is the live-interval count
+    and its max is the answer. End-exclusive semantics are pinned by
+    the tie order (t, delta): at an exact start==end instant the -1
+    sorts first, so back-to-back intervals never double-count — stated
+    identically in both engines. The O(n log n) sweep replaces the
+    O(n^2) self-join ("count intervals overlapping mine") and runs as
+    ONE exchange on user_id + one window + one agg — the same
+    single-partitioning discipline as q162; no unpartitioned window
+    anywhere."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    dur_min = (1 + F.floor("value").cast("long") % 30).cast("int")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.make_interval(mins=dur_min)).alias("e"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).cast("long").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("live", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(F.max("live").alias("max_concurrent"))
+    )
