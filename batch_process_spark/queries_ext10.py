@@ -1330,3 +1330,62 @@ def q175_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("live").alias("max_concurrent"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q176: exponential time-decay engagement scores
+# ---------------------------------------------------------------------------
+
+_DECAY_TAU_HOURS = 24 * 7  # one-week time constant
+
+
+@_q(
+    "q176_decay_scores",
+    f"""
+    WITH t0 AS (SELECT max(ts) AS now FROM events),
+    d AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(date_diff('second', ts, t0.now) AS BIGINT) AS age_s
+      FROM events CROSS JOIN t0 WHERE user_id < 60
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(cents * exp(-(age_s / 3600.0) / {_DECAY_TAU_HOURS})) / 100.0, 4)
+             AS decayed_value
+    FROM d GROUP BY user_id
+    """,
+)
+def q176_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement value per user (one-week
+    time constant) — the recency-weighted feature an LLM-data or
+    ranking pipeline derives per entity: sum of cents * exp(-age/tau),
+    anchored at the corpus max timestamp (a 1-row broadcast crossJoin,
+    the q160 stats pattern — no eager job, no wall-clock dependence,
+    so the result is a pure function of the data). Ages are exact
+    integer SECONDS in both engines (timestamp subtraction before any
+    float); each term is one double exp/multiply and the per-user sum
+    rounds at 4 decimals — inside the float-drift budget every other
+    rounded-sum query in this catalog relies on. ONE scan, one
+    exchange on user_id; the decay makes re-ingestion-free rolling
+    features possible: tomorrow's score = today's * exp(-dt/tau) + new
+    events (the IVM-friendly recurrence, which is WHY exponential
+    decay beats sliding windows at 100 TB — no window state to evict)."""
+    all_ev = _t(spark, sf_dir, "events")
+    ev = all_ev.filter(F.col("user_id") < 60)
+    # anchor = max over the WHOLE corpus (the oracle's t0), not the
+    # filtered cohort — a cohort-relative anchor would silently shift
+    # every score when the cohort predicate changes
+    now = all_ev.agg(F.max("ts").alias("now"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    age_s = (F.col("now").cast("long") - F.col("ts").cast("long"))
+    term = cents * F.exp(-(age_s / 3600.0) / _DECAY_TAU_HOURS)
+    return (
+        ev.crossJoin(F.broadcast(now))
+        .select("user_id", term.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("t") / 100.0, 4).alias("decayed_value"),
+        )
+    )
