@@ -1389,3 +1389,65 @@ def q176_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("t") / 100.0, 4).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q177: equi-depth histogram (quantile-bucketed, the q110 complement)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q177_equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+      FROM orders
+    ),
+    assigned AS (
+      SELECT CAST(len(list_filter(b.bounds, x -> o_totalprice > x)) AS BIGINT) AS bucket,
+             o_totalprice
+      FROM orders CROSS JOIN b
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q177_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of order values — decile boundaries via
+    exact interpolated percentiles (ONE agg row, broadcast back; the
+    q43-proven cross-engine percentile identity makes the boundary
+    doubles bit-identical, so the strict `x > bound` bucket assignment
+    cannot flip between engines), then bucket = number of boundaries
+    strictly below the value, folded map-side over the 9-element
+    array. The complement of q110's equi-WIDTH histogram: equi-depth
+    is the analyzer's histogram (each bucket ~10% of rows regardless
+    of skew — column stats, join-selectivity estimation). Two scans of
+    orders (one for boundaries, one to assign) and a 10-group agg; at
+    100 TB the boundary pass swaps to approx_percentile, same plan
+    shape. No unpartitioned window anywhere — the naive ntile
+    formulation would be a single-task global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array({}))".format(",".join(map(str, qs)))
+        ).alias("bounds")
+    )
+    bucket = F.aggregate(
+        "bounds",
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + (F.col("o_totalprice") > b).cast("long"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
