@@ -276,6 +276,12 @@ def invalidate_tables(path: str | None = None) -> int:
         release_sketch_caches()
     except ImportError:
         pass
+    try:
+        from batch_process_spark.queries_ext10 import release_staged_slices
+
+        release_staged_slices()
+    except ImportError:
+        pass
     return dropped
 
 

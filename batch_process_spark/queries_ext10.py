@@ -1451,3 +1451,16 @@ def q177_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+def release_staged_slices() -> None:
+    """Drop the q171/q172/q173 staged micro-batch slice dirs — each
+    snapshots a source table, so after a mid-session table rewrite it
+    would feed the stream stale rows. Called by invalidate_tables
+    (same contract as queries_ext8.release_sketch_caches)."""
+    import shutil
+
+    for dirs in (_Q171_DIRS, _Q172_DIRS, _Q173_DIRS):
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+        dirs.clear()
