@@ -1,0 +1,539 @@
+"""Query catalog part 12 (q178-q183): ordered-window robust statistics
+(rolling median, winsorized means), inequality/concentration metrics
+(per-group Gini), nearest-neighbor-within-radius on the planar grid,
+a one-pass pairwise correlation matrix, and batch last-touch revenue
+attribution via the as-of join — all exact integer arithmetic until
+one final, identically-phrased double expression, per the catalog's
+determinism discipline.
+
+Reference parity: the reference's statistics surface stops at
+per-group describe()-style summaries (``batch_process/analyze.py``);
+everything here is "beyond the reference" in SURVEY §2's sense —
+the robust/ordered statistics and attribution shapes a production
+pipeline needs at the 100 TB target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_process_spark.queries import _q, _t
+
+# ---------------------------------------------------------------------------
+# q178: per-customer rolling 5-order median of order value
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q178_rolling_median",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderdate, o_orderkey
+      FROM orders
+    ), m AS (
+      SELECT o_custkey,
+             median(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+      FROM o
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           min(med) AS min_roll_med, max(med) AS max_roll_med
+    FROM m GROUP BY o_custkey
+    """,
+)
+def q178_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-order median of order value per customer — the robust
+    moving-centre statistic (a moving MEAN chases outliers; ops
+    dashboards and anomaly baselines want the median). Spark has no
+    ``median`` window function, but the exact ``percentile`` aggregate
+    IS window-capable: one shuffle on ``o_custkey``, one ordered
+    ROWS-frame window, no single-task WindowExec (the partition key
+    carries the parallelism at any SF). Medians over integer-cents
+    windows land on exact .0/.5 doubles in BOTH engines (Spark
+    ``percentile`` and DuckDB ``median`` share the linear-interpolation
+    definition — the q43/q177-proven identity), so the per-customer
+    min/max fold compares bit-for-bit with no rounding step."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    med = F.expr("percentile(cents, 0.5)").over(w)
+    return (
+        o.select("o_custkey", med.alias("med"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("med").alias("min_roll_med"),
+            F.max("med").alias("max_roll_med"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179: per-nation Gini coefficient of customer spend
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q179_gini_spend",
+    """
+    WITH osum AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), spend AS (
+      SELECT c.c_custkey, c.c_nationkey, coalesce(o.cents, 0) AS cents
+      FROM customer c LEFT JOIN osum o ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+      SELECT c_nationkey, cents,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY cents, c_custkey) AS BIGINT) AS i
+      FROM spend
+    ), agg AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(CAST(i AS DECIMAL(38,0)) * cents) AS DOUBLE) AS s_ix,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s_x
+      FROM ranked GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n_customers,
+           CASE WHEN s_x = 0 THEN NULL
+                ELSE floor(((2.0 * s_ix) / (n_customers * s_x)
+                            - (n_customers + 1.0) / n_customers) * 1000000 + 0.5)
+                     / 1000000
+           END AS gini
+    FROM agg
+    """,
+)
+def q179_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer lifetime spend — the
+    standard concentration metric (0 = everyone spends alike, ->1 = one
+    whale), via the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    over ascending-sorted x. Customers with no orders count as zero
+    spend (a LEFT join — dropping them silently inflates equality).
+    Orders pre-aggregate to per-customer sums BEFORE the join (map-side
+    combine; the join input shrinks from |orders| to |buying
+    customers|, and the planner is free to pick broadcast vs shuffle
+    from real stats — no manual broadcast on an SF-scaling side), then
+    one window ranked by (cents, custkey) — a total order, so
+    row_number is deterministic — and a 25-group agg. Rank-weighted sums ride DECIMAL(38,0): i*x reaches
+    ~n*max_spend and the sum adds another factor of n, past int64 at
+    warehouse scale (the q163 overflow discipline). Both engines
+    convert the same exact decimal to double and phrase the final Gini
+    identically, so the 6-dp round cannot diverge."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    osum = orders.groupBy("o_custkey").agg(F.sum("cents").cast("long").alias("ocents"))
+    spend = cust.join(osum, cust.c_custkey == osum.o_custkey, "left").select(
+        "c_custkey",
+        "c_nationkey",
+        F.coalesce(F.col("ocents"), F.lit(0)).alias("cents"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .cast("double")
+        .alias("s_ix"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s_x"),
+    )
+    n = F.col("n_customers")
+    gini = F.when(
+        F.col("s_x") != 0,
+        F.floor(
+            ((2.0 * F.col("s_ix")) / (n * F.col("s_x")) - (n + 1.0) / n) * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000,
+    )
+    return agg.select("c_nationkey", "n_customers", gini.alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# q180: winsorized account-balance statistics per market segment
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q180_winsorized_stats",
+    """
+    WITH c AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), ranked AS (
+      SELECT c_mktsegment, cents,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY cents, c_custkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      FROM c
+    ), th AS (
+      SELECT c_mktsegment, cents, n,
+             max(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN cents END)
+               OVER (PARTITION BY c_mktsegment) AS lo,
+             max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cents END)
+               OVER (PARTITION BY c_mktsegment) AS hi
+      FROM ranked
+    ), clipped AS (
+      SELECT c_mktsegment, n,
+             CASE WHEN cents < lo THEN lo
+                  WHEN cents > hi THEN hi
+                  ELSE cents END AS w,
+             CASE WHEN cents < lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN cents > hi THEN 1 ELSE 0 END AS is_hi
+      FROM th
+    )
+    SELECT c_mktsegment, max(n) AS n,
+           CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
+           CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
+           floor(CAST(sum(w) AS DOUBLE) / max(n) * 0.01 * 1000000 + 0.5)
+             / 1000000 AS winsorized_mean
+    FROM clipped GROUP BY c_mktsegment
+    """,
+)
+def q180_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of account balance per market segment — clamp at
+    the nearest-rank 10th/90th percentiles, then average: the robust
+    location estimate that, unlike trimming, keeps n constant.
+    Nearest-rank (value at row_number ceil(q*n) under the total order
+    (cents, custkey)) rather than interpolated percentiles ON PURPOSE:
+    the thresholds stay INTEGER cents, so the clamp and the sum are
+    exact int64 end to end — the only double is the final
+    identically-phrased mean. The thresholds propagate back as a
+    SECOND window over the SAME partitioning (stacked Window nodes
+    share one exchange+sort — no self-join, no second scan: one
+    shuffle on the segment + the 5-group agg is the whole plan,
+    guarded by the single-scan test); at 100 TB the rank window swaps
+    to approx thresholds, same shape (the q177 equi-depth note)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(wseg.orderBy("cents", "c_custkey")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wseg).cast("long").alias("n"),
+    )
+    th = ranked.select(
+        "c_mktsegment",
+        "cents",
+        "n",
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.1 * F.col("n")).cast("long"), F.col("cents"))
+        )
+        .over(wseg)
+        .alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"), F.col("cents"))
+        )
+        .over(wseg)
+        .alias("hi"),
+    )
+    clipped = th.select(
+        "c_mktsegment",
+        "n",
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+        .alias("w"),
+        (F.col("cents") < F.col("lo")).cast("int").alias("is_lo"),
+        (F.col("cents") > F.col("hi")).cast("int").alias("is_hi"),
+    )
+    return clipped.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n"),
+        F.sum("is_lo").cast("long").alias("n_clipped_lo"),
+        F.sum("is_hi").cast("long").alias("n_clipped_hi"),
+        (
+            F.floor(
+                F.sum("w").cast("double") / F.max("n") * 0.01 * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("winsorized_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181: nearest neighbor within radius on the planar grid
+# ---------------------------------------------------------------------------
+
+_NN_R = 150  # q161's centi-degree radius; same md5-derived lattice
+
+
+@_q(
+    "q181_nn_within_radius",
+    f"""
+    WITH p AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 18000 AS y,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+               % 36000 AS x
+      FROM customer
+    ), pairs AS (
+      SELECT a.c_custkey AS cust, b.c_custkey AS nn,
+             CAST((a.y - b.y) * (a.y - b.y)
+                + (a.x - b.x) * (a.x - b.x) AS BIGINT) AS dist2
+      FROM p a JOIN p b
+        ON a.c_custkey <> b.c_custkey
+       AND (a.y - b.y) * (a.y - b.y) + (a.x - b.x) * (a.x - b.x)
+           < {_NN_R * _NN_R}
+    )
+    SELECT cust, nn, dist2 FROM (
+      SELECT cust, nn, dist2,
+             row_number() OVER (PARTITION BY cust ORDER BY dist2, nn) AS rk
+      FROM pairs
+    ) WHERE rk = 1
+    """,
+)
+def q181_nn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor per point, bounded by radius — the "closest
+    depot/store/cell-tower" query. Unbounded exact NN needs expanding
+    ring searches; bounding by a radius R keeps the grid join EXACT
+    (every candidate within R lies in the 3x3 cell neighborhood,
+    ``operators/spatial.py``) and is the semantics production actually
+    wants ("nearest within 1.5 degrees, else nobody"). One hash
+    equi-join on the cell id (never all-pairs; candidates bounded by
+    cell density, hot cells salt via the q161 opt-in), then an argmin
+    per point: a (dist2, nn) row_number window partitioned by the
+    point key — deterministic because the order is total, and never
+    single-task because the point key partitions it. The oracle
+    brute-forces both directions of the same predicate."""
+    from batch_process_spark.operators.spatial import grid_radius_join
+
+    cust = _t(spark, sf_dir, "customer")
+    hexpart = lambda pos: F.conv(  # noqa: E731  (q161's exact lattice)
+        F.substring(F.md5(F.col("c_custkey").cast("string")), pos, 6), 16, 10
+    ).cast("long")
+    p = cust.select(
+        "c_custkey",
+        (hexpart(1) % 18000).alias("y"),
+        (hexpart(7) % 36000).alias("x"),
+    )
+    joined = grid_radius_join(p, p, "y", "x", radius=_NN_R)
+    dy = F.col("y") - F.col("y_r")
+    dx = F.col("x") - F.col("x_r")
+    pairs = joined.filter(F.col("c_custkey") != F.col("c_custkey_r")).select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_custkey_r").alias("nn"),
+        (dy * dy + dx * dx).cast("long").alias("dist2"),
+    )
+    w = Window.partitionBy("cust").orderBy("dist2", "nn")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q182: one-pass pairwise correlation matrix over lineitem metrics
+# ---------------------------------------------------------------------------
+
+#: (label, integer-scaled expression) — quantity in centi-units, price
+#: in cents, discount/tax in basis points: exact int64 inputs.
+_Q182_METRICS = [
+    ("quantity", "l_quantity", 100),
+    ("price", "l_extendedprice", 100),
+    ("discount", "l_discount", 10000),
+    ("tax", "l_tax", 10000),
+]
+
+
+def _q182_oracle() -> str:
+    scaled = ", ".join(
+        f"CAST(floor({col} * {s} + 0.5) AS BIGINT) AS {lbl}"
+        for lbl, col, s in _Q182_METRICS
+    )
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for lbl, _, _ in _Q182_METRICS:
+        sums.append(f"CAST(sum(CAST({lbl} AS DECIMAL(38,0))) AS DOUBLE) AS s_{lbl}")
+        sums.append(
+            f"CAST(sum(CAST({lbl} AS DECIMAL(38,0)) * {lbl}) AS DOUBLE) AS ss_{lbl}"
+        )
+    pairs = []
+    names = [lbl for lbl, _, _ in _Q182_METRICS]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sums.append(
+                f"CAST(sum(CAST({a} AS DECIMAL(38,0)) * {b}) AS DOUBLE) AS sp_{a}_{b}"
+            )
+            pairs.append(
+                f"SELECT '{a}' AS metric_a, '{b}' AS metric_b, n, "
+                f"floor((n * sp_{a}_{b} - s_{a} * s_{b}) "
+                f"/ sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})) "
+                f"* 1000000 + 0.5) / 1000000 AS corr FROM agg"
+            )
+    return (
+        f"WITH m AS (SELECT {scaled} FROM lineitem), "
+        f"agg AS (SELECT {', '.join(sums)} FROM m) " + " UNION ALL ".join(pairs)
+    )
+
+
+@_q("q182_corr_matrix", _q182_oracle())
+def q182_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over four lineitem metrics in
+    ONE scan — the feature-triage pass every modeling pipeline runs.
+    Calling ``corr()`` per pair scans k(k-1)/2 times; the sufficient
+    statistics (n, per-metric sum + sum-of-squares, per-pair
+    cross-sum) fold into a SINGLE map-side-combined aggregate, and all
+    6 correlations derive from that one 15-column row (k scans -> 1;
+    at 100 TB this is the difference between one pass and six). Sums
+    ride DECIMAL(38,0) — n*sum(x^2) overflows int64 already at sf0.1 —
+    then convert ONCE to double; both engines phrase the final
+    covariance/variance expression identically from the same exact
+    decimals, so the 6-dp round compares bit-for-bit. The 6 output
+    rows unfold from the agg row via an explode over the pair labels
+    (driver-free, still one job)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.select(
+        *[
+            F.floor(F.col(col) * s + F.lit(0.5)).cast("long").alias(lbl)
+            for lbl, col, s in _Q182_METRICS
+        ]
+    )
+    names = [lbl for lbl, _, _ in _Q182_METRICS]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)")).cast("double").alias(f"s_{a}")
+        )
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)") * F.col(a))
+            .cast("double")
+            .alias(f"ss_{a}")
+        )
+    pair_names = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            pair_names.append((a, b))
+            aggs.append(
+                F.sum(F.col(a).cast("decimal(38,0)") * F.col(b))
+                .cast("double")
+                .alias(f"sp_{a}_{b}")
+            )
+    agg = m.agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for a, b in pair_names:
+        cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        rows.append(
+            F.struct(
+                F.lit(a).alias("metric_a"),
+                F.lit(b).alias("metric_b"),
+                (F.floor(cov / F.sqrt(va * vb) * 1000000 + F.lit(0.5)) / 1000000).alias(
+                    "corr"
+                ),
+            )
+        )
+    return agg.select("n", F.explode(F.array(*rows)).alias("p")).select(
+        "p.metric_a", "p.metric_b", "n", "p.corr"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183: batch last-touch revenue attribution (as-of join)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_S = 24 * 3600  # last-touch lookback, seconds
+
+
+@_q(
+    "q183_last_touch_attribution",
+    f"""
+    WITH touches AS (
+      SELECT user_id, ts, max(event_id) AS tid
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY user_id, ts
+    ), t2 AS (
+      SELECT t.user_id, t.ts, e.event_type
+      FROM touches t JOIN events e ON e.event_id = t.tid
+    ), purch AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), att AS (
+      SELECT p.cents,
+             coalesce(
+               (SELECT t.event_type FROM t2 t
+                 WHERE t.user_id = p.user_id AND t.ts <= p.ts
+                   AND t.ts >= p.ts - INTERVAL {_ATTR_WINDOW_S} SECOND
+                 ORDER BY t.ts DESC LIMIT 1),
+               'unattributed') AS att_type
+      FROM purch p
+    )
+    SELECT att_type, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM att GROUP BY att_type
+    """,
+)
+def q183_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution in batch: every purchase credits
+    the user's most recent non-purchase event within a 24 h lookback,
+    else 'unattributed' — the batch twin of q101's streaming
+    click-attribution join. Composition: touches dedup to one per
+    (user, ts) keeping the max event_id (a struct-max — deterministic
+    without a window), then ``operators/asof.py::asof_join`` — tag,
+    union, one shuffle on user_id, last-seen carried forward by an
+    ordered window; the nearest-prior join Spark lacks natively. The
+    lookback bound is a residual filter on the carried touch
+    timestamp. The oracle is an INDEPENDENT formulation (correlated
+    top-1 subquery), so the window rewrite is checked against the
+    definition, not against itself. Same-timestamp touch-and-purchase
+    attributes (merge_asof backward semantics, pinned by the asof
+    operator's tie contract)."""
+    from batch_process_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("m"))
+        .select("user_id", "ts", F.col("m.event_type").alias("touch_type"))
+        .withColumn("touch_ts", F.col("ts"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    joined = asof_join(
+        purch, touches, on="ts", by="user_id", right_cols=["touch_type", "touch_ts"]
+    )
+    in_window = F.col("touch_ts_r").isNotNull() & (
+        F.col("ts").cast("long") - F.col("touch_ts_r").cast("long") <= _ATTR_WINDOW_S
+    )
+    att = joined.select(
+        F.when(in_window, F.col("touch_type_r"))
+        .otherwise(F.lit("unattributed"))
+        .alias("att_type"),
+        "cents",
+    )
+    return att.groupBy("att_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
