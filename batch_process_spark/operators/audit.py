@@ -41,7 +41,12 @@ def scan_audit(
     if metrics is None:
         metrics = {"n_rows": F.count(F.lit(1))}
         for c in df.columns:
-            metrics[f"null_{c}"] = F.sum(F.col(c).isNull().cast("long"))
+            # backtick-quote: a raw name containing dots would parse as
+            # struct-field access ('user.id' -> field id of column user)
+            # — exactly the messy intake names this audit exists for
+            metrics[f"null_{c}"] = F.sum(
+                F.col("`" + c + "`").isNull().cast("long")
+            )
     obs = Observation()
     named = [c.alias(n) for n, c in metrics.items()]
     return df.observe(obs, *named), obs

@@ -196,6 +196,42 @@ def wedge_join(
     return edges.join(e2, v_col).select(u_col, v_col, w_col)
 
 
+def copurchase_edges(
+    items: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Canonical co-occurrence edge set: distinct (group, item) pairs
+    self-joined on the group, one ``u < v`` row per unordered item
+    pair that shares a group — the shared first stage of the triangle
+    (q149), clustering-coefficient (q166), and PageRank (q169)
+    queries, factored here so the cap/canonicalization cannot drift
+    between them. One shuffle on the group key; the final distinct
+    dedups pairs co-occurring in many groups. Group size is the scale
+    knob: pairs per group are quadratic in its item count, so cap or
+    salt pathological baskets upstream."""
+    d = items.select(F.col(group_col).alias("__o"), F.col(item_col).alias("u")).distinct()
+    b = d.select(F.col("__o"), F.col("u").alias("v"))
+    return d.join(b, "__o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+
+
+def triangles_per_node(
+    edges: DataFrame, salt_buckets: int = 1, count_col: str = "n_tri"
+) -> DataFrame:
+    """Per-node triangle participation over a CANONICAL (u < v) edge
+    set: wedge enumeration (middle-vertex self-join, hub salting via
+    ``salt_buckets``), closure LEFT SEMI back against the edge set —
+    each triangle u < v < w once — then per-corner counts via explode.
+    Every stage is edge-granularity; no adjacency matrix."""
+    wedges = wedge_join(edges, salt_buckets=salt_buckets)
+    tri = wedges.join(
+        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,

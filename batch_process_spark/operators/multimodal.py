@@ -111,9 +111,14 @@ def pil_available() -> bool:
 
 
 def _luma(r: int, g: int, b: int) -> int:
-    """PIL's RGB->L integer luma (ITU-R 601-2): matches convert("L") so
-    the stdlib and Pillow branches histogram identically on RGB data."""
-    return (r * 299 + g * 587 + b * 114) // 1000
+    """PIL's RGB->L integer luma: the EXACT fixed-point form Pillow's
+    ImagingConvert.c uses (L24: r*19595 + g*38470 + b*7471, >> 16 —
+    truncating, no rounding constant), NOT the rational 299/587/114
+    over 1000 it documents: the two differ by one for some pixels
+    (e.g. (100, 0, 150) -> 46 fixed-point vs 47 rational), and a
+    one-off on a bin boundary would make the stdlib and Pillow
+    branches histogram the same image differently across executors."""
+    return (r * 19595 + g * 38470 + b * 7471) >> 16
 
 
 def _hist8(grays) -> list[float]:

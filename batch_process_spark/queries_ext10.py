@@ -243,15 +243,21 @@ def q163_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     dy = F.col("y").cast("decimal(19,0)")
     sums = lagged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
+        # Plain sums ALSO ride decimal: sx*sx below squares them, and a
+        # long sum would reintroduce the silent int64 wrap this block
+        # exists to close (sums stay exact to 38 digits — same bound as
+        # the product sums; DuckDB's HUGEINT is exact to 128 bits, so
+        # the engines agree for |sx| < ~1e19, far past any real corpus).
+        F.sum(dx).cast("decimal(38,0)").alias("sx"),
+        F.sum(dy).cast("decimal(38,0)").alias("sy"),
         F.sum((dx * dy).cast("decimal(38,0)")).alias("sxy"),
         F.sum((dx * dx).cast("decimal(38,0)")).alias("sxx"),
         F.sum((dy * dy).cast("decimal(38,0)")).alias("syy"),
     )
-    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    n_dec = F.col("n_pairs").cast("decimal(38,0)")
+    vx = n_dec * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n_dec * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n_dec * F.col("sxy") - F.col("sx") * F.col("sy")
     r_micro = F.when((vx == 0) | (vy == 0), F.lit(None).cast("long")).otherwise(
         F.floor(
             num.cast("double") * 1000000.0
@@ -482,27 +488,12 @@ def q166_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = _memoized_persist(
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-        .join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    from batch_process_spark.operators.graph import wedge_join
+    from batch_process_spark.operators.graph import copurchase_edges, triangles_per_node
 
+    edges = _memoized_persist(copurchase_edges(li, "l_orderkey", "l_partkey"))
     # Hub salting opt-in, same knob as q149 (see wedge_join docstring).
-    wedges = wedge_join(
+    tcnt = triangles_per_node(
         edges, salt_buckets=int(os.environ.get("SPARK_GRAFT_WEDGE_SALT", "1"))
-    )
-    tri = wedges.join(
-        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
-    )
-    tcnt = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -726,14 +717,9 @@ def q169_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    e0 = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-        .join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    from batch_process_spark.operators.graph import copurchase_edges
+
+    e0 = copurchase_edges(li, "l_orderkey", "l_partkey")
     edges = _memoized_persist(
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
@@ -1128,8 +1114,16 @@ def _q173_slices(sf_dir: str, n_slices: int = 3):
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
+    # Media ids are the 200 SMALLEST actual doc_ids — not assumed
+    # 0..199 — so the oracle (same ORDER BY doc_id LIMIT 200) stays
+    # aligned under any base offset, gaps, or a <200-row corpus.
+    doc_ids = sorted(
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    )[:200]
     ids, blobs = [], []
-    for i in range(200):
+    for i in doc_ids:
         w, h = 16 + i % 64, 16 + (i * 7) % 64
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
         raw = zlib.compress(b"\x00" * (h * (1 + w)))
@@ -1138,7 +1132,7 @@ def _q173_slices(sf_dir: str, n_slices: int = 3):
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
         )
     tbl = pa.table({"media_id": pa.array(ids, pa.int64()), "content": pa.array(blobs, pa.binary())})
-    cuts = [round(i * 200 / n_slices) for i in range(n_slices + 1)]
+    cuts = [round(i * len(ids) / n_slices) for i in range(n_slices + 1)]
 
     def write_slice(i: int) -> None:
         pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), os.path.join(d, f"slice_{i}.parquet"))
@@ -1154,7 +1148,7 @@ def _q173_slices(sf_dir: str, n_slices: int = 3):
            'png' AS format,
            CAST(16 + doc_id % 64 AS INT)       AS width,
            CAST(16 + (doc_id * 7) % 64 AS INT) AS height
-    FROM documents WHERE doc_id < 200
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
     """,
 )
 def q173_streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -892,39 +892,25 @@ def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    from batch_process_spark.operators.graph import copurchase_edges, triangles_per_node
     from batch_process_spark.queries_ext8 import _memoized_persist
 
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
     # persisted via the bounded memo pool (released by invalidate_tables):
     # the edge set feeds the wedge join twice and the closure probe
-    edges = _memoized_persist(
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-        .join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    from batch_process_spark.operators.graph import wedge_join
-
+    edges = _memoized_persist(copurchase_edges(li, "l_orderkey", "l_partkey"))
     # Hub salting is opt-in (SPARK_GRAFT_WEDGE_SALT=N): identical
     # output, hub wedge tasks bounded at ~1/N — pytest-proved in
     # tests/test_skew.py::test_wedge_join_salting_bounds_hub_tasks.
-    wedges = wedge_join(
-        edges, salt_buckets=int(os.environ.get("SPARK_GRAFT_WEDGE_SALT", "1"))
+    tcnt = triangles_per_node(
+        edges,
+        salt_buckets=int(os.environ.get("SPARK_GRAFT_WEDGE_SALT", "1")),
+        count_col="n_triangles",
     )
-    tri = wedges.join(
-        edges.select(F.col("u").alias("u"), F.col("v").alias("w")),
-        ["u", "w"],
-        "left_semi",
-    )
-    out = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        tcnt.select(F.col("node").alias("l_partkey"), "n_triangles")
         .orderBy(F.desc("n_triangles"), F.asc("l_partkey"))
         .limit(20)
     )
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,6 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from pyspark.sql import functions as F
 
-from batch_process_spark.operators.graph import wedge_join
 from batch_process_spark.operators.hierarchy import (
     flatten_per_level,
     flatten_pointer_doubling,
@@ -164,15 +163,10 @@ GROUP BY part
 
 
 def triangles_per_node(edges, salt_buckets: int = 1):
-    wedges = wedge_join(edges, salt_buckets=salt_buckets)
-    tri = wedges.join(
-        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
-    )
-    return (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    # the probe measures the ENGINE's operator, not a re-implementation
+    from batch_process_spark.operators.graph import triangles_per_node as _tpn
+
+    return _tpn(edges, salt_buckets=salt_buckets, count_col="n")
 
 
 def synth_parents(spark, n: int):

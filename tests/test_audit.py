@@ -15,6 +15,16 @@ def test_scan_audit_default_metrics(spark):
     assert got == {"n_rows": 4, "null_k": 0, "null_v": 2}
 
 
+def test_scan_audit_dotted_column_names(spark):
+    """Top-level names containing dots (legal in parquet/JSON intake)
+    must audit as columns, not parse as struct-field access."""
+    df = spark.createDataFrame([(1, None), (2, "x")], ["user.id", "geo.city"])
+    observed, obs = scan_audit(df)
+    assert observed.count() == 2
+    got = dict(obs.get)
+    assert got == {"n_rows": 2, "null_user.id": 0, "null_geo.city": 1}
+
+
 def test_scan_audit_custom_metrics_see_attachment_point(spark):
     """Metrics observe rows AT THE POINT OF ATTACHMENT: attached before
     a filter they count what the filter will drop — the shape that lets

@@ -337,7 +337,9 @@ def test_stdlib_png_decode_all_filters_known_histogram():
     expect = [0.0] * 8
     for row in pixels:
         for r, g, b in row:
-            expect[((r * 299 + g * 587 + b * 114) // 1000) >> 5] += 1.0
+            # Pillow's fixed-point L24 luma (truncating >> 16), which
+            # _luma must match bit-for-bit — not the documented /1000
+            expect[((r * 19595 + g * 38470 + b * 7471) >> 16) >> 5] += 1.0
     expect = [e / 20.0 for e in expect]
     assert feat == pytest.approx(expect, abs=1e-12)
 
