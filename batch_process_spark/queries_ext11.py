@@ -402,7 +402,12 @@ def q182_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 correlations derive from that one 15-column row (k scans -> 1;
     at 100 TB this is the difference between one pass and six). Sums
     ride DECIMAL(38,0) — n*sum(x^2) overflows int64 already at sf0.1 —
-    then convert ONCE to double; both engines phrase the final
+    a priced choice: BASELINE §5l measures the decimal surcharge at
+    3.5x over long sums (deployments whose metrics provably fit int64
+    should sum as long — one scan AND codegen), while the per-pair
+    corr() formulation pays 1.5x the long one-pass even on local NVMe
+    where scans are nearly free. The decimals convert ONCE to double;
+    both engines phrase the final
     covariance/variance expression identically from the same exact
     decimals, so the 6-dp round compares bit-for-bit. The 6 output
     rows unfold from the agg row via an explode over the pair labels
