@@ -542,3 +542,251 @@ def q183_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q184: Kaplan-Meier survival curve (exact rational products)
+# ---------------------------------------------------------------------------
+
+_KM_HORIZON_DAYS = 1  # no activity in the final day => observed churn
+
+
+@_q(
+    "q184_survival_km",
+    f"""
+    WITH RECURSIVE u AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS dur,
+             CAST(max(ts) AS DATE) AS last_day
+      FROM events GROUP BY user_id
+    ), ce AS (SELECT max(CAST(ts AS DATE)) AS end_day FROM events),
+    b AS (
+      SELECT dur,
+             CAST(sum(CASE WHEN u.last_day <= ce.end_day - {_KM_HORIZON_DAYS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN u.last_day <= ce.end_day - {_KM_HORIZON_DAYS}
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c
+      FROM u CROSS JOIN ce GROUP BY dur
+    ), rk AS (
+      SELECT dur, d, c, CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS rk FROM b
+    ), n0 AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM rk),
+    km AS (
+      SELECT rk.rk, rk.dur, rk.d, rk.c, n0.n AS n_risk,
+             CAST(n0.n - rk.d AS HUGEINT) AS num, CAST(n0.n AS HUGEINT) AS den
+      FROM rk CROSS JOIN n0 WHERE rk.rk = 1
+      UNION ALL
+      SELECT r.rk, r.dur, r.d, r.c, km.n_risk - km.d - km.c,
+             km.num * (km.n_risk - km.d - km.c - r.d),
+             km.den * (km.n_risk - km.d - km.c)
+      FROM km JOIN rk r ON r.rk = km.rk + 1
+    )
+    SELECT dur AS duration_days, n_risk AS n_at_risk,
+           d AS n_churned, c AS n_censored,
+           floor(CAST(num AS DOUBLE) * 1000000 / CAST(den AS DOUBLE) + 0.5)
+             / 1000000 AS survival
+    FROM km
+    """,
+)
+def q184_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes — THE
+    right-censoring-aware churn statistic (a naive "fraction still
+    active after t days" silently treats users the corpus simply
+    stops observing as churned). Lifetime = days between a user's
+    first and last event; churn is OBSERVED only when the last
+    activity predates the corpus end by the horizon, else the user is
+    censored at their observed duration. S(t) = prod_{s<=t}
+    (1 - d_s/n_s) stays EXACT: numerator/denominator ride
+    decimal(38,0) products folded over the (tiny, <=#distinct
+    durations) bucket array — no running exp(sum(ln)) float seam, no
+    libm-parity risk (the q167 Benford lesson), and the only doubles
+    are the final identically-phrased division. Scale shape: one
+    user-key shuffle for lifetimes, a <=31-row bucket aggregate
+    collected into ONE row, and the whole curve folds in a single
+    array expression — the fact-table pass is the lifetime agg,
+    everything after is constant-size. The 38-digit product bound
+    caps at #buckets * log10(n) digits (31 day-buckets x 5-digit
+    cohorts ~ 1e38 worst case); beyond that, bucket coarser or drop
+    to the log-space approximation — documented, not silent. The
+    oracle is an INDEPENDENT recursive-CTE formulation over HUGEINT."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max(F.col("ts").cast("date")).alias("end_day"))
+    flagged = u.crossJoin(F.broadcast(end)).select(
+        F.datediff(F.col("last_ts").cast("date"), F.col("first_ts").cast("date")).alias(
+            "dur"
+        ),
+        (
+            F.col("last_ts").cast("date")
+            <= F.date_sub(F.col("end_day"), _KM_HORIZON_DAYS)
+        )
+        .cast("long")
+        .alias("churn"),
+    )
+    b = flagged.groupBy("dur").agg(
+        F.sum("churn").alias("d"),
+        F.sum(F.lit(1) - F.col("churn")).alias("c"),
+    )
+    one = b.agg(F.sort_array(F.collect_list(F.struct("dur", "d", "c"))).alias("bs"))
+    # Prefix-sum the risk set, then fold the exact decimal products —
+    # all array expressions over the single collected row (B <= 31).
+    curve = one.select(
+        F.expr(
+            """
+            transform(bs, (x, i) -> named_struct(
+              'duration_days', x.dur,
+              'n_at_risk',
+                 aggregate(bs, 0L, (a, y) -> a + y.d + y.c)
+               - aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.d + y.c),
+              'n_churned', x.d,
+              'n_censored', x.c))
+            """
+        ).alias("arr")
+    ).select(
+        F.expr(
+            """
+            transform(arr, (x, i) -> named_struct(
+              'duration_days', x.duration_days,
+              'n_at_risk', x.n_at_risk,
+              'n_churned', x.n_churned,
+              'n_censored', x.n_censored,
+              'survival',
+                floor(
+                  cast(aggregate(slice(arr, 1, i + 1),
+                                 cast(1 as decimal(38,0)),
+                                 (a, y) -> cast(a * cast(y.n_at_risk - y.n_churned
+                                                         as decimal(38,0))
+                                           as decimal(38,0))) as double)
+                  * 1000000
+                  / cast(aggregate(slice(arr, 1, i + 1),
+                                   cast(1 as decimal(38,0)),
+                                   (a, y) -> cast(a * cast(y.n_at_risk
+                                                           as decimal(38,0))
+                                             as decimal(38,0))) as double)
+                  + 0.5) / 1000000))
+            """
+        ).alias("arr2")
+    )
+    out = curve.select(F.explode("arr2").alias("r")).select(
+        "r.duration_days", "r.n_at_risk", "r.n_churned", "r.n_censored", "r.survival"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q185: CUPED-adjusted A/B lift (variance-reduced experiment readout)
+# ---------------------------------------------------------------------------
+
+_CUPED_CUTOFF = "2024-01-16"  # pre-period < cutoff <= post-period
+
+
+def _q185_oracle() -> str:
+    return f"""
+    WITH peru AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(coalesce(sum(CASE WHEN ts < DATE '{_CUPED_CUTOFF}'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+                  AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN ts >= DATE '{_CUPED_CUTOFF}'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy
+      FROM peru GROUP BY arm
+    ), pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+      FROM peru
+    )
+    SELECT a.arm, a.n_users,
+           floor(a.sy / a.n_users * 0.01 * 1000000 + 0.5) / 1000000 AS mean_post,
+           floor((a.sy / a.n_users
+                  - ((p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx))
+                    * (a.sx / a.n_users - p.sx / p.n))
+                 * 0.01 * 1000000 + 0.5) / 1000000 AS mean_post_cuped,
+           floor(((p.n * p.sxy - p.sx * p.sy) * (p.n * p.sxy - p.sx * p.sy))
+                 / ((p.n * p.sxx - p.sx * p.sx) * (p.n * p.syy - p.sy * p.sy))
+                 * 1000000 + 0.5) / 1000000 AS var_reduction
+    FROM arms a CROSS JOIN pooled p
+    """
+
+
+@_q("q185_cuped_lift", _q185_oracle())
+def q185_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout — the variance-reduction
+    technique every large experimentation platform runs (Deng et al.,
+    WSDM'13, public): the post-period metric y adjusts by the
+    pre-period covariate x, y' = y - theta (x - mean(x)) with theta =
+    cov(x,y)/var(x) POOLED across arms (per-arm theta would bias the
+    lift), shrinking variance by the squared correlation rho^2 —
+    reported as var_reduction. Arms assign deterministically
+    (user_id % 2 — the hash-split q92 family). Everything derives
+    from sufficient statistics: ONE user-key shuffle builds per-user
+    (x, y) cents, one 2-row arm aggregate + one pooled row, and every
+    adjusted mean is algebra over those sums — decimal(38,0) exact
+    (x*y passes int64 at warehouse scale), doubles only in the final
+    identically-phrased expressions. Users missing either period
+    count with 0 in it (dropping them biases both mean and theta).
+    Scale shape: the fact pass is the per-user agg; arms/pooled are
+    constant-size."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("date")
+    peru = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cutoff, cents)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).cast("long").alias("arm"), "x", "y")
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    arms = peru.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+    )
+    pooled = peru.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("psx"),
+        F.sum(dy).cast("double").alias("psy"),
+        F.sum((dx * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((dy * F.col("y")).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((dx * F.col("y")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    n, sx, sy = F.col("n"), F.col("psx"), F.col("psy")
+    cov = n * F.col("sxy") - sx * sy
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    theta = cov / vx
+    mean_post = F.floor(F.col("sy") / F.col("n_users") * 0.01 * 1000000 + F.lit(0.5)) / 1000000
+    mean_cuped = (
+        F.floor(
+            (
+                F.col("sy") / F.col("n_users")
+                - theta * (F.col("sx") / F.col("n_users") - sx / n)
+            )
+            * 0.01
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    var_red = F.floor((cov * cov) / (vx * vy) * 1000000 + F.lit(0.5)) / 1000000
+    return j.select(
+        "arm",
+        "n_users",
+        mean_post.alias("mean_post"),
+        mean_cuped.alias("mean_post_cuped"),
+        var_red.alias("var_reduction"),
+    )

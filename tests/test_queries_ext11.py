@@ -194,3 +194,81 @@ def test_q183_tie_and_window_contract(spark, qs, tmp_path):
         "unattributed": (1, 500),
         "signup": (1, 250),
     }
+
+
+def test_q184_km_exact_values_with_censoring(spark, qs, tmp_path):
+    """Hand-built cohort with a textbook-checkable curve: 5 users;
+    churns at durations 1, 2, 3 step the product down S = 4/5, then
+    *3/4 = 3/5, then *2/3 = 2/5; the two users active through the
+    corpus end are CENSORED at duration 5 — at risk the whole way
+    (their row keeps S unchanged), which is exactly what a naive
+    still-active-fraction gets wrong."""
+    import pandas as pd
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+
+    def user(uid, last_day):
+        nonlocal eid
+        for day in (0, last_day):
+            eid += 1
+            rows.append(
+                {"event_id": eid, "ts": base + datetime.timedelta(days=day),
+                 "user_id": uid, "event_type": "view", "value": 1.0, "props": "{}"}
+            )
+
+    user(1, 1)   # churned at dur 1 (last activity 4 days before end)
+    user(2, 2)   # censored? no: day 2 is 3 days before end -> churned?  see below
+    user(3, 3)
+    user(4, 5)   # defines corpus end (day 5)
+    user(5, 5)
+    # horizon = 1 day: last_day <= end - 1 -> churn. Users 1,2,3 churn
+    # at durations 1,2,3; users 4,5 censored at duration 5.
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    try:
+        got = {
+            r.duration_days: (r.n_at_risk, r.n_churned, r.n_censored, r.survival)
+            for r in qs["q184_survival_km"](spark, str(tmp_path)).collect()
+        }
+    finally:
+        invalidate_tables(str(tmp_path))
+    # exact rational products: S(1)=4/5, S(2)=4/5*3/4=3/5, S(3)=3/5*2/3=2/5
+    assert got == {
+        1: (5, 1, 0, 0.8),
+        2: (4, 1, 0, 0.6),
+        3: (3, 1, 0, 0.4),
+        5: (2, 0, 2, 0.4),
+    }
+
+
+def test_q185_perfect_covariate_collapses_variance(spark, qs, tmp_path):
+    """y = 2x exactly -> pooled rho^2 = 1 (var_reduction 1.0) and the
+    CUPED-adjusted means of BOTH arms equal the pooled post mean (the
+    covariate explains the entire between-arm difference)."""
+    import pandas as pd
+
+    pre = datetime.datetime(2024, 1, 10)
+    post = datetime.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for uid, v in [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]:
+        for ts, val in [(pre, v), (post, 2 * v)]:
+            eid += 1
+            rows.append(
+                {"event_id": eid, "ts": ts, "user_id": uid,
+                 "event_type": "purchase", "value": val, "props": "{}"}
+            )
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    try:
+        got = {
+            r.arm: (r.n_users, r.mean_post, r.mean_post_cuped, r.var_reduction)
+            for r in qs["q185_cuped_lift"](spark, str(tmp_path)).collect()
+        }
+    finally:
+        invalidate_tables(str(tmp_path))
+    # pooled post mean = (20+40+60+80)/4 = 50; raw arm means differ
+    # (arm 0: users 2,4 -> 60; arm 1: users 1,3 -> 40) but CUPED
+    # collapses both to the pooled mean
+    assert got[0] == (2, 60.0, 50.0, 1.0)
+    assert got[1] == (2, 40.0, 50.0, 1.0)
