@@ -694,23 +694,26 @@ def _q185_oracle() -> str:
       FROM events GROUP BY user_id
     ), arms AS (
       SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
-             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dsx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dsy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS dsxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS dsyy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS dsxy
       FROM peru GROUP BY arm
     ), pooled AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
-             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
-      FROM peru
+      SELECT CAST(sum(n_users) AS BIGINT) AS n,
+             CAST(sum(dsx) AS DOUBLE) AS sx, CAST(sum(dsy) AS DOUBLE) AS sy,
+             CAST(sum(dsxx) AS DOUBLE) AS sxx,
+             CAST(sum(dsyy) AS DOUBLE) AS syy,
+             CAST(sum(dsxy) AS DOUBLE) AS sxy
+      FROM arms
     )
     SELECT a.arm, a.n_users,
-           floor(a.sy / a.n_users * 0.01 * 1000000 + 0.5) / 1000000 AS mean_post,
-           floor((a.sy / a.n_users
+           floor(CAST(a.dsy AS DOUBLE) / a.n_users * 0.01 * 1000000 + 0.5)
+             / 1000000 AS mean_post,
+           floor((CAST(a.dsy AS DOUBLE) / a.n_users
                   - ((p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx))
-                    * (a.sx / a.n_users - p.sx / p.n))
+                    * (CAST(a.dsx AS DOUBLE) / a.n_users - p.sx / p.n))
                  * 0.01 * 1000000 + 0.5) / 1000000 AS mean_post_cuped,
            floor(((p.n * p.sxy - p.sx * p.sy) * (p.n * p.sxy - p.sx * p.sy))
                  / ((p.n * p.sxx - p.sx * p.sx) * (p.n * p.syy - p.sy * p.sy))
@@ -730,8 +733,10 @@ def q185_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported as var_reduction. Arms assign deterministically
     (user_id % 2 — the hash-split q92 family). Everything derives
     from sufficient statistics: ONE user-key shuffle builds per-user
-    (x, y) cents, one 2-row arm aggregate + one pooled row, and every
-    adjusted mean is algebra over those sums — decimal(38,0) exact
+    (x, y) cents, the arm aggregate carries all six sums, and the
+    pooled row FOLDS OVER THE 2 ARM ROWS (sums are additive) — the
+    fact table is scanned exactly once, plan-guarded; every adjusted
+    mean is algebra over those sums — decimal(38,0) exact
     (x*y passes int64 at warehouse scale), doubles only in the final
     identically-phrased expressions. Users missing either period
     count with 0 in it (dropping them biases both mean and theta).
@@ -750,32 +755,47 @@ def q185_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("user_id") % 2).cast("long").alias("arm"), "x", "y")
     dx = F.col("x").cast("decimal(38,0)")
     dy = F.col("y").cast("decimal(38,0)")
+    # The arm aggregate carries ALL the sufficient statistics (as exact
+    # decimals); the pooled row is a fold over the 2 arm rows — sums
+    # are additive, so the fact table is scanned exactly ONCE.
     arms = peru.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(dx).cast("double").alias("sx"),
-        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx).cast("decimal(38,0)").alias("dsx"),
+        F.sum(dy).cast("decimal(38,0)").alias("dsy"),
+        F.sum((dx * F.col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("dsxx"),
+        F.sum((dy * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("dsyy"),
+        F.sum((dx * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("dsxy"),
     )
-    pooled = peru.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dx).cast("double").alias("psx"),
-        F.sum(dy).cast("double").alias("psy"),
-        F.sum((dx * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
-        F.sum((dy * F.col("y")).cast("decimal(38,0)")).cast("double").alias("syy"),
-        F.sum((dx * F.col("y")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    # Pooled sums ride an UNPARTITIONED window over the arm frame —
+    # normally the single-task scale-killer, but here the window input
+    # is the aggregate's own 2-row output (bounded by the arm domain,
+    # not the corpus), and a separate arms.agg() branch would re-scan
+    # the fact table because Spark does not CSE self-referencing
+    # lineage (the operators/hierarchy.py plan-doubling note).
+    wall = Window.partitionBy()
+    j = arms.select(
+        "arm",
+        "n_users",
+        "dsx",
+        "dsy",
+        F.sum("n_users").over(wall).cast("long").alias("n"),
+        F.sum("dsx").over(wall).cast("double").alias("psx"),
+        F.sum("dsy").over(wall).cast("double").alias("psy"),
+        F.sum("dsxx").over(wall).cast("double").alias("sxx"),
+        F.sum("dsyy").over(wall).cast("double").alias("syy"),
+        F.sum("dsxy").over(wall).cast("double").alias("sxy"),
     )
-    j = arms.crossJoin(F.broadcast(pooled))
     n, sx, sy = F.col("n"), F.col("psx"), F.col("psy")
     cov = n * F.col("sxy") - sx * sy
     vx = n * F.col("sxx") - sx * sx
     vy = n * F.col("syy") - sy * sy
     theta = cov / vx
-    mean_post = F.floor(F.col("sy") / F.col("n_users") * 0.01 * 1000000 + F.lit(0.5)) / 1000000
+    a_sy = F.col("dsy").cast("double")
+    a_sx = F.col("dsx").cast("double")
+    mean_post = F.floor(a_sy / F.col("n_users") * 0.01 * 1000000 + F.lit(0.5)) / 1000000
     mean_cuped = (
         F.floor(
-            (
-                F.col("sy") / F.col("n_users")
-                - theta * (F.col("sx") / F.col("n_users") - sx / n)
-            )
+            (a_sy / F.col("n_users") - theta * (a_sx / F.col("n_users") - sx / n))
             * 0.01
             * 1000000
             + F.lit(0.5)

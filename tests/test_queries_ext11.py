@@ -242,6 +242,15 @@ def test_q184_km_exact_values_with_censoring(spark, qs, tmp_path):
     }
 
 
+def test_q185_single_scan(spark, qs):
+    """The pooled statistics fold over the 2 arm rows, so events is
+    scanned exactly once."""
+    plan = plan_of(qs["q185_cuped_lift"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") + tree.count("InMemoryTableScan") == 1
+    assert "Join" not in plan  # pooled rides the window, not a cross join
+
+
 def test_q185_perfect_covariate_collapses_variance(spark, qs, tmp_path):
     """y = 2x exactly -> pooled rho^2 = 1 (var_reduction 1.0) and the
     CUPED-adjusted means of BOTH arms equal the pooled post mean (the
