@@ -1,8 +1,15 @@
-"""Regenerate PLANS.md: formatted physical plans of the headline
-queries with a one-line scale note each — the `.explain("formatted")`
-audit trail reviewers would otherwise have to reproduce by hand.
+"""Regenerate the GENERATED PREFIX of PLANS.md: formatted physical
+plans of the headline queries with a one-line scale note each — the
+`.explain("formatted")` audit trail reviewers would otherwise have to
+reproduce by hand.
 
-Usage: python scripts/dump_plans.py > PLANS.md
+NOTE: PLANS.md is this script's output PLUS hand-appended per-round
+audit sections (everything after the last NOTES entry) — streaming
+queries in particular cannot be explain()'d by calling them (they RUN
+micro-batches and return the memory-sink result; their per-batch plan
+shape is summarized by hand). Do NOT `> PLANS.md` wholesale; regen the
+prefix and keep the appended sections, or add the new query to NOTES
+when its plan is a plain batch plan.
 """
 
 from __future__ import annotations
