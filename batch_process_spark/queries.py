@@ -510,10 +510,16 @@ def q07_result_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sorted status list is flattened with array_join for the oracle
     compare — the driver's canonicalizer cannot sort collection-typed
-    columns (round-1 q07 err)."""
+    columns (round-1 q07 err).
+
+    The 'u<id>' file label is a bijection of the long user_id, so both
+    aggregation stages group on the LONG and the label is built once
+    per output row afterwards: the shuffle carries 8-byte keys instead
+    of strings and the group-key hash/compare stays primitive — at the
+    100 TB target the key bytes dominate this exchange."""
     ev = _t(spark, sf_dir, "events")
     results = ev.select(
-        F.concat(F.lit("u"), F.col("user_id")).alias("file"),
+        F.col("user_id").alias("file"),
         F.floor("value").cast("bigint").alias("lines"),
         F.col("event_id").alias("words"),
         F.floor("value").cast("bigint").alias("chars"),
@@ -521,7 +527,11 @@ def q07_result_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("status"),
         F.col("ts").alias("timestamp"),
     )
-    return merge_results(results).withColumn("statuses", F.array_join("statuses", ","))
+    return (
+        merge_results(results)
+        .withColumn("file", F.concat(F.lit("u"), F.col("file")))
+        .withColumn("statuses", F.array_join("statuses", ","))
+    )
 
 
 @_q(
