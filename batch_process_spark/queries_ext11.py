@@ -529,8 +529,12 @@ def q183_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         purch, touches, on="ts", by="user_id", right_cols=["touch_type", "touch_ts"]
     )
+    # Full-precision bound: ts carries microseconds, and the oracle
+    # compares `t.ts >= p.ts - INTERVAL 86400 SECOND` at full precision
+    # — a cast-to-long diff would truncate both sides to whole seconds
+    # and admit touches in the (86400, 86401) band the oracle rejects.
     in_window = F.col("touch_ts_r").isNotNull() & (
-        F.col("ts").cast("long") - F.col("touch_ts_r").cast("long") <= _ATTR_WINDOW_S
+        F.col("touch_ts_r") >= F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECOND")
     )
     att = joined.select(
         F.when(in_window, F.col("touch_type_r"))
@@ -603,10 +607,14 @@ def q184_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-key shuffle for lifetimes, a <=31-row bucket aggregate
     collected into ONE row, and the whole curve folds in a single
     array expression — the fact-table pass is the lifetime agg,
-    everything after is constant-size. The 38-digit product bound
-    caps at #buckets * log10(n) digits (31 day-buckets x 5-digit
-    cohorts ~ 1e38 worst case); beyond that, bucket coarser or drop
-    to the log-space approximation — documented, not silent. The
+    everything after is constant-size. The 38-digit product bound is
+    sum_j log10(n_at_risk_j) <= 38 — the risk set SHRINKS every
+    bucket, so real curves use far less (measured: 6.4 digits at
+    sf0.01, 12.6 at sf0.1), but a deep curve over huge cohorts CAN
+    exceed it, and ANSI-off decimal overflow is a silent NULL — so
+    the division is guarded by assert_true and FAILS LOUDLY instead
+    (bucket coarser or drop to the log-space approximation then;
+    the HUGEINT oracle errors on overflow too, at ~1.7e38). The
     oracle is an INDEPENDENT recursive-CTE formulation over HUGEINT."""
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -651,25 +659,41 @@ def q184_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
               'n_at_risk', x.n_at_risk,
               'n_churned', x.n_churned,
               'n_censored', x.n_censored,
-              'survival',
-                floor(
-                  cast(aggregate(slice(arr, 1, i + 1),
-                                 cast(1 as decimal(38,0)),
-                                 (a, y) -> cast(a * cast(y.n_at_risk - y.n_churned
-                                                         as decimal(38,0))
-                                           as decimal(38,0))) as double)
-                  * 1000000
-                  / cast(aggregate(slice(arr, 1, i + 1),
-                                   cast(1 as decimal(38,0)),
-                                   (a, y) -> cast(a * cast(y.n_at_risk
-                                                           as decimal(38,0))
-                                             as decimal(38,0))) as double)
-                  + 0.5) / 1000000))
+              'num',
+                aggregate(slice(arr, 1, i + 1),
+                          cast(1 as decimal(38,0)),
+                          (a, y) -> cast(a * cast(y.n_at_risk - y.n_churned
+                                                  as decimal(38,0))
+                                    as decimal(38,0))),
+              'den',
+                aggregate(slice(arr, 1, i + 1),
+                          cast(1 as decimal(38,0)),
+                          (a, y) -> cast(a * cast(y.n_at_risk
+                                                  as decimal(38,0))
+                                    as decimal(38,0)))))
             """
         ).alias("arr2")
     )
+    # ANSI-off decimal overflow is a silent NULL: guard the exact
+    # products LOUDLY before dividing (assert_true returns NULL on
+    # success, so the `if` is just a sequencing idiom).
     out = curve.select(F.explode("arr2").alias("r")).select(
-        "r.duration_days", "r.n_at_risk", "r.n_churned", "r.n_censored", "r.survival"
+        "r.duration_days",
+        "r.n_at_risk",
+        "r.n_churned",
+        "r.n_censored",
+        F.expr(
+            """
+            if(isnull(assert_true(
+                 r.num is not null and r.den is not null,
+                 'q184: Kaplan-Meier decimal(38,0) product overflowed — '
+                 || 'sum(log10(n_at_risk)) exceeds 38 digits; coarsen the '
+                 || 'duration buckets or use the log-space approximation')),
+               floor(cast(r.num as double) * 1000000
+                     / cast(r.den as double) + 0.5) / 1000000,
+               cast(null as double))
+            """
+        ).alias("survival"),
     )
     return out
 

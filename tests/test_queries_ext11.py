@@ -242,6 +242,41 @@ def test_q184_km_exact_values_with_censoring(spark, qs, tmp_path):
     }
 
 
+def test_q184_km_overflow_fails_loudly(spark, qs, tmp_path):
+    """The exact decimal(38,0) survival products overflow to silent
+    NULL under the session's ANSI-off conf; q184's assert_true guard
+    must convert that into a LOUD error. Fixture: 900 users churning
+    30 per duration across 30 durations -> sum(log10(n_at_risk)) ~ 70
+    digits, well past 38."""
+    import pandas as pd
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for uid in range(900):
+        dur = 1 + uid % 30  # 30 users per duration 1..30
+        for day in (0, dur):
+            eid += 1
+            rows.append(
+                {"event_id": eid, "ts": base + datetime.timedelta(days=day),
+                 "user_id": uid, "event_type": "view", "value": 1.0, "props": "{}"}
+            )
+    # two sentinel users defining a later corpus end so every churn is
+    # observed (last_day <= end - horizon)
+    for uid in (1000, 1001):
+        eid += 1
+        rows.append(
+            {"event_id": eid, "ts": base + datetime.timedelta(days=40),
+             "user_id": uid, "event_type": "view", "value": 1.0, "props": "{}"}
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    try:
+        with pytest.raises(Exception, match="decimal\\(38,0\\) product overflowed"):
+            qs["q184_survival_km"](spark, str(tmp_path)).collect()
+    finally:
+        invalidate_tables(str(tmp_path))
+
+
 def test_q185_single_scan(spark, qs):
     """The pooled statistics fold over the 2 arm rows, so events is
     scanned exactly once."""
