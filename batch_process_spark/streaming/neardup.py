@@ -45,13 +45,21 @@ class LshIndex:
 
     bands: DataFrame  # (band_key, corpus_id)
     shingles: DataFrame  # (corpus_id, corpus_shingles)
+    # the shared shingle/minhash kernel frame, persisted so BOTH halves
+    # materialize from one kernel pass; released once the build's
+    # consumers have materialized (build_lsh_index does it eagerly,
+    # build_lsh_index_bucketed after its two table writes)
+    parent: DataFrame | None = None
 
     def unpersist(self) -> None:
-        for df in (self.bands, self.shingles):
+        for df in (self.bands, self.shingles, self.parent):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
                 pass
+        self.parent = None
 
 
 def build_lsh_index(
@@ -68,9 +76,18 @@ def build_lsh_index(
     collide in every band and can never verify). Both halves persisted
     by default: a stream-static join re-executes the static plan every
     micro-batch, which without the persist means re-shingling the
-    corpus per batch."""
+    corpus per batch.
+
+    The expensive shingle+minhash kernel runs ONCE: the shared parent
+    frame is persisted and both halves are materialized eagerly from
+    it (the first count executes the kernel and fills the parent
+    cache, the second reads it back), then the parent is released —
+    two independently-cached halves would each re-run the kernel on
+    first use."""
     sh = shingle_sig_frame(corpus, id_col, text_col, k, num_hashes)
-    nonempty = sh.filter(F.size("shingles") > 0)
+    # persisted BEFORE either half materializes, so the kernel runs
+    # once whichever half executes first (cache lookup is by plan)
+    nonempty = sh.filter(F.size("shingles") > 0).persist()
     band_rows = nonempty.select(
         F.col(id_col).alias("corpus_id"),
         F.explode(band_key_array(num_hashes, bands)).alias("band_key"),
@@ -81,7 +98,13 @@ def build_lsh_index(
     if persist:
         band_rows = band_rows.persist()
         shingle_rows = shingle_rows.persist()
-    return LshIndex(bands=band_rows, shingles=shingle_rows)
+        band_rows.count()
+        shingle_rows.count()
+        nonempty.unpersist()
+        return LshIndex(bands=band_rows, shingles=shingle_rows)
+    # caller (the bucketed builder) materializes both halves, then
+    # releases the parent via LshIndex.unpersist()
+    return LshIndex(bands=band_rows, shingles=shingle_rows, parent=nonempty)
 
 
 def build_lsh_index_bucketed(
@@ -121,6 +144,9 @@ def build_lsh_index_bucketed(
         n_buckets=n_buckets,
         sort_cols="corpus_id",
     )
+    # both table writes have materialized from the shared parent cache;
+    # release it before handing out the bucketed-table handles
+    idx.unpersist()
     return LshIndex(
         bands=spark.table(f"{table}_bands"),
         shingles=spark.table(f"{table}_shingles"),

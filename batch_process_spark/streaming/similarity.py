@@ -53,8 +53,12 @@ def stream_topk_serving(
     score = scorer or brute_force_topk
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
+        # No emptiness pre-check: that would cost an extra job (take(1)
+        # re-reads the batch source) on EVERY trigger. The scorer
+        # already collects the tiny query side once and short-circuits
+        # an empty batch to an empty typed frame without touching the
+        # corpus, so sinks see a (usually empty-on-idle) frame of the
+        # stable result schema either way.
         out = score(
             corpus,
             batch_df,
