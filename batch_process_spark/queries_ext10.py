@@ -1,6 +1,10 @@
-"""Query catalog part 11 (q161-q163): planar grid radius join (the 2-D
-bucketed-join family), CUSUM change-point detection via the
-cumsum-minus-running-min rewrite, and per-key lag-1 autocorrelation —
+"""Query catalog part 11 (q161-q177): planar grid radius join (the 2-D
+bucketed-join family), CUSUM change-point detection, per-key lag-1
+autocorrelation, pointer-doubling hierarchy ops (q164/q174), leakage-
+safe splits, clustering coefficient, Benford audit, the engine-native
+UDTF surface (q168), PageRank, HLL rollups, the three staged-stream
+queries (q171-q173: near-dup ingest, top-k serving, media ingest),
+interval max-concurrency, decay scores, and the equi-depth histogram —
 all in exact integer arithmetic until one final, identically-phrased
 double expression, per the catalog's determinism discipline.
 """
@@ -24,17 +28,38 @@ from batch_process_spark.queries import _q, _t
 #: (measured: zero close pairs at sf0.01); md5 nibbles are uniform.
 _GRID_R = 150
 
-
-@_q(
-    "q161_grid_radius_join",
-    f"""
-    WITH p AS (
+#: the ONE definition of the lattice, shared by every spatial query
+#: (q161 here, q181 in part 12) and by both engines: the Spark
+#: projection below and this SQL fragment must stay byte-equivalent.
+_LATTICE_SQL = """
       SELECT c_custkey,
              CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
                % 18000 AS y,
              CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
                % 36000 AS x
-      FROM customer
+      FROM customer"""
+
+
+def customer_lattice(cust: DataFrame) -> DataFrame:
+    """(c_custkey, y, x) on the shared md5 centi-degree lattice —
+    the Spark twin of ``_LATTICE_SQL``."""
+
+    def hexpart(pos: int):
+        return F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), pos, 6), 16, 10
+        ).cast("long")
+
+    return cust.select(
+        "c_custkey",
+        (hexpart(1) % 18000).alias("y"),
+        (hexpart(7) % 36000).alias("x"),
+    )
+
+
+@_q(
+    "q161_grid_radius_join",
+    f"""
+    WITH p AS ({_LATTICE_SQL}
     )
     SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
            CAST((a.y - b.y) * (a.y - b.y)
@@ -62,15 +87,7 @@ def q161_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     own semantics, identical in both engines."""
     from batch_process_spark.operators.spatial import grid_radius_join
 
-    cust = _t(spark, sf_dir, "customer")
-    hexpart = lambda pos: F.conv(
-        F.substring(F.md5(F.col("c_custkey").cast("string")), pos, 6), 16, 10
-    ).cast("long")
-    p = cust.select(
-        "c_custkey",
-        (hexpart(1) % 18000).alias("y"),
-        (hexpart(7) % 36000).alias("x"),
-    )
+    p = customer_lattice(_t(spark, sf_dir, "customer"))
     # Hot-cell salting is opt-in (SPARK_GRAFT_GRID_SALT=N): identical
     # pairs, hot-cell tasks bounded at ~1/N (tests/test_skew.py).
     joined = grid_radius_join(
@@ -838,31 +855,55 @@ def q170_hll_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q171_DIRS: dict = {}
 
 
-def _q171_slices(sf_dir: str, n_slices: int = 3):
-    """Stage the mutated-copy documents (the q18 near-dup mutations:
-    doc_id % 20 == 0, id + 1000000, suffix appended) as parquet slices
-    to feed one per micro-batch — pyarrow driver-side, memoized per
-    sf_dir like the q131/q134 event slices."""
+def _staged_slices(memo: dict, sf_dir: str, prefix: str, build_table, n_slices: int = 3):
+    """The ONE staging protocol for the q171-q173 stream fixtures:
+    ``build_table(sf_dir)`` returns a pyarrow Table, written as
+    ``n_slices`` contiguous parquet slices fed one per micro-batch
+    (driver-side, memoized per sf_dir like the q131/q134 event
+    slices). Returns ``(dir, write_slice)``; when every slice already
+    exists the table is NOT rebuilt and write_slice is a no-op.
+    ``release_staged_slices`` clears the memos on table rewrites."""
     import os
     import tempfile
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     key = os.path.abspath(sf_dir)
-    d = _Q171_DIRS.get(key)
+    d = memo.get(key)
     if d is not None and os.path.isdir(d) and all(
         os.path.exists(os.path.join(d, f"slice_{i}.parquet")) for i in range(n_slices)
     ):
         return d, lambda i: None
     if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="q171_slices_")
-        _Q171_DIRS[key] = d
+        d = tempfile.mkdtemp(prefix=prefix)
+        memo[key] = d
+    tbl = build_table(sf_dir)
+    n = tbl.num_rows
+    cuts = [round(i * n / n_slices) for i in range(n_slices + 1)]
+
+    def write_slice(i: int) -> None:
+        pq.write_table(
+            tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+            os.path.join(d, f"slice_{i}.parquet"),
+        )
+
+    write_slice(0)
+    return d, write_slice
+
+
+def _q171_table(sf_dir: str):
+    """Mutated-copy documents (the q18 near-dup mutations: doc_id % 20
+    == 0, id + 1000000, suffix appended)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     pdf = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).to_pandas()
     pdf = pdf[pdf["doc_id"] % 20 == 0]
-    muts = pa.table(
+    return pa.table(
         {
             "doc_id": pa.array((pdf["doc_id"] + 1000000).to_numpy(), pa.int64()),
             "text": pa.array(
@@ -871,17 +912,10 @@ def _q171_slices(sf_dir: str, n_slices: int = 3):
             ),
         }
     )
-    n = muts.num_rows
-    cuts = [round(i * n / n_slices) for i in range(n_slices + 1)]
 
-    def write_slice(i: int) -> None:
-        pq.write_table(
-            muts.slice(cuts[i], cuts[i + 1] - cuts[i]),
-            os.path.join(d, f"slice_{i}.parquet"),
-        )
 
-    write_slice(0)
-    return d, write_slice
+def _q171_slices(sf_dir: str, n_slices: int = 3):
+    return _staged_slices(_Q171_DIRS, sf_dir, "q171_slices_", _q171_table, n_slices)
 
 
 def _q171_oracle() -> str:
@@ -977,42 +1011,23 @@ def q171_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q172_DIRS: dict = {}
 
 
-def _q172_slices(sf_dir: str, n_slices: int = 3):
-    """Stage the query vectors (vec_id < 15) as parquet slices, one per
-    micro-batch — pyarrow driver-side, memoized per sf_dir."""
+def _q172_table(sf_dir: str):
+    """Query vectors (vec_id < 15) renamed to the serving schema."""
     import os
-    import tempfile
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    key = os.path.abspath(sf_dir)
-    d = _Q172_DIRS.get(key)
-    if d is not None and os.path.isdir(d) and all(
-        os.path.exists(os.path.join(d, f"slice_{i}.parquet")) for i in range(n_slices)
-    ):
-        return d, lambda i: None
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="q172_slices_")
-        _Q172_DIRS[key] = d
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    import pyarrow.compute as pc
-
-    tbl = tbl.filter(pc.less(tbl["vec_id"], 15)).rename_columns(
+    return tbl.filter(pc.less(tbl["vec_id"], 15)).rename_columns(
         ["query_id", "embedding"]
     )
-    n = tbl.num_rows
-    cuts = [round(i * n / n_slices) for i in range(n_slices + 1)]
 
-    def write_slice(i: int) -> None:
-        pq.write_table(
-            tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
-            os.path.join(d, f"slice_{i}.parquet"),
-        )
 
-    write_slice(0)
-    return d, write_slice
+def _q172_slices(sf_dir: str, n_slices: int = 3):
+    return _staged_slices(_Q172_DIRS, sf_dir, "q172_slices_", _q172_table, n_slices)
 
 
 def _q172_oracle() -> str:
@@ -1083,28 +1098,16 @@ def q172_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q173_DIRS: dict = {}
 
 
-def _q173_slices(sf_dir: str, n_slices: int = 3):
-    """Stage 200 structurally valid PNG payloads (same dimensions
-    recipe as q141's synth_png: w = 16 + id%64, h = 16 + 7id%64, CRCs
-    correct) as binary-column parquet slices — pure driver-side
-    stdlib, memoized per sf_dir."""
+def _q173_table(sf_dir: str):
+    """200 structurally valid PNG payloads (same dimensions recipe as
+    q141's synth_png: w = 16 + id%64, h = 16 + 7id%64, CRCs correct)
+    as a binary-column table — pure driver-side stdlib."""
     import os
     import struct
-    import tempfile
     import zlib
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    key = os.path.abspath(sf_dir)
-    d = _Q173_DIRS.get(key)
-    if d is not None and os.path.isdir(d) and all(
-        os.path.exists(os.path.join(d, f"slice_{i}.parquet")) for i in range(n_slices)
-    ):
-        return d, lambda i: None
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="q173_slices_")
-        _Q173_DIRS[key] = d
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -1131,14 +1134,13 @@ def _q173_slices(sf_dir: str, n_slices: int = 3):
         blobs.append(
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
         )
-    tbl = pa.table({"media_id": pa.array(ids, pa.int64()), "content": pa.array(blobs, pa.binary())})
-    cuts = [round(i * len(ids) / n_slices) for i in range(n_slices + 1)]
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()), "content": pa.array(blobs, pa.binary())}
+    )
 
-    def write_slice(i: int) -> None:
-        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), os.path.join(d, f"slice_{i}.parquet"))
 
-    write_slice(0)
-    return d, write_slice
+def _q173_slices(sf_dir: str, n_slices: int = 3):
+    return _staged_slices(_Q173_DIRS, sf_dir, "q173_slices_", _q173_table, n_slices)
 
 
 @_q(

@@ -1,9 +1,10 @@
-"""Query catalog part 12 (q178-q183): ordered-window robust statistics
+"""Query catalog part 12 (q178-q185): ordered-window robust statistics
 (rolling median, winsorized means), inequality/concentration metrics
 (per-group Gini), nearest-neighbor-within-radius on the planar grid,
-a one-pass pairwise correlation matrix, and batch last-touch revenue
-attribution via the as-of join — all exact integer arithmetic until
-one final, identically-phrased double expression, per the catalog's
+a one-pass pairwise correlation matrix, batch last-touch revenue
+attribution via the as-of join, the Kaplan-Meier survival curve, and
+CUPED-adjusted A/B lift — all exact integer arithmetic until one
+final, identically-phrased double expression, per the catalog's
 determinism discipline.
 
 Reference parity: the reference's statistics surface stops at
@@ -19,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batch_process_spark.queries import _q, _t
+from batch_process_spark.queries_ext10 import _GRID_R, _LATTICE_SQL, customer_lattice
 
 # ---------------------------------------------------------------------------
 # q178: per-customer rolling 5-order median of order value
@@ -279,19 +281,13 @@ def q180_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q181: nearest neighbor within radius on the planar grid
 # ---------------------------------------------------------------------------
 
-_NN_R = 150  # q161's centi-degree radius; same md5-derived lattice
+_NN_R = _GRID_R  # q161's centi-degree radius; the shared md5 lattice
 
 
 @_q(
     "q181_nn_within_radius",
     f"""
-    WITH p AS (
-      SELECT c_custkey,
-             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
-               % 18000 AS y,
-             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
-               % 36000 AS x
-      FROM customer
+    WITH p AS ({_LATTICE_SQL}
     ), pairs AS (
       SELECT a.c_custkey AS cust, b.c_custkey AS nn,
              CAST((a.y - b.y) * (a.y - b.y)
@@ -323,15 +319,7 @@ def q181_nn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-forces both directions of the same predicate."""
     from batch_process_spark.operators.spatial import grid_radius_join
 
-    cust = _t(spark, sf_dir, "customer")
-    hexpart = lambda pos: F.conv(  # noqa: E731  (q161's exact lattice)
-        F.substring(F.md5(F.col("c_custkey").cast("string")), pos, 6), 16, 10
-    ).cast("long")
-    p = cust.select(
-        "c_custkey",
-        (hexpart(1) % 18000).alias("y"),
-        (hexpart(7) % 36000).alias("x"),
-    )
+    p = customer_lattice(_t(spark, sf_dir, "customer"))
     joined = grid_radius_join(p, p, "y", "x", radius=_NN_R)
     dy = F.col("y") - F.col("y_r")
     dx = F.col("x") - F.col("x_r")
