@@ -268,7 +268,16 @@ def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star token counting: whitespace tokens + BPE-ish regex
-    pieces, aggregated per language. Map-only + tiny shuffle."""
+    pieces, aggregated per language. Map-only + tiny shuffle.
+
+    Negative result, measured round 7: an Arrow kernel counting with
+    pyarrow's RE2 (`count_substring_regex`, ~10x faster than
+    java.util.regex single-core on the BPE alternation: 88 ms for all
+    of sf0.1) is 1.5x SLOWER end-to-end (0.41 s vs 0.28 s same
+    session) — shipping the text column through the Python-worker
+    Arrow round trip costs more than the regex win, and both sides
+    scale with text bytes, so the ratio does not flip at 100 TB. The
+    codegen `regexp_count` pass stays."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
