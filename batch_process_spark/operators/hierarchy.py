@@ -33,6 +33,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def assert_closed(parents: DataFrame) -> None:
+    """Raise when any parent pointer DANGLES (a ``parent`` id with no
+    ``node`` row). The flatten/closure self-joins are INNER: a node
+    whose ancestor chain hits a dangling pointer silently vanishes
+    from the output — a corrupt forest returns fewer rows with no
+    signal. This check is one anti-join count job, so it is opt-in
+    (``validate=True`` on the operators) rather than paid on every
+    plan build; run it once per ingested hierarchy."""
+    dangling = (
+        parents.filter(F.col("node") != F.col("parent"))
+        .select(F.col("parent").alias("__p"))
+        .distinct()
+        .join(
+            parents.select(F.col("node").alias("__p")).distinct(), "__p", "left_anti"
+        )
+    )
+    n = dangling.count()
+    if n:
+        sample = [r["__p"] for r in dangling.limit(5).collect()]
+        raise ValueError(
+            f"hierarchy: {n} dangling parent pointer(s) (no matching node row), "
+            f"e.g. {sample}; nodes on those chains would silently drop from the "
+            "flatten/closure output. Fix the forest (roots must self-loop)."
+        )
+
+
 def _initial_state(parents: DataFrame) -> DataFrame:
     return parents.select(
         "node",
@@ -45,12 +71,17 @@ def _initial_state(parents: DataFrame) -> DataFrame:
 
 
 def flatten_pointer_doubling(
-    parents: DataFrame, rounds: int, checkpoint: bool = False
+    parents: DataFrame, rounds: int, checkpoint: bool = False, validate: bool = False
 ) -> DataFrame:
     """(node, root, depth) in ``rounds`` self-joins; resolves any node
     of depth <= 2**rounds. Roots' self-loops make the jump idempotent
     once resolved, so over-provisioned rounds are harmless (each costs
-    one more join of already-stable state)."""
+    one more join of already-stable state). Nodes whose chain hits a
+    DANGLING parent pointer drop from the output (inner self-join) —
+    pass ``validate=True`` (or call ``assert_closed`` once at ingest)
+    to fail loudly on a malformed forest instead."""
+    if validate:
+        assert_closed(parents)
     state = _initial_state(parents)
     for _ in range(rounds):
         if checkpoint:
@@ -70,11 +101,17 @@ def flatten_pointer_doubling(
     )
 
 
-def flatten_per_level(parents: DataFrame, max_depth: int) -> DataFrame:
+def flatten_per_level(
+    parents: DataFrame, max_depth: int, validate: bool = False
+) -> DataFrame:
     """The depth-many-joins baseline: each round advances every
     unresolved pointer ONE edge via a join against the parent table.
     Linear plan growth (the hop side is a fixed frame), ``max_depth``
-    shuffle joins — the shape pointer doubling exists to beat."""
+    shuffle joins — the shape pointer doubling exists to beat. Same
+    dangling-pointer drop contract as flatten_pointer_doubling
+    (``validate=True`` to fail loudly)."""
+    if validate:
+        assert_closed(parents)
     state = _initial_state(parents)
     hop = parents.select(F.col("node").alias("anc"), F.col("parent").alias("anc2"))
     for _ in range(max_depth):
@@ -91,7 +128,7 @@ def flatten_per_level(parents: DataFrame, max_depth: int) -> DataFrame:
 
 
 def ancestor_closure(
-    parents: DataFrame, rounds: int, checkpoint: bool = False
+    parents: DataFrame, rounds: int, checkpoint: bool = False, validate: bool = False
 ) -> DataFrame:
     """FULL transitive closure (node, anc, dist) of a parent-pointer
     forest — every (node, ancestor) pair including (node, node, 0),
@@ -109,7 +146,11 @@ def ancestor_closure(
     dist; the per-round distinct dedupes exactly. Output size is
     O(N x avg depth) — the price of closure vs flatten, paid by any
     formulation of subtree rollup. Same plan-doubling caveat as the
-    module doc: ``checkpoint=True`` for real scale."""
+    module doc (``checkpoint=True`` for real scale) and the same
+    dangling-pointer drop contract (``validate=True`` to fail loudly).
+    """
+    if validate:
+        assert_closed(parents)
     edges = parents.filter(F.col("node") != F.col("parent")).select(
         "node", F.col("parent").alias("anc"), F.lit(1).cast("long").alias("dist")
     )

@@ -21,11 +21,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic salt from a hash of the full row (its non-key
-    columns are what spread a hot key across buckets). Never
-    ``rand()`` — resubmitted tasks must salt identically or shuffles
-    double-count rows."""
+def with_salt(
+    df: DataFrame, buckets: int, salt_col: str = "__salt", mode: str = "content"
+) -> DataFrame:
+    """Deterministic salt. Never ``rand()`` — resubmitted tasks must
+    salt identically or shuffles double-count rows.
+
+    - ``mode="content"`` (default): hash of the full row. Retry-safe
+      unconditionally. LIMITATION: fully-identical rows all hash to
+      ONE bucket — a hot key whose rows are duplicates (or whose
+      payload has tiny cardinality) is NOT spread. Fine whenever some
+      column varies (ids, timestamps, measures).
+    - ``mode="positional"``: partition-relative position
+      (monotonically_increasing_id), which spreads even identical
+      rows. Retry-safe ONLY when the input's partition contents and
+      order are deterministic (a fresh file scan is; the reduce side
+      of a shuffle is not) — the same caveat Spark's own round-robin
+      repartition carries.
+    """
+    if mode == "positional":
+        return df.withColumn(
+            salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+        )
+    if mode != "content":
+        raise ValueError(f"with_salt: unknown mode {mode!r}")
     return df.withColumn(
         salt_col, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
     )
@@ -64,7 +83,21 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: dim replicated per salt bucket, fact salted
     deterministically, join on (key..., salt). Use when the dim is too
-    big to broadcast and fact keys are hot."""
+    big to broadcast and fact keys are hot.
+
+    Only FACT-PRESERVING join types are accepted: the dim side is
+    exploded over every salt value, so a dim-preserving type (right/
+    full/right_anti) would emit each unmatched dim row once PER SALT
+    REPLICA — ``buckets`` null-padded duplicates instead of one row."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join: join type {how!r} is dim-preserving; the exploded "
+            f"dim side would duplicate unmatched dim rows x{buckets}. Use a "
+            "fact-preserving type (inner/left/left_semi/left_anti) or salt "
+            "the other side."
+        )
     on = list(on)
     f = with_salt(fact, buckets)
     d = dim.withColumn(

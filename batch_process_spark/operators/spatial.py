@@ -85,8 +85,13 @@ def grid_radius_join(
         )
         keys.append("__salt")
         drop.append("__salt")
-    dy = F.col(y_col) - F.col(ry)
-    dx = F.col(x_col) - F.col(rx)
+    # Squares computed in LONG: with int-typed coordinate columns the
+    # int32 square wraps silently past |delta| ~ 46341 (ANSI off) and,
+    # since true pairs always satisfy sum < r^2, the wrap can only ADD
+    # false-positive pairs. Casting the deltas keeps the residual exact
+    # for any radius the 3x3 neighborhood can produce.
+    dy = (F.col(y_col) - F.col(ry)).cast("long")
+    dx = (F.col(x_col) - F.col(rx)).cast("long")
     return (
         lt.join(rt, keys)
         .filter(dy * dy + dx * dx < F.lit(r2))

@@ -205,7 +205,8 @@ def _duck_pr_iter(prev: str) -> str:
              (150000 // (SELECT count(*) FROM nation))
                + (COALESCE(s.c, 0) * 85) // 100 AS rank_micro
       FROM nodes LEFT JOIN (
-        SELECT e.dst AS nation, sum((r.rank_micro * e.w) // e.out_w) AS c
+        SELECT e.dst AS nation,
+               sum((CAST(r.rank_micro AS HUGEINT) * e.w) // e.out_w) AS c
         FROM e JOIN {prev} r ON r.nation = e.src
         GROUP BY e.dst
       ) s ON s.nation = nodes.nation"""
@@ -275,21 +276,29 @@ def q139_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.withColumn("out_w", F.sum("w").over(Window.partitionBy("src")))
     )
 
-    # N derived from the node table (a tiny plan-time count), never a
-    # magic constant — initial mass and teleport base scale with the
-    # actual graph
-    n_nodes = nation.count()
-    nodes = nation.select(F.col("n_name").alias("nation"))
-    ranks = nodes.select(
-        "nation", F.lit(_PR_SCALE // n_nodes).cast("long").alias("rank_micro")
+    # N derived from the node table IN-PLAN: the 1-row count rides a
+    # broadcast crossJoin on the node list (the q160 discipline — an
+    # eager .count() here would cost a job per plan BUILD and freeze a
+    # literal across table invalidation). Initial mass and teleport
+    # base scale with the actual graph.
+    ncnt = nation.agg(F.count(F.lit(1)).alias("__n"))
+    nodes = nation.select(F.col("n_name").alias("nation")).crossJoin(
+        F.broadcast(ncnt)
     )
-    base = _PR_SCALE * 15 // 100 // n_nodes
+    ranks = nodes.select(
+        "nation", F.expr(f"{_PR_SCALE} div __n").cast("long").alias("rank_micro")
+    )
+    base = F.expr(f"({_PR_SCALE} * 15 div 100) div __n")
     for _ in range(_PR_ITERS):
         contrib = edges.join(
             F.broadcast(ranks), edges.src == ranks.nation
         ).select(
             F.col("dst"),
-            F.expr("(rank_micro * w) div out_w").alias("c"),
+            # product in decimal(38,0): rank_micro * integer-cents
+            # weight passes int64 at warehouse SFs (the q163/q184
+            # overflow discipline); `div` floors back to long, and the
+            # quotient is bounded by rank_micro so the sum stays long
+            F.expr("(cast(rank_micro as decimal(38,0)) * w) div out_w").alias("c"),
         )
         sums = contrib.groupBy(F.col("dst").alias("nation")).agg(
             F.sum("c").alias("s")
@@ -298,7 +307,7 @@ def q139_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # its teleport-base rank instead of vanishing from the vector
         ranks = nodes.join(sums, "nation", "left").select(
             "nation",
-            (F.lit(base) + F.expr("(coalesce(s, 0) * 85) div 100"))
+            (base + F.expr("(coalesce(s, 0) * 85) div 100"))
             .cast("long")
             .alias("rank_micro"),
         )
@@ -1235,7 +1244,8 @@ def q153_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q154_scd2_asof",
     """
     WITH ev AS (
-      SELECT user_id, ts, event_type FROM events WHERE user_id < 20
+      SELECT user_id, ts, min(event_type) AS event_type
+      FROM events WHERE user_id < 20 GROUP BY user_id, ts
     ),
     hist AS (
       SELECT user_id, event_type,
@@ -1270,10 +1280,15 @@ def q154_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed after the rollup, and the as-of probe is a map-side filter."""
     from batch_process_spark.operators.merge import scd2_apply, scd2_init
 
+    # Tie-free by construction (the q137 discipline): duplicate
+    # (user, ts) events collapse to min(event_type) in BOTH engines —
+    # otherwise the lead()/chain windows break ts ties engine-arbitrarily
+    # and the interval holding the probe instant could differ.
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("user_id") < 20)
-        .select("user_id", "ts", "event_type")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_type").alias("event_type"))
     )
     first = ev.groupBy("user_id").agg(
         F.min("ts").alias("ts"), F.min_by("event_type", "ts").alias("event_type")

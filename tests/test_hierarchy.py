@@ -80,3 +80,21 @@ def test_ancestor_closure_complete_and_exact(spark):
         for r in ancestor_closure(parents, rounds=4, checkpoint=True).collect()
     }
     assert got2 == expect
+
+
+def test_dangling_parent_fails_loudly_with_validate(spark):
+    """A parent id with no node row silently drops the chain (inner
+    self-join); validate=True must turn that into a loud error, and a
+    closed forest must pass the same check."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 99)], "node long, parent long"
+    )
+    with pytest.raises(ValueError, match="dangling parent"):
+        flatten_pointer_doubling(bad, rounds=2, validate=True)
+    # silent-drop contract without validate: node 5 vanishes
+    got = {r["node"] for r in flatten_pointer_doubling(bad, rounds=2).collect()}
+    assert got == {1, 2}
+    ok = _forest(spark, 50)
+    assert flatten_per_level(ok, 5, validate=True).count() == 50

@@ -214,3 +214,34 @@ def test_grid_radius_join_salting_matches_and_bounds(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_dim_preserving_types(spark, skewed):
+    """Dim-preserving join types would emit unmatched dim rows once per
+    salt replica — the operator must refuse them loudly."""
+    dim = spark.createDataFrame([("hot", 1), ("absent", 2)], "k string, lbl int")
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="dim-preserving"):
+            salted_join(skewed, dim, ["k"], buckets=4, how=how)
+
+
+def test_with_salt_positional_spreads_identical_rows(spark):
+    """Content-hash salting maps fully-identical rows to ONE bucket (a
+    documented limitation); positional mode must actually spread them."""
+    dup = spark.range(1000).select(
+        F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+    ).repartition(4)
+    content = with_salt(dup, 8).select("__salt").distinct().count()
+    positional = with_salt(dup, 8, mode="positional").select("__salt").distinct().count()
+    assert content == 1  # the limitation, pinned
+    assert positional > 1
+
+    # salted_agg over positional salt still merges exactly
+    got = salted_agg(
+        with_salt(dup, 8, mode="positional").drop("__salt"),
+        ["k"],
+        {"cnt_p": F.count(F.lit(1)), "sum_p": F.sum("v")},
+        {"cnt": F.sum("cnt_p"), "sum_v": F.sum("sum_p")},
+        buckets=8,
+    ).collect()[0]
+    assert (got["cnt"], got["sum_v"]) == (1000, 1000.0)

@@ -190,3 +190,17 @@ def test_udtf_token_windows_stride_and_tail(spark):
     assert spark.sql("SELECT * FROM token_windows('a b', 4, 0)").count() == 0
     assert spark.sql("SELECT * FROM token_windows('a b', 0, 1)").count() == 0
     assert spark.sql("SELECT * FROM token_windows('a b', -3, 1)").count() == 0
+
+
+def test_residual_distance_is_long_typed(spark):
+    """INT-typed coordinates with a radius past 23170 would wrap the
+    int32 square (ANSI off) and ADMIT far pairs; the residual must
+    compute in long. Points ~59k apart, radius 30k, int columns."""
+    from batch_process_spark.operators.spatial import grid_radius_join
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 59000)], "id int, y int, x int"
+    ).select("id", F.col("y").cast("int"), F.col("x").cast("int"))
+    joined = grid_radius_join(pts, pts, "y", "x", radius=30000)
+    out = joined.filter(F.col("id") < F.col("id_r")).collect()
+    assert out == []  # 59000 > 30000: the wrapped square would admit it
