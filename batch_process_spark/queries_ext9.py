@@ -31,6 +31,34 @@ _Q153_DIRS: dict = {}
 # ---------------------------------------------------------------------------
 
 
+def _daily_spine(spark: SparkSession, sf_dir: str):
+    """(daily, spine) shared by the two resampling twins q137/q155:
+    the persisted per-(user, day) cents rollup (ONE events scan, one
+    (user, day) exchange — memoized so the twins share the
+    materialization) and the dense per-user date spine exploded from
+    its min/max (sequence-generated, never scanned). Any change to the
+    user cut, the quantization, or the spine bounds reaches BOTH
+    queries — they are documented as twins and must not drift."""
+    from batch_process_spark.queries_ext8 import _memoized_persist
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = _memoized_persist(
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("min_d"), F.max("day").alias("max_d"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(min_d, max_d, interval 1 day)")).alias("day"),
+        )
+    )
+    return daily, spine
+
+
 @_q(
     "q137_gap_fill_daily",
     """
@@ -74,23 +102,7 @@ def q137_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     read that materialized frame — nothing re-touches the raw events.
     The user_id < 30 cut keeps the compared result compact; the plan
     is cut-independent."""
-    from batch_process_spark.queries_ext8 import _memoized_persist
-
-    ev = _t(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    daily = _memoized_persist(
-        ev.filter(F.col("user_id") < 30)
-        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.sum(cents).alias("cents"))
-    )
-    spine = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("min_d"), F.max("day").alias("max_d"))
-        .select(
-            "user_id",
-            F.explode(F.expr("sequence(min_d, max_d, interval 1 day)")).alias("day"),
-        )
-    )
+    daily, spine = _daily_spine(spark, sf_dir)
     joined = spine.join(daily, ["user_id", "day"], "left").select(
         "user_id",
         "day",
@@ -600,28 +612,28 @@ def q144_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     d, write_slice = _staged_event_slices(sf_dir, "q144")
 
+    # The check EXPRESSIONS and NAMES come from the same helper the
+    # q142 batch gate uses (operators/quality.py::_column_check_expr) —
+    # the streaming twin cannot drift from the batch semantics it
+    # claims to mirror. (unique/foreign_key need the full check_
+    # constraints machinery and are not streamable as running sums.)
+    from batch_process_spark.operators.quality import _column_check_expr
+
+    checks = [
+        {"type": "not_null", "column": "user_id"},
+        {"type": "range", "column": "value", "min": 0, "max": 450},
+        {
+            "type": "accepted_values",
+            "column": "event_type",
+            "values": ["click", "view", "purchase", "signup"],
+        },
+    ]
+    named = [_column_check_expr(c) for c in checks]
+
     def transform(stream):
         ev = _normalize_stream_ts(stream)
-        z = F.lit(0).cast("long")
         return ev.agg(
-            F.coalesce(F.sum(F.col("user_id").isNull().cast("long")), z).alias("__c0"),
-            F.coalesce(
-                F.sum(
-                    F.coalesce(
-                        (F.col("value") < 0) | (F.col("value") > 450), F.lit(False)
-                    ).cast("long")
-                ),
-                z,
-            ).alias("__c1"),
-            F.coalesce(
-                F.sum(
-                    (
-                        ~F.col("event_type").isin("click", "view", "purchase", "signup")
-                        & F.col("event_type").isNotNull()
-                    ).cast("long")
-                ),
-                z,
-            ).alias("__c2"),
+            *[expr.cast("long").alias(f"__c{i}") for i, (_, expr) in enumerate(named)]
         )
 
     counters = run_stream_to_memory(
@@ -633,12 +645,20 @@ def q144_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
         feeds=[lambda: write_slice(1), lambda: write_slice(2)],
     )
-    return counters.select(
-        F.expr(
-            "stack(3, 'not_null:user_id', __c0, 'range:value', __c1, "
-            "'accepted:event_type', __c2) as (check_name, violations)"
-        )
-    ).withColumn("passed", F.col("violations") == 0)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(f"__c{i}").alias("violations"),
+            )
+            for i, (name, _) in enumerate(named)
+        ]
+    )
+    return (
+        counters.select(F.explode(rows).alias("r"))
+        .select("r.check_name", "r.violations")
+        .withColumn("passed", F.col("violations") == 0)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1037,21 +1057,18 @@ def q151_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship per round — the Pregel BFS rewrite, 4 unrolled supersteps.
     The oracle is the same walk as a recursive CTE (UNION-dedup)
     reduced by min(d)."""
+    from batch_process_spark.operators.graph import copurchase_edges
     from batch_process_spark.queries_ext8 import _memoized_persist
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") <= 2000)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    # the canonical (u < v) basket edge set, shared with q149/q166/q169
+    # so the cap/canonicalization cannot drift — BFS walks an
+    # undirected graph, so symmetrize it (each pair in both directions)
+    canon = copurchase_edges(li, "l_orderkey", "l_partkey")
     edges = _memoized_persist(
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-        .join(b, "o")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
+        canon.unionByName(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     seed = edges.agg(F.min("u").alias("node"))
     visited = _memoized_persist(seed.withColumn("hops", F.lit(0).cast("long")))
@@ -1368,23 +1385,7 @@ def q155_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction so every gap day has both fences. Shuffle shape
     matches q137: one (user, day) exchange into the persisted daily
     rollup; every window is user-partitioned."""
-    from batch_process_spark.queries_ext8 import _memoized_persist
-
-    ev = _t(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    daily = _memoized_persist(
-        ev.filter(F.col("user_id") < 30)
-        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.sum(cents).alias("cents"))
-    )
-    spine = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("min_d"), F.max("day").alias("max_d"))
-        .select(
-            "user_id",
-            F.explode(F.expr("sequence(min_d, max_d, interval 1 day)")).alias("day"),
-        )
-    )
+    daily, spine = _daily_spine(spark, sf_dir)
     joined = spine.join(daily, ["user_id", "day"], "left")
     w_prev = (
         Window.partitionBy("user_id")
