@@ -74,18 +74,33 @@ def connected_components(
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"strategy must be auto|driver|distributed, got {strategy!r}")
     spark = pairs.sparkSession
-    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
-    # The pair count only arbitrates 'auto'; forcing 'distributed' must
-    # not pay a full count job (at real scale that is a whole extra
-    # pass over the pair stream before any useful work).
-    if strategy != "distributed":
+    # NULL ids cannot participate in connectivity. The distributed
+    # path's equi-joins would drop them implicitly; filter them HERE so
+    # the driver path agrees instead of crashing union-find on a
+    # None-vs-int comparison — same answer from either strategy.
+    p = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .persist()
+    )
+    # The pair count only arbitrates 'auto'; forcing EITHER strategy
+    # must not pay a full count job (at real scale that is a whole
+    # extra pass over the pair stream before any useful work).
+    if strategy == "auto":
         n_pairs = p.count()
     if strategy == "driver" or (strategy == "auto" and n_pairs <= DRIVER_UF_MAX_PAIRS):
         if report is not None:
             report.update(strategy="driver", rounds=0)
         comp = _driver_union_find((r["src"], r["dst"]) for r in p.toLocalIterator())
         p.unpersist()
-        id_type = dict(pairs.dtypes)[id_a]
+        # node ids come from BOTH columns: type the output at their
+        # widest (an int id_a with bigint id_b must not truncate)
+        widths = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+        ta, tb = dict(pairs.dtypes)[id_a], dict(pairs.dtypes)[id_b]
+        if ta in widths and tb in widths:
+            id_type = ta if widths[ta] >= widths[tb] else tb
+        else:
+            id_type = ta  # non-integral ids: both sides must already agree
         return spark.createDataFrame(
             list(comp.items()), f"node {id_type}, component {id_type}"
         )

@@ -88,8 +88,10 @@ def fold_dim_to_map(
     the plan as literals. A plan held across a dim-table update serves
     the stale snapshot — unlike the broadcast join it replaces, which
     re-reads at execution. Callers that hold built plans must rebuild
-    after table changes (our ``queries()`` callables reconstruct the
-    plan on every call, so the catalog path is always fresh).
+    after table changes. NOTE: the catalog's ``queries()`` callables
+    MEMOIZE plans per (session, sf_dir) — a mid-session table rewrite
+    must go through ``queries.invalidate_tables``, which drops both the
+    plan cache and these baked literals; nothing else refreshes them.
     """
     rows = dim.select(key_col, val_col).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
@@ -131,9 +133,10 @@ def semi_join_to_inset(keys_df: DataFrame, key_col: str, max_keys: int = 10_000)
     EAGER SNAPSHOT: this runs a Spark job NOW (distinct scan of the
     build side) and freezes the key set into the returned list. Plans
     built from it do not see later updates to the underlying table —
-    rebuild the plan (our ``queries()`` callables reconstruct per call)
-    after any table change, or keep the real semi join when the build
-    side is mutable."""
+    rebuild the plan after any table change (for catalog queries that
+    means ``queries.invalidate_tables``, since ``queries()`` callables
+    memoize plans per (session, sf_dir)), or keep the real semi join
+    when the build side is mutable."""
     rows = keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
     if len(rows) > max_keys:
         return None

@@ -174,7 +174,15 @@ def cms_counter_table(
     )
     bucket = (
         F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("row_salt"), F.col("token"))), 1, 8),
+            F.substring(
+                F.md5(
+                    # concat, NOT concat_ws: a NULL token must hash to
+                    # NULL (the SQL || twin propagates NULL), never to
+                    # the salt-only string
+                    F.concat(F.col("row_salt").cast("string"), F.lit(":"), F.col("token"))
+                ),
+                1, 8,
+            ),
             16, 10,
         ).cast("long") % width
     )
@@ -199,7 +207,14 @@ def cms_lookup(
     ).withColumn(
         "bucket",
         F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("row_salt"), F.col(token_col))), 1, 8),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("row_salt").cast("string"), F.lit(":"), F.col(token_col)
+                    )
+                ),
+                1, 8,
+            ),
             16, 10,
         ).cast("long") % width,
     )
@@ -269,7 +284,14 @@ def bloom_bit_positions(
     pos = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col("__salt"), F.col(key_col).cast("string"))), 1, 8
+                F.md5(
+                    F.concat(
+                        F.col("__salt").cast("string"),
+                        F.lit(":"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1, 8,
             ),
             16, 10,
         ).cast("long") % m_bits
@@ -295,7 +317,12 @@ def bloom_probe(
     checks = [
         F.array_contains(
             F.col("__bits"),
-            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(i), key)), 1, 8), 16, 10).cast("long")
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(i) + ":"), key.cast("string"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long")
             % m_bits,
         )
         for i in range(k)

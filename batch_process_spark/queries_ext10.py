@@ -875,7 +875,13 @@ def _staged_slices(memo: dict, sf_dir: str, prefix: str, build_table, n_slices: 
     ):
         return d, lambda i: None
     if d is None or not os.path.isdir(d):
+        import atexit
+        import shutil
+
         d = tempfile.mkdtemp(prefix=prefix)
+        # reclaim the staged copy at interpreter exit (the _layout_dir
+        # discipline); in-session invalidation is release_staged_slices
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         memo[key] = d
     tbl = build_table(sf_dir)
     n = tbl.num_rows

@@ -59,7 +59,11 @@ def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     key = (os.path.abspath(sf_dir), table)
     d = _STREAM_DIRS.get(key)
     if d is None or not os.path.isdir(d):
+        import atexit
+        import shutil
+
         d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)  # symlink only, but reclaim anyway
         os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), os.path.join(d, f"{table}.parquet"))
         _STREAM_DIRS[key] = d
     return d

@@ -82,6 +82,20 @@ _DUCK_HLL_KEY = (
     "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
 )
 
+
+def _hll_key():
+    """The ONE Spark statement of the sketch key (the _DUCK_HLL_KEY
+    twin), shared by q127/q131/q132/q133 so the copies cannot drift.
+    F.concat, NOT concat_ws: SQL || propagates NULL, concat_ws skips
+    NULL args — with a NULL user_id the two engines would otherwise
+    hash different key populations (Spark counting the hour-only
+    remainder, DuckDB dropping the row)."""
+    return F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.date_trunc("hour", F.col("ts")).cast("string"),
+    )
+
 # Shared DuckDB fragments for the HLL family (q127/q131/q132): ONE
 # statement of the register build and ONE of the estimate math, so the
 # SQL twins cannot drift from each other or from
@@ -165,11 +179,7 @@ def q127_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation-only — at scale it's the expensive thing the sketch
     replaces."""
     ev = _t(spark, sf_dir, "events")
-    key = F.concat_ws(
-        ":",
-        F.col("user_id").cast("string"),
-        F.date_trunc("hour", F.col("ts")).cast("string"),
-    )
+    key = _hll_key()
     keyed = ev.select(F.col("event_type"), key.alias("key"))
 
     # GROUPING SETS ((type, bucket), (bucket)) computes per-type
@@ -418,7 +428,14 @@ def _staged_event_slices(sf_dir: str, tag: str, n_slices: int = 3):
     ):
         return d, lambda i: None  # all slices staged: feeds are no-ops
     if d is None or not os.path.isdir(d):
+        import atexit
+        import shutil
+
         d = tempfile.mkdtemp(prefix=f"{tag}_slices_")
+        # a staged dir holds a full events-table copy: reclaim it at
+        # interpreter exit (the _layout_dir discipline) — in-session
+        # invalidation goes through release_sketch_caches
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         _Q131_DIRS[key] = d
     tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     n = tbl.num_rows
@@ -468,11 +485,7 @@ def q131_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def transform(stream):
         ev = _normalize_stream_ts(stream)
-        key = F.concat_ws(
-            ":",
-            F.col("user_id").cast("string"),
-            F.date_trunc("hour", F.col("ts")).cast("string"),
-        )
+        key = _hll_key()
         return hll_register_table(
             ev.select("event_type", key.alias("key")), "key", ["event_type"], p=_HLL_P
         )
@@ -608,11 +621,7 @@ def q132_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection-heavy workloads. Union estimates, the lossless merge,
     stay within normal HLL error."""
     ev = _t(spark, sf_dir, "events")
-    key = F.concat_ws(
-        ":",
-        F.col("user_id").cast("string"),
-        F.date_trunc("hour", F.col("ts")).cast("string"),
-    )
+    key = _hll_key()
     keyed = ev.select(F.col("event_type"), key.alias("key"))
     regs = hll_register_table(keyed, "key", ["event_type"], p=_HLL_P).withColumnRenamed(
         "event_type", "scope"
@@ -752,11 +761,7 @@ def q133_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    key = F.concat_ws(
-        ":",
-        F.col("user_id").cast("string"),
-        F.date_trunc("hour", F.col("ts")).cast("string"),
-    )
+    key = _hll_key()
     h = F.conv(F.substring(F.md5(F.col("key")), 1, 15), 16, 10).cast("long")
     dh = (
         ev.select(F.col("event_type"), key.alias("key"))

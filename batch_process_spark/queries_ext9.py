@@ -1212,11 +1212,15 @@ def q153_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the _staged_event_slices discipline), and the staged batch
     # SEQUENCE must rebuild identically each run — stale files from a
     # prior run would double the feed
-    di, dc = _Q153_DIRS.get("dirs") or (
-        tempfile.mkdtemp(prefix="q153_imp_"),
-        tempfile.mkdtemp(prefix="q153_clk_"),
-    )
-    _Q153_DIRS["dirs"] = (di, dc)
+    if "dirs" not in _Q153_DIRS:
+        import atexit
+        import shutil
+
+        pair = (tempfile.mkdtemp(prefix="q153_imp_"), tempfile.mkdtemp(prefix="q153_clk_"))
+        for d in pair:  # reclaim at interpreter exit (_layout_dir discipline)
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _Q153_DIRS["dirs"] = pair
+    di, dc = _Q153_DIRS["dirs"]
     for d in (di, dc):
         for f in os.listdir(d):
             os.unlink(os.path.join(d, f))

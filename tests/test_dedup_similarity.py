@@ -395,3 +395,34 @@ def test_stream_neardup_matches_batch_self_join(spark):
         if r["id_b"] >= 100 and r["id_a"] < 100
     }
     assert got == expect and got  # non-vacuous
+
+
+def test_connected_components_null_pairs_agree_across_strategies(spark):
+    """NULL ids cannot participate in connectivity: both strategies must
+    drop them (the driver union-find used to crash comparing int to
+    None while the distributed joins silently dropped)."""
+    from batch_process_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 42), (7, None), (2, 3)], "id_a long, id_b long"
+    )
+    for strat in ("driver", "distributed"):
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs, strategy=strat).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1)}, strat
+
+
+def test_connected_components_driver_types_widest_of_both_columns(spark):
+    """Mixed int/bigint pair columns: the driver path must type the
+    output at the wider column (node ids come from BOTH sides)."""
+    from batch_process_spark.operators.graph import connected_components
+
+    big = 2**40
+    pairs = spark.createDataFrame([(1, big)], "id_a int, id_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, strategy="driver").collect()
+    }
+    assert got == {(1, 1), (big, 1)}
