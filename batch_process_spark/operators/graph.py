@@ -303,3 +303,117 @@ def pagerank(
             )
         )
     return state.select("node", "rank")
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+    seed: DataFrame | None = None,
+    persist=None,
+) -> DataFrame:
+    """Bounded-hop cheapest path: Bellman-Ford over a weighted
+    DIRECTED edge list (symmetrize first for undirected graphs). The
+    returned frame holds, for every reached node, the exact minimum
+    cost over all walks of at most ``rounds`` edges from the seed —
+    the bounded-radius routing semantics (with non-negative weights
+    the min-cost walk is a path, so this equals k-bounded SSSP).
+
+    ``seed`` is a (node, cost) frame; ``None`` seeds from the smallest
+    ``u`` in the edge set at cost 0 (a deterministic default that
+    needs no caller-side action). ``persist`` is an optional
+    ``DataFrame -> DataFrame`` hook (e.g. ``.persist()`` or a memo)
+    applied to each round's frontier so round k never recomputes
+    rounds 1..k-1.
+
+    Scale shape — the Pregel SSSP rewrite, ``rounds`` unrolled
+    supersteps, q151's accumulate-then-reduce discipline: the edge
+    frame hash-partitions on ``u`` once and never moves; round k's
+    frontier is "best cost over walks of EXACTLY k edges" — one
+    equi-join at frontier granularity + one per-destination
+    partial-agg ``min``, so the frontier is NODE-bounded (never
+    path-bounded) and the rounds reduce to the answer with one final
+    ``min`` over their union. Deliberately NOT the delta variant
+    (anti-join each round's frontier against the running best): that
+    formulation joins a persisted union against its own lineage,
+    which the local AQE planner miscompiles into a zip of unequal
+    partition counts ("Can't zip RDDs", hit under test — the
+    accumulate shape has no join against accumulated state at all,
+    and its extra traffic is bounded by reached-nodes x rounds).
+    Lineage grows linearly in rounds (each frontier joins the fixed
+    edge frame, never itself).
+    """
+    keep = persist if persist is not None else (lambda df: df)
+    e = edges.select(
+        F.col(u_col).alias("__su"), F.col(v_col).alias("__sv"), F.col(w_col).alias("__sw")
+    )
+    if seed is None:
+        seed = e.groupBy().agg(F.min("__su").alias("node")).select(
+            "node", F.lit(0).cast("long").alias("cost")
+        )
+    frontier = keep(seed.select("node", F.col("cost").cast("long").alias("cost")))
+    acc = frontier
+    for _ in range(rounds):
+        frontier = keep(
+            frontier.join(e.hint("shuffle_hash"), frontier.node == e.__su)
+            .select(F.col("__sv").alias("node"), (F.col("cost") + F.col("__sw")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        acc = acc.unionByName(frontier)
+    return acc.groupBy("node").agg(F.min("cost").alias("cost"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    u_col: str = "u",
+    v_col: str = "v",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Iterated degree peel toward the k-core over a SYMMETRIC edge
+    set (every undirected edge present in both directions, so
+    ``groupBy(u).count()`` IS the node degree): each round drops every
+    node of degree < ``k`` and the edges touching it. Runs EXACTLY
+    ``rounds`` peels — deterministic bounded semantics that an oracle
+    can restate as ``rounds`` unrolled SQL stages; when the peel
+    reaches a fixpoint earlier the remaining rounds are no-ops and the
+    result is the true k-core. Returns the surviving edge frame
+    (callers derive nodes/degrees with one more ``groupBy``).
+
+    Scale shape: each round is one partial-agg degree count (shuffle
+    on ``u``) plus two left-semi joins that reuse the same hash
+    partitioning on ``u`` then ``v``; edge count is monotonically
+    non-increasing, so per-round cost shrinks.
+
+    ``checkpoint=True`` (the default, and unlike the other iterative
+    operators here NOT optional at real round counts) cuts the logical
+    lineage per round with an eager ``localCheckpoint``: a peel
+    round's plan references its predecessor THREE times — the edge
+    frame itself plus both semi-join sides — so the logical tree is
+    3^rounds copies of the base plan and Catalyst analysis goes
+    combinatorial long before execution starts (measured: 8 rounds at
+    a few thousand edges hangs the driver; ``persist`` alone does NOT
+    help, it caches the physical result but leaves the logical tree
+    intact). The checkpoint costs one small eager job per round —
+    exactly the per-superstep barrier a Pregel system runs anyway.
+    ``checkpoint=False`` is for single-digit-round unit fixtures that
+    must stay job-free.
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    for _ in range(rounds):
+        ok = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("u")
+        )
+        e = e.join(ok.hint("shuffle_hash"), "u", "left_semi").join(
+            ok.select(F.col("u").alias("v")).hint("shuffle_hash"), "v", "left_semi"
+        )
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+    return e

@@ -1,0 +1,642 @@
+"""Query catalog part 13 (q186-q191): weighted bounded-hop cheapest
+paths (Bellman-Ford supersteps over a kNN-pruned graph), a
+hash-deterministic Poisson-bootstrap confidence interval for the mean
+(the one-pass resampling technique that makes uncertainty estimates
+tractable at the 100 TB target), k-core peeling on the co-purchase
+graph, ratio-to-overall seasonal indices with a seasonal-naive
+backtest, Wilson-interval repeat-purchase ranking, and RFM quintile
+segmentation — all exact integer arithmetic until one final,
+identically-phrased double expression, per the catalog's determinism
+discipline.
+
+Reference parity: the reference's graph/statistics surface stops at
+per-group summaries (``batch_process/analyze.py``); everything here is
+"beyond the reference" in SURVEY §2's sense — the routing, resampling,
+and decomposition shapes a production pipeline needs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_spark.queries import _q, _t
+from batch_process_spark.queries_ext8 import _memoized_persist
+
+# ---------------------------------------------------------------------------
+# q186: bounded-hop cheapest route over the weighted co-purchase graph
+# ---------------------------------------------------------------------------
+
+_SSSP_CAP = 2000  # same bounded subgraph knob as q151's BFS
+_SSSP_HOPS = 4
+
+_SSSP_DEG = 8
+
+# Weighted twin of q151's edge set: per (order, part) the minimal
+# integer quantity; an edge's weight is the cheapest combined quantity
+# over all shared orders; then each node keeps only its _SSSP_DEG
+# cheapest out-neighbors (ties broken by neighbor id) — the k-NN-graph
+# prune every graph-routing system applies before searching (a raw
+# co-purchase graph degenerates toward a clique on small part
+# catalogs: max degree 138 of 200 nodes at sf0.001, which makes the
+# oracle's path recursion combinatorial). Exact BIGINT arithmetic.
+_SSSP_EDGE_SQL = f"""
+    dp AS (
+      SELECT l_orderkey, l_partkey,
+             min(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS q
+      FROM lineitem WHERE l_orderkey <= {_SSSP_CAP}
+      GROUP BY l_orderkey, l_partkey
+    ),
+    ec AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, min(a.q + b.q) AS w
+      FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS (
+      SELECT u, v, w FROM ec UNION ALL SELECT v, u, w FROM ec
+    ),
+    edges AS (
+      SELECT u, v, w FROM (
+        SELECT u, v, w,
+               row_number() OVER (PARTITION BY u ORDER BY w, v) AS rn
+        FROM sym
+      ) WHERE rn <= {_SSSP_DEG}
+    )
+"""
+
+
+def _sssp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE Spark statement of the weighted symmetric edge set (the
+    ``_SSSP_EDGE_SQL`` twin), shared by q186 so the cap/weights cannot
+    drift from the oracle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= _SSSP_CAP)
+    dp = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("q"),
+        )
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.min("q").alias("q"))
+    )
+    b = dp.select(
+        F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("v"), F.col("q").alias("qv")
+    )
+    ec = (
+        dp.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("u"), "q")
+        .join(b, "__o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min(F.col("q") + F.col("qv")).alias("w"))
+    )
+    sym = ec.unionByName(ec.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("u").orderBy("w", "v"))
+    return sym.withColumn("__rn", rn).filter(F.col("__rn") <= _SSSP_DEG).drop("__rn")
+
+
+@_q(
+    "q186_sssp_cheapest_route",
+    f"""
+    WITH RECURSIVE {_SSSP_EDGE_SQL},
+    walk(node, cost, d) AS (
+      SELECT (SELECT min(u) FROM edges), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.v, w.cost + e.w, w.d + 1
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.d < {_SSSP_HOPS}
+    )
+    SELECT node AS l_partkey, min(cost) AS cheapest_cost
+    FROM walk GROUP BY node
+    """,
+)
+def q186_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source cheapest paths within {hops} hops
+    (Bellman-Ford supersteps) over the top-8-cheapest-pruned part
+    co-purchase graph — the WEIGHTED twin of q151's BFS: edge weight
+    is the cheapest combined order quantity, and after round k every
+    reached node carries the exact min cost over walks of <= k edges
+    (non-negative weights, so that IS the k-bounded shortest path).
+    Each round is one equi-join of the NODE-bounded frontier against
+    the persisted, u-partitioned edge frame + a per-destination
+    partial-agg min; the rounds' union reduces with one final min
+    groupBy, and the oracle restates the same bounded walk as a
+    recursive CTE reduced by min(cost). See
+    `operators/graph.py::sssp_bounded` for the scale contract (and
+    why the accumulate shape, not the delta/anti-join one).
+    """
+    from batch_process_spark.operators.graph import sssp_bounded
+
+    edges = _memoized_persist(_sssp_edges(spark, sf_dir))
+    out = sssp_bounded(edges, rounds=_SSSP_HOPS, persist=_memoized_persist)
+    return out.select(F.col("node").alias("l_partkey"), F.col("cost").alias("cheapest_cost"))
+
+
+q186_sssp_cheapest_route.__doc__ = q186_sssp_cheapest_route.__doc__.format(hops=_SSSP_HOPS)
+
+# ---------------------------------------------------------------------------
+# q187: Poisson-bootstrap 95% CI for mean customer spend
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 100
+_BOOT_M = 2147483647  # 2^31 - 1
+_BOOT_A = 2654435761  # Knuth multiplicative hash constant
+# The replicate coefficient must be LARGE relative to M: with a small
+# B the 100 replicate draws of one customer sit in a band of width
+# 100*B/M of the unit interval, so its weight barely varies across
+# replicates and the "bootstrap" degenerates to 100 copies of one
+# resample (caught in review: the CI excluded the point estimate).
+_BOOT_B = 1566083941  # Marsaglia MCG constant, ~0.73 * M
+_BOOT_C = 12345
+_BOOT_L = 48271  # Lehmer/MINSTD multiplier for the final scramble
+# floor(CDF_Poisson(1)(k) * (2^31 - 1)) for k = 0..6; a draw at or
+# past the last threshold gets weight 7 (P ~ 7e-5 — the tail beyond is
+# negligible and the truncation is stated identically in both engines).
+_BOOT_THRESH = (
+    790015083,
+    1580030167,
+    1975037709,
+    2106706890,
+    2139624185,
+    2146207644,
+    2147304887,
+)
+
+
+def _boot_weight_sql(m: str) -> str:
+    cases = " ".join(
+        f"WHEN {m} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+def _boot_weight_col(m):
+    w = F.lit(7)
+    for k, t in reversed(list(enumerate(_BOOT_THRESH))):
+        w = F.when(m < F.lit(t), F.lit(k)).otherwise(w)
+    return w
+
+
+@_q(
+    "q187_bootstrap_ci",
+    f"""
+    WITH osum AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    drawn AS (
+      SELECT r.r, o.cents,
+             (((o.o_custkey % {_BOOT_M}) * {_BOOT_A} + r.r * {_BOOT_B}
+               + {_BOOT_C}) % {_BOOT_M}) * {_BOOT_L} % {_BOOT_M} AS m
+      FROM osum o CROSS JOIN range(0, {_BOOT_REPS}) r(r)
+    ),
+    reps AS (
+      SELECT r,
+             CAST(sum({_boot_weight_sql('m')} * cents) AS DOUBLE)
+             / CAST(sum({_boot_weight_sql('m')}) AS DOUBLE) AS mean_r,
+             CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM drawn GROUP BY r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_reps,
+           floor((CAST(max(tot) AS DOUBLE) / max(n)) * 1000000 + 0.5) / 1000000
+             AS est_mean,
+           floor(quantile_cont(mean_r, 0.025) * 1000000 + 0.5) / 1000000 AS lo_95,
+           floor(quantile_cont(mean_r, 0.975) * 1000000 + 0.5) / 1000000 AS hi_95
+    FROM reps
+    """,
+)
+def q187_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean customer spend — THE one-pass
+    resampling move for uncertainty at the 100 TB target (Chamandy et
+    al., "Estimating Uncertainty for Massive Data Streams", Google
+    2012): instead of materializing B resampled datasets, each unit
+    draws a Poisson(1) replication weight per replicate, so all
+    {reps} bootstrap means come out of ONE scan. The draw is
+    HASH-DETERMINISTIC — an integer LCG-style mix of (custkey,
+    replicate) mapped through the integer-floored Poisson CDF — pure
+    BIGINT arithmetic restated identically in DuckDB, so the oracle
+    match is exact, not statistical. The custkey is reduced mod 2^31-1
+    BEFORE the multiply so the mix never overflows int64 at any
+    conceivable key range. Scale shape: the replicate dimension rides
+    a map-side explode (no extra shuffle); partial aggregation means
+    the one shuffle carries (#partitions x {reps}) partial rows, then
+    {reps} rep-means reduce to a single percentile row. Replicate
+    means are exact-integer ratios; both engines share the
+    linear-interpolation percentile (the q43/q177-proven identity),
+    so the final doubles agree bit-for-bit before rounding."""
+    osum = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    drawn = osum.select(
+        "cents",
+        "o_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("r"),
+    ).select(
+        "cents",
+        "r",
+        (
+            (
+                (
+                    (F.col("o_custkey") % _BOOT_M) * F.lit(_BOOT_A)
+                    + F.col("r").cast("long") * F.lit(_BOOT_B)
+                    + F.lit(_BOOT_C)
+                )
+                % _BOOT_M
+            )
+            * F.lit(_BOOT_L)
+            % _BOOT_M
+        ).alias("m"),
+    )
+    w = _boot_weight_col(F.col("m"))
+    # the un-weighted sum/count per replicate ARE the population totals
+    # (identical in every replicate), so the point estimate rides the
+    # same aggregation — no second scan of the fact table.
+    reps = drawn.groupBy("r").agg(
+        (
+            F.sum(w * F.col("cents")).cast("double")
+            / F.sum(w).cast("double")
+        ).alias("mean_r"),
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def _r6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return reps.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.expr("percentile(mean_r, 0.025)").alias("__lo"),
+        F.expr("percentile(mean_r, 0.975)").alias("__hi"),
+        F.max("tot").alias("__tot"),
+        F.max("n").alias("__n"),
+    ).select(
+        "n_reps",
+        _r6(F.col("__tot").cast("double") / F.col("__n")).alias("est_mean"),
+        _r6(F.col("__lo")).alias("lo_95"),
+        _r6(F.col("__hi")).alias("hi_95"),
+    )
+
+
+q187_bootstrap_ci.__doc__ = q187_bootstrap_ci.__doc__.format(reps=_BOOT_REPS)
+
+# ---------------------------------------------------------------------------
+# q188: k-core of the co-purchase graph by bounded degree peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """The peel unrolled: rounds generated programmatically so the SQL
+    and the Spark loop share one round count by construction."""
+    # MATERIALIZED: each stage references its predecessor three times
+    # (directly + through both semi-join sides); as inline views the
+    # expansion would be 3^rounds scans of the base edge set (hit in
+    # testing as an fd-exhaustion blowup), materialized it is linear.
+    stages = []
+    prev = "e0"
+    for i in range(_KCORE_ROUNDS):
+        stages.append(
+            f"k{i} AS MATERIALIZED "
+            f"(SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {_KCORE_K})"
+        )
+        stages.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e"
+            f" JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)"
+        )
+        prev = f"e{i + 1}"
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey <= {_SSSP_CAP}
+    ),
+    ec AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec),
+    {joined}
+    SELECT u AS l_partkey, CAST(count(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY u
+    """
+
+
+@_q("q188_kcore", _kcore_oracle())
+def q188_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the part co-purchase graph by {rounds} rounds of
+    degree peeling — the standard dense-substructure filter (spam/
+    anomaly cores, community seeds) the triangle (q149) and component
+    (q79) queries don't cover. Exactly {rounds} peels on BOTH sides —
+    deterministic bounded semantics the oracle restates as {rounds}
+    generated SQL stages from the same constant, so the round counts
+    cannot drift; at fixpoint the extra rounds are no-ops and the
+    result is the true k-core. Per round: one partial-agg degree count
+    + two left-semi joins over the monotonically shrinking edge frame
+    (`operators/graph.py::kcore_peel`); the final degree report is one
+    more groupBy. Shares q151's bounded subgraph cap and the canonical
+    symmetric edge set (`copurchase_edges`), so the graph cannot drift
+    from the BFS/triangle family."""
+    from batch_process_spark.operators.graph import copurchase_edges, kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= _SSSP_CAP)
+    canon = copurchase_edges(li, "l_orderkey", "l_partkey")
+    edges = _memoized_persist(
+        canon.unionByName(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    core = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return (
+        core.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("u").alias("l_partkey"), "degree")
+    )
+
+
+q188_kcore.__doc__ = q188_kcore.__doc__.format(k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+# ---------------------------------------------------------------------------
+# q189: seasonal indices + seasonal-naive backtest on monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q189_seasonal_index",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    moy AS (
+      SELECT m, sum(cents) AS moy_cents, CAST(count(*) AS BIGINT) AS moy_n
+      FROM monthly GROUP BY m
+    ),
+    tot AS (
+      SELECT sum(cents) AS tot_cents, CAST(count(*) AS BIGINT) AS tot_n
+      FROM monthly
+    )
+    SELECT mo.y, mo.m, mo.cents,
+           floor(((CAST(moy.moy_cents AS DOUBLE) / moy.moy_n)
+                  / (CAST(tot.tot_cents AS DOUBLE) / tot.tot_n))
+                 * 1000000 + 0.5) / 1000000 AS seasonal_index,
+           floor((CAST(abs(mo.cents - pv.cents) AS DOUBLE)
+                  / CAST(mo.cents AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS yoy_ape
+    FROM monthly mo
+    JOIN moy ON moy.m = mo.m
+    CROSS JOIN tot
+    LEFT JOIN monthly pv ON pv.y = mo.y - 1 AND pv.m = mo.m
+    """,
+)
+def q189_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-overall seasonal indices on monthly revenue plus a
+    seasonal-naive (same month, last year) backtest — the decomposition
+    a forecasting pipeline runs before anything fancier, and the
+    honest baseline any model must beat (q31's regression reports fit,
+    this reports month-of-year shape and YoY absolute percentage
+    error). All sums are exact integer cents; the index and APE are
+    ratios of exact ints phrased as double division chains — no double
+    accumulation anywhere, so engine summation order cannot matter.
+    Scale shape: the monthly frame is CALENDAR-BOUNDED (#years x 12
+    rows regardless of SF), so every join after the first partial-agg
+    groupBy is broadcast-eligible by construction — the one genuinely
+    safe broadcast class; the raw orders scan aggregates map-side
+    before its single shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("c").alias("cents"))
+    )
+    monthly = _memoized_persist(monthly)
+    moy = monthly.groupBy("m").agg(
+        F.sum("cents").alias("moy_cents"), F.count(F.lit(1)).alias("moy_n")
+    )
+    tot = monthly.agg(
+        F.sum("cents").alias("tot_cents"), F.count(F.lit(1)).alias("tot_n")
+    )
+    pv = monthly.select(
+        (F.col("y") + 1).alias("y"), "m", F.col("cents").alias("__pv")
+    )
+
+    def _r6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    idx = (F.col("moy_cents").cast("double") / F.col("moy_n")) / (
+        F.col("tot_cents").cast("double") / F.col("tot_n")
+    )
+    ape = F.abs(F.col("cents") - F.col("__pv")).cast("double") / F.col("cents").cast(
+        "double"
+    )
+    return (
+        monthly.join(F.broadcast(moy), "m")  # calendar-bounded: <= 12 rows
+        .crossJoin(F.broadcast(tot))  # 1 row
+        .join(F.broadcast(pv), ["y", "m"], "left")  # calendar-bounded
+        .select(
+            "y",
+            "m",
+            "cents",
+            _r6(idx).alias("seasonal_index"),
+            _r6(ape).alias("yoy_ape"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190: repeat-purchase rate per part with a Wilson 95% interval
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = "1.959964"  # shared literal so both engines square/multiply the same double
+
+
+@_q(
+    "q190_repeat_purchase_wilson",
+    f"""
+    WITH pc AS (
+      SELECT l.l_partkey, o.o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_partkey, o.o_custkey
+    ),
+    agg AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_buyers,
+             CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS repeat_buyers
+      FROM pc GROUP BY l_partkey
+    ),
+    w AS (
+      SELECT l_partkey, n_buyers, repeat_buyers,
+             CAST(repeat_buyers AS DOUBLE) / n_buyers AS p,
+             CAST({_WILSON_Z} AS DOUBLE) AS z,
+             CAST(n_buyers AS DOUBLE) AS n
+      FROM agg
+    )
+    SELECT l_partkey, n_buyers, repeat_buyers,
+           floor(p * 1000000 + 0.5) / 1000000 AS repeat_rate,
+           floor(((p + z * z / (2 * n)
+                   - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                  / (1 + z * z / n)) * 1000000 + 0.5) / 1000000 AS wilson_lo,
+           floor(((p + z * z / (2 * n)
+                   + z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                  / (1 + z * z / n)) * 1000000 + 0.5) / 1000000 AS wilson_hi
+    FROM w
+    """,
+)
+def q190_repeat_purchase_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part repeat-purchase rate with its Wilson 95% score interval
+    — the interval a ranking pipeline uses instead of the raw rate
+    (a 1/1 part must NOT outrank a 45/50 part; Wilson's lower bound is
+    the standard fix, e.g. Reddit's comment ranking). Counts are exact
+    ints off one lineitem><orders equi-join — both sides already
+    shuffle on the order key, the join's natural partitioning — then
+    two partial-agg groupBys. The interval is one double expression
+    phrased IDENTICALLY in both engines: +, *, / and sqrt are all
+    IEEE-754 correctly-rounded, so identical expression trees give
+    bit-identical doubles before the one rounding step."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    pc = (
+        li.join(o, "l_orderkey")
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    agg = pc.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias("repeat_buyers"),
+    )
+    p = F.col("repeat_buyers").cast("double") / F.col("n_buyers")
+    z = F.lit(float(_WILSON_Z))
+    n = F.col("n_buyers").cast("double")
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    centre = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+
+    def _r6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return agg.select(
+        "l_partkey",
+        "n_buyers",
+        "repeat_buyers",
+        _r6(p).alias("repeat_rate"),
+        _r6((centre - half) / denom).alias("wilson_lo"),
+        _r6((centre + half) / denom).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191: RFM segmentation via exact quintile boundaries
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q191_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                  AS BIGINT) AS rec_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+             quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+      FROM cust
+    ),
+    scored AS (
+      SELECT CAST(1 + len(list_filter(b.rb, x -> rec_days > x)) AS BIGINT) AS r_score,
+             CAST(1 + len(list_filter(b.fb, x -> freq > x)) AS BIGINT) AS f_score,
+             CAST(1 + len(list_filter(b.mb, x -> cents > x)) AS BIGINT) AS m_score,
+             cents
+      FROM cust CROSS JOIN b
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q191_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation — the marketing
+    workhorse: per customer, days since last order (vs the corpus-max
+    date), order count, and lifetime cents; each metric buckets into
+    quintiles 1-5 via EXACT interpolated percentile boundaries
+    computed in one 1-row agg and folded map-side (the q177 equi-depth
+    move — the textbook ntile(5) formulation is an unpartitioned
+    global sort, the single-task scale-killer; boundary assignment
+    keeps every stage partitioned and at 100 TB swaps to
+    approx_percentile with the same plan shape). Scores bucket by
+    ascending VALUE (r_score 1 = most recent, f/m_score 5 = top
+    quintile); ~125 segment rows out. The boundary doubles are
+    bit-identical cross-engine per the q43/q177 percentile identity,
+    so the strict `value > bound` assignment cannot flip."""
+    o = _t(spark, sf_dir, "orders")
+    gmax = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .crossJoin(F.broadcast(gmax))  # 1-row corpus max: truly bounded
+        .select(
+            F.datediff("gmax", "last_d").cast("long").alias("rec_days"),
+            "freq",
+            "cents",
+        )
+    )
+    cust = _memoized_persist(cust)
+    ql = "array(0.2, 0.4, 0.6, 0.8)"
+    b = cust.agg(
+        F.expr(f"percentile(rec_days, {ql})").alias("rb"),
+        F.expr(f"percentile(freq, {ql})").alias("fb"),
+        F.expr(f"percentile(cents, {ql})").alias("mb"),
+    )
+
+    def score(bounds_col, val):
+        return 1 + F.aggregate(
+            bounds_col, F.lit(0).cast("long"), lambda acc, x: acc + (val > x).cast("long")
+        )
+
+    return (
+        cust.crossJoin(F.broadcast(b))
+        .select(
+            score(F.col("rb"), F.col("rec_days")).alias("r_score"),
+            score(F.col("fb"), F.col("freq")).alias("f_score"),
+            score(F.col("mb"), F.col("cents")).alias("m_score"),
+            "cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
