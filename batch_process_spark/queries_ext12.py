@@ -640,3 +640,158 @@ def q191_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q192: Pareto 80/20 cutoff — customers covering 80% of nation revenue
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q192_pareto_revenue",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             CAST(sum(cents) OVER (PARTITION BY c_nationkey
+                                   ORDER BY cents DESC, c_custkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cents) OVER (PARTITION BY c_nationkey) AS BIGINT) AS tot,
+             CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_buyers
+      FROM spend
+    )
+    SELECT c_nationkey, n_buyers,
+           CAST(sum(CASE WHEN (cum - cents) * 5 < tot * 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS top_n,
+           CAST(floor(sum(CASE WHEN (cum - cents) * 5 < tot * 4 THEN 1 ELSE 0 END)
+                      * 10000.0 / n_buyers) AS BIGINT) AS top_share_bp
+    FROM ranked GROUP BY c_nationkey, n_buyers
+    """,
+)
+def q192_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration cutoff per nation: the SMALLEST
+    prefix of customers (by descending spend, custkey tie-break) whose
+    revenue reaches 80% of the nation's total, reported as a count and
+    as basis points of the buying population — the concentration
+    number account teams act on, complementing q179's Gini (a summary
+    statistic) with an actionable cutoff. ENTIRELY integer: a customer
+    is inside the cutoff iff the revenue BEFORE them is still under
+    80%, phrased as (cum - cents) * 5 < tot * 4 — no doubles anywhere
+    until the final basis-point floor. One custkey-partitioned
+    pre-aggregate, then nation-partitioned windows (cumsum + total
+    share one exchange on the nation key); never an unpartitioned
+    window. Products stay far inside int64: tot*5 at 100 TB-scale
+    national revenue (~1e15 cents) is ~5e15 << 2^63."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(cust, "c_custkey")
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("cents"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n_buyers"),
+    )
+    inside = F.when((F.col("cum") - F.col("cents")) * 5 < F.col("tot") * 4, 1).otherwise(0)
+    return (
+        ranked.groupBy("c_nationkey", "n_buyers")
+        .agg(F.sum(inside).alias("top_n"))
+        .select(
+            "c_nationkey",
+            "n_buyers",
+            "top_n",
+            F.floor(F.col("top_n") * 10000.0 / F.col("n_buyers")).cast("long").alias(
+                "top_share_bp"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193: join-key skew audit — the diagnostic that feeds the salting knob
+# ---------------------------------------------------------------------------
+
+_SKEW_COLS = ("l_partkey", "l_suppkey", "l_orderkey")
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for c in _SKEW_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS key_col,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           floor((CAST(max(cnt) AS DOUBLE) * count(*))
+                 / CAST(sum(cnt) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS skew_ratio,
+           CAST(floor(CAST(max(cnt) AS DOUBLE) * 1000000 / sum(cnt))
+                AS BIGINT) AS top1_ppm
+    FROM (SELECT {c}, CAST(count(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY {c})""")
+    return " UNION ALL ".join(parts)
+
+
+@_q("q193_skew_audit", _skew_oracle())
+def q193_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over the fact table's three join keys — the
+    diagnostic a pipeline runs BEFORE choosing `operators/skew.py`
+    salting or trusting AQE's skew-join splitter: rows, distinct keys,
+    the heaviest key's row count, the skew ratio (max/mean key size —
+    1.0 is perfectly uniform), and the heaviest key's share in ppm.
+    One partial-agg groupBy per audited column, each collapsing to a
+    1-row summary; counts exact ints, the two ratios are
+    identically-phrased double expressions. At 100 TB the per-key
+    aggregate is exactly the map-side-combined pass a salting decision
+    needs anyway — this query IS the planning probe, not a model of
+    one. The generated oracle unions one block per key column from the
+    same constant, so the column list cannot drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    outs = []
+    for c in _SKEW_COLS:
+        per = li.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        outs.append(
+            per.agg(
+                F.lit(c).alias("key_col"),
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+                (
+                    F.floor(
+                        (F.max("cnt").cast("double") * F.count(F.lit(1)))
+                        / F.sum("cnt").cast("double")
+                        * 10000
+                        + F.lit(0.5)
+                    )
+                    / 10000
+                ).alias("skew_ratio"),
+                F.floor(
+                    F.max("cnt").cast("double") * 1000000 / F.sum("cnt")
+                ).cast("long").alias("top1_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

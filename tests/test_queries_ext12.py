@@ -218,3 +218,44 @@ def test_q191_rfm_scores_partition_population(spark, qs):
     # monetary is near-unique per customer, so its quintiles are clean
     for s, cnt in per_m.items():
         assert abs(cnt / n_cust - 0.2) < 0.05
+
+
+def test_q192_pareto_cutoff_is_minimal_prefix(spark, qs):
+    """top_n must be the MINIMAL 80% prefix: the top-(n-1) customers
+    fall short of 80% and the top-n reach it — recomputed directly
+    from the raw tables for one nation."""
+    rows = {r.c_nationkey: r for r in qs["q192_pareto_revenue"](spark, SF).collect()}
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    nk, r = next(iter(sorted(rows.items())))
+    spend = con.execute(
+        f"""
+        SELECT CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{SF}/customer.parquet') c
+        JOIN read_parquet('{SF}/orders.parquet') o ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = {nk}
+        GROUP BY c.c_custkey ORDER BY 1 DESC
+        """
+    ).fetchall()
+    vals = [v[0] for v in spend]
+    tot = sum(vals)
+    n = r.top_n
+    assert sum(vals[:n]) * 5 >= tot * 4
+    assert n == 1 or sum(vals[: n - 1]) * 5 < tot * 4
+    assert r.n_buyers == len(vals)
+
+
+def test_q193_skew_audit_consistency(spark, qs):
+    """Audited totals must equal the table row count for every key
+    column, and the uniform-ish orderkey column must show lower skew
+    than the part/supp keys would at worst."""
+    rows = {r.key_col: r for r in qs["q193_skew_audit"](spark, SF).collect()}
+    n_li = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert set(rows) == {"l_partkey", "l_suppkey", "l_orderkey"}
+    for r in rows.values():
+        assert r.n_rows == n_li
+        assert r.max_key_rows * r.n_keys >= r.n_rows  # max >= mean
+        assert r.skew_ratio >= 1.0
+        assert 0 < r.top1_ppm <= 1_000_000
