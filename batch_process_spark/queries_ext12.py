@@ -1,11 +1,13 @@
-"""Query catalog part 13 (q186-q191): weighted bounded-hop cheapest
-paths (Bellman-Ford supersteps over a kNN-pruned graph), a
+"""Query catalog part 13 (q186-q193): weighted multi-source
+bounded-hop cheapest paths (Bellman-Ford supersteps over a kNN-pruned
+graph), a
 hash-deterministic Poisson-bootstrap confidence interval for the mean
 (the one-pass resampling technique that makes uncertainty estimates
 tractable at the 100 TB target), k-core peeling on the co-purchase
 graph, ratio-to-overall seasonal indices with a seasonal-naive
 backtest, Wilson-interval repeat-purchase ranking, and RFM quintile
-segmentation — all exact integer arithmetic until one final,
+segmentation, Pareto 80/20 revenue cutoffs, and a join-key skew
+audit — all exact integer arithmetic until one final,
 identically-phrased double expression, per the catalog's determinism
 discipline.
 
@@ -31,6 +33,7 @@ _SSSP_CAP = 2000  # same bounded subgraph knob as q151's BFS
 _SSSP_HOPS = 4
 
 _SSSP_DEG = 8
+_SSSP_HUB_MOD = 250  # parts divisible by this are cost-0 hub seeds
 
 # Weighted twin of q151's edge set: per (order, part) the minimal
 # integer quantity; an edge's weight is the cheapest combined quantity
@@ -102,7 +105,8 @@ def _sssp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE {_SSSP_EDGE_SQL},
     walk(node, cost, d) AS (
-      SELECT (SELECT min(u) FROM edges), CAST(0 AS BIGINT), 0
+      SELECT u, CAST(0 AS BIGINT), 0
+      FROM (SELECT DISTINCT u FROM edges WHERE u % {_SSSP_HUB_MOD} = 0)
       UNION
       SELECT e.v, w.cost + e.w, w.d + 1
       FROM walk w JOIN edges e ON e.u = w.node
@@ -113,28 +117,43 @@ def _sssp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q186_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted single-source cheapest paths within {hops} hops
+    """Weighted MULTI-SOURCE cheapest paths within {hops} hops
     (Bellman-Ford supersteps) over the top-8-cheapest-pruned part
-    co-purchase graph — the WEIGHTED twin of q151's BFS: edge weight
-    is the cheapest combined order quantity, and after round k every
-    reached node carries the exact min cost over walks of <= k edges
-    (non-negative weights, so that IS the k-bounded shortest path).
-    Each round is one equi-join of the NODE-bounded frontier against
-    the persisted, u-partitioned edge frame + a per-destination
-    partial-agg min; the rounds' union reduces with one final min
-    groupBy, and the oracle restates the same bounded walk as a
-    recursive CTE reduced by min(cost). See
+    co-purchase graph: every part whose id is divisible by
+    {hub} is a "distribution hub" seeded at cost 0, and each
+    reached part reports the exact cheapest route to its NEAREST hub
+    — the facility-location / nearest-depot query, and the weighted
+    twin of q151's single-source BFS. Multi-source costs nothing
+    extra in this formulation (the seed frame is just wider), keeps
+    the frontier rich at every SF, and after round k every reached
+    node carries the exact min cost over walks of <= k edges from ANY
+    hub (non-negative weights, so that IS the k-bounded shortest
+    path). Each round is one equi-join of the NODE-bounded frontier
+    against the persisted, u-partitioned edge frame + a
+    per-destination partial-agg min; the rounds' union reduces with
+    one final min groupBy, and the oracle restates the same bounded
+    walk as a recursive CTE reduced by min(cost). See
     `operators/graph.py::sssp_bounded` for the scale contract (and
     why the accumulate shape, not the delta/anti-join one).
     """
     from batch_process_spark.operators.graph import sssp_bounded
 
     edges = _memoized_persist(_sssp_edges(spark, sf_dir))
-    out = sssp_bounded(edges, rounds=_SSSP_HOPS, persist=_memoized_persist)
+    seeds = (
+        edges.filter(F.col("u") % _SSSP_HUB_MOD == 0)
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("cost"))
+    )
+    out = sssp_bounded(
+        edges, rounds=_SSSP_HOPS, seed=seeds, persist=_memoized_persist
+    )
     return out.select(F.col("node").alias("l_partkey"), F.col("cost").alias("cheapest_cost"))
 
 
-q186_sssp_cheapest_route.__doc__ = q186_sssp_cheapest_route.__doc__.format(hops=_SSSP_HOPS)
+q186_sssp_cheapest_route.__doc__ = q186_sssp_cheapest_route.__doc__.format(
+    hops=_SSSP_HOPS, hub=_SSSP_HUB_MOD
+)
 
 # ---------------------------------------------------------------------------
 # q187: Poisson-bootstrap 95% CI for mean customer spend

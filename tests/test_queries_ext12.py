@@ -177,12 +177,15 @@ def test_q189_seasonal_index_averages_to_one(spark, qs):
     assert any(r.yoy_ape is not None for r in rows if r.y > first_year)
 
 
-def test_q186_reaches_seed_at_zero(spark, qs):
-    """The seed node reports cost 0 and every cost is non-negative."""
+def test_q186_hub_seeds_report_zero(spark, qs):
+    """Every hub node (id % 250 == 0) present in the output reports
+    cost 0, every other cost is positive, and non-hub rows exist."""
     rows = qs["q186_sssp_cheapest_route"](spark, SF).collect()
     costs = {r.l_partkey: r.cheapest_cost for r in rows}
-    assert min(costs.values()) == 0
-    assert costs[min(costs)] == 0  # the seed IS the smallest node id
+    hubs = {k for k in costs if k % 250 == 0}
+    assert hubs and all(costs[k] == 0 for k in hubs)
+    others = {k: v for k, v in costs.items() if k % 250 != 0}
+    assert others and all(v > 0 for v in others.values())
 
 
 def test_q190_wilson_orders_one_one_below_forty_five_fifty(spark, qs):
