@@ -1,4 +1,4 @@
-"""Query catalog part 13 (q186-q193): weighted multi-source
+"""Query catalog part 13 (q186-q194): weighted multi-source
 bounded-hop cheapest paths (Bellman-Ford supersteps over a kNN-pruned
 graph), a
 hash-deterministic Poisson-bootstrap confidence interval for the mean
@@ -6,8 +6,8 @@ hash-deterministic Poisson-bootstrap confidence interval for the mean
 tractable at the 100 TB target), k-core peeling on the co-purchase
 graph, ratio-to-overall seasonal indices with a seasonal-naive
 backtest, Wilson-interval repeat-purchase ranking, and RFM quintile
-segmentation, Pareto 80/20 revenue cutoffs, and a join-key skew
-audit — all exact integer arithmetic until one final,
+segmentation, Pareto 80/20 revenue cutoffs, a join-key skew audit,
+and seasonal-adjusted median/MAD anomaly flags — all exact integer arithmetic until one final,
 identically-phrased double expression, per the catalog's determinism
 discipline.
 
@@ -814,3 +814,108 @@ def q193_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q194: seasonal-adjusted revenue anomalies (deseasonalize + median/MAD)
+# ---------------------------------------------------------------------------
+
+_ANOM_K = "2.5"  # MAD multiplier, shared literal
+
+
+@_q(
+    "q194_seasonal_anomaly",
+    f"""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    moy AS (
+      SELECT m, sum(cents) AS moy_cents, CAST(count(*) AS BIGINT) AS moy_n
+      FROM monthly GROUP BY m
+    ),
+    tot AS (
+      SELECT sum(cents) AS tot_cents, CAST(count(*) AS BIGINT) AS tot_n
+      FROM monthly
+    ),
+    des AS (
+      SELECT y, m, cents,
+             CAST(cents AS DOUBLE)
+             / ((CAST(moy.moy_cents AS DOUBLE) / moy.moy_n)
+                / (CAST(tot.tot_cents AS DOUBLE) / tot.tot_n)) AS x
+      FROM monthly JOIN moy USING (m) CROSS JOIN tot
+    ),
+    med AS (SELECT quantile_cont(x, 0.5) AS med FROM des),
+    mad AS (
+      SELECT quantile_cont(abs(x - (SELECT med FROM med)), 0.5) AS mad FROM des
+    )
+    SELECT y, m, cents,
+           floor(x * 10000 + 0.5) / 10000 AS deseasonalized,
+           CAST(CASE WHEN abs(x - (SELECT med FROM med))
+                          > {_ANOM_K} * (SELECT mad FROM mad)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM des
+    """,
+)
+def q194_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted revenue anomaly flags — the composition a
+    monitoring pipeline actually runs: divide each month's exact-cents
+    revenue by its month-of-year seasonal index (q189's ratio), then
+    flag months whose deseasonalized value sits more than 2.5 MADs
+    from the median — the robust detector that one blowout month
+    cannot recruit into its own baseline (a mean/stddev z-score
+    would). The monthly frame is the SAME plan as q189's, so the
+    persist memo shares one materialization between them; everything
+    downstream is calendar-bounded (#years x 12 rows) riding 1-row
+    broadcasts. The median and MAD run over identical doubles in both
+    engines (exact-int ratios in, the q43/q177 percentile identity
+    through), so the strict > comparison cannot flip; the flag is
+    reported as BIGINT and the deseasonalized value rounds only at
+    output."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("c").alias("cents"))
+    )
+    monthly = _memoized_persist(monthly)
+    moy = monthly.groupBy("m").agg(
+        F.sum("cents").alias("moy_cents"), F.count(F.lit(1)).alias("moy_n")
+    )
+    tot = monthly.agg(
+        F.sum("cents").alias("tot_cents"), F.count(F.lit(1)).alias("tot_n")
+    )
+    idx = (F.col("moy_cents").cast("double") / F.col("moy_n")) / (
+        F.col("tot_cents").cast("double") / F.col("tot_n")
+    )
+    des = _memoized_persist(
+        monthly.join(F.broadcast(moy), "m")
+        .crossJoin(F.broadcast(tot))
+        .select("y", "m", "cents", (F.col("cents").cast("double") / idx).alias("x"))
+    )
+    med = des.agg(F.expr("percentile(x, 0.5)").alias("med"))
+    mad = (
+        des.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(abs(x - med), 0.5)").alias("mad"), F.first("med").alias("med"))
+    )
+    k = F.lit(float(_ANOM_K))
+    return (
+        des.crossJoin(F.broadcast(mad))
+        .select(
+            "y",
+            "m",
+            "cents",
+            (F.floor(F.col("x") * 10000 + F.lit(0.5)) / 10000).alias("deseasonalized"),
+            F.when(F.abs(F.col("x") - F.col("med")) > k * F.col("mad"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )

@@ -1,4 +1,4 @@
-"""Tests for queries_ext12 (q186-q189): exact-semantics checks on the
+"""Tests for queries_ext12 (q186-q194): exact-semantics checks on the
 new graph operators (bounded-hop SSSP, k-core peel) over hand fixtures,
 distributional sanity for the deterministic Poisson-bootstrap draw, and
 plan guards on the scale-shaped bits, beyond the oracle comparison."""
@@ -262,3 +262,18 @@ def test_q193_skew_audit_consistency(spark, qs):
         assert r.max_key_rows * r.n_keys >= r.n_rows  # max >= mean
         assert r.skew_ratio >= 1.0
         assert 0 < r.top1_ppm <= 1_000_000
+
+
+def test_q194_anomaly_flags_are_robust(spark, qs):
+    """Flags exist in {0,1}; at most a minority of months flag (the
+    MAD detector cannot flag half the series by construction); and the
+    deseasonalized series has median ~= the series' own median scale
+    (sanity that the index actually divided through)."""
+    rows = qs["q194_seasonal_anomaly"](spark, SF).collect()
+    assert len(rows) >= 24
+    flags = [r.is_anomaly for r in rows]
+    assert set(flags) <= {0, 1}
+    assert sum(flags) < len(rows) / 2
+    xs = sorted(r.deseasonalized for r in rows)
+    med = xs[len(xs) // 2]
+    assert med > 0
