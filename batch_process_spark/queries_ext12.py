@@ -1,4 +1,4 @@
-"""Query catalog part 13 (q186-q194): weighted multi-source
+"""Query catalog part 13 (q186-q195): weighted multi-source
 bounded-hop cheapest paths (Bellman-Ford supersteps over a kNN-pruned
 graph), a
 hash-deterministic Poisson-bootstrap confidence interval for the mean
@@ -7,7 +7,8 @@ tractable at the 100 TB target), k-core peeling on the co-purchase
 graph, ratio-to-overall seasonal indices with a seasonal-naive
 backtest, Wilson-interval repeat-purchase ranking, and RFM quintile
 segmentation, Pareto 80/20 revenue cutoffs, a join-key skew audit,
-and seasonal-adjusted median/MAD anomaly flags — all exact integer arithmetic until one final,
+seasonal-adjusted median/MAD anomaly flags, and leave-one-out
+target encoding — all exact integer arithmetic until one final,
 identically-phrased double expression, per the catalog's determinism
 discipline.
 
@@ -918,4 +919,85 @@ def q194_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("is_anomaly"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195: leave-one-out target encoding audit
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q195_target_encoding_loo",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT cat, y,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM base GROUP BY cat, y
+    ),
+    loo AS (
+      SELECT b.cat, b.y, g.n, g.s,
+             CAST(g.s - b.cents AS DOUBLE) / (g.n - 1) AS enc
+      FROM base b JOIN g ON g.cat = b.cat AND g.y = b.y
+      WHERE g.n > 1
+    )
+    SELECT cat, y, CAST(max(n) AS BIGINT) AS n,
+           floor((CAST(max(s) AS DOUBLE) / max(n)) * 10000 + 0.5) / 10000
+             AS mean_full,
+           floor(min(enc) * 10000 + 0.5) / 10000 AS min_loo,
+           floor(max(enc) * 10000 + 0.5) / 10000 AS max_loo
+    FROM loo GROUP BY cat, y
+    """,
+)
+def q195_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding audit over (priority, year) cells
+    — the leakage-aware categorical encoder a training pipeline ships
+    (a plain per-category target mean leaks each row's own label into
+    its feature; LOO subtracts the row out: (sum - y_i) / (n - 1)).
+    Reported per cell: n, the full mean, and the LOO encoding's
+    min/max — the spread IS the leakage magnitude a plain encoder
+    would inject, and min/max (not an average) keeps the output free
+    of order-dependent double accumulation. One map-side-combined
+    group aggregate, then the per-row encodings ride a broadcast join
+    of the CELL table (bounded: 5 priorities x #years) back onto the
+    fact scan — at 100 TB the fact table never shuffles at all.
+    Singleton cells are excluded on BOTH sides (n > 1: LOO of a
+    singleton divides by zero — the well-known encoder edge case,
+    handled by exclusion rather than NaN)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    g = base.groupBy("cat", "y").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    loo = (
+        base.join(F.broadcast(g), ["cat", "y"])  # cell table: 5 x #years rows
+        .filter(F.col("n") > 1)
+        .select(
+            "cat",
+            "y",
+            "n",
+            "s",
+            ((F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1)).alias("enc"),
+        )
+    )
+
+    def _r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return loo.groupBy("cat", "y").agg(
+        F.max("n").alias("n"),
+        _r4(F.max("s").cast("double") / F.max("n")).alias("mean_full"),
+        _r4(F.min("enc")).alias("min_loo"),
+        _r4(F.max("enc")).alias("max_loo"),
     )

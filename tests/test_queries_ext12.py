@@ -277,3 +277,18 @@ def test_q194_anomaly_flags_are_robust(spark, qs):
     xs = sorted(r.deseasonalized for r in rows)
     med = xs[len(xs) // 2]
     assert med > 0
+
+
+def test_q195_loo_brackets_full_mean(spark, qs):
+    """LOO min/max must bracket the full mean strictly inside the cell
+    value range, and removing the max row must DECREASE the mean
+    (min_loo < mean_full < max_loo for non-degenerate cells)."""
+    rows = qs["q195_target_encoding_loo"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n > 1
+        # removing the largest value lowers the mean; the smallest raises it
+        assert r.min_loo <= r.mean_full <= r.max_loo
+        # non-degenerate cells (distinct values) bracket strictly
+        if r.min_loo != r.max_loo:
+            assert r.min_loo < r.mean_full < r.max_loo
