@@ -1,4 +1,4 @@
-"""Query catalog part 13 (q186-q195): weighted multi-source
+"""Query catalog part 13 (q186-q196): weighted multi-source
 bounded-hop cheapest paths (Bellman-Ford supersteps over a kNN-pruned
 graph), a
 hash-deterministic Poisson-bootstrap confidence interval for the mean
@@ -7,8 +7,8 @@ tractable at the 100 TB target), k-core peeling on the co-purchase
 graph, ratio-to-overall seasonal indices with a seasonal-naive
 backtest, Wilson-interval repeat-purchase ranking, and RFM quintile
 segmentation, Pareto 80/20 revenue cutoffs, a join-key skew audit,
-seasonal-adjusted median/MAD anomaly flags, and leave-one-out
-target encoding — all exact integer arithmetic until one final,
+seasonal-adjusted median/MAD anomaly flags, leave-one-out target
+encoding, and a streaming Wilson conversion monitor — all exact integer arithmetic until one final,
 identically-phrased double expression, per the catalog's determinism
 discipline.
 
@@ -1000,4 +1000,101 @@ def q195_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.max("s").cast("double") / F.max("n")).alias("mean_full"),
         _r4(F.min("enc")).alias("min_loo"),
         _r4(F.max("enc")).alias("max_loo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196: streaming conversion monitor with Wilson bounds
+# ---------------------------------------------------------------------------
+
+_CONV_THRESH = "10.0"  # conversion = value >= this, shared literal
+
+
+@_q(
+    "q196_streaming_conversion",
+    f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN value >= {_CONV_THRESH} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conversions
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n_events, conversions,
+             CAST(conversions AS DOUBLE) / n_events AS p,
+             CAST({_WILSON_Z} AS DOUBLE) AS z,
+             CAST(n_events AS DOUBLE) AS n
+      FROM agg
+    )
+    SELECT event_type, n_events, conversions,
+           floor(p * 1000000 + 0.5) / 1000000 AS conv_rate,
+           floor(((p + z * z / (2 * n)
+                   - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                  / (1 + z * z / n)) * 1000000 + 0.5) / 1000000 AS wilson_lo,
+           floor(((p + z * z / (2 * n)
+                   + z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                  / (1 + z * z / n)) * 1000000 + 0.5) / 1000000 AS wilson_hi
+    FROM w
+    """,
+)
+def q196_streaming_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q190 Wilson discipline run CONTINUOUSLY: per-event-type
+    conversion counters (conversion = value >= 10) maintained as a
+    complete-mode streaming aggregation over three real micro-batches
+    of the events feed — COUNT and SUM are batching- and
+    order-insensitive, so the final counters must equal the batch
+    aggregate over the same rows, which is exactly what the shared
+    oracle pins. The Wilson 95% interval is computed as a tiny batch
+    job over the final <=10-group result table, with the SAME shared z
+    literal and expression phrasing as q190 — the dashboards' banner
+    metric with honest small-n uncertainty, maintained without ever
+    re-scanning history. NULL event_type stays its own group (single
+    groupBy, never a join — the NULL-dropping seam)."""
+    from batch_process_spark.queries_ext3 import (
+        _events_stream_schema,
+        _normalize_stream_ts,
+    )
+    from batch_process_spark.queries_ext8 import _staged_event_slices
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d, write_slice = _staged_event_slices(sf_dir, "q196")
+
+    conv = F.when(F.col("value") >= float(_CONV_THRESH), 1).otherwise(0)
+
+    def transform(stream):
+        ev = _normalize_stream_ts(stream)
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(conv).cast("long").alias("conversions"),
+        )
+
+    agg = run_stream_to_memory(
+        spark,
+        d,
+        _events_stream_schema(sf_dir),
+        transform,
+        query_name="q196_out",
+        output_mode="complete",
+        feeds=[lambda: write_slice(1), lambda: write_slice(2)],
+    )
+    p = F.col("conversions").cast("double") / F.col("n_events")
+    z = F.lit(float(_WILSON_Z))
+    n = F.col("n_events").cast("double")
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    centre = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+
+    def _r6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        "conversions",
+        _r6(p).alias("conv_rate"),
+        _r6((centre - half) / denom).alias("wilson_lo"),
+        _r6((centre + half) / denom).alias("wilson_hi"),
     )
