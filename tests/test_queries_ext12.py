@@ -292,3 +292,88 @@ def test_q195_loo_brackets_full_mean(spark, qs):
         # non-degenerate cells (distinct values) bracket strictly
         if r.min_loo != r.max_loo:
             assert r.min_loo < r.mean_full < r.max_loo
+
+
+# --- property tests: distributed graph operators vs pure-Python refs ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_bounded_sssp(edges, seeds, rounds):
+    """Reference bounded Bellman-Ford: dict relaxation, exact."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in edges:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist
+
+
+def _py_kcore(edges, k, rounds):
+    """Reference peel on a symmetric edge list."""
+    es = set(edges)
+    for _ in range(rounds):
+        deg = {}
+        for u, _v in es:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= k}
+        es = {(u, v) for u, v in es if u in keep and v in keep}
+    return es
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sssp_bounded_matches_python_reference(spark, data):
+    """On random small directed weighted graphs (self-loops and
+    parallel edges included — min must win), the distributed rounds
+    agree exactly with a dict-based Bellman-Ford."""
+    from batch_process_spark.operators.graph import sssp_bounded
+
+    edges = [(u, v, w) for u, v, w in data if u != v]
+    if not edges:
+        return
+    sdf = spark.createDataFrame(edges, "u long, v long, w long")
+    seed_node = min(u for u, _, _ in edges)
+    got = {
+        r.node: r.cost for r in sssp_bounded(sdf, rounds=3).collect()
+    }
+    want = _py_bounded_sssp(edges, [seed_node], 3)
+    assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=16,
+    ),
+    k=st.integers(1, 3),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kcore_peel_matches_python_reference(spark, data, k):
+    """On random small graphs (symmetrized, dedup'd), 4 distributed
+    peel rounds equal the dict-based peel exactly."""
+    from batch_process_spark.operators.graph import kcore_peel
+
+    canon = {(u, v) for u, v in data if u != v}
+    if not canon:
+        return
+    sym = sorted(canon | {(v, u) for u, v in canon})
+    sdf = spark.createDataFrame(sym, "u long, v long")
+    got = {
+        (r.u, r.v)
+        for r in kcore_peel(sdf, k=k, rounds=4, checkpoint=False).collect()
+    }
+    want = _py_kcore(sym, k, 4)
+    assert got == want
