@@ -340,9 +340,7 @@ def test_sssp_bounded_matches_python_reference(spark, data):
     agree exactly with a dict-based Bellman-Ford."""
     from batch_process_spark.operators.graph import sssp_bounded
 
-    edges = [(u, v, w) for u, v, w in data if u != v]
-    if not edges:
-        return
+    edges = list(data)  # self-loops kept: min must ignore them
     sdf = spark.createDataFrame(edges, "u long, v long, w long")
     seed_node = min(u for u, _, _ in edges)
     got = {
