@@ -1,4 +1,4 @@
-"""Query catalog part 13 (q186-q196): weighted multi-source
+"""Query catalog part 13 (q186-q197): weighted multi-source
 bounded-hop cheapest paths (Bellman-Ford supersteps over a kNN-pruned
 graph), a
 hash-deterministic Poisson-bootstrap confidence interval for the mean
@@ -8,7 +8,8 @@ graph, ratio-to-overall seasonal indices with a seasonal-naive
 backtest, Wilson-interval repeat-purchase ranking, and RFM quintile
 segmentation, Pareto 80/20 revenue cutoffs, a join-key skew audit,
 seasonal-adjusted median/MAD anomaly flags, leave-one-out target
-encoding, and a streaming Wilson conversion monitor — all exact integer arithmetic until one final,
+encoding, a streaming Wilson conversion monitor, and Holt
+linear-trend forecasting — all exact integer arithmetic until one final,
 identically-phrased double expression, per the catalog's determinism
 discipline.
 
@@ -1097,4 +1098,143 @@ def q196_streaming_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(p).alias("conv_rate"),
         _r6((centre - half) / denom).alias("wilson_lo"),
         _r6((centre + half) / denom).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197: Holt linear-trend forecast with walk-forward one-step errors
+# ---------------------------------------------------------------------------
+
+_HOLT_A = "0.5"  # level smoothing, exactly representable
+_HOLT_B = "0.25"  # trend smoothing, exactly representable
+
+
+@_q(
+    "q197_holt_forecast",
+    f"""
+    WITH RECURSIVE monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT y, m, cents,
+             CAST(row_number() OVER (ORDER BY y, m) AS BIGINT) AS t
+      FROM monthly
+    ),
+    init AS (
+      SELECT CAST(a.cents AS DOUBLE) AS l0,
+             CAST(b.cents - a.cents AS DOUBLE) AS b0
+      FROM s a, s b WHERE a.t = 1 AND b.t = 2
+    ),
+    rec(t, l, b) AS (
+      SELECT CAST(1 AS BIGINT), l0, b0 FROM init
+      UNION ALL
+      SELECT s.t,
+             {_HOLT_A} * CAST(s.cents AS DOUBLE) + (1 - {_HOLT_A}) * (r.l + r.b),
+             {_HOLT_B} * (({_HOLT_A} * CAST(s.cents AS DOUBLE)
+                           + (1 - {_HOLT_A}) * (r.l + r.b)) - r.l)
+             + (1 - {_HOLT_B}) * r.b
+      FROM rec r JOIN s ON s.t = r.t + 1
+    )
+    SELECT s.y, s.m, s.cents,
+           floor((r.l + r.b) * 10000 + 0.5) / 10000 AS forecast,
+           floor(abs(CAST(s.cents AS DOUBLE) - (r.l + r.b))
+                 / CAST(s.cents AS DOUBLE) * 1000000 + 0.5) / 1000000 AS ape
+    FROM s JOIN rec r ON r.t = s.t - 1
+    """,
+)
+def q197_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + linear trend) one-step-ahead
+    forecasts over monthly revenue, with walk-forward absolute
+    percentage errors — the forecasting baseline between q31's global
+    regression and q189's seasonal-naive. The recurrence is inherently
+    sequential, but the series is CALENDAR-BOUNDED (#years x 12 rows
+    regardless of SF), so the q184 pattern applies: the heavy
+    map-side-combined monthly aggregate is the only fact-scale stage,
+    then the whole recursion folds inside array expressions over ONE
+    collected row; the oracle restates the identical recurrence as a
+    recursive CTE. Smoothing constants 0.5/0.25 are exactly
+    representable and every arithmetic step is phrased identically, so
+    the doubles agree bit-for-bit before the output rounding.
+    Forecasts exist from the second month (the standard two-point
+    init: l=y1, b=y2-y1)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("c").alias("cents"))
+    )
+    monthly = _memoized_persist(monthly)
+    one = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("y", "m", "cents"))).alias("arr")
+    )
+    a, b = float(_HOLT_A), float(_HOLT_B)
+    fold = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("arr", 1).getField("cents").cast("double").alias("l"),
+            (
+                F.element_at("arr", 2).getField("cents")
+                - F.element_at("arr", 1).getField("cents")
+            )
+            .cast("double")
+            .alias("b"),
+            F.array().cast(
+                "array<struct<y:bigint,m:bigint,cents:bigint,f:double>>"
+            ).alias("out"),
+        ),
+        lambda acc, e: F.struct(
+            (
+                F.lit(a) * e.getField("cents").cast("double")
+                + F.lit(1 - a) * (acc.getField("l") + acc.getField("b"))
+            ).alias("l"),
+            (
+                F.lit(b)
+                * (
+                    (
+                        F.lit(a) * e.getField("cents").cast("double")
+                        + F.lit(1 - a) * (acc.getField("l") + acc.getField("b"))
+                    )
+                    - acc.getField("l")
+                )
+                + F.lit(1 - b) * acc.getField("b")
+            ).alias("b"),
+            F.concat(
+                acc.getField("out"),
+                F.array(
+                    F.struct(
+                        e.getField("y").alias("y"),
+                        e.getField("m").alias("m"),
+                        e.getField("cents").alias("cents"),
+                        (acc.getField("l") + acc.getField("b")).alias("f"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc.getField("out"),
+    )
+    return (
+        one.select(F.explode(fold).alias("r"))
+        .select(
+            F.col("r.y").alias("y"),
+            F.col("r.m").alias("m"),
+            F.col("r.cents").alias("cents"),
+            (F.floor(F.col("r.f") * 10000 + F.lit(0.5)) / 10000).alias("forecast"),
+            (
+                F.floor(
+                    F.abs(F.col("r.cents").cast("double") - F.col("r.f"))
+                    / F.col("r.cents").cast("double")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("ape"),
+        )
     )

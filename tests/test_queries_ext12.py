@@ -375,3 +375,19 @@ def test_kcore_peel_matches_python_reference(spark, data, k):
     }
     want = _py_kcore(sym, k, 4)
     assert got == want
+
+
+def test_q197_holt_tracks_series(spark, qs):
+    """The second month's forecast is exact by construction (two-point
+    init), every month from the 2nd on has a forecast, and the APE
+    column matches |cents - forecast| / cents recomputed from the
+    output itself (up to the two roundings)."""
+    rows = sorted(
+        qs["q197_holt_forecast"](spark, SF).collect(), key=lambda r: (r.y, r.m)
+    )
+    assert len(rows) >= 24
+    assert rows[0].ape == 0.0  # f(2) = y1 + (y2 - y1) = y2 exactly
+    for r in rows:
+        assert r.forecast is not None
+        approx = abs(r.cents - r.forecast) / r.cents
+        assert abs(approx - r.ape) < 1e-4
