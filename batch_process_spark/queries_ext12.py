@@ -1,4 +1,4 @@
-"""Query catalog part 13 (q186-q197): weighted multi-source
+"""Query catalog part 13 (q186-q198): weighted multi-source
 bounded-hop cheapest paths (Bellman-Ford supersteps over a kNN-pruned
 graph), a
 hash-deterministic Poisson-bootstrap confidence interval for the mean
@@ -8,8 +8,8 @@ graph, ratio-to-overall seasonal indices with a seasonal-naive
 backtest, Wilson-interval repeat-purchase ranking, and RFM quintile
 segmentation, Pareto 80/20 revenue cutoffs, a join-key skew audit,
 seasonal-adjusted median/MAD anomaly flags, leave-one-out target
-encoding, a streaming Wilson conversion monitor, and Holt
-linear-trend forecasting — all exact integer arithmetic until one final,
+encoding, a streaming Wilson conversion monitor, Holt linear-trend
+forecasting, and common-neighbor/Jaccard link prediction — all exact integer arithmetic until one final,
 identically-phrased double expression, per the catalog's determinism
 discipline.
 
@@ -1238,3 +1238,103 @@ def q197_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ape"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q198: link prediction — common neighbors + Jaccard on non-edges
+# ---------------------------------------------------------------------------
+
+_LP_TOPK = 20
+
+
+@_q(
+    "q198_link_prediction",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey <= {_SSSP_CAP}
+    ),
+    ec AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (SELECT u, v FROM ec UNION ALL SELECT v, u FROM ec),
+    deg AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ),
+    cn AS (
+      SELECT a.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS cn
+      FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
+      WHERE NOT EXISTS (SELECT 1 FROM ec e WHERE e.u = a.u AND e.v = b.v)
+      GROUP BY a.u, b.v
+    )
+    SELECT cn.u, cn.v, cn.cn, du.d AS deg_u, dv.d AS deg_v,
+           floor(CAST(cn.cn AS DOUBLE) / (du.d + dv.d - cn.cn)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM cn JOIN deg du ON du.u = cn.u JOIN deg dv ON dv.u = cn.v
+    ORDER BY cn.cn DESC, cn.u ASC, cn.v ASC
+    LIMIT {_LP_TOPK}
+    """,
+)
+def q198_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: for every
+    NON-adjacent pair at distance 2, the common-neighbor count and
+    neighborhood Jaccard — the classic candidate-edge scores (the
+    "customers also bought" recommender baseline), ranked top-{k} by
+    (cn, u, v) with a wholly deterministic tie order. Shares q151's
+    bounded subgraph and canonical edge set. Shape: the wedge
+    self-join on the symmetric edges' middle vertex (one shuffle on
+    that key — the q149 triangle stage without the closure), an ANTI
+    join against the canonical edge set to keep only non-edges, and a
+    stats-gated degree attach; top-k is TakeOrderedAndProject, never
+    a global sort. Jaccard = cn / (deg_u + deg_v - cn) is one
+    exact-int ratio (no order-dependent accumulation — the reason
+    Adamic-Adar's sum of 1/log(deg) doubles is deliberately NOT here:
+    its summation order is engine-dependent)."""
+    from batch_process_spark.operators import joins
+    from batch_process_spark.operators.graph import copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= _SSSP_CAP)
+    canon = _memoized_persist(copurchase_edges(li, "l_orderkey", "l_partkey"))
+    sym = _memoized_persist(
+        canon.unionByName(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    b = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    cn = (
+        a.join(b, "w")
+        .filter(F.col("a") < F.col("b"))
+        .join(
+            canon.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    out = (
+        cn.join(joins.gated_broadcast(deg.select(F.col("u").alias("a"), F.col("d").alias("deg_u"))), "a")
+        .join(joins.gated_broadcast(deg.select(F.col("u").alias("b"), F.col("d").alias("deg_v"))), "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "cn",
+            "deg_u",
+            "deg_v",
+            (
+                F.floor(
+                    F.col("cn").cast("double")
+                    / (F.col("deg_u") + F.col("deg_v") - F.col("cn"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(F.desc("cn"), F.asc("u"), F.asc("v")).limit(_LP_TOPK)
+
+
+q198_link_prediction.__doc__ = q198_link_prediction.__doc__.format(k=_LP_TOPK)

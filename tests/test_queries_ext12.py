@@ -391,3 +391,26 @@ def test_q197_holt_tracks_series(spark, qs):
         assert r.forecast is not None
         approx = abs(r.cents - r.forecast) / r.cents
         assert abs(approx - r.ape) < 1e-4
+
+
+def test_q198_candidates_are_nonedges_with_real_common_neighbors(spark, qs):
+    """Every predicted pair must NOT be an existing edge, must have
+    cn >= 1 by construction, jaccard in (0, 1], and the list is sorted
+    by (cn desc, u, v)."""
+    rows = qs["q198_link_prediction"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    from batch_process_spark.operators.graph import copurchase_edges
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").filter("l_orderkey <= 2000")
+    edges = {
+        (r.u, r.v)
+        for r in copurchase_edges(li, "l_orderkey", "l_partkey").collect()
+    }
+    keys = [(r.cn, r.u, r.v) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
+    for r in rows:
+        assert (r.u, r.v) not in edges
+        assert r.u < r.v
+        assert r.cn >= 1
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.cn <= min(r.deg_u, r.deg_v)
