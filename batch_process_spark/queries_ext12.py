@@ -1,4 +1,4 @@
-"""Query catalog part 13 (q186-q198): weighted multi-source
+"""Query catalog part 13 (q186-q199): weighted multi-source
 bounded-hop cheapest paths (Bellman-Ford supersteps over a kNN-pruned
 graph), a
 hash-deterministic Poisson-bootstrap confidence interval for the mean
@@ -9,7 +9,8 @@ backtest, Wilson-interval repeat-purchase ranking, and RFM quintile
 segmentation, Pareto 80/20 revenue cutoffs, a join-key skew audit,
 seasonal-adjusted median/MAD anomaly flags, leave-one-out target
 encoding, a streaming Wilson conversion monitor, Holt linear-trend
-forecasting, and common-neighbor/Jaccard link prediction — all exact integer arithmetic until one final,
+forecasting, common-neighbor/Jaccard link prediction, and the
+corpus-prep capstone (gate -> dedup -> split with conservation) — all exact integer arithmetic until one final,
 identically-phrased double expression, per the catalog's determinism
 discipline.
 
@@ -1338,3 +1339,129 @@ def q198_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q198_link_prediction.__doc__ = q198_link_prediction.__doc__.format(k=_LP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q199: corpus-prep capstone — quality gate -> exact dedup -> hash split
+# ---------------------------------------------------------------------------
+
+_PREP_MIN_CHARS = 100
+_PREP_MAX_CHARS = 20000
+_PREP_MIN_TOKS = 20
+
+
+@_q(
+    "q199_corpus_prep_pipeline",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             n_chars
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM base
+      WHERE n_chars BETWEEN {_PREP_MIN_CHARS} AND {_PREP_MAX_CHARS}
+        AND toks >= {_PREP_MIN_TOKS}
+    ),
+    keyed AS (SELECT doc_id, lang, toks, md5(text) AS k FROM gated),
+    surv AS (
+      SELECT k,
+             arg_min(lang, doc_id) AS lang,
+             arg_min(toks, doc_id) AS toks
+      FROM keyed GROUP BY k
+    ),
+    kept AS (
+      SELECT lang, toks,
+             CAST(('0x' || substr(md5(k), 1, 6)) AS BIGINT) % 10 AS b
+      FROM surv
+    ),
+    splits AS (
+      SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                  ELSE 'test' END AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM kept GROUP BY 1
+    )
+    SELECT * FROM splits
+    UNION ALL
+    SELECT 'rejected_quality',
+           CAST((SELECT count(*) FROM base) - (SELECT count(*) FROM gated)
+                AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT 'removed_duplicates',
+           CAST((SELECT count(*) FROM gated) - (SELECT count(*) FROM surv)
+                AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    """,
+)
+def q199_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus preparation pipeline as ONE dataflow —
+    quality gate (char-length band + minimum token count), exact
+    dedup with a deterministic min-id survivor, and a leakage-safe
+    8/1/1 hash split on the CONTENT key (q165's discipline: duplicate
+    content can never straddle a split because the split key IS the
+    dedup key) — with full conservation accounting: the output rows
+    are the three splits plus the rejected/duplicate tallies, and
+    train+val+test+rejected+removed must equal the corpus exactly
+    (pinned in pytest). Every stage is one map-side expression or one
+    partial-agg groupBy on the content hash; the survivor's
+    attributes ride ``min_by``/``arg_min`` INSIDE that aggregation —
+    no join-back to fetch the representative row, the seam the naive
+    formulation pays a second shuffle for. At 100 TB this plan is:
+    one scan, one hash exchange, a 5-row union."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        "n_chars",
+    )
+    base = _memoized_persist(base)
+    gated = base.filter(
+        F.col("n_chars").between(_PREP_MIN_CHARS, _PREP_MAX_CHARS)
+        & (F.col("toks") >= _PREP_MIN_TOKS)
+    )
+    keyed = gated.select("doc_id", "lang", "toks", F.md5("text").alias("k"))
+    surv = keyed.groupBy("k").agg(
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("toks", "doc_id").alias("toks"),
+    )
+    surv = _memoized_persist(surv)
+    b = F.conv(F.substring(F.md5("k"), 1, 6), 16, 10).cast("long") % 10
+    bucket = (
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    )
+    splits = (
+        surv.select(bucket.alias("bucket"), "toks", "lang")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+    n_base = base.agg(F.count(F.lit(1)).alias("n"))
+    n_gated = gated.agg(F.count(F.lit(1)).alias("n"))
+    n_surv = surv.agg(F.count(F.lit(1)).alias("n"))
+    nulls = [F.lit(None).cast("long").alias(c) for c in ("n_tokens", "n_langs")]
+    rejected = (
+        n_base.crossJoin(F.broadcast(n_gated.select(F.col("n").alias("g"))))
+        .select(
+            F.lit("rejected_quality").alias("bucket"),
+            (F.col("n") - F.col("g")).alias("n_docs"),
+            *nulls,
+        )
+    )
+    removed = (
+        n_gated.crossJoin(F.broadcast(n_surv.select(F.col("n").alias("s"))))
+        .select(
+            F.lit("removed_duplicates").alias("bucket"),
+            (F.col("n") - F.col("s")).alias("n_docs"),
+            *nulls,
+        )
+    )
+    return splits.unionByName(rejected).unionByName(removed)

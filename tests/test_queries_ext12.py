@@ -414,3 +414,19 @@ def test_q198_candidates_are_nonedges_with_real_common_neighbors(spark, qs):
         assert r.cn >= 1
         assert 0.0 < r.jaccard <= 1.0
         assert r.cn <= min(r.deg_u, r.deg_v)
+
+
+def test_q199_conservation(spark, qs):
+    """train + val + test + rejected + removed must equal the corpus
+    row count exactly; the split is roughly 8/1/1; token totals exist
+    only on split rows."""
+    rows = {r.bucket: r for r in qs["q199_corpus_prep_pipeline"](spark, SF).collect()}
+    assert set(rows) == {"train", "val", "test", "rejected_quality", "removed_duplicates"}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    kept = rows["train"].n_docs + rows["val"].n_docs + rows["test"].n_docs
+    assert rows["train"].n_docs > 0.6 * kept
+    for b in ("rejected_quality", "removed_duplicates"):
+        assert rows[b].n_tokens is None and rows[b].n_langs is None
+    for b in ("train", "val", "test"):
+        assert rows[b].n_tokens >= rows[b].n_docs * 20  # min-token gate held
