@@ -1,4 +1,4 @@
-"""Query catalog part 13 (q186-q199): weighted multi-source
+"""Query catalog part 13 (q186-q200): weighted multi-source
 bounded-hop cheapest paths (Bellman-Ford supersteps over a kNN-pruned
 graph), a
 hash-deterministic Poisson-bootstrap confidence interval for the mean
@@ -10,7 +10,8 @@ segmentation, Pareto 80/20 revenue cutoffs, a join-key skew audit,
 seasonal-adjusted median/MAD anomaly flags, leave-one-out target
 encoding, a streaming Wilson conversion monitor, Holt linear-trend
 forecasting, common-neighbor/Jaccard link prediction, and the
-corpus-prep capstone (gate -> dedup -> split with conservation) — all exact integer arithmetic until one final,
+corpus-prep capstone (gate -> dedup -> split with conservation)
+plus its chi-square stratification audit — all exact integer arithmetic until one final,
 identically-phrased double expression, per the catalog's determinism
 discipline.
 
@@ -1349,11 +1350,10 @@ _PREP_MIN_CHARS = 100
 _PREP_MAX_CHARS = 20000
 _PREP_MIN_TOKS = 20
 
-
-@_q(
-    "q199_corpus_prep_pipeline",
-    f"""
-    WITH base AS (
+# The ONE SQL statement of the prep pipeline (gate -> dedup -> bucketed
+# survivors), shared by q199 and q200 so the twins cannot drift.
+_PREP_KEPT_SQL = f"""
+    base AS (
       SELECT doc_id, text, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
              n_chars
@@ -1373,12 +1373,21 @@ _PREP_MIN_TOKS = 20
     ),
     kept AS (
       SELECT lang, toks,
-             CAST(('0x' || substr(md5(k), 1, 6)) AS BIGINT) % 10 AS b
+             CASE WHEN CAST(('0x' || substr(md5(k), 1, 6)) AS BIGINT) % 10 < 8
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(k), 1, 6)) AS BIGINT) % 10 = 8
+                  THEN 'val' ELSE 'test' END AS bucket
       FROM surv
-    ),
+    )
+"""
+
+
+@_q(
+    "q199_corpus_prep_pipeline",
+    f"""
+    WITH {_PREP_KEPT_SQL},
     splits AS (
-      SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
-                  ELSE 'test' END AS bucket,
+      SELECT bucket,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(toks) AS BIGINT) AS n_tokens,
              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
@@ -1413,40 +1422,30 @@ def q199_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation pays a second shuffle for. At 100 TB this plan is:
     one scan, one hash exchange, a 5-row union."""
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "text",
-        "lang",
-        F.size(F.split("text", " ")).cast("long").alias("toks"),
-        "n_chars",
+    base = _memoized_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+            "n_chars",
+        )
     )
-    base = _memoized_persist(base)
     gated = base.filter(
         F.col("n_chars").between(_PREP_MIN_CHARS, _PREP_MAX_CHARS)
         & (F.col("toks") >= _PREP_MIN_TOKS)
     )
-    keyed = gated.select("doc_id", "lang", "toks", F.md5("text").alias("k"))
-    surv = keyed.groupBy("k").agg(
-        F.min_by("lang", "doc_id").alias("lang"),
-        F.min_by("toks", "doc_id").alias("toks"),
-    )
-    surv = _memoized_persist(surv)
-    b = F.conv(F.substring(F.md5("k"), 1, 6), 16, 10).cast("long") % 10
-    bucket = (
-        F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
-    )
-    splits = (
-        surv.select(bucket.alias("bucket"), "toks", "lang")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("toks").alias("n_tokens"),
-            F.count_distinct("lang").alias("n_langs"),
-        )
+    # the gate -> dedup -> bucket chain itself is the SHARED helper
+    # (`_prep_survivors`) so q199/q200 cannot drift; only the stage
+    # accounting below is query-local.
+    kept = _prep_survivors(spark, sf_dir)
+    splits = kept.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
     )
     n_base = base.agg(F.count(F.lit(1)).alias("n"))
     n_gated = gated.agg(F.count(F.lit(1)).alias("n"))
-    n_surv = surv.agg(F.count(F.lit(1)).alias("n"))
+    n_surv = kept.agg(F.count(F.lit(1)).alias("n"))
     nulls = [F.lit(None).cast("long").alias(c) for c in ("n_tokens", "n_langs")]
     rejected = (
         n_base.crossJoin(F.broadcast(n_gated.select(F.col("n").alias("g"))))
@@ -1465,3 +1464,95 @@ def q199_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return splits.unionByName(rejected).unionByName(removed)
+
+
+# ---------------------------------------------------------------------------
+# q200: split stratification audit — chi-square balance by language
+# ---------------------------------------------------------------------------
+
+def _prep_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_PREP_KEPT_SQL``'s ``kept`` frame (the q199
+    pipeline through gate -> dedup -> bucket), factored so q199/q200
+    cannot drift; the survivor aggregate is memoized, so the two
+    queries share one materialization."""
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        "n_chars",
+    ).filter(
+        F.col("n_chars").between(_PREP_MIN_CHARS, _PREP_MAX_CHARS)
+        & (F.col("toks") >= _PREP_MIN_TOKS)
+    )
+    keyed = gated.select("doc_id", "lang", "toks", F.md5("text").alias("k"))
+    surv = _memoized_persist(
+        keyed.groupBy("k").agg(
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("toks", "doc_id").alias("toks"),
+        )
+    )
+    b = F.conv(F.substring(F.md5("k"), 1, 6), 16, 10).cast("long") % 10
+    bucket = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    return surv.select("lang", "toks", bucket.alias("bucket"))
+
+
+@_q(
+    "q200_split_balance_audit",
+    f"""
+    WITH {_PREP_KEPT_SQL},
+    cells AS (
+      SELECT bucket, lang, CAST(count(*) AS BIGINT) AS n
+      FROM kept GROUP BY bucket, lang
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+    bt AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY bucket),
+    lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY lang)
+    SELECT c.bucket, c.lang, c.n AS n_docs,
+           floor((CAST(bt.nb AS DOUBLE) * lt.nl / tot.nt) * 10000 + 0.5) / 10000
+             AS expected,
+           floor(((c.n - CAST(bt.nb AS DOUBLE) * lt.nl / tot.nt)
+                  * (c.n - CAST(bt.nb AS DOUBLE) * lt.nl / tot.nt))
+                 / (CAST(bt.nb AS DOUBLE) * lt.nl / tot.nt) * 1000000 + 0.5)
+             / 1000000 AS chi2
+    FROM cells c JOIN bt ON bt.bucket = c.bucket
+                 JOIN lt ON lt.lang = c.lang
+                 CROSS JOIN tot
+    """,
+)
+def q200_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split stratification audit over the q199 survivors: per
+    (split, language) cell, the observed count, the
+    independence-expected count (row total x column total / grand
+    total), and the chi-square contribution — the QA gate that tells
+    you whether a hash split accidentally concentrated a language in
+    one split (a content hash is language-blind, so contributions
+    should be noise-small; a spike means the split is confounded and
+    per-language eval metrics will lie). SHARES the q199 pipeline
+    verbatim (`_prep_survivors` / `_PREP_KEPT_SQL` — one factored
+    definition on each side, and the memoized survivor aggregate
+    materializes once for both queries). The margins are bounded
+    (3 splits x #languages), so everything after the cell count rides
+    broadcasts; expected/chi2 are exact-int ratios phrased identically
+    — `(n-e)*(n-e)/e`, never `pow`."""
+    kept = _prep_survivors(spark, sf_dir)
+    cells = kept.groupBy("bucket", "lang").agg(F.count(F.lit(1)).alias("n"))
+    cells = _memoized_persist(cells)
+    tot = cells.agg(F.sum("n").alias("nt"))
+    bt = cells.groupBy("bucket").agg(F.sum("n").alias("nb"))
+    lt = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
+    e = F.col("nb").cast("double") * F.col("nl") / F.col("nt")
+    d = F.col("n") - e
+    return (
+        cells.join(F.broadcast(bt), "bucket")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "lang",
+            F.col("n").alias("n_docs"),
+            (F.floor(e * 10000 + F.lit(0.5)) / 10000).alias("expected"),
+            (F.floor((d * d) / e * 1000000 + F.lit(0.5)) / 1000000).alias("chi2"),
+        )
+    )

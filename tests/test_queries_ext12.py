@@ -430,3 +430,20 @@ def test_q199_conservation(spark, qs):
         assert rows[b].n_tokens is None and rows[b].n_langs is None
     for b in ("train", "val", "test"):
         assert rows[b].n_tokens >= rows[b].n_docs * 20  # min-token gate held
+
+
+def test_q200_chi2_margins_consistent(spark, qs):
+    """Cell counts per split must sum to the q199 split counts (the
+    shared-pipeline invariant), expected sums to observed per split,
+    and chi2 contributions are non-negative."""
+    cells = qs["q200_split_balance_audit"](spark, SF).collect()
+    splits = {r.bucket: r for r in qs["q199_corpus_prep_pipeline"](spark, SF).collect()}
+    per_bucket = {}
+    per_bucket_exp = {}
+    for r in cells:
+        assert r.chi2 >= 0.0
+        per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + r.n_docs
+        per_bucket_exp[r.bucket] = per_bucket_exp.get(r.bucket, 0.0) + r.expected
+    for b, n in per_bucket.items():
+        assert n == splits[b].n_docs
+        assert abs(per_bucket_exp[b] - n) < 0.01 * max(n, 1) + 1
