@@ -182,10 +182,18 @@ def wedge_join(
     w_col: str = "w",
     salt_buckets: int = 1,
 ) -> DataFrame:
-    """Wedge enumeration (u—v—w paths) over a CANONICAL edge set
+    """Median-centered wedge enumeration over a CANONICAL edge set
     (``u < v`` on every row): self-join on the middle vertex, yielding
-    (u, v, w) with u < v < w — each open wedge exactly once, the first
-    stage of triangle counting / clustering-coefficient queries.
+    (u, v, w) with u < v < w. Contract: exactly the wedges whose
+    CENTER vertex is the median-id endpoint, each once — which is
+    exactly one wedge per unordered vertex triple that a triangle
+    check needs (close it against the canonical (u, w) edge, as
+    ``triangle_count`` does). This is NOT a full per-center wedge
+    enumeration: a wedge centered on its smallest or largest vertex
+    (edges (1,2),(1,3) -> wedge 2—1—3) is never emitted, by design —
+    a node's TOTAL wedge count is C(deg, 2) off the degree table (how
+    q166 builds its clustering-coefficient denominator), never an
+    explode.
 
     Hub skew is the known hot spot: the middle-vertex key's join fan-in
     is the vertex DEGREE, so one celebrity node owns a quadratic task.

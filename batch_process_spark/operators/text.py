@@ -264,13 +264,24 @@ def bm25_topk(
     tf_cols = [
         F.size(_tf(t)).cast("long").alias(f"__tf{i}") for i, t in enumerate(terms)
     ]
-    stack_expr = "stack({}, {}) as (token, tf)".format(
-        len(terms),
-        ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(terms)),
-    )
+    # (token, tf) rows via explode-of-structs so the terms ride as BOUND
+    # literals — never interpolated into generated SQL (a term with a
+    # quote must score, not parse-error/inject; same rule as
+    # operators/quality.py's check_constraints).
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("token"), F.col(f"__tf{i}").alias("tf")
+                )
+                for i, t in enumerate(terms)
+            ]
+        )
+    ).alias("__pair")
     hits = (
         base.select("doc_id", "dl", *tf_cols)
-        .select("doc_id", "dl", F.expr(stack_expr))
+        .select("doc_id", "dl", pairs)
+        .select("doc_id", "dl", "__pair.token", "__pair.tf")
         .filter(F.col("tf") > 0)
     )
     dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))

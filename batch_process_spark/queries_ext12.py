@@ -394,6 +394,44 @@ q188_kcore.__doc__ = q188_kcore.__doc__.format(k=_KCORE_K, rounds=_KCORE_ROUNDS)
 # ---------------------------------------------------------------------------
 
 
+def _monthly_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cents monthly revenue rollup (y, m, cents) — the shared
+    fact-scale first stage of q189/q194/q197, factored to ONE
+    definition so the three time-series queries cannot drift apart
+    (an edit here reaches all of them) and ``_memoized_persist`` keys
+    a single materialization they all reuse. Map-side-combined
+    groupBy; the result is CALENDAR-BOUNDED (#years x 12 rows
+    regardless of SF)."""
+    o = _t(spark, sf_dir, "orders")
+    return _memoized_persist(
+        o.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("c").alias("cents"))
+    )
+
+
+def _seasonal_index_parts(monthly: DataFrame):
+    """(moy, tot, idx) — q189's ratio-to-overall seasonal-index
+    pieces, shared verbatim with q194's deseasonalizer so the index
+    q194 divides by is the SAME expression tree q189 reports. moy and
+    tot are calendar-bounded (<= 12 rows / 1 row): broadcast-safe by
+    construction."""
+    moy = monthly.groupBy("m").agg(
+        F.sum("cents").alias("moy_cents"), F.count(F.lit(1)).alias("moy_n")
+    )
+    tot = monthly.agg(
+        F.sum("cents").alias("tot_cents"), F.count(F.lit(1)).alias("tot_n")
+    )
+    idx = (F.col("moy_cents").cast("double") / F.col("moy_n")) / (
+        F.col("tot_cents").cast("double") / F.col("tot_n")
+    )
+    return moy, tot, idx
+
+
 @_q(
     "q189_seasonal_index",
     """
@@ -439,23 +477,8 @@ def q189_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy is broadcast-eligible by construction — the one genuinely
     safe broadcast class; the raw orders scan aggregates map-side
     before its single shuffle."""
-    o = _t(spark, sf_dir, "orders")
-    monthly = (
-        o.select(
-            F.year("o_orderdate").cast("long").alias("y"),
-            F.month("o_orderdate").cast("long").alias("m"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
-        )
-        .groupBy("y", "m")
-        .agg(F.sum("c").alias("cents"))
-    )
-    monthly = _memoized_persist(monthly)
-    moy = monthly.groupBy("m").agg(
-        F.sum("cents").alias("moy_cents"), F.count(F.lit(1)).alias("moy_n")
-    )
-    tot = monthly.agg(
-        F.sum("cents").alias("tot_cents"), F.count(F.lit(1)).alias("tot_n")
-    )
+    monthly = _monthly_revenue_cents(spark, sf_dir)
+    moy, tot, idx = _seasonal_index_parts(monthly)
     pv = monthly.select(
         (F.col("y") + 1).alias("y"), "m", F.col("cents").alias("__pv")
     )
@@ -463,9 +486,6 @@ def q189_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _r6(c):
         return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
 
-    idx = (F.col("moy_cents").cast("double") / F.col("moy_n")) / (
-        F.col("tot_cents").cast("double") / F.col("tot_n")
-    )
     ape = F.abs(F.col("cents") - F.col("__pv")).cast("double") / F.col("cents").cast(
         "double"
     )
@@ -494,7 +514,8 @@ _WILSON_Z = "1.959964"  # shared literal so both engines square/multiply the sam
     "q190_repeat_purchase_wilson",
     f"""
     WITH pc AS (
-      SELECT l.l_partkey, o.o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      SELECT l.l_partkey, o.o_custkey,
+             CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY l.l_partkey, o.o_custkey
     ),
@@ -527,10 +548,14 @@ def q190_repeat_purchase_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part repeat-purchase rate with its Wilson 95% score interval
     — the interval a ranking pipeline uses instead of the raw rate
     (a 1/1 part must NOT outrank a 45/50 part; Wilson's lower bound is
-    the standard fix, e.g. Reddit's comment ranking). Counts are exact
-    ints off one lineitem><orders equi-join — both sides already
-    shuffle on the order key, the join's natural partitioning — then
-    two partial-agg groupBys. The interval is one double expression
+    the standard fix, e.g. Reddit's comment ranking). "Repeat buyer"
+    means >= 2 DISTINCT orders containing the part — count(DISTINCT
+    l_orderkey), not joined-row count, since one order can legally
+    carry the same part on several lineitems. Counts are exact ints
+    off one lineitem><orders equi-join — both sides already shuffle
+    on the order key, the join's natural partitioning — then two
+    partial-agg groupBys (the distinct adds one dedup exchange on
+    (part, cust), still partial-aggregated map-side). The interval is one double expression
     phrased IDENTICALLY in both engines: +, *, / and sqrt are all
     IEEE-754 correctly-rounded, so identical expression trees give
     bit-identical doubles before the one rounding step."""
@@ -541,7 +566,7 @@ def q190_repeat_purchase_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         li.join(o, "l_orderkey")
         .groupBy("l_partkey", "o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
     )
     agg = pc.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_buyers"),
@@ -879,26 +904,8 @@ def q194_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     through), so the strict > comparison cannot flip; the flag is
     reported as BIGINT and the deseasonalized value rounds only at
     output."""
-    o = _t(spark, sf_dir, "orders")
-    monthly = (
-        o.select(
-            F.year("o_orderdate").cast("long").alias("y"),
-            F.month("o_orderdate").cast("long").alias("m"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
-        )
-        .groupBy("y", "m")
-        .agg(F.sum("c").alias("cents"))
-    )
-    monthly = _memoized_persist(monthly)
-    moy = monthly.groupBy("m").agg(
-        F.sum("cents").alias("moy_cents"), F.count(F.lit(1)).alias("moy_n")
-    )
-    tot = monthly.agg(
-        F.sum("cents").alias("tot_cents"), F.count(F.lit(1)).alias("tot_n")
-    )
-    idx = (F.col("moy_cents").cast("double") / F.col("moy_n")) / (
-        F.col("tot_cents").cast("double") / F.col("tot_n")
-    )
+    monthly = _monthly_revenue_cents(spark, sf_dir)
+    moy, tot, idx = _seasonal_index_parts(monthly)
     des = _memoized_persist(
         monthly.join(F.broadcast(moy), "m")
         .crossJoin(F.broadcast(tot))
@@ -1163,17 +1170,7 @@ def q197_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doubles agree bit-for-bit before the output rounding.
     Forecasts exist from the second month (the standard two-point
     init: l=y1, b=y2-y1)."""
-    o = _t(spark, sf_dir, "orders")
-    monthly = (
-        o.select(
-            F.year("o_orderdate").cast("long").alias("y"),
-            F.month("o_orderdate").cast("long").alias("m"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
-        )
-        .groupBy("y", "m")
-        .agg(F.sum("c").alias("cents"))
-    )
-    monthly = _memoized_persist(monthly)
+    monthly = _monthly_revenue_cents(spark, sf_dir)
     one = monthly.agg(
         F.array_sort(F.collect_list(F.struct("y", "m", "cents"))).alias("arr")
     )

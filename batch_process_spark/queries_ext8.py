@@ -402,53 +402,45 @@ def q129_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q131_DIRS: dict[tuple[str, str], str] = {}  # staged slice dirs, per (sf_dir, tag)
 
 
+class _TagMemo:
+    """Adapter presenting one ``tag``'s slice of the flat
+    ``_Q131_DIRS`` dict through the (get / setitem) surface
+    ``queries_ext10._staged_slices`` expects, so release_sketch_caches
+    and the pytest invalidation probes keep their flat
+    (sf_dir, tag)-keyed view."""
+
+    def __init__(self, tag: str):
+        self._tag = tag
+
+    def get(self, key):
+        return _Q131_DIRS.get((key, self._tag))
+
+    def __setitem__(self, key, value) -> None:
+        _Q131_DIRS[(key, self._tag)] = value
+
+
 def _staged_event_slices(sf_dir: str, tag: str, n_slices: int = 3):
-    """Slice the real events table into ``n_slices`` parquet files for
-    feeding one per micro-batch (driver-side pyarrow — no Spark jobs).
-    The dir is memoized per (sf_dir, tag) so repeated invocations don't
-    each leak a full table copy in /tmp. A reused dir already holds all
-    slices, so the first batch may drain everything and the feeds
-    rewrite identical files — final state is unchanged either way
-    (batching-insensitivity is exactly what the streaming queries
-    demonstrate); the genuinely incremental run happens on the first
-    invocation in a process. A fully-staged dir short-circuits with
-    no-op feeds (no driver re-read of the table); staleness after a
-    mid-session events rewrite is handled by release_sketch_caches,
-    which invalidate_tables calls. Returns (dir, write_slice) with
-    slice 0 already written."""
-    import os
-    import tempfile
+    """Events-table micro-batch slices for the q131/q134 streams —
+    a thin wrapper over the ONE staging protocol
+    (``queries_ext10._staged_slices``: memo short-circuit, atexit
+    reclaim, contiguous cuts, no-op feeds when fully staged), so the
+    two copies of that contract cannot drift; only the build_table (a
+    straight events.parquet read) and the (sf_dir, tag) memo keying
+    live here. Staleness after a mid-session events rewrite is
+    handled by release_sketch_caches, which invalidate_tables calls.
+    Returns (dir, write_slice) with slice 0 already written."""
+    from batch_process_spark.queries_ext10 import _staged_slices
 
-    import pyarrow.parquet as pq
+    def _events_table(sf_dir_: str):
+        import os
 
-    key = (os.path.abspath(sf_dir), tag)
-    d = _Q131_DIRS.get(key)
-    if d is not None and os.path.isdir(d) and all(
-        os.path.exists(os.path.join(d, f"slice_{i}.parquet")) for i in range(n_slices)
-    ):
-        return d, lambda i: None  # all slices staged: feeds are no-ops
-    if d is None or not os.path.isdir(d):
-        import atexit
-        import shutil
+        import pyarrow.parquet as pq
 
-        d = tempfile.mkdtemp(prefix=f"{tag}_slices_")
-        # a staged dir holds a full events-table copy: reclaim it at
-        # interpreter exit (the _layout_dir discipline) — in-session
-        # invalidation goes through release_sketch_caches
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _Q131_DIRS[key] = d
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    n = tbl.num_rows
-    cuts = [round(i * n / n_slices) for i in range(n_slices + 1)]
+        return pq.read_table(os.path.join(sf_dir_, "events.parquet"))
 
-    def write_slice(i: int) -> None:
-        pq.write_table(
-            tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
-            os.path.join(d, f"slice_{i}.parquet"),
-        )
-
-    write_slice(0)
-    return d, write_slice
+    return _staged_slices(
+        _TagMemo(tag), sf_dir, f"{tag}_slices_", _events_table, n_slices
+    )
 
 
 @_q(
