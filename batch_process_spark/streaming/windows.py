@@ -160,6 +160,16 @@ def drive_stream_to_memory(
             for feed in feeds or []:
                 feed()
                 q.processAllAvailable()
+            # processAllAvailable() on a TERMINATED query returns
+            # immediately: if the stream died mid-run (transient
+            # executor loss under host load), the loop silently
+            # no-ops and the memory sink still holds the last
+            # successful complete-mode table — a stale PARTIAL
+            # result that reads as a wrong answer downstream.
+            # Surface the stream's own error instead.
+            err = q.exception()
+            if err is not None:
+                raise err
         finally:
             q.stop()
     finally:

@@ -105,3 +105,50 @@ def test_tws_variant_gated_or_equivalent(spark, tmp_path):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_drive_raises_when_stream_dies_mid_run(spark, tmp_path):
+    """A stream that DIES on a later micro-batch must surface its
+    error from drive_stream_to_memory, not hand back the previous
+    batch's complete-mode table as if it were the final answer —
+    processAllAvailable() on a terminated query returns immediately,
+    so without the q.exception() check the caller reads a stale
+    PARTIAL result (the q196-at-load failure shape)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from batch_process_spark.streaming.windows import run_stream_to_memory
+
+    src = tmp_path / "dying_src"
+    src.mkdir()
+    schema = "v long"
+
+    def write_slice(rows, name):
+        spark.createDataFrame([(r,) for r in rows], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    write_slice([1, 2, 3], "s0")
+
+    def transform(stream):
+        # the poison rides INSIDE the aggregate (a bare asserted
+        # column would be pruned away): a negative v raises on the
+        # executor, so batch 0 is clean and the fed batch kills the
+        # query
+        poisoned = F.when(
+            F.col("v") < 0, F.raise_error(F.lit("poison row")).cast("long")
+        ).otherwise(F.col("v"))
+        return stream.groupBy().agg(F.sum(poisoned).alias("n"))
+
+    with pytest.raises((PySparkException, Py4JJavaError, Exception)) as exc:
+        run_stream_to_memory(
+            spark,
+            str(src),
+            schema,
+            transform,
+            query_name="dying_out",
+            output_mode="complete",
+            feeds=[lambda: write_slice([-1], "s1")],
+        )
+    # the first (clean) batch must NOT have been silently returned
+    assert exc.value is not None
