@@ -1090,6 +1090,13 @@ def q172_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         write_slice(2)
         q.processAllAvailable()
+        # Same guard as streaming/windows.py::drive_stream_to_memory:
+        # processAllAvailable() on a TERMINATED query is a no-op, so a
+        # stream that died on a fed batch would silently return only
+        # batch 0's answers. Surface the stream's own error instead.
+        err = q.exception()
+        if err is not None:
+            raise err
     finally:
         q.stop()
     return spark.createDataFrame(
