@@ -25,6 +25,7 @@ import batch_process_spark.queries_ext9  # noqa: F401  (registers part-10 querie
 import batch_process_spark.queries_ext10  # noqa: F401  (registers part-11 queries)
 import batch_process_spark.queries_ext11  # noqa: F401  (registers part-12 queries)
 import batch_process_spark.queries_ext12  # noqa: F401  (registers part-13 queries)
+import batch_process_spark.queries_ext13  # noqa: F401  (registers part-14 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -425,3 +425,60 @@ def kcore_peel(
         if checkpoint:
             e = e.localCheckpoint(eager=True)
     return e
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over a
+    SYMMETRIC edge set (every undirected edge present in both
+    directions). Labels initialize to the node id; each round EVERY
+    node simultaneously adopts the most frequent label among its
+    neighbours, ties broken by the SMALLEST label — the fully
+    deterministic variant (classic LPA breaks ties randomly and is
+    irreproducible across engines; min-tie-break makes the whole run
+    restatable as ``rounds`` unrolled SQL stages for an oracle).
+    Exactly ``rounds`` supersteps — bounded semantics like
+    ``kcore_peel``; at a fixpoint the remaining rounds are no-ops.
+    Returns (node, community).
+
+    Distinct from ``connected_components`` (which min-floods labels and
+    converges to one label per component): frequency adoption lets
+    dense regions KEEP their own label against a sparse bridge, so a
+    barbell splits into two communities where CC reports one.
+
+    Scale shape: each round is one shuffle-hash state><edges equi-join
+    at edge granularity, one partial-agg (node, label) count — the
+    frame is node x distinct-neighbour-labels, collapsing fast as
+    communities form — and one per-node argmax folded into a single
+    codegen ``max(struct(count, -label))``; no object aggregate, no
+    window, B/edge/round constant. Lineage grows linearly in rounds
+    (state joins the fixed edge frame, never itself);
+    ``checkpoint=True`` bounds plan depth via eager localCheckpoint
+    per round for long runs at true scale, as in ``pagerank``.
+    Labels must be non-negative for the ``-label`` struct trick; node
+    ids here are keys, which are."""
+    labels = (
+        edges.select(F.col(u_col).alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    for _ in range(rounds):
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+        l = labels.select(F.col("node").alias("__vn"), "lab")
+        cnt = (
+            edges.join(l.hint("shuffle_hash"), edges[v_col] == l.__vn)
+            .groupBy(F.col(u_col).alias("node"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("__c"), (-F.col("lab")).alias("__nl"))).alias("__m"))
+            .select("node", (-F.col("__m.__nl")).alias("lab"))
+        )
+    return labels.select("node", F.col("lab").alias("community"))

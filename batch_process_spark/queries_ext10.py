@@ -1083,13 +1083,15 @@ def q172_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(df: DataFrame, _bid: int) -> None:
         collected.extend(df.collect())
 
+    from batch_process_spark.streaming.windows import drain_all
+
     q = stream_topk_serving(stream, corpus, sink, k=10)
     try:
-        q.processAllAvailable()
+        drain_all(q)
         write_slice(1)
-        q.processAllAvailable()
+        drain_all(q)
         write_slice(2)
-        q.processAllAvailable()
+        drain_all(q)
         # Same guard as streaming/windows.py::drive_stream_to_memory:
         # processAllAvailable() on a TERMINATED query is a no-op, so a
         # stream that died on a fed batch would silently return only

@@ -127,6 +127,27 @@ def session_window_agg(
     )
 
 
+def drain_all(q) -> None:
+    """Drain a streaming query so that every file synchronously written
+    BEFORE this call is processed — ``processAllAvailable()`` alone is
+    not enough. That call resets the engine's internal ``noNewData``
+    flag and returns on the next no-data trigger signal; but the
+    micro-batch thread may already be MID-TRIGGER, having listed the
+    source directory BEFORE the caller's latest file write, and its
+    completion still delivers the signal (check-then-signal race).
+    Observed in the wild: a 201-query selfcheck sweep under load where
+    q150's result table held sessions over exactly slices 0+1 — the
+    final fed slice was never discovered, no error raised.
+
+    Calling ``processAllAvailable()`` TWICE closes the race: triggers
+    run sequentially on one thread, so whichever trigger wakes the
+    second call must have STARTED (and listed the source) after the
+    first call returned — which is after the caller's write. Cost: one
+    extra idle trigger (~10 ms), only in these test/drive paths."""
+    q.processAllAvailable()
+    q.processAllAvailable()
+
+
 def drive_stream_to_memory(
     spark,
     out: DataFrame,
@@ -156,10 +177,10 @@ def drive_stream_to_memory(
             .start()
         )
         try:
-            q.processAllAvailable()
+            drain_all(q)
             for feed in feeds or []:
                 feed()
-                q.processAllAvailable()
+                drain_all(q)
             # processAllAvailable() on a TERMINATED query returns
             # immediately: if the stream died mid-run (transient
             # executor loss under host load), the loop silently

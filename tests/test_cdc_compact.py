@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from batch_process_spark.sinks.compact import compact_parquet, parquet_files
 from batch_process_spark.streaming.cdc import stream_upsert_to_parquet, upsert_batch
 
+from batch_process_spark.streaming.windows import drain_all
+
 
 def test_upsert_batch_merge_semantics(spark, tmp_path):
     target = str(tmp_path / "cdc_target")
@@ -33,7 +35,7 @@ def test_stream_upsert_end_to_end(spark, tmp_path):
         stream, target, ["k"], checkpoint_dir=str(tmp_path / "ckpt")
     )
     try:
-        q.processAllAvailable()
+        drain_all(q)
     finally:
         q.stop()
     out = spark.read.parquet(target)

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 import batch_process_spark.streaming.cdc as cdc
 from batch_process_spark.streaming.stateful import running_totals_cents_stream
 
+from batch_process_spark.streaming.windows import drain_all
+
 
 def test_cdc_upsert_exactly_once_across_restart(spark, tmp_path, monkeypatch):
     """Stop the query (the controlled stand-in for a crash after
@@ -39,7 +41,7 @@ def test_cdc_upsert_exactly_once_across_restart(spark, tmp_path, monkeypatch):
         stream = spark.readStream.schema(schema).parquet(src)
         q = cdc.stream_upsert_to_parquet(stream, target, ["k"], checkpoint_dir=ckpt)
         try:
-            q.processAllAvailable()
+            drain_all(q)
         finally:
             q.stop()
 
@@ -96,7 +98,7 @@ def test_stateful_totals_restore_state_across_restart(spark, tmp_path):
             .start()
         )
         try:
-            q.processAllAvailable()
+            drain_all(q)
         finally:
             q.stop()
         return {
@@ -160,10 +162,10 @@ def test_stream_interval_outer_join_recovers_across_restart(spark, tmp_path):
             .start()
         )
         try:
-            q.processAllAvailable()
+            drain_all(q)
             for feed in feeds:
                 feed()
-                q.processAllAvailable()
+                drain_all(q)
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", saved)
@@ -246,7 +248,7 @@ def test_foreachbatch_serving_exactly_once_across_restart(spark, tmp_path):
         ).parquet(str(src))
         q = stream_topk_serving(stream, corpus, sink, k=3, checkpoint_dir=ckpt)
         try:
-            q.processAllAvailable()
+            drain_all(q)
         finally:
             q.stop()
 

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from batch_process_spark.streaming.stateful import running_totals_stream
 
+from batch_process_spark.streaming.windows import drain_all
+
 
 def test_running_totals_accumulate_across_batches(spark, tmp_path):
     src = tmp_path / "stream_src"
@@ -31,7 +33,7 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
+        drain_all(q)
         first = {r["user_id"]: (r["n_events"], r["total_value"])
                  for r in spark.sql("select * from running_out").collect()}
         assert first[1] == (2, 15.0)
@@ -39,7 +41,7 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
 
         # second micro-batch: state must carry over, not reset
         write_batch("b2", [(4, t, 1, 2.5), (5, t, 3, 7.0)])
-        q.processAllAvailable()
+        drain_all(q)
         rows = spark.sql("select * from running_out").collect()
         # update mode appends new emissions; take the latest per key
         latest = {}
@@ -93,7 +95,7 @@ def test_tws_variant_gated_or_equivalent(spark, tmp_path):
             .start()
         )
         try:
-            q.processAllAvailable()
+            drain_all(q)
         finally:
             q.stop()
         rows = sorted(
