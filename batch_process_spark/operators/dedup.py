@@ -225,19 +225,36 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    build_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (a < b) from a (id, sig) frame.
 
     Each band's key is md5 of its rows — docs agreeing on any band
     collide. The self-join shuffles only on band keys; hot buckets
     (boilerplate-heavy corpora) are handled by AQE skew-join splitting.
+
+    ``build_sigs``: optional stand-in for the join's RIGHT side — must
+    hold the same (id, sig) rows as ``sigs``. Callers pass a
+    plan-time-inlined copy (``joins.inline_local``) when the corpus is
+    bounded-small: the band join's build side then reads a
+    LocalTableScan and its broadcast build costs zero jobs per run.
+    The distributed left side (and the fallback self-join shape when
+    ``build_sigs`` is None) is unchanged — the 100 TB plan.
     """
     banded = sigs.select(
         F.col(id_col),
         F.explode(band_key_array(num_hashes, bands)).alias("band_key"),
     )
     left = banded.alias("l")
-    right = banded.alias("r")
+    if build_sigs is not None:
+        right = F.broadcast(
+            build_sigs.select(
+                F.col(id_col),
+                F.explode(band_key_array(num_hashes, bands)).alias("band_key"),
+            )
+        ).alias("r")
+    else:
+        right = banded.alias("r")
     pairs = (
         left.join(right, on="band_key")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -416,6 +433,12 @@ def minhash_near_dup_pairs(
     # never verify, so the result is unchanged and the banded join
     # never sees the degenerate bucket.
     sigs = sh.filter(F.size("shingles") > 0).select(F.col(id_col), F.col("sig"))
+    # (Plan-time inlining of the build sides via joins.inline_local was
+    # MEASURED here and reverted: a LocalTableScan build side
+    # re-serializes its rows on every broadcast build, and the shingle
+    # arrays are MBs — the flat build cost more than re-scanning the
+    # persisted shingle frame. The persisted-scan builds also share one
+    # reused exchange across the two verify probes.)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     verified = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")

@@ -331,7 +331,15 @@ def sssp_bounded(
 
     ``seed`` is a (node, cost) frame; ``None`` seeds from the smallest
     ``u`` in the edge set at cost 0 (a deterministic default that
-    needs no caller-side action). ``persist`` is an optional
+    needs no caller-side action). Seed nodes need NOT exist in the
+    edge set: every seed row is echoed back in the result at (at most)
+    its seed cost — "you can reach where you start" — so a typo'd or
+    stale seed frame yields rows for nodes absent from the graph.
+    Callers that want graph-members only should semi-join their seed
+    against the node set first (``seed.join(edges.select(u), "node",
+    "left_semi")``); the operator does not do it implicitly because
+    the echo is the correct semantics for routing ("cost from HERE"
+    is 0 even for an isolated depot). ``persist`` is an optional
     ``DataFrame -> DataFrame`` hook (e.g. ``.persist()`` or a memo)
     applied to each round's frontier so round k never recomputes
     rounds 1..k-1.
@@ -468,8 +476,6 @@ def label_propagation(
         .select("node", F.col("node").alias("lab"))
     )
     for _ in range(rounds):
-        if checkpoint:
-            labels = labels.localCheckpoint(eager=True)
         l = labels.select(F.col("node").alias("__vn"), "lab")
         cnt = (
             edges.join(l.hint("shuffle_hash"), edges[v_col] == l.__vn)
@@ -481,4 +487,10 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("__c"), (-F.col("lab")).alias("__nl"))).alias("__m"))
             .select("node", (-F.col("__m.__nl")).alias("lab"))
         )
+        # checkpoint AFTER each round's work (kcore_peel's placement):
+        # a start-of-loop cut would eagerly checkpoint the initial
+        # distinct-labels frame (one wasted job) and leave the FINAL
+        # round's plan uncut.
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("lab").alias("community"))

@@ -116,6 +116,65 @@ def map_literal(mapping: dict):
     return F.create_map(*args)
 
 
+def inline_local(
+    df: DataFrame,
+    *gate_on: DataFrame,
+    max_rows: int = 100_000,
+    cap_bytes: int | None = None,
+) -> DataFrame | None:
+    """Materialize a BOUNDED small frame at plan-BUILD time into a
+    driver-local relation (``LocalTableScan``), so joins that broadcast
+    it pay ZERO broadcast-build jobs per execution: a
+    ``BroadcastExchange`` over a distributed child submits one collect
+    job every run, while one over a LocalTableScan builds its hashed
+    relation driver-side with no job at all (the ``enrich_labels``
+    dict-lookup pattern generalized to arbitrary bounded frames).
+
+    Size-gated twice so the 100 TB case never materializes:
+
+    - plan statistics first (``estimated_bytes`` — no job): a
+      fact-scale input is refused before anything runs;
+    - then a ``limit(max_rows + 1)`` collect: past the row cap the
+      caller gets None and keeps the distributed frame (and its
+      ``gated_broadcast`` / shuffle fallback, which is the correct
+      plan at real scale).
+
+    ``gate_on``: optional frames whose SUMMED estimates stand in for
+    ``df``'s in the stats pre-gate — needed when ``df`` is a join,
+    whose size-only estimate multiplies child sizes (same contract as
+    ``gated_broadcast``).
+
+    EAGER SNAPSHOT, same contract as ``semi_join_to_inset`` /
+    ``fold_dim_to_map``: the collect runs NOW and freezes the frame's
+    current contents into the plan; rebuild after table changes (the
+    catalog's plan memo is dropped by ``queries.invalidate_tables``).
+    """
+    cap = broadcast_cap_bytes() if cap_bytes is None else cap_bytes
+    probes = gate_on if gate_on else (df,)
+    total = 0
+    for p in probes:
+        est = estimated_bytes(p)
+        if est is None:
+            total = None
+            break
+        total += est
+    if total is not None and total > cap:
+        return None
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        return None
+    # The ARROW path (pandas in, arrow.pyspark.enabled on — the session
+    # default) is what makes this work: it plans a LocalTableScan,
+    # whose broadcast build is driver-side and job-free. A list-of-Rows
+    # createDataFrame instead parallelizes an RDD — a 32-task scan job
+    # per broadcast build, i.e. exactly the cost this helper removes.
+    local = df.sparkSession.createDataFrame(pdf, df.schema)
+    plan = local._jdf.queryExecution().optimizedPlan().toString()
+    if "LocalRelation" not in plan:  # arrow disabled => RDD-backed: no win
+        return None
+    return local
+
+
 def semi_join_to_inset(keys_df: DataFrame, key_col: str, max_keys: int = 10_000) -> list | None:
     """Collect the (bounded) distinct key set of a semi-join's build
     side so the caller can replace the join with ``col.isin(keys)`` —

@@ -109,6 +109,46 @@ def _layout_dir() -> str:
     return _LAYOUT_DIR
 
 
+# Hot-key bucketing for the layout repair: fact tables are rewritten
+# BUCKETED on their primary aggregation/join key, so repeated queries
+# that group or equi-join on that key read a scan whose
+# outputPartitioning already satisfies the aggregate's required
+# distribution — the exchange (and with it a whole stage per query)
+# disappears. This is the ingest-time move every 100 TB warehouse
+# makes (Hive/Spark bucketing, Delta liquid clustering): pay one
+# clustered write, then every downstream groupBy/join on the key is
+# exchange-free. Keys: events.user_id (per-user/file merges, q07-style
+# A3 rewrites), lineitem.l_orderkey (per-order rollups, TPC-H Q3/Q18
+# shapes).
+_BUCKET_KEYS = {"events": "user_id", "lineitem": "l_orderkey"}
+
+
+def _respread_bucketed(
+    spark: SparkSession, name: str, df: DataFrame, key_col: str, target: int, key: str
+) -> DataFrame | None:
+    """Write ``df`` as an external BUCKETED table (1 file per bucket)
+    under the layout dir; returns the catalog-backed frame whose scans
+    expose HashPartitioning(key_col, target). None on any failure —
+    caller falls back to the plain multi-file respread."""
+    import os
+
+    tbl = f"bps_layout_{name}_{key}"
+    try:
+        if not spark.catalog.tableExists(tbl):
+            path = os.path.join(_layout_dir(), f"{name}-bucketed-{key}")
+            (
+                df.repartition(target, F.col(key_col))
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(target, key_col)
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
+        return spark.table(tbl)
+    except Exception:
+        return None
+
+
 def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
     import hashlib
     import os
@@ -121,22 +161,31 @@ def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Dat
     # compute parallelism at a quarter of the overhead.
     cores = spark.sparkContext.defaultParallelism
     target = int(os.environ.get("SPARK_GRAFT_LAYOUT_PARTS", "0")) or min(8, cores)
+    src = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(src)
+    except OSError:
+        return df
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{target}".encode()
+    ).hexdigest()[:16]
+    # Bucketing is checked BEFORE the size/parallelism gates: its win is
+    # exchange ELIMINATION on the hot key (a stage per query), which
+    # pays off even for a table small enough that a 1-task scan would
+    # otherwise be the right plan.
+    bucket_col = _BUCKET_KEYS.get(name)
+    if bucket_col and bucket_col in df.columns:
+        bucketed = _respread_bucketed(spark, name, df, bucket_col, target, key)
+        if bucketed is not None:
+            return bucketed
     try:
         nparts = df.rdd.getNumPartitions()
     except Exception:
         return df
     if nparts >= max(4, target // 2):
         return df  # already parallel enough (the 100 TB case)
-    src = f"{sf_dir}/{name}.parquet"
-    try:
-        st = os.stat(src)
-    except OSError:
-        return df
     if st.st_size < 2 * 1024 * 1024:
         return df  # tiny dims: a 1-task scan is the right plan
-    key = hashlib.sha1(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{target}".encode()
-    ).hexdigest()[:16]
     path = os.path.join(_layout_dir(), f"{name}-{key}")
     # Atomic publish: write to a staging dir and rename into place only
     # on success — a partial write (disk full, interrupt) must never be

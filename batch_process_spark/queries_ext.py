@@ -573,8 +573,14 @@ def q29_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # Gate on the pruned orders scan (the InSet filter doesn't change
     # the size-only estimate, which is the conservative read we want).
+    # Bounded-small orders2 is inlined at plan-build time (LocalTableScan
+    # broadcast: zero build jobs per run); past the caps — real-scale
+    # orders — the size-gated broadcast/shuffle path is kept unchanged.
+    o2 = orders2.select("o_orderkey", "o_orderdate")
+    o2_local = joins.inline_local(o2)
+    build = F.broadcast(o2_local) if o2_local is not None else joins.gated_broadcast(o2, orders)
     return (
-        li.join(joins.gated_broadcast(orders2, orders), li.l_orderkey == F.col("o_orderkey"))
+        li.join(build, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -663,6 +669,12 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             # supplier scales linearly with SF (~1/5 kept by the ASIA
             # filter) — at the 100 TB target it is a 100M+-row table,
             # so the broadcast must be stats-gated like the oc side.
+            # (Plan-time inlining was MEASURED here and reverted: a
+            # LocalTableScan build side re-serializes its rows on every
+            # broadcast build, which at oc's 150k rows costs more than
+            # the parquet-scan build chain it replaced — q30 steady
+            # 0.32 s -> 0.52 s. inline_local pays off only for narrow
+            # few-10k-row build sides like q29's.)
             joins.gated_broadcast(supp2),
             (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

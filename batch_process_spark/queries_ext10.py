@@ -1078,13 +1078,12 @@ def q172_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(d)
     )
-    collected: list = []
-
-    def sink(df: DataFrame, _bid: int) -> None:
-        collected.extend(df.collect())
-
+    # the promoted sink contract: per-batch answers are bounded at
+    # k x queries-in-batch rows, and the guard keeps that honest
+    from batch_process_spark.streaming.similarity import bounded_collect_sink
     from batch_process_spark.streaming.windows import drain_all
 
+    sink, collected = bounded_collect_sink(max_rows_per_batch=10 * 15)
     q = stream_topk_serving(stream, corpus, sink, k=10)
     try:
         drain_all(q)

@@ -73,3 +73,36 @@ def stream_topk_serving(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def bounded_collect_sink(max_rows_per_batch: int = 10_000):
+    """The serving loop's DRIVER-SIDE sink contract (the q172 pattern),
+    packaged: returns ``(sink, collected)`` where ``sink`` is a
+    ``foreachBatch``-compatible callable appending each batch's rows to
+    ``collected``.
+
+    Collecting is safe here BY CONSTRUCTION — a top-k serving batch is
+    bounded at k x queries-in-batch rows — and the explicit
+    ``max_rows_per_batch`` guard keeps that construction honest: a sink
+    accidentally wired to an unbounded frame (raw scores, a forgotten
+    ``limit``) fails loudly on the offending batch instead of OOMing
+    the driver. The bounded ``limit(n + 1).collect()`` never pulls more
+    than the cap + 1 rows even when misused.
+
+    At 100 TB this sink is for ANSWERS (k rows per query), not data:
+    high-volume results belong in a real writer (kafka/parquet
+    ``foreachBatch`` body), not on the driver.
+    """
+    collected: list = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        rows = df.limit(max_rows_per_batch + 1).collect()
+        if len(rows) > max_rows_per_batch:
+            raise ValueError(
+                f"bounded_collect_sink: batch {batch_id} exceeds "
+                f"{max_rows_per_batch} rows — this sink is for bounded "
+                "top-k answers; route bulk results to a real writer"
+            )
+        collected.extend(rows)
+
+    return sink, collected

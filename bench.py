@@ -65,11 +65,25 @@ def main() -> None:
     # with AQE off for the bench, the static conf carries it. Override
     # with SPARK_GRAFT_SHUFFLE; scales with sf via the layout fan-out.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or min(8, int(cpus))
+    # Driver-JVM floor tuning (measured on the bench host: 1-stage job
+    # floor 52 ms -> ~21 ms): a 48 GiB heap makes every young GC long
+    # enough to sit inside the per-job scheduling path, so size the
+    # heap to the workload (sf0.1 is tens of MB) and cap GC pauses;
+    # default.parallelism=8 right-sizes LOCAL-mode task fan-out
+    # (parallelize width for broadcast builds, leaf-node defaults) the
+    # same way shuffle partitions are right-sized above. All three are
+    # per-workload session tuning the engine exposes; cluster sessions
+    # (session.py defaults) are untouched.
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"),
+            "spark.driver.extraJavaOptions": "-XX:MaxGCPauseMillis=15",
+            "spark.default.parallelism": "8",
+        },
     )
     qs = entrymod.queries()
 

@@ -267,3 +267,77 @@ def test_foreachbatch_serving_exactly_once_across_restart(spark, tmp_path):
     top = dict(answered)
     assert top == {100: 19, 101: 19, 102: 19}
     corpus.unpersist()
+
+
+def test_bounded_collect_sink_three_batches_and_guard(spark, tmp_path):
+    """The promoted serving-sink contract (streaming/similarity.py::
+    bounded_collect_sink): three micro-batches of query vectors drain
+    through the guarded sink, answers accumulate exactly once per
+    query; a bound smaller than one batch's k x Q answer set trips the
+    guard loudly instead of collecting unbounded rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.streaming.similarity import (
+        bounded_collect_sink,
+        stream_topk_serving,
+    )
+
+    src = tmp_path / "q3b"
+    src.mkdir()
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    ).persist()
+    corpus.count()
+
+    def write_q(ids):
+        tbl = pa.table(
+            {
+                "query_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([[float(i), 1.0] for i in ids], pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(tbl, str(src / f"q{ids[0]}.parquet"))
+
+    sink, collected = bounded_collect_sink(max_rows_per_batch=2 * 3)
+    write_q([0, 1])
+    stream = spark.readStream.schema("query_id long, embedding array<float>").parquet(str(src))
+    q = stream_topk_serving(stream, corpus, sink, k=3)
+    try:
+        drain_all(q)
+        write_q([2, 3])
+        drain_all(q)
+        write_q([4])
+        drain_all(q)
+        assert q.exception() is None
+    finally:
+        q.stop()
+    per_query = {}
+    for r in collected:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert sorted(per_query) == [0, 1, 2, 3, 4]  # 3 batches, every query once
+    assert all(len(v) == 3 for v in per_query.values())  # k answers each
+
+    # guard: a batch of 2 queries x k=3 = 6 rows > bound 5 -> loud error
+    sink2, _ = bounded_collect_sink(max_rows_per_batch=5)
+    import pytest as _pytest
+
+    src2 = tmp_path / "qguard"
+    src2.mkdir()
+    tbl = pa.table(
+        {
+            "query_id": pa.array([7, 8], pa.int64()),
+            "embedding": pa.array([[7.0, 1.0], [8.0, 1.0]], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(src2 / "q.parquet"))
+    stream2 = spark.readStream.schema("query_id long, embedding array<float>").parquet(str(src2))
+    q2 = stream_topk_serving(stream2, corpus, sink2, k=3)
+    try:
+        with _pytest.raises(Exception, match="bounded_collect_sink"):
+            drain_all(q2)
+            err = q2.exception()
+            if err is not None:
+                raise err
+    finally:
+        q2.stop()

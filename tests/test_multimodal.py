@@ -402,3 +402,59 @@ def test_decode_features_real_pixels_without_pillow(spark):
     assert rows[2]["feat"] == pytest.approx([0.5, 0, 0, 0, 0, 0, 0, 0.5])
     for r in rows.values():
         assert abs(sum(r["feat"]) - 1.0) < 1e-9
+
+
+# --- round-8: Pillow parity for the decode kernels ----------------------
+
+def test_pil_decode_agrees_with_png_decode_on_fixture():
+    """_pil_decode and _png_decode must produce the SAME (width, height,
+    8-bin luma histogram) for a PNG with known pixel values — the
+    optional-dep decoder is a faster path, not a different feature
+    definition. Skipped without Pillow (like the other optional-dep
+    tests); the stdlib side of the contract is pinned regardless by
+    test_png_decode_* above."""
+    pytest.importorskip("PIL")
+    from batch_process_spark.operators.multimodal import _pil_decode, _png_decode
+
+    # 4x3 RGB gradient exercising several luma bins
+    pixels = [
+        [(0, 0, 0), (40, 40, 40), (90, 90, 90), (130, 130, 130)],
+        [(160, 160, 160), (200, 200, 200), (255, 255, 255), (10, 200, 30)],
+        [(250, 5, 5), (5, 5, 250), (128, 128, 0), (0, 128, 128)],
+    ]
+    png = _png_pixel_bytes(pixels, ctype=2)
+    w_a, h_a, hist_a = _png_decode(png)
+    w_b, h_b, hist_b = _pil_decode(png)
+    assert (w_a, h_a) == (w_b, h_b) == (4, 3)
+    assert hist_a == pytest.approx(hist_b, abs=1e-9), (hist_a, hist_b)
+
+
+def test_pil_decode_jpeg_luma_histogram():
+    """JPEG decode rides Pillow (the stdlib decoder refuses it by
+    contract): dims recovered, 8-bin histogram normalized and
+    concentrated where the luma actually is."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    from batch_process_spark.operators.multimodal import _pil_decode
+
+    buf = io.BytesIO()
+    Image.new("RGB", (24, 16), (100, 100, 100)).save(buf, format="JPEG", quality=95)
+    w, h, hist = _pil_decode(buf.getvalue())
+    assert (w, h) == (24, 16)
+    assert sum(hist) == pytest.approx(1.0)
+    # uniform luma 100 lands in bin 3 (96..127); JPEG ringing may leak
+    # a little into neighbors
+    assert hist[3] > 0.9, hist
+
+
+def test_stdlib_decode_refuses_jpeg_loudly():
+    """Without a codec library the stdlib decoder must raise
+    NotImplementedError naming Pillow for JPEG payloads — a capability
+    guard, not a silent wrong answer. Runs in every environment."""
+    from batch_process_spark.operators.multimodal import _stdlib_decode
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        _stdlib_decode(_jpeg_bytes(10, 10))

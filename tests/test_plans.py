@@ -414,3 +414,86 @@ def test_q161_grid_join_is_hash_not_nested_loop(spark, qs):
     assert "CartesianProduct" not in tree
     assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
     assert "struct<c_custkey:bigint>" in plan
+
+
+def test_inline_local_shapes_and_values(spark):
+    """inline_local: below caps -> a LocalRelation copy whose broadcast
+    join build is flat (LocalTableScan in the plan, values identical to
+    the source); above the row cap or stats cap -> None (caller keeps
+    the distributed frame — the 100 TB path)."""
+    from batch_process_spark.operators.joins import inline_local
+
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    local = inline_local(src)
+    assert local is not None
+    assert "LocalRelation" in local._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted((r.k, r.v) for r in local.collect()) == sorted(
+        (r.k, r.v) for r in src.collect()
+    ), "inlined copy must hold exactly the source rows"
+    # the broadcast join over the inlined copy plans a LocalTableScan build
+    probe = spark.range(50).withColumnRenamed("id", "k")
+    plan = plan_of(probe.join(F.broadcast(local), "k"))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree and "LocalTableScan" in tree
+
+    assert inline_local(src, max_rows=99) is None, "row cap must refuse"
+    assert inline_local(src, cap_bytes=1) is None, "stats cap must refuse"
+    # gate_on stands in for a join's multiplied size estimate
+    joined = src.join(src.withColumnRenamed("v", "v2"), "k")
+    assert inline_local(joined, src, src) is not None
+    assert inline_local(joined, src, src, cap_bytes=1) is None
+
+
+def test_inline_local_type_roundtrip(spark):
+    """Timestamps, decimals and string arrays must survive the
+    collect -> pandas -> LocalRelation round trip bit-exactly (the
+    arrow path; q29 inlines a timestamp column, q18 probed arrays)."""
+    from batch_process_spark.operators.joins import inline_local
+
+    src = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1L, TIMESTAMP'1995-03-14 23:59:59', CAST(1.2345 AS DECIMAL(10,4)), array('a','b')),
+          (2L, TIMESTAMP'2001-01-01 00:00:00', CAST(-7.0001 AS DECIMAL(10,4)), array()),
+          (3L, CAST(NULL AS TIMESTAMP), CAST(NULL AS DECIMAL(10,4)), CAST(NULL AS ARRAY<STRING>))
+        AS t(k, ts, d, arr)
+        """
+    )
+    local = inline_local(src)
+    assert local is not None
+    assert local.schema == src.schema
+    got = {r.k: (r.ts, r.d, r.arr) for r in local.collect()}
+    want = {r.k: (r.ts, r.d, r.arr) for r in src.collect()}
+    assert got == want
+
+
+def test_layout_bucketed_respread_kills_exchanges(spark, tmp_path, monkeypatch):
+    """The layout repair writes hot-key fact tables BUCKETED: a groupBy
+    on the bucket key (or a superset) then needs NO exchange — q07's
+    two-stage merge collapses to a single exchange-free stage, and the
+    bucketed copy holds exactly the source rows."""
+    from batch_process_spark.queries import _respread, invalidate_tables
+
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_CACHE", "1")
+    invalidate_tables()
+    try:
+        src = spark.read.parquet(f"{SF}/events.parquet")
+        out = _respread(spark, SF, "events", src)
+        # catalog-backed bucketed table, same rows
+        assert out.count() == src.count()
+        assert sorted(out.select("event_id").toPandas()["event_id"]) == sorted(
+            src.select("event_id").toPandas()["event_id"]
+        )
+        agg = out.groupBy("user_id").count()
+        plan = plan_of(agg)
+        assert "Exchange" not in plan.split("\n\n")[0], (
+            "bucketed scan must satisfy the groupBy distribution:\n" + plan
+        )
+        # superset grouping keys are satisfied too (q07 stage 1)
+        agg2 = out.groupBy("user_id", "event_type").count()
+        assert "Exchange" not in plan_of(agg2).split("\n\n")[0]
+    finally:
+        invalidate_tables()
+        monkeypatch.delenv("SPARK_GRAFT_LAYOUT_CACHE")

@@ -530,3 +530,150 @@ def test_bucketed_lsh_index_join_no_static_side_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for t in ("lsh_idx_test_bands", "lsh_idx_test_shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# --- round-8 report parity: cyclers, pictures, captions, merges --------
+
+def _tiny_png(tmp_path, w=12, h=8):
+    """Minimal real PNG (signature + IHDR + IDAT + IEND, valid CRCs)."""
+    import struct, zlib
+
+    def chunk(tag, payload):
+        c = tag + payload
+        return struct.pack(">I", len(payload)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes([128] * w) for _ in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    p = tmp_path / "pic.png"
+    p.write_bytes(png)
+    return str(p)
+
+
+def test_svg_cyclers_distinct_per_series(small, tmp_path):
+    """Three line series must come out with DISTINCT stroke colors,
+    distinct dash patterns (solid / 6,3 / 1.5,2.5) and distinct marker
+    glyphs — the reference's cycler behavior (plot_helpers.py:131-233)
+    in the stdlib renderer."""
+    import re
+
+    from batch_process_spark.sinks.report import _svg_plot
+
+    pdf = small.toPandas()
+    out = _svg_plot(
+        pdf,
+        {"series": [{"x": "s", "y": "x"}, {"x": "s", "y": "x"}, {"x": "s", "y": "x"}]},
+        str(tmp_path / "cyc.svg"),
+    )
+    svg = open(out).read()
+    lines = re.findall(r"<polyline[^>]*>", svg)
+    assert len(lines) == 3
+    strokes = [re.search(r'stroke="(#\w+)"', l).group(1) for l in lines]
+    assert len(set(strokes)) == 3, strokes
+    dashes = [
+        (m.group(1) if (m := re.search(r'stroke-dasharray="([^"]+)"', l)) else None)
+        for l in lines
+    ]
+    assert len(set(dashes)) == 3 and None in dashes, dashes  # series 0 solid
+    # distinct marker glyph kinds: o -> circle, s -> rect, ^ -> polygon
+    assert "<circle" in svg and "<rect" in svg and "<polygon" in svg
+    # an explicit format-string style still wins over the cycle
+    out2 = _svg_plot(
+        pdf,
+        {"series": [{"x": "s", "y": "x", "style": "--"}]},
+        str(tmp_path / "cyc2.svg"),
+    )
+    assert 'stroke-dasharray="6,3"' in open(out2).read()
+
+
+def _docx_parts(path):
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        return {n: z.read(n) for n in z.namelist()}
+
+
+def test_docx_spec_picture_caption_and_merge(small, tmp_path):
+    """docx_report_spec parity with the reference report adapter
+    (docx_helpers.py:37-76): an embedded image part + relationship +
+    DrawingML inline with the requested width, 'Figure:'/'Table:'
+    caption paragraphs, and merged header cells via gridSpan/vMerge."""
+    from batch_process_spark.sinks.report import docx_report_spec
+
+    png = _tiny_png(tmp_path)
+    out = docx_report_spec(
+        [
+            {"heading": "Results"},
+            {"text": "intro paragraph"},
+            {"table": small, "caption": "per-group stats",
+             "merge": [[(0, 0), (0, 1)]]},
+            {"picture": png, "width_inches": 3.5, "caption": "trend"},
+        ],
+        str(tmp_path / "spec.docx"),
+    )
+    parts = _docx_parts(out)
+    doc = parts["word/document.xml"].decode()
+    # picture: media part + image relationship + inline drawing sized
+    # to 3.5 in (EMU) with height scaled by the 12x8 aspect
+    assert parts["word/media/image1.png"].startswith(b"\x89PNG")
+    rels = parts["word/_rels/document.xml.rels"].decode()
+    assert 'Target="media/image1.png"' in rels and "relationships/image" in rels
+    assert "<w:drawing>" in doc and f'cx="{int(3.5 * 914400)}"' in doc
+    assert f'cy="{int(int(3.5 * 914400) * 8 / 12)}"' in doc
+    assert "Figure: trend" in doc and "Table: per-group stats" in doc
+    # merged header cells: one gridSpan=2, and one FEWER <w:tc> in row 0
+    assert '<w:gridSpan w:val="2"/>' in doc
+    # png content type registered
+    assert 'Extension="png"' in parts["[Content_Types].xml"].decode()
+
+
+def test_docx_spec_vertical_merge_and_validation(small, tmp_path):
+    from batch_process_spark.sinks.report import _merge_layout, docx_report_spec
+
+    # vertical merge roles
+    roles = _merge_layout(3, 2, [[(1, 0), (2, 0)]])
+    assert roles[(1, 0)] == ("vrestart", 1) and roles[(2, 0)] == ("vcontinue", 1)
+    # invalid groups fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rectangular"):
+        _merge_layout(3, 3, [[(0, 0), (0, 1), (1, 0)]])
+    with _pytest.raises(ValueError, match="contiguous"):
+        _merge_layout(3, 3, [[(0, 0), (0, 2)]])
+    with _pytest.raises(ValueError, match="outside"):
+        _merge_layout(2, 2, [[(0, 0), (5, 0)]])
+    with _pytest.raises(ValueError, match="overlaps"):
+        _merge_layout(3, 3, [[(0, 0), (0, 1)], [(0, 1), (0, 2)]])
+    out = docx_report_spec(
+        [{"table": small, "merge": [[(1, 0), (2, 0)]]}], str(tmp_path / "vm.docx")
+    )
+    doc = _docx_parts(out)["word/document.xml"].decode()
+    assert '<w:vMerge w:val="restart"/>' in doc and "<w:vMerge/>" in doc
+
+
+def test_plot_to_docx_roundtrip(small, tmp_path):
+    """plot_from_spec -> docx_report_spec: the rendered chart (PNG from
+    matplotlib or SVG from the stdlib renderer) lands as an embedded
+    image part in the .docx with a figure caption."""
+    from batch_process_spark.sinks.report import docx_report_spec, plot_from_spec
+
+    plot = plot_from_spec(
+        small, {"title": "t", "series": [{"x": "s", "y": "x"}]}, str(tmp_path / "p.png")
+    )
+    out = docx_report_spec(
+        [{"heading": "R"}, {"picture": plot, "caption": "the plot"}],
+        str(tmp_path / "round.docx"),
+    )
+    parts = _docx_parts(out)
+    media = [n for n in parts if n.startswith("word/media/image1.")]
+    assert media, sorted(parts)
+    doc = parts["word/document.xml"].decode()
+    assert "Figure: the plot" in doc and "<w:drawing>" in doc
+    if plot.endswith(".svg"):  # svgBlip extension carries the vector part
+        assert "svgBlip" in doc
+        assert 'Extension="svg"' in parts["[Content_Types].xml"].decode()

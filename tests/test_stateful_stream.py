@@ -142,7 +142,13 @@ def test_drive_raises_when_stream_dies_mid_run(spark, tmp_path):
         ).otherwise(F.col("v"))
         return stream.groupBy().agg(F.sum(poisoned).alias("n"))
 
-    with pytest.raises((PySparkException, Py4JJavaError, Exception)) as exc:
+    # Narrow raise set (NOT bare Exception — a fixture/setup error must
+    # FAIL this test, not satisfy it) and the surfaced error must be
+    # the executor's poison, proving the killed query's exception
+    # propagated rather than some unrelated failure.
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
+    with pytest.raises((StreamingQueryException, PySparkException, Py4JJavaError)) as exc:
         run_stream_to_memory(
             spark,
             str(src),
@@ -152,5 +158,7 @@ def test_drive_raises_when_stream_dies_mid_run(spark, tmp_path):
             output_mode="complete",
             feeds=[lambda: write_slice([-1], "s1")],
         )
-    # the first (clean) batch must NOT have been silently returned
-    assert exc.value is not None
+    assert "poison" in str(exc.value), (
+        "the stream's own failure must surface, not a stale partial "
+        f"result or an unrelated error: {exc.value}"
+    )
