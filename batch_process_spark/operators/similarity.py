@@ -234,6 +234,122 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_index_stats(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> dict:
+    """Cell-occupancy statistics of an IVF index, computed in ONE tiny
+    aggregation job (n_centroids output rows): per-cell sizes, the mean
+    cell size, and the mean within-cell cosine distance (1 - cos(vec,
+    own centroid)) — the index's intrinsic 'cell radius' scale that
+    ``nprobe="auto"`` calibrates its probe margin from."""
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    rows = (
+        assigned.select(
+            F.col("centroid_id"),
+            (1 - cosine(F.col(vec_col), F.element_at(cent_arr, F.col("centroid_id") + 1))).alias(
+                "__wd"
+            ),
+        )
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__wd").alias("wd"))
+        .collect()
+    )
+    sizes = {r["centroid_id"]: r["n"] for r in rows}
+    total = sum(sizes.values()) or 1
+    return {
+        "cell_sizes": sizes,
+        "n_vectors": total,
+        "mean_cell_size": total / max(len(sizes), 1),
+        "mean_within_dist": sum(r["wd"] for r in rows) / total,
+    }
+
+
+def ivf_probe_sets(
+    centroids: list[list[float]],
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int | str = 4,
+    stats: dict | None = None,
+    assigned: DataFrame | None = None,
+    max_fraction: float = 0.125,
+    auto_margin_scale: float = 2.0,
+) -> DataFrame:
+    """The query-side probe plan: (query_id, __qvec, centroid_id) —
+    one row per (query, probed cell). Shared by ``ivf_topk`` and the
+    recall/cost probes (which join it against cell sizes to MEASURE
+    the probed fraction instead of assuming nprobe/n_centroids).
+    See ``ivf_topk`` for the ``nprobe`` semantics."""
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    q = q.withColumn(
+        "__dists",
+        F.transform(cent_arr, lambda c: -cosine(F.col("__qvec"), c)),
+    )
+    # rank centroids per query: argsort via array_position over sorted copy
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(F.element_at("__dists", i + 1).alias("d"), i.alias("i")),
+        )
+    )
+    if nprobe == "auto":
+        import math
+
+        if stats is None:
+            if assigned is None:
+                raise ValueError('nprobe="auto" needs stats= or assigned=')
+            stats = ivf_index_stats(assigned, centroids, vec_col=vec_col)
+        margin = stats["mean_within_dist"] * auto_margin_scale
+        floor = max(1, math.ceil(3 * k / max(stats["mean_cell_size"], 1.0)))
+        # probed-MASS bound, centered: the prefix is allowed to include
+        # the budget-crossing cell (below), so the line sits half a
+        # mean cell early — expected probed mass then lands ON the
+        # max_fraction target instead of half a cell over it
+        budget = int(max_fraction * stats["n_vectors"] - stats["mean_cell_size"] / 2)
+        sizes_arr = F.array(
+            *[F.lit(int(stats["cell_sizes"].get(i, 0))) for i in range(len(centroids))]
+        )
+        q = q.withColumn("__ranked", ranked)
+        best = F.element_at("__ranked", 1)["d"]
+        within = F.filter(F.col("__ranked"), lambda s: s["d"] <= best + F.lit(margin))
+        q = q.withColumn("__within", within)
+        # prefix cell-MASS over the margin-filtered ranked cells; probe
+        # the longest prefix whose mass stays under the budget (mass,
+        # not count: on a skewed index a query whose near cells are
+        # small may probe MORE of them for the same cost bound)
+        prefix = F.transform(
+            F.sequence(F.lit(1), F.size("__within")),
+            lambda j: F.aggregate(
+                F.slice("__within", 1, j),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.element_at(sizes_arr, s["i"].cast("int") + 1),
+            ),
+        )
+        # the prefix may include the cell that CROSSES the budget line
+        # (overshoot bounded by one cell) — without it, an index whose
+        # mean cell mass divides the budget exactly would probe one
+        # cell short of the intended fraction on every query
+        m = F.least(
+            F.size("__within"),
+            F.size(F.filter(prefix, lambda p: p < F.lit(budget))) + F.lit(1),
+        )
+        probe = F.slice("__within", F.lit(1), F.greatest(m, F.lit(1)))
+        probe = F.when(F.size(probe) >= floor, probe).otherwise(
+            F.slice(F.col("__ranked"), 1, floor)
+        )
+        return q.withColumn(
+            "centroid_id", F.explode(F.transform(probe, lambda s: s["i"]))
+        ).select(query_id_col, "__qvec", "centroid_id")
+    return q.withColumn(
+        "centroid_id",
+        F.explode(F.slice(F.transform(ranked, lambda s: s["i"]), 1, nprobe)),
+    ).select(query_id_col, "__qvec", "centroid_id")
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -242,37 +358,48 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | str = 4,
+    stats: dict | None = None,
+    max_fraction: float = 0.125,
+    auto_margin_scale: float = 2.0,
 ) -> DataFrame:
-    """Probe the ``nprobe`` nearest centroids per query, exact-rank the
-    candidates. Join is centroid_id-equi (broadcast on the query side)."""
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-    q = q.withColumn(
-        "__dists",
-        F.transform(cent_arr, lambda c: -cosine(F.col("__qvec"), c)),
+    """Probe nearest centroids per query, exact-rank the candidates.
+    Join is centroid_id-equi (broadcast on the query side).
+
+    ``nprobe``: an int probes that many cells for EVERY query. The
+    recall-under-stress sweep (BASELINE.md) showed the knee moves with
+    cell occupancy, so ``nprobe="auto"`` probes ADAPTIVELY per query
+    instead, calibrated from the index's cell-size stats
+    (``ivf_index_stats``; computed here in one tiny job when ``stats``
+    is not passed):
+
+    - every centroid whose cosine distance is within ``margin`` of the
+      query's best centroid is probed, where margin = mean within-cell
+      distance x ``auto_margin_scale`` — boundary-straddling queries
+      (the ones fixed small nprobe fails on) automatically fan out to
+      the cells their true neighbors can hide in, while interior
+      queries probe 1-2 cells;
+    - a FLOOR of ceil(3k / mean_cell_size) cells guarantees enough
+      candidates when cells are small relative to k;
+    - a probed-MASS budget of ``max_fraction`` x corpus rows bounds
+      the cost: the longest prefix of margin-qualified cells whose
+      cumulative cell mass stays under the budget is probed. Mass, not
+      cell count — on a skewed index a query whose near cells are
+      SMALL probes more of them for the same cost bound, which is
+      where fixed nprobe loses recall.
+    """
+    q = ivf_probe_sets(
+        centroids,
+        queries,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        k=k,
+        nprobe=nprobe,
+        stats=stats,
+        assigned=assigned,
+        max_fraction=max_fraction,
+        auto_margin_scale=auto_margin_scale,
     )
-    # rank centroids per query: argsort via array_position over sorted copy
-    q = q.withColumn(
-        "centroid_id",
-        F.explode(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.transform(
-                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                            lambda i: F.struct(
-                                F.element_at("__dists", i + 1).alias("d"), i.alias("i")
-                            ),
-                        )
-                    ),
-                    lambda s: s["i"],
-                ),
-                1,
-                nprobe,
-            )
-        ),
-    ).select(query_id_col, "__qvec", "centroid_id")
     scored = assigned.join(F.broadcast(q), "centroid_id").withColumn(
         "score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
     )

@@ -72,13 +72,33 @@ def boundary_queries(spark, dim: int):
     return spark.createDataFrame(rows, "query_id long, embedding array<double>")
 
 
-def main() -> None:
-    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 131_072
-    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    spark = get_spark("ivfrecall")
-    corpus = clustered_corpus(spark, n, dim).persist()
-    corpus.count()
-    queries = boundary_queries(spark, dim)
+def uniform_corpus(spark, n: int, dim: int):
+    """The §5-style near-uniform corpus (i.i.d. Gaussian vectors) —
+    the EASY case, where even nprobe=1 recalls well; auto must not
+    overspend here."""
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(SEED + 5000 + int(ids[0]))
+            vecs = rng.normal(size=(len(ids), dim))
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    return (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, schema="vec_id long, embedding array<double>")
+    )
+
+
+def uniform_queries(spark, dim: int):
+    rng = np.random.default_rng(SEED + 777)
+    rows = [(qid, [float(x) for x in rng.normal(size=dim)]) for qid in range(N_QUERIES)]
+    return spark.createDataFrame(rows, "query_id long, embedding array<double>")
+
+
+def sweep(spark, corpus, queries, label: str) -> None:
+    from batch_process_spark.operators.similarity import ivf_index_stats, ivf_probe_sets
 
     exact = {
         (r["query_id"], r["vec_id"])
@@ -87,28 +107,53 @@ def main() -> None:
     t0 = time.time()
     assigned, cents = ivf_index(corpus, n_centroids=N_CENTROIDS)
     assigned = assigned.persist()
-    n_assigned = assigned.count()
+    assigned.count()
     t_build = time.time() - t0
-    cell_sizes = {
-        r["centroid_id"]: r["count"]
-        for r in assigned.groupBy("centroid_id").count().collect()
-    }
+    stats = ivf_index_stats(assigned, cents)
+    cell_sizes = stats["cell_sizes"]
+    total = stats["n_vectors"]
     print(
-        f"n={n:,} dim={dim} clusters={N_CLUSTERS} centroids={N_CENTROIDS} "
-        f"queries={N_QUERIES}(boundary) build={t_build:.1f}s "
+        f"[{label}] n={total:,} clusters={N_CLUSTERS} centroids={N_CENTROIDS} "
+        f"queries={N_QUERIES} build={t_build:.1f}s "
         f"cells min/med/max={min(cell_sizes.values()):,}/"
-        f"{sorted(cell_sizes.values())[len(cell_sizes)//2]:,}/{max(cell_sizes.values()):,}"
+        f"{sorted(cell_sizes.values())[len(cell_sizes)//2]:,}/{max(cell_sizes.values()):,} "
+        f"mean_within_dist={stats['mean_within_dist']:.4f}"
     )
-    print("| nprobe | recall@10 | probed fraction | query wall (s) |")
+    print("| nprobe | recall@10 | probed fraction (measured) | query wall (s) |")
     print("|---|---|---|---|")
-    for nprobe in (1, 2, 4, 8):
+    for nprobe in (1, 2, 4, 8, "auto"):
+        # measured probed fraction: sum of probed-cell masses / corpus,
+        # averaged over queries (NOT the nprobe/n_centroids upper bound)
+        probes = ivf_probe_sets(
+            cents, queries, k=K, nprobe=nprobe, stats=stats
+        ).collect()
+        per_q: dict = {}
+        for r in probes:
+            per_q.setdefault(r["query_id"], 0)
+            per_q[r["query_id"]] += cell_sizes.get(r["centroid_id"], 0)
+        frac = sum(per_q.values()) / (len(per_q) * total)
         t0 = time.time()
-        approx_rows = ivf_topk(assigned, cents, queries, k=K, nprobe=nprobe).collect()
+        approx_rows = ivf_topk(
+            assigned, cents, queries, k=K, nprobe=nprobe, stats=stats
+        ).collect()
         wall = time.time() - t0
         approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
         recall = len(exact & approx) / max(len(exact), 1)
-        probed_frac = nprobe / N_CENTROIDS  # upper bound; cells are uneven
-        print(f"| {nprobe} | {recall:.3f} | <= {probed_frac:.3f} | {wall:.2f} |")
+        print(f"| {nprobe} | {recall:.3f} | {frac:.3f} | {wall:.2f} |")
+    assigned.unpersist()
+
+
+def main() -> None:
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 131_072
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    spark = get_spark("ivfrecall")
+    corpus = clustered_corpus(spark, n, dim).persist()
+    corpus.count()
+    sweep(spark, corpus, boundary_queries(spark, dim), "adversarial: clustered corpus, boundary queries")
+    corpus.unpersist()
+    uni = uniform_corpus(spark, n, dim).persist()
+    uni.count()
+    sweep(spark, uni, uniform_queries(spark, dim), "uniform corpus, random queries")
 
 
 if __name__ == "__main__":

@@ -426,3 +426,65 @@ def test_connected_components_driver_types_widest_of_both_columns(spark):
         for r in connected_components(pairs, strategy="driver").collect()
     }
     assert got == {(1, 1), (big, 1)}
+
+
+def test_ivf_auto_nprobe(spark):
+    """nprobe="auto" (round 8): per-query adaptive probing calibrated
+    from ivf_index_stats. On a two-blob corpus an interior query (deep
+    inside one blob) probes FEWER cells than a boundary query (midway
+    between blobs), recall for the boundary query still finds the true
+    neighbors, and every probe set respects the floor >= ceil(3k/mean
+    cell)."""
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_index_stats,
+        ivf_probe_sets,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(60, 4))
+    b = rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(60, 4))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = ivf_index(corpus, n_centroids=4)
+    stats = ivf_index_stats(assigned, cents)
+    assert stats["n_vectors"] == 120 and sum(stats["cell_sizes"].values()) == 120
+    assert stats["mean_within_dist"] >= 0.0
+
+    queries = spark.createDataFrame(
+        [(0, [5.0, 0.0, 0.0, 0.0]), (1, [0.1, 3.0, 0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )  # q0 interior to blob a; q1 near the angular boundary
+    probes = ivf_probe_sets(cents, queries, k=3, nprobe="auto", stats=stats).collect()
+    per_q = {}
+    for r in probes:
+        per_q.setdefault(r["query_id"], set()).add(r["centroid_id"])
+    import math
+
+    floor = max(1, math.ceil(3 * 3 / stats["mean_cell_size"]))
+    assert all(len(v) >= floor for v in per_q.values())
+    assert len(per_q[1]) >= len(per_q[0]), per_q  # boundary fans out at least as wide
+
+    # auto answers match brute force for the interior query (its whole
+    # neighborhood lives in the probed cells)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries.filter("query_id = 0"), k=3).collect()
+    }
+    auto = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            assigned, cents, queries.filter("query_id = 0"), k=3, nprobe="auto", stats=stats
+        ).collect()
+    }
+    assert auto == exact
+
+    # stats are computed on demand when neither stats nor assigned given
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto"):
+        ivf_probe_sets(cents, queries, k=3, nprobe="auto")
