@@ -262,6 +262,7 @@ def pagerank(
     u_col: str = "u",
     v_col: str = "v",
     checkpoint: bool = False,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a DIRECTED edge list — returns
     (node, rank) for every node with at least one out-edge. Callers
@@ -289,9 +290,22 @@ def pagerank(
     for _ in range(iters):
         if checkpoint:
             state = state.localCheckpoint(eager=True)
+        if salt_buckets:
+            # Hub-skew hardening: the state><edges join keys on u, so a
+            # node with a dominant out-degree (web-graph hubs) lands all
+            # its edges in ONE task. Salt the edge (fact) side, explode
+            # the node-sized state across the buckets (skew.salted_join)
+            # — max task rows drop to ~1/buckets of the hub's degree for
+            # a buckets-fold replication of the small state frame.
+            from batch_process_spark.operators import skew
+
+            e2 = edges.select(F.col(u_col).alias("__jk"), F.col(v_col))
+            st = state.select(F.col("node").alias("__jk"), "rank", "outdeg")
+            joined = skew.salted_join(e2, st.hint("shuffle_hash"), on=["__jk"], buckets=salt_buckets)
+        else:
+            joined = state.join(edges.hint("shuffle_hash"), state.node == edges[u_col])
         contrib = (
-            state.join(edges.hint("shuffle_hash"), state.node == edges[u_col])
-            .select(
+            joined.select(
                 F.col(v_col).alias("node"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
             )
@@ -441,6 +455,7 @@ def label_propagation(
     u_col: str = "u",
     v_col: str = "v",
     checkpoint: bool = False,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (community detection) over a
     SYMMETRIC edge set (every undirected edge present in both
@@ -477,9 +492,18 @@ def label_propagation(
     )
     for _ in range(rounds):
         l = labels.select(F.col("node").alias("__vn"), "lab")
+        if salt_buckets:
+            # hub-skew hardening (see pagerank): the join keys on v, so
+            # a dominant IN-degree node floods one task; salt the edge
+            # side, explode the node-sized label frame per bucket
+            from batch_process_spark.operators import skew
+
+            e2 = edges.select(F.col(u_col), F.col(v_col).alias("__vn"))
+            joined = skew.salted_join(e2, l.hint("shuffle_hash"), on=["__vn"], buckets=salt_buckets)
+        else:
+            joined = edges.join(l.hint("shuffle_hash"), edges[v_col] == l.__vn)
         cnt = (
-            edges.join(l.hint("shuffle_hash"), edges[v_col] == l.__vn)
-            .groupBy(F.col(u_col).alias("node"), F.col("lab"))
+            joined.groupBy(F.col(u_col).alias("node"), F.col("lab"))
             .agg(F.count(F.lit(1)).alias("__c"))
         )
         labels = (

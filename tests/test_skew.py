@@ -245,3 +245,31 @@ def test_with_salt_positional_spreads_identical_rows(spark):
         buckets=8,
     ).collect()[0]
     assert (got["cnt"], got["sum_v"]) == (1000, 1000.0)
+
+
+def test_graph_salt_buckets_preserve_semantics(spark):
+    """salt_buckets (round 8): the salted state><edges join must give
+    EXACTLY the unsalted labels for LPA, and PageRank ranks equal up to
+    float reassociation — on a hub-skewed star+clique graph where the
+    hub dominates one join partition."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark.operators.graph import label_propagation, pagerank
+
+    # hub 0 connected to everyone; plus a 4-clique 100..103
+    rows = [(0, i) for i in range(1, 40)] + [(100 + a, 100 + b) for a in range(4) for b in range(4) if a != b]
+    e = spark.createDataFrame(rows, "u long, v long")
+    edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+    plain = {r["node"]: r["community"] for r in label_propagation(edges, rounds=3).collect()}
+    salted = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=3, salt_buckets=4).collect()
+    }
+    assert plain == salted
+
+    pr_plain = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    pr_salted = {r["node"]: r["rank"] for r in pagerank(edges, iters=3, salt_buckets=4).collect()}
+    assert set(pr_plain) == set(pr_salted)
+    for n, v in pr_plain.items():
+        assert abs(v - pr_salted[n]) <= 1e-12 * max(abs(v), 1e-300), (n, v, pr_salted[n])
