@@ -27,7 +27,7 @@ def main() -> None:
 
     from batch_process_spark.operators.grouping import dir_level_aggregate, summary_stats
     from batch_process_spark.session import get_spark
-    from batch_process_spark.sinks.report import docx_report, plot_from_spec
+    from batch_process_spark.sinks.report import docx_report_spec, plot_from_spec
     from batch_process_spark.sinks.writers import write_csv
     from batch_process_spark.sources.filetree import attach_labels, label_dimension, read_tree_texts
     from batch_process_spark.sources.readers import sniff_numeric_values
@@ -52,7 +52,17 @@ def main() -> None:
         {"title": "mean by ext", "series": [{"x": "ext", "y": "mean", "label": "mean"}]},
         str(out_dir / "means.png"),
     )
-    report_path = docx_report(stats, "Demo pipeline results", str(out_dir / "report.docx"))
+    # one structured document, the reference report-adapter shape:
+    # heading, captioned table, the rendered chart embedded with a
+    # figure caption (docx_helpers.py:37-76 parity)
+    report_path = docx_report_spec(
+        [
+            {"heading": "Demo pipeline results"},
+            {"table": stats, "caption": "per-(group, ext) summary stats"},
+            {"picture": plot_path, "width_inches": 6.0, "caption": "mean by ext"},
+        ],
+        str(out_dir / "report.docx"),
+    )
     print(f"artifacts: {out_dir}/stats_csv, {plot_path}, {report_path}")
     spark.stop()
 

@@ -68,6 +68,26 @@ def test_demo_pipeline_end_to_end(spark, demo_tree, tmp_path):
     assert os.path.exists(plot)
     report = docx_report(agg, "Demo results", str(tmp_path / "report.docx"))
     assert os.path.exists(report)
+    # 6. structured report: the chart EMBEDDED in the document with a
+    # figure caption (the demo's run.py shape — reference docx_helpers
+    # parity end-to-end)
+    from batch_process_spark.sinks.report import docx_report_spec
+
+    spec_report = docx_report_spec(
+        [
+            {"heading": "Demo results"},
+            {"table": agg, "caption": "summary stats"},
+            {"picture": plot, "width_inches": 6.0, "caption": "means"},
+        ],
+        str(tmp_path / "report_spec.docx"),
+    )
+    import zipfile
+
+    with zipfile.ZipFile(spec_report) as z:
+        names = z.namelist()
+        assert any(n.startswith("word/media/image1.") for n in names), names
+        doc = z.read("word/document.xml").decode()
+    assert "<w:drawing>" in doc and "Figure: means" in doc and "Table: summary stats" in doc
 
 
 def test_demo_via_pipeline_compiler(spark, demo_tree, tmp_path):
