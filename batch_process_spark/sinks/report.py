@@ -389,99 +389,11 @@ def plot_from_spec(df: DataFrame, spec: Mapping[str, Any], out_path: str) -> str
 _W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 
 
-def _docx_stdlib(pdf, title: str, out_path: str) -> str:
-    """Write a REAL .docx with zipfile alone: OOXML is a zip of XML
-    parts, and the minimal package ([Content_Types].xml, _rels/.rels,
-    word/document.xml) opens in Word/LibreOffice. Heading as a bold
-    28-half-point run (direct formatting — no styles.xml dependency),
-    table with single borders."""
-    import zipfile
-    from xml.sax.saxutils import escape
-
-    def run(text, bold=False, size=None):
-        props = ""
-        if bold or size:
-            props = (
-                "<w:rPr>"
-                + ("<w:b/>" if bold else "")
-                + (f'<w:sz w:val="{size}"/>' if size else "")
-                + "</w:rPr>"
-            )
-        return f'<w:r>{props}<w:t xml:space="preserve">{escape(str(text))}</w:t></w:r>'
-
-    def para(text, bold=False, size=None):
-        return f"<w:p>{run(text, bold, size)}</w:p>"
-
-    def cell(text):
-        return f"<w:tc><w:tcPr><w:tcW w:w='0' w:type='auto'/></w:tcPr>{para(text)}</w:tc>"
-
-    borders = (
-        "<w:tblBorders>"
-        + "".join(
-            f'<w:{side} w:val="single" w:sz="4" w:space="0" w:color="auto"/>'
-            for side in ("top", "left", "bottom", "right", "insideH", "insideV")
-        )
-        + "</w:tblBorders>"
-    )
-    rows_xml = ["<w:tr>" + "".join(cell(c) for c in pdf.columns) + "</w:tr>"]
-    for _, row in pdf.iterrows():
-        rows_xml.append(
-            "<w:tr>"
-            + "".join(cell("" if v is None else v) for v in row)
-            + "</w:tr>"
-        )
-    document = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<w:document xmlns:w="{_W}"><w:body>'
-        + para(title, bold=True, size=28)
-        + f"<w:tbl><w:tblPr>{borders}</w:tblPr>"
-        + "".join(rows_xml)
-        + "</w:tbl><w:sectPr/></w:body></w:document>"
-    )
-    content_types = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
-        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
-        '<Default Extension="xml" ContentType="application/xml"/>'
-        '<Override PartName="/word/document.xml" ContentType='
-        '"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
-        "</Types>"
-    )
-    rels = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument'
-        '/2006/relationships/officeDocument" Target="word/document.xml"/>'
-        "</Relationships>"
-    )
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", content_types)
-        z.writestr("_rels/.rels", rels)
-        z.writestr("word/document.xml", document)
-    return out_path
-
-
 def docx_report(df: DataFrame, title: str, out_path: str) -> str:
-    """Word report (K7): heading + result table. python-docx when
-    importable; else the stdlib OOXML writer — a real .docx either
-    way."""
-    pdf = _small_pandas(df)
-    try:
-        import docx  # type: ignore
-
-        doc = docx.Document()
-        doc.add_heading(title, level=1)
-        table = doc.add_table(rows=1, cols=len(pdf.columns))
-        for i, c in enumerate(pdf.columns):
-            table.rows[0].cells[i].text = str(c)
-        for _, row in pdf.iterrows():
-            cells = table.add_row().cells
-            for i, v in enumerate(row):
-                cells[i].text = "" if v is None else str(v)
-        doc.save(out_path)
-        return out_path
-    except ImportError:
-        return _docx_stdlib(pdf, title, out_path)
+    """Word report (K7), simple form: heading + result table — sugar
+    over ``docx_report_spec`` (python-docx when importable, stdlib
+    OOXML writer otherwise; a real .docx either way)."""
+    return docx_report_spec([{"heading": title}, {"table": df}], out_path)
 
 
 # --- structured docx reports: pictures, captions, merged cells --------

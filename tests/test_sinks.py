@@ -677,3 +677,33 @@ def test_plot_to_docx_roundtrip(small, tmp_path):
     if plot.endswith(".svg"):  # svgBlip extension carries the vector part
         assert "svgBlip" in doc
         assert 'Extension="svg"' in parts["[Content_Types].xml"].decode()
+
+
+def test_docx_spec_python_docx_branch(small, tmp_path):
+    """When python-docx IS importable the spec writer renders through
+    it (headings, captioned table with a merged header, embedded
+    picture with width + figure caption) — skipped in stdlib-only
+    environments, where the OOXML tests above cover the same spec."""
+    pytest.importorskip("docx")
+    from batch_process_spark.sinks.report import docx_report_spec
+
+    png = _tiny_png(tmp_path)
+    out = docx_report_spec(
+        [
+            {"heading": "Results"},
+            {"text": "intro"},
+            {"table": small, "caption": "stats", "merge": [[(0, 0), (0, 1)]]},
+            {"picture": png, "width_inches": 3.0, "caption": "trend"},
+        ],
+        str(tmp_path / "pd.docx"),
+    )
+    import docx as _docx
+
+    doc = _docx.Document(out)
+    texts = [p.text for p in doc.paragraphs]
+    assert "Results" in texts and "Table: stats" in texts and "Figure: trend" in texts
+    assert len(doc.tables) == 1
+    assert len(doc.inline_shapes) == 1
+    from docx.shared import Inches
+
+    assert doc.inline_shapes[0].width == Inches(3.0)
