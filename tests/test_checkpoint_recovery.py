@@ -341,3 +341,75 @@ def test_bounded_collect_sink_three_batches_and_guard(spark, tmp_path):
                 raise err
     finally:
         q2.stop()
+
+
+def test_stream_serving_with_ivf_scorer(spark, tmp_path):
+    """The serving loop's pluggable scorer contract: an IVF-backed
+    scorer (the 100 TB path — per-batch cost is probed buckets, not the
+    corpus) drops into stream_topk_serving via a closure with the same
+    (corpus, queries, **kw) signature, and the per-batch answers match
+    the exact brute-force scorer on a well-separated corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_process_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_index_stats,
+        ivf_topk,
+    )
+    from batch_process_spark.streaming.similarity import (
+        bounded_collect_sink,
+        stream_topk_serving,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float(i // 7), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    corpus.count()
+    assigned, cents = ivf_index(corpus, n_centroids=2)
+    assigned = assigned.persist()
+    stats = ivf_index_stats(assigned, cents)
+
+    def ivf_scorer(_corpus, batch, **kw):
+        # nprobe="auto" probes both cells here (2 cells, tiny corpus),
+        # so the answers are exact — the equivalence this test pins
+        return ivf_topk(assigned, cents, batch, nprobe="auto", stats=stats, **kw)
+
+    src = tmp_path / "ivfq"
+    src.mkdir()
+
+    def write_q(ids):
+        tbl = pa.table(
+            {
+                "query_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(i % 7), float(i // 7), 1.0] for i in ids], pa.list_(pa.float64())
+                ),
+            }
+        )
+        pq.write_table(tbl, str(src / f"q{ids[0]}.parquet"))
+
+    sink, collected = bounded_collect_sink()
+    write_q([3, 11])
+    stream = spark.readStream.schema("query_id long, embedding array<double>").parquet(str(src))
+    q = stream_topk_serving(stream, corpus, sink, k=3, scorer=ivf_scorer)
+    try:
+        drain_all(q)
+        write_q([25])
+        drain_all(q)
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    queries = spark.createDataFrame(
+        [(i, [float(i % 7), float(i // 7), 1.0]) for i in (3, 11, 25)],
+        "query_id long, embedding array<double>",
+    )
+    exact = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=3).collect()
+    }
+    got = {(r["query_id"], r["rank"], r["vec_id"]) for r in collected}
+    assert got == exact
