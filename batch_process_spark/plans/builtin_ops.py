@@ -79,3 +79,39 @@ def quality_gate(df, checks=None, fail_on_violation=False, **cfg):
             names = ", ".join(f"{r['check_name']}({r['violations']})" for r in bad)
             raise GateError(f"quality gate failed: {names}")
     return report
+
+
+@operator(name="docx_report", phase="post")
+def docx_report_op(df, out="report.docx", title="Report", caption=None, plot=None, plot_out=None, width_inches=6.0, **cfg):
+    """Config-driven Word report (the reference's main-flow report
+    step, ``utils/exporters.py`` + ``docx_helpers.py``, as a pipeline
+    stage): the incoming frame renders as a captioned table; an
+    optional ``plot`` spec (the K8 grammar) is rendered first
+    (matplotlib or stdlib SVG) and embedded with a figure caption.
+    Returns the frame unchanged so later stages keep flowing.
+
+    Example config::
+
+        post_process:
+          - name: docx_report
+            config:
+              out: out/report.docx
+              title: Nightly rollup
+              caption: per-group stats
+              plot: {series: [{x: g, y: mean}]}
+              plot_out: out/means.png
+    """
+    from batch_process_spark.sinks.report import docx_report_spec, plot_from_spec
+
+    sections: list = [{"heading": title}, {"table": df, "caption": caption}]
+    if plot:
+        rendered = plot_from_spec(df, plot, plot_out or out.rsplit(".", 1)[0] + ".png")
+        sections.append(
+            {
+                "picture": rendered,
+                "width_inches": width_inches,
+                "caption": plot.get("title") or caption,
+            }
+        )
+    docx_report_spec(sections, out)
+    return df

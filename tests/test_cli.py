@@ -176,3 +176,31 @@ def test_cli_query_subcommand(spark, capsys):
     with _pytest.raises(SystemExit):
         main(["query", "q01_pricing_sumary"])  # typo -> did-you-mean error
     assert "did you mean" in capsys.readouterr().err
+
+
+def test_builtin_docx_report_op(spark, tmp_path):
+    """Config-driven report stage: the pipeline's post_process can emit
+    a Word document with the result table AND an embedded chart — the
+    reference's main-flow report step from pure YAML/JSON config."""
+    import zipfile
+
+    from batch_process_spark.plans.compiler import Pipeline
+    from batch_process_spark.plans.registry import REGISTRY
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, mean double")
+    out = str(tmp_path / "r.docx")
+    op = REGISTRY.get("docx_report")
+    ret = op.fn(
+        df,
+        out=out,
+        title="T",
+        caption="tbl",
+        plot={"title": "means", "series": [{"x": "g", "y": "mean"}]},
+        plot_out=str(tmp_path / "p.png"),
+    )
+    assert ret is df  # pass-through stage
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+        doc = z.read("word/document.xml").decode()
+    assert any(n.startswith("word/media/image1.") for n in names)
+    assert "Table: tbl" in doc and "Figure: means" in doc
