@@ -225,36 +225,21 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
-    build_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (a < b) from a (id, sig) frame.
 
     Each band's key is md5 of its rows — docs agreeing on any band
     collide. The self-join shuffles only on band keys; hot buckets
     (boilerplate-heavy corpora) are handled by AQE skew-join splitting.
-
-    ``build_sigs``: optional stand-in for the join's RIGHT side — must
-    hold the same (id, sig) rows as ``sigs``. Callers pass a
-    plan-time-inlined copy (``joins.inline_local``) when the corpus is
-    bounded-small: the band join's build side then reads a
-    LocalTableScan and its broadcast build costs zero jobs per run.
-    The distributed left side (and the fallback self-join shape when
-    ``build_sigs`` is None) is unchanged — the 100 TB plan.
+    (A ``build_sigs`` inlined-right-side variant was measured in round
+    8 and removed: see the revert note in ``minhash_near_dup_pairs``.)
     """
     banded = sigs.select(
         F.col(id_col),
         F.explode(band_key_array(num_hashes, bands)).alias("band_key"),
     )
     left = banded.alias("l")
-    if build_sigs is not None:
-        right = F.broadcast(
-            build_sigs.select(
-                F.col(id_col),
-                F.explode(band_key_array(num_hashes, bands)).alias("band_key"),
-            )
-        ).alias("r")
-    else:
-        right = banded.alias("r")
+    right = banded.alias("r")
     pairs = (
         left.join(right, on="band_key")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

@@ -155,10 +155,13 @@ def inline_local(
     for p in probes:
         est = estimated_bytes(p)
         if est is None:
-            total = None
-            break
+            # fail SAFE like gated_broadcast: with no stats the bounded
+            # collect below could still scan a fact-scale input and
+            # pull up to max_rows wide rows to the driver at plan-build
+            # time — keep the distributed frame instead
+            return None
         total += est
-    if total is not None and total > cap:
+    if total > cap:
         return None
     pdf = df.limit(max_rows + 1).toPandas()
     if len(pdf) > max_rows:

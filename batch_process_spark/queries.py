@@ -123,27 +123,39 @@ def _layout_dir() -> str:
 _BUCKET_KEYS = {"events": "user_id", "lineitem": "l_orderkey"}
 
 
+import threading as _threading
+
+_BUCKET_WRITE_LOCK = _threading.Lock()
+
+
 def _respread_bucketed(
     spark: SparkSession, name: str, df: DataFrame, key_col: str, target: int, key: str
 ) -> DataFrame | None:
     """Write ``df`` as an external BUCKETED table (1 file per bucket)
     under the layout dir; returns the catalog-backed frame whose scans
     expose HashPartitioning(key_col, target). None on any failure —
-    caller falls back to the plain multi-file respread."""
+    caller falls back to the plain multi-file respread.
+
+    Same-pid writer race (the only one possible — the layout dir is
+    process-local, see the plain path's staging comment): saveAsTable
+    has no atomic staging+rename equivalent, so the check-then-write is
+    serialized under a process lock instead; threads sharing a session
+    then never overwrite each other's in-flight table directory."""
     import os
 
     tbl = f"bps_layout_{name}_{key}"
     try:
-        if not spark.catalog.tableExists(tbl):
-            path = os.path.join(_layout_dir(), f"{name}-bucketed-{key}")
-            (
-                df.repartition(target, F.col(key_col))
-                .write.mode("overwrite")
-                .format("parquet")
-                .bucketBy(target, key_col)
-                .option("path", path)
-                .saveAsTable(tbl)
-            )
+        with _BUCKET_WRITE_LOCK:
+            if not spark.catalog.tableExists(tbl):
+                path = os.path.join(_layout_dir(), f"{name}-bucketed-{key}")
+                (
+                    df.repartition(target, F.col(key_col))
+                    .write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(target, key_col)
+                    .option("path", path)
+                    .saveAsTable(tbl)
+                )
         return spark.table(tbl)
     except Exception:
         return None
@@ -169,12 +181,18 @@ def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Dat
     key = hashlib.sha1(
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{target}".encode()
     ).hexdigest()[:16]
-    # Bucketing is checked BEFORE the size/parallelism gates: its win is
-    # exchange ELIMINATION on the hot key (a stage per query), which
-    # pays off even for a table small enough that a 1-task scan would
-    # otherwise be the right plan.
+    # Bucketing is checked BEFORE the tiny-table/parallelism gates: its
+    # win is exchange ELIMINATION on the hot key (a stage per query),
+    # which pays off even for a table small enough that a 1-task scan
+    # would otherwise be the right plan. It has its own UPPER size
+    # gate instead: rewriting is a full-table shuffle into `target`
+    # buckets under a temp dir, which is a repeated-local-workload
+    # optimization — a genuinely large table (the 100 TB case) must
+    # not be opportunistically duplicated at session time; at that
+    # scale bucketing happens at ingest (bucketBy on the real write),
+    # and the plain gates below return the scan untouched.
     bucket_col = _BUCKET_KEYS.get(name)
-    if bucket_col and bucket_col in df.columns:
+    if bucket_col and bucket_col in df.columns and st.st_size <= 256 * 1024 * 1024:
         bucketed = _respread_bucketed(spark, name, df, bucket_col, target, key)
         if bucketed is not None:
             return bucketed

@@ -301,23 +301,26 @@ def _svg_plot(pdf, spec: Mapping[str, Any], out_path: str) -> str:
                         f'width="{bw:.1f}" height="{abs(sy(y) - sy(0)):.1f}" fill="{color}"/>'
                     )
             else:
-                # explicit format-string dash/marker wins; otherwise the
-                # series' cycled linestyle + marker keep multi-series
-                # charts readable (the reference's cycler behavior)
-                dash = cyc["dash"]
-                for frag, d in _STYLE_DASHES:
-                    if frag in style_str:
-                        dash = d
-                        break
-                marker = next((m for m in _MARKERS if m in style_str), cyc["marker"])
+                # explicit format-string style wins WHOLE (dash from the
+                # string, markers only if the string asks — matching the
+                # matplotlib branch, where ax.plot(x, y, '--') draws no
+                # markers); otherwise the series' cycled linestyle +
+                # marker keep multi-series charts readable
+                if style_str:
+                    dash = next((d for frag, d in _STYLE_DASHES if frag in style_str), None)
+                    marker = next((m for m in _MARKERS if m in style_str), None)
+                else:
+                    dash = cyc["dash"]
+                    marker = cyc["marker"]
                 path = " ".join(f"{sx(x):.1f},{sy(y):.1f}" for x, y in sorted(pts))
                 dash_attr = f' stroke-dasharray="{dash}"' if dash else ""
                 parts.append(
                     f'<polyline points="{path}" fill="none" stroke="{color}" '
                     f'stroke-width="1.5"{dash_attr}/>'
                 )
-                for x, y in sorted(pts):
-                    parts.append(_marker_svg(marker, sx(x), sy(y), color))
+                if marker:
+                    for x, y in sorted(pts):
+                        parts.append(_marker_svg(marker, sx(x), sy(y), color))
             if len(series) > 1:  # legend (stacked per axis, not global)
                 ly = oy + 16 + 12 * ax_pos
                 parts.append(f'<rect x="{ox + CW - M - 60}" y="{ly - 8}" width="10" height="10" fill="{color}"/>')
@@ -646,11 +649,18 @@ def docx_report_spec(sections, out_path: str) -> str:
          "caption": str | None}`` — caption renders as "Figure: ..."
 
     python-docx when importable, else the stdlib OOXML writer — real
-    embedded image parts either way."""
+    embedded image parts either way. SVG pictures always route through
+    the stdlib writer (which embeds them via the svgBlip extension):
+    python-docx has no SVG support and would raise mid-document."""
     sections = list(sections)
+    has_svg = False
     for sec in sections:
         if "table" in sec and isinstance(sec["table"], DataFrame):
             sec["table"] = _small_pandas(sec["table"])
+        if "picture" in sec and _image_dims_px(sec["picture"])[0] == "svg":
+            has_svg = True
+    if has_svg:
+        return _docx_stdlib_spec(sections, out_path)
     try:
         import docx  # type: ignore
         from docx.shared import Inches  # type: ignore
@@ -666,11 +676,16 @@ def docx_report_spec(sections, out_path: str) -> str:
                 grid = [[str(c) for c in pdf.columns]] + [
                     ["" if v is None else str(v) for v in row] for _, row in pdf.iterrows()
                 ]
-                _merge_layout(len(grid), len(grid[0]), sec.get("merge"))  # validate
+                roles = _merge_layout(len(grid), len(grid[0]), sec.get("merge"))
                 table = doc.add_table(rows=len(grid), cols=len(grid[0]))
                 for r, row in enumerate(grid):
                     for c, v in enumerate(row):
-                        table.rows[r].cells[c].text = v
+                        # non-lead merged cells get NO text: python-docx's
+                        # merge CONCATENATES member contents, which would
+                        # diverge from the stdlib writer's top-left-only
+                        # rendering of the same spec
+                        if (r, c) not in roles or roles[(r, c)][0] not in ("skip", "vcontinue"):
+                            table.rows[r].cells[c].text = v
                 for group in sec.get("merge") or []:
                     first = table.cell(*group[0])
                     for rc in group[1:]:
