@@ -83,6 +83,8 @@ NOTES = {
     "q158_cumulative_uniques": "first-touch rewrite: the only corpus-sized stage is the user-keyed min; the running-sum window runs over the days-sized rollup, never over events",
     "q159_vector_quantize": "zero shuffles: quantization, norms, and the code md5 are all map-side array expressions — scan -> project, nothing else at any corpus size",
     "q140_entity_resolution": "the part table is scanned once into the PERSISTED name dictionary (pair probe, pair build, and the re-key join all read the materialized frame); fuzzy pairing, component resolution, and canonical election all run at dictionary granularity (64 rows)",
+    "q202_source_ngram_overlap": "source-pair comparison joins on the GRAM over a distinct (source, gram) frame — fan-out bounded by source cardinality per gram, never doc x doc; per-source set sizes ride two tiny broadcasts",
+    "q204_ngram_novelty_curve": "every gram reduces to its first doc via one partial-agg min at gram granularity; the unpartitioned window only ever sees the 10 decile rows (bounded by construction)",
 }
 
 
