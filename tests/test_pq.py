@@ -1,0 +1,140 @@
+"""Product quantization (operators/pq.py): closed-form fixtures where
+codes, centroids, and ADC distances are known by construction,
+independent of the DuckDB oracle (which q205/q206 pin separately)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from batch_process_spark.operators import pq
+
+# 4-dim vectors, subdim=2 -> m=2 subspaces. Two tight groups per
+# subspace around (0,0) and (10,10): vectors 0/1 are the init seeds
+# (k=2), vectors 2-5 sit near one seed per subspace.
+_VECS = [
+    (0, [0.0, 0.0, 10.0, 10.0]),
+    (1, [10.0, 10.0, 0.0, 0.0]),
+    (2, [0.5, 0.0, 10.0, 10.5]),  # sub0 -> cid 0, sub1 -> cid 0
+    (3, [9.5, 10.0, 0.0, 0.5]),  # sub0 -> cid 1, sub1 -> cid 1
+    (4, [0.0, 0.5, 0.5, 0.0]),  # sub0 -> cid 0, sub1 -> cid 1
+    (5, [10.0, 9.5, 9.5, 10.0]),  # sub0 -> cid 1, sub1 -> cid 0
+]
+
+
+def _emb(spark, rows=_VECS):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_encode_assigns_nearest_seed_per_subspace(spark):
+    emb = _emb(spark)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=0)  # codebook = raw seeds
+    codes = {
+        (r["vec_id"], r["sub"]): r["cid"]
+        for r in pq.pq_encode(emb, cb, subdim=2).collect()
+    }
+    assert codes[(2, 0)] == 0 and codes[(2, 1)] == 0
+    assert codes[(3, 0)] == 1 and codes[(3, 1)] == 1
+    assert codes[(4, 0)] == 0 and codes[(4, 1)] == 1
+    assert codes[(5, 0)] == 1 and codes[(5, 1)] == 0
+
+
+def test_train_recomputes_centroid_as_member_mean(spark):
+    """After one Lloyd round, sub0/cid0's centroid is the mean of its
+    members' subvectors (vectors 0, 2, 4 -> x = (0+0.5+0)/3)."""
+    emb = _emb(spark)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=1)
+    c = {
+        (r["sub"], r["cid"], r["spos"]): r["c"]
+        for r in cb.collect()
+    }
+    assert abs(c[(0, 0, 0)] - (0.0 + 0.5 + 0.0) / 3) < 1e-12
+    assert abs(c[(0, 0, 1)] - (0.0 + 0.0 + 0.5) / 3) < 1e-12
+
+
+def test_adc_exact_when_vector_is_centroid(spark):
+    """A vector sitting exactly ON its centroids has ADC(q, x) equal to
+    the exact squared distance ||q - x||^2 for every query (the
+    quantization error term vanishes)."""
+    emb = _emb(spark)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=0)
+    codes = pq.pq_encode(emb, cb, subdim=2)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    adc = {
+        (r["query_id"], r["vec_id"]): r["adc"]
+        for r in pq.pq_adc_scores(queries, cb, codes, subdim=2).collect()
+    }
+    vecs = dict(_VECS)
+    for qid in vecs:
+        for xid in (0, 1):  # the seeds ARE their centroids under iters=0
+            exact = sum((a - b) ** 2 for a, b in zip(vecs[qid], vecs[xid]))
+            assert abs(adc[(qid, xid)] - exact) < 1e-9, (qid, xid)
+
+
+def test_adc_topk_matches_exact_on_separated_clusters(spark):
+    """For queries whose subvectors all live in one cluster per
+    subspace (0-3), ADC's nearest neighbor agrees with the exact
+    nearest neighbor. Vectors 4/5 mix clusters ACROSS subspaces —
+    exactly where PQ's per-subspace independence approximation loses
+    metric fidelity — so they are asserted separately below (they
+    must still retrieve a same-code vector first)."""
+    emb = _emb(spark)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=1)
+    codes = pq.pq_encode(emb, cb, subdim=2)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    adc = pq.pq_adc_scores(queries, cb, codes, subdim=2)
+    # nearest OTHER vector by ADC
+    near = {
+        r["query_id"]: r["vec_id"]
+        for r in adc.filter("query_id != vec_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("adc", "vec_id")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    vecs = dict(_VECS)
+    for qid in (0, 1, 2, 3):
+        qv = vecs[qid]
+        exact = min(
+            ((sum((a - b) ** 2 for a, b in zip(qv, xv)), xid)
+             for xid, xv in vecs.items() if xid != qid),
+        )[1]
+        assert near[qid] == exact, qid
+    # mixed-subspace queries: ADC collapses a vector onto its per-sub
+    # centroids, so the nearest neighbor is the one SHARING its codes
+    # (4 shares (0,1) with nothing else here -> nearest centroid-mates
+    # are the pure-cluster vectors; assert the retrieved one at least
+    # shares a code with the query's assignment)
+    codes_map = {
+        (r["vec_id"], r["sub"]): r["cid"] for r in codes.collect()
+    }
+    for qid in (4, 5):
+        got = near[qid]
+        assert any(
+            codes_map[(qid, s)] == codes_map[(got, s)] for s in (0, 1)
+        ), (qid, got)
+
+
+def test_empty_cluster_disappears_deterministically(spark):
+    """If a seed captures no members after reassignment, its cid drops
+    from the recomputed codebook (never a NaN centroid)."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.2, 0.0]),  # seed 1 sits inside seed 0's cluster
+        (2, [0.1, 0.0]),
+        (3, [0.1, 0.1]),
+    ]
+    emb = _emb(spark, rows)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=1)
+    cids = {r["cid"] for r in cb.collect()}
+    # all points are nearer seed 0 or seed 1 deterministically; the
+    # codebook holds only surviving clusters and no NULL/NaN rows
+    assert cids <= {0, 1} and len(cids) >= 1
+    assert cb.filter(F.col("c").isNull() | F.isnan("c")).count() == 0
