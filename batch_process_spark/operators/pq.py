@@ -96,6 +96,7 @@ def pq_train(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fused: bool = False,
 ) -> DataFrame:
     """Train per-subspace codebooks: (sub, cid, spos, c) rows.
 
@@ -106,14 +107,25 @@ def pq_train(
     recompute — deterministically in any engine, so the oracle agrees.
     ``cid`` stays the init vector's id (stable, oracle-friendly); a
     storage layer wanting dense byte codes can dense-rank it after.
-    """
+
+    ``fused=True`` swaps the join-formulation assign (which fans out
+    N x d x k rows through the agg — the oracle-replicable shape, fine
+    at oracle scale) for the Arrow BLAS kernel: each round is one
+    map-only encode plus a 1:1 join back to the exploded frame for the
+    (sub, cid, spos) mean — the shape that trains k=256 codebooks over
+    a real corpus. Same codes either way (test-pinned)."""
     dims = explode_subvectors(df, subdim, id_col, vec_col)
     init = df.select(id_col).orderBy(id_col).limit(k)
     codebook = dims.join(init, id_col).select(
         "sub", F.col(id_col).alias("cid"), "spos", F.col("v").alias("c")
     )
     for _ in range(iters):
-        assigned = _assign(dims, codebook)
+        if fused:
+            assigned = pq_encode_fused(df, codebook, subdim, id_col, vec_col).select(
+                id_col, F.posexplode("codes").alias("sub", "cid")
+            )
+        else:
+            assigned = _assign(dims, codebook)
         codebook = (
             dims.join(assigned, [id_col, "sub"])
             .groupBy("sub", "cid", "spos")
@@ -167,3 +179,200 @@ def pq_adc_scores(
         .groupBy(query_id_col, id_col)
         .agg(F.sum("l").alias("adc"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Arrow kernels — the production path (the oracle-replicable join
+# formulation above fans out N x d x k rows through the assignment agg;
+# these keep the same semantics with one BLAS pass per batch and ZERO
+# shuffle on the corpus side — the minhash fused-kernel discipline).
+# ---------------------------------------------------------------------------
+
+
+def _codebook_arrays(codebook: DataFrame, subdim: int):
+    """Collect a trained codebook (bounded: m x k x subdim rows) into
+    per-subspace numpy arrays: (m, sorted cid list per sub, centroid
+    matrix per sub ordered by cid). Sorting by cid makes numpy argmin's
+    first-minimum == the join formulation's lowest-cid tie-break."""
+    import numpy as np
+
+    subs: dict = {}
+    for r in codebook.collect():
+        subs.setdefault(r["sub"], {}).setdefault(r["cid"], {})[r["spos"]] = r["c"]
+    m = max(subs) + 1
+    cids = {s: sorted(subs[s]) for s in subs}
+    cent = {
+        s: np.array([[subs[s][c][p] for p in range(subdim)] for c in cids[s]])
+        for s in subs
+    }
+    return m, cids, cent
+
+
+def pq_encode_fused(
+    df: DataFrame,
+    codebook: DataFrame,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-kernel twin of ``pq_encode``: (id, codes array<long>) with
+    codes[sub] = assigned cid. Map-only — the codebook rides the task
+    closure (m*k*subdim doubles, ~131 kB at m=16/k=256/sub=4), each
+    batch is one (n x subdim) @ (subdim x k) BLAS pass per subspace,
+    and NOTHING shuffles. This is the 100 TB encode plan: scan ->
+    project -> write."""
+    import numpy as np
+    import pandas as pd
+
+    m, cids, cent = _codebook_arrays(codebook, subdim)
+    cid_arr = {s: np.asarray(cids[s], dtype=np.int64) for s in cids}
+    # argmin(|x-c|^2) == argmin(|c|^2 - 2xc); ties resolve to the first
+    # (= lowest-cid) centroid in both formulations
+    cnorm = {s: (cent[s] ** 2).sum(axis=1) for s in cent}
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                Xa = X[:, s * subdim : (s + 1) * subdim]
+                d = cnorm[s][None, :] - 2.0 * (Xa @ cent[s].T)
+                out[:, s] = cid_arr[s][d.argmin(axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(out)})
+
+    return df.mapInPandas(kernel, schema=f"{id_col} long, codes array<long>")
+
+
+def pq_adc_topk_fused(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    subdim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k over a fused codes frame (id, codes): per-partition
+    top-k per query via LUT lookups (m additions per vector), then an
+    exact global merge — the ``brute_force_topk`` plan shape, but the
+    scan touches m int64 codes per vector instead of d floats. Only
+    partitions x Q x k (query_id, vec_id, adc) rows ever shuffle.
+    Returns (query_id, vec_id, adc) with EXACTLY k rows per query
+    (ties on adc break to the lowest vec_id)."""
+    import numpy as np
+    import pandas as pd
+
+    m, cids, cent = _codebook_arrays(codebook, subdim)
+    sorted_cids = {s: np.asarray(cids[s], dtype=np.int64) for s in cids}
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return codes_df.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, adc double"
+        )
+    qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
+    Qm = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    # LUT[q, s, j] = |q_s - c_{s,j}|^2, j in sorted-cid order
+    lut = np.stack(
+        [
+            ((Qm[:, s * subdim : (s + 1) * subdim][:, None, :] - cent[s][None, :, :]) ** 2).sum(-1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf[id_col].to_numpy()
+            dense = np.empty_like(C)
+            for s in range(m):
+                dense[:, s] = np.searchsorted(sorted_cids[s], C[:, s])
+            A = np.zeros((len(pdf), len(qids)))
+            for s in range(m):
+                A += lut[:, s, :][:, dense[:, s]].T
+            kk = min(k, len(pdf))
+            out_q, out_id, out_adc = [], [], []
+            for j in range(len(qids)):
+                # lexsort, not argpartition: ties at the kk boundary
+                # must break to the lowest vec_id HERE too, or the
+                # partition-local cut could drop the row the global
+                # (adc, id) merge would have kept
+                sel = np.lexsort((ids, A[:, j]))[:kk]
+                out_q.extend([qids[j]] * kk)
+                out_id.extend(ids[sel])
+                out_adc.extend(A[sel, j])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "adc": out_adc}
+            )
+
+    partial = codes_df.mapInPandas(
+        kernel, schema=f"{query_id_col} long, {id_col} long, adc double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc", id_col)
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def make_adc_scorer(codebook: DataFrame, codes: DataFrame, subdim: int,
+                    rerank_factor: int = 5):
+    """Drop-in scorer for ``stream_topk_serving`` (same ``(corpus,
+    queries, **kw)`` signature as ``brute_force_topk``/``ivf_topk``):
+    retrieve-with-ADC, rerank-with-float — the standard PQ serving
+    deployment. Each batch's queries preselect ``rerank_factor * k``
+    candidates per query by ADC over the (persisted) codes — m
+    additions per corpus vector, never a d-dim multiply — then only
+    the candidate rows join back to the float corpus for an exact
+    cosine rerank. Per-batch cost against a 100 TB corpus: one scan of
+    the m-bytes-per-vector codes frame plus an id-equi-join touching
+    queries x rerank_factor x k float vectors.
+
+    ``codes`` is the FUSED frame (id, codes array) from
+    ``pq_encode_fused`` — the scorer runs the fused ADC kernel, so a
+    serving batch costs one map-only pass over the m-bytes-per-vector
+    codes plus an id-equi-join on queries x rerank_factor x k float
+    vectors; nothing corpus-sized ever fans out.
+
+    Output schema matches ``brute_force_topk``: (query_id, vec_id,
+    score, rank) with the cosine rounded to 6 decimals, rank ties to
+    the lowest id. With ``rerank_factor * k >= |corpus|`` the result
+    is exactly brute force (the equivalence the tests pin)."""
+    from batch_process_spark.operators.similarity import cosine
+
+    def scorer(
+        corpus: DataFrame,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        k: int = 10,
+    ) -> DataFrame:
+        cand = pq_adc_topk_fused(
+            codes, queries, codebook, subdim, k=rerank_factor * k,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        ).select(query_id_col, id_col)
+        q = queries.select(query_id_col, F.col(vec_col).alias("__qe"))
+        scored = (
+            cand.join(corpus.select(id_col, vec_col), id_col)
+            .join(F.broadcast(q), query_id_col)
+            .select(
+                query_id_col,
+                id_col,
+                F.round(cosine(F.col(vec_col), F.col("__qe")), 6).alias("score"),
+            )
+        )
+        w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+        return (
+            scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "score", "rank")
+        )
+
+    return scorer

@@ -122,6 +122,134 @@ def test_adc_topk_matches_exact_on_separated_clusters(spark):
         ), (qid, got)
 
 
+def test_adc_scorer_drops_into_serving_loop(spark, tmp_path):
+    """make_adc_scorer plugs into stream_topk_serving (the q172
+    serving contract) and, with rerank_factor * k covering the corpus,
+    answers every micro-batch exactly like the brute-force scorer."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from batch_process_spark.operators.similarity import brute_force_topk
+    from batch_process_spark.streaming.similarity import (
+        bounded_collect_sink,
+        stream_topk_serving,
+    )
+    from batch_process_spark.streaming.windows import drain_all
+
+    emb = _emb(spark).persist()
+    emb.count()
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=1).persist()
+    codes = pq.pq_encode_fused(emb, cb, subdim=2).persist()
+    codes.count()
+    scorer = pq.make_adc_scorer(cb, codes, subdim=2, rerank_factor=3)  # 3*2=6 = |corpus|
+
+    src = tmp_path / "adcq"
+    src.mkdir()
+    vecs = dict(_VECS)
+
+    def write_q(ids):
+        tbl = pa.table(
+            {
+                "query_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in vecs[i]] for i in ids],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        papq.write_table(tbl, str(src / f"q{ids[0]}.parquet"))
+
+    sink, collected = bounded_collect_sink()
+    write_q([0, 3])
+    stream = spark.readStream.schema(
+        "query_id long, embedding array<float>"
+    ).parquet(str(src))
+    q = stream_topk_serving(stream, emb, sink, k=2, scorer=scorer)
+    try:
+        drain_all(q)
+        write_q([5])
+        drain_all(q)
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in (0, 3, 5)],
+        "query_id long, embedding array<float>",
+    )
+    want = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=2).collect()
+    }
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in collected}
+    assert got == want
+    emb.unpersist(); cb.unpersist(); codes.unpersist()
+
+
+def test_fused_encode_matches_join_encode(spark):
+    """The Arrow production kernel assigns the identical codes as the
+    oracle-replicable join formulation (incl. the lowest-cid
+    tie-break, via cid-sorted centroid ordering)."""
+    emb = _emb(spark)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=1)
+    join_codes = {
+        (r["vec_id"], r["sub"]): r["cid"]
+        for r in pq.pq_encode(emb, cb, subdim=2).collect()
+    }
+    fused = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.pq_encode_fused(emb, cb, subdim=2).collect()
+    }
+    assert set(fused) == {i for i, _ in _VECS}
+    for vid, codes in fused.items():
+        assert codes == [join_codes[(vid, s)] for s in range(len(codes))], vid
+
+
+def test_fused_train_matches_join_train(spark):
+    """pq_train(fused=True) produces the same codebook as the join
+    formulation (same assignments -> same member means)."""
+    emb = _emb(spark)
+    a = {
+        (r["sub"], r["cid"], r["spos"]): r["c"]
+        for r in pq.pq_train(emb, subdim=2, k=2, iters=2).collect()
+    }
+    b = {
+        (r["sub"], r["cid"], r["spos"]): r["c"]
+        for r in pq.pq_train(emb, subdim=2, k=2, iters=2, fused=True).collect()
+    }
+    assert set(a) == set(b)
+    assert all(abs(a[k_] - b[k_]) < 1e-12 for k_ in a)
+
+
+def test_fused_adc_topk_matches_join_adc(spark):
+    """Fused ADC top-k returns the same (query, vec, distance) rows as
+    ranking the join-formulation ADC scores."""
+    emb = _emb(spark)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=1)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    join_adc = {
+        (r["query_id"], r["vec_id"]): r["adc"]
+        for r in pq.pq_adc_scores(
+            queries, cb, pq.pq_encode(emb, cb, subdim=2), subdim=2
+        ).collect()
+    }
+    fused_rows = pq.pq_adc_topk_fused(
+        pq.pq_encode_fused(emb, cb, subdim=2), queries, cb, subdim=2, k=3
+    ).collect()
+    per_q: dict = {}
+    for r in fused_rows:
+        per_q.setdefault(r["query_id"], []).append((r["vec_id"], r["adc"]))
+    for qid, got in per_q.items():
+        want = sorted(
+            ((v, d) for (q, v), d in join_adc.items() if q == qid),
+            key=lambda t: (t[1], t[0]),
+        )[:3]
+        got = sorted(got, key=lambda t: (t[1], t[0]))
+        assert [v for v, _ in got] == [v for v, _ in want], qid
+        for (gv, gd), (wv, wd) in zip(got, want):
+            assert abs(gd - wd) < 1e-9, (qid, gv)
+
+
 def test_empty_cluster_disappears_deterministically(spark):
     """If a seed captures no members after reassignment, its cid drops
     from the recomputed codebook (never a NaN centroid)."""
