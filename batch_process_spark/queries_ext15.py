@@ -181,3 +181,133 @@ def q206_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q207: sliding-span duplication audit (shift-invariant cross-doc dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_WORDS = 8
+
+
+@_q(
+    "q207_sliding_span_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, md5(array_to_string(ws[i:i+{_SPAN_WORDS - 1}], ' ')) AS h
+      FROM t, unnest(range(1, len(ws) - {_SPAN_WORDS - 2})) AS u(i)
+      WHERE len(ws) >= {_SPAN_WORDS}
+    ),
+    st AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY h)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN st.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           floor(sum(CASE WHEN st.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac
+    FROM s JOIN st USING (h)
+    GROUP BY s.doc_id
+    """,
+)
+def q207_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-invariant duplicated-content audit: every SLIDING 8-word
+    span (stride 1 — q112's fixed blocks miss a copy offset by one
+    word), hashed; a span counts as duplicated when it appears in
+    more than one DISTINCT document; output is the per-document
+    duplicated-content fraction — the curation metric that decides
+    whether a doc is boilerplate-riddled enough to drop even when no
+    whole-document twin exists.
+
+    Scale shape: spans assemble IN-ROW (transform over a sequence —
+    no token explode/reassembly); the span-stats aggregate keys on the
+    hash (high-cardinality, map-side partials); the stats join back to
+    the spans frame is an equi-join on that same hash — a boilerplate
+    span shared by millions of docs lands its rows in one task's join
+    bucket, which stays bounded because the build side carries ONE row
+    per hash (the n_docs count), not the occurrence list."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.select("doc_id", ws.alias("ws")).filter(
+        F.size("ws") >= _SPAN_WORDS
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (_SPAN_WORDS - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice("ws", i, _SPAN_WORDS), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    stats = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = (F.col("nd") > 1).cast("long")
+    return (
+        spans.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            (F.floor(F.sum(dup) / F.count(F.lit(1)) * 1000000 + F.lit(0.5)) / 1000000)
+            .alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: sequence-packing efficiency audit (fill rate per pack)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@_q(
+    "q208_packing_efficiency",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS pack_shard,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '[^0-9a-zA-Z]+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens, pack_shard,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM t
+    )
+    SELECT pack_shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           floor(sum(n_tokens)::DOUBLE / {_PACK_BUDGET} * 1000000 + 0.5) / 1000000
+             AS fill_frac
+    FROM p
+    GROUP BY pack_shard, pack_id
+    """,
+)
+def q208_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-rate audit of q77's sharded sequence packing: per pack,
+    how many docs landed in it and what fraction of the 512-token
+    budget their tokens fill — under-full packs are wasted training
+    compute (padding), >1.0 fills mark packs whose last doc spills
+    into the next (the first-token-assignment rule), both of which a
+    pipeline watches before committing a packing layout. One grouped
+    agg over the packing output; the cumulative-sum window is
+    per-shard parallel exactly as in q77."""
+    from batch_process_spark.operators.chunking import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "shard", F.col("doc_id") % 8
+    )
+    packed = pack_documents(docs, budget_tokens=_PACK_BUDGET, shard_col="shard")
+    return packed.groupBy("pack_shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        (
+            F.floor(F.sum("n_tokens") / _PACK_BUDGET * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("fill_frac"),
+    )

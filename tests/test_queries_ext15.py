@@ -1,0 +1,69 @@
+"""Tests for query-catalog part 16: PQ queries are covered by
+test_pq.py (operator level) and the DuckDB oracle; here the
+sliding-span dedup (q207) and packing-efficiency (q208) audits get
+closed-form fixtures where the metric is known by construction."""
+
+from __future__ import annotations
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_sliding_span_dup_frac_closed_form(spark, tmp_path):
+    """Doc 1 repeats doc 0 shifted by one leading word: q112-style
+    FIXED blocks would miss the copy, sliding spans catch it — every
+    8-word span of doc 0 reappears in doc 1, so doc 0's dup_frac is
+    1.0; doc 2 shares nothing (0.0); doc 3 has <8 words (excluded)."""
+    from batch_process_spark.queries_ext15 import q207_sliding_span_dedup
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        base,                    # doc 0: 10 words -> 3 spans
+        "zzz " + base,           # doc 1: doc 0 shifted by one word
+        "a b c d e f g h i j",   # doc 2: disjoint, 10 words -> 3 spans
+        "too short",             # doc 3: excluded (<8 words)
+    ]
+    d = str(tmp_path)
+    _docs(spark, rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+        for r in q207_sliding_span_dedup(spark, d).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0] == (3, 3, 1.0)  # all of doc 0's spans live in doc 1 too
+    n1, dup1, _ = out[1]
+    assert n1 == 4 and dup1 == 3  # the 'zzz'-prefixed span is unique
+    assert out[2] == (3, 0, 0.0)
+
+
+def test_packing_efficiency_closed_form(spark, tmp_path):
+    """Two shards, known token counts: fill_frac is exact; a doc whose
+    cumsum crosses the budget starts a new pack; totals conserve."""
+    from batch_process_spark.queries_ext15 import q208_packing_efficiency
+
+    # doc_id % 8 shards: use ids 0 and 8 (shard 0), 1 (shard 1).
+    # tokens: doc0=300, doc8=300 -> doc8's first token lands at 300
+    # (< 512) so both share pack 0 (600 tokens, fill 1.171875);
+    # doc1=100 alone in shard 1 pack 0 (fill 0.195312...).
+    rows = [
+        (0, "w " * 300),
+        (8, "w " * 300),
+        (1, "w " * 100),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        (r["pack_shard"], r["pack_id"]): (r["n_docs"], r["pack_tokens"], r["fill_frac"])
+        for r in q208_packing_efficiency(spark, d).collect()
+    }
+    assert out[(0, 0)] == (2, 600, 1.171875)
+    assert out[(1, 0)] == (1, 100, 0.195313)  # floor(x*1e6+0.5)/1e6
+    assert sum(t for _, t, _ in out.values()) == 700  # token conservation
