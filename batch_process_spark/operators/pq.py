@@ -245,6 +245,29 @@ def pq_encode_fused(
     return df.mapInPandas(kernel, schema=f"{id_col} long, codes array<long>")
 
 
+def _query_luts(queries: DataFrame, codebook: DataFrame, subdim: int,
+                query_id_col: str, vec_col: str):
+    """(m, sorted-cid arrays, qids, LUT) for a bounded query batch:
+    LUT[q, s, j] = |q_s - c_{s,j}|^2 with j in sorted-cid order."""
+    import numpy as np
+
+    m, cids, cent = _codebook_arrays(codebook, subdim)
+    sorted_cids = {s: np.asarray(cids[s], dtype=np.int64) for s in cids}
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return m, sorted_cids, np.empty(0, dtype=np.int64), None
+    qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
+    Qm = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    lut = np.stack(
+        [
+            ((Qm[:, s * subdim : (s + 1) * subdim][:, None, :] - cent[s][None, :, :]) ** 2).sum(-1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    return m, sorted_cids, qids, lut
+
+
 def pq_adc_topk_fused(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -265,23 +288,13 @@ def pq_adc_topk_fused(
     import numpy as np
     import pandas as pd
 
-    m, cids, cent = _codebook_arrays(codebook, subdim)
-    sorted_cids = {s: np.asarray(cids[s], dtype=np.int64) for s in cids}
-    qrows = queries.select(query_id_col, vec_col).collect()
-    if not qrows:
+    m, sorted_cids, qids, lut = _query_luts(
+        queries, codebook, subdim, query_id_col, vec_col
+    )
+    if lut is None:
         return codes_df.sparkSession.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, adc double"
         )
-    qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
-    Qm = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
-    # LUT[q, s, j] = |q_s - c_{s,j}|^2, j in sorted-cid order
-    lut = np.stack(
-        [
-            ((Qm[:, s * subdim : (s + 1) * subdim][:, None, :] - cent[s][None, :, :]) ** 2).sum(-1)
-            for s in range(m)
-        ],
-        axis=1,
-    )
 
     def kernel(it):
         for pdf in it:
@@ -376,3 +389,172 @@ def make_adc_scorer(codebook: DataFrame, codes: DataFrame, subdim: int,
         )
 
     return scorer
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ — coarse cell pruning (IVF) composed with compressed scoring
+# (PQ/ADC): the standard trillion-vector layout. The coarse index cuts
+# the scan to the probed cells' mass; within them the scan touches m
+# codes per vector; only the surviving candidates see float data again
+# (exact rerank).
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    subdim: int,
+    k_code: int = 256,
+    iters: int = 1,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the composed index: returns (assigned_codes, centroids,
+    codebook) where ``assigned_codes`` is (id, centroid_id, codes) —
+    in a deployment written ``partitionBy("centroid_id")`` (the
+    ``ivf_write`` layout) so query-time probing prunes at the file
+    listing. One shuffle at build time (the codes-to-cell join);
+    training and encoding are the fused map-only kernels."""
+    from batch_process_spark.operators.similarity import ivf_index
+
+    assigned, cents = ivf_index(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+    )
+    cb = pq_train(
+        corpus, subdim, k=k_code, iters=iters,
+        id_col=id_col, vec_col=vec_col, fused=True,
+    )
+    codes = pq_encode_fused(corpus, cb, subdim, id_col=id_col, vec_col=vec_col)
+    assigned_codes = assigned.select(id_col, "centroid_id").join(codes, id_col)
+    return assigned_codes, cents, cb
+
+
+def ivfpq_topk(
+    assigned_codes: DataFrame,
+    centroids: list,
+    codebook: DataFrame,
+    queries: DataFrame,
+    subdim: int,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 5,
+    nprobe: int | str = 4,
+    stats: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_fraction: float = 0.125,
+    auto_margin_scale: float = 2.0,
+) -> DataFrame:
+    """IVFPQ search: probe cells per query (``ivf_probe_sets`` — fixed
+    or stats-calibrated ``nprobe="auto"``), ADC-score ONLY rows whose
+    cell some query probes (one masked-LUT Arrow pass over the pruned
+    codes), keep ``rerank_factor * k`` candidates per query, rerank
+    them exactly against the float corpus. Output matches
+    ``ivf_topk``/``brute_force_topk``: (query_id, vec_id, score,
+    rank), cosine rounded to 6, ties to the lowest id — a drop-in
+    serving scorer via a closure, like ``make_adc_scorer``.
+
+    100 TB cost accounting: the codes scan reads probed-mass x m
+    bytes (partition-pruned at the file listing under the
+    ``ivf_write`` layout); the candidate exchange carries partitions
+    x Q x R rows; the float corpus is touched only by the bounded
+    rerank id-join."""
+    import numpy as np
+    import pandas as pd
+
+    from batch_process_spark.operators.similarity import cosine, ivf_probe_sets
+
+    if nprobe == "auto" and stats is None:
+        # the codes frame carries no embeddings, so cell stats cannot be
+        # derived here — require them from the float-assignment side
+        raise ValueError(
+            "ivfpq_topk(nprobe='auto') needs stats=ivf_index_stats(...) "
+            "computed on the float assignment at index-build time"
+        )
+    probes = ivf_probe_sets(
+        centroids,
+        queries,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        k=k,
+        nprobe=nprobe,
+        stats=stats,
+        max_fraction=max_fraction,
+        auto_margin_scale=auto_margin_scale,
+    )
+    # bounded: Q x probed-cells rows
+    probe_map: dict = {}
+    for r in probes.select(query_id_col, "centroid_id").collect():
+        probe_map.setdefault(r[query_id_col], set()).add(r["centroid_id"])
+    all_cells = sorted({c for s in probe_map.values() for c in s})
+
+    m, sorted_cids, qids, lut = _query_luts(
+        queries, codebook, subdim, query_id_col, vec_col
+    )
+    if lut is None or not all_cells:
+        return assigned_codes.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, score double, rank int"
+        )
+    probed_by_q = [
+        np.asarray(sorted(probe_map.get(int(q), ())), dtype=np.int64) for q in qids
+    ]
+    R = rerank_factor * k
+
+    pruned = assigned_codes.filter(F.col("centroid_id").isin(all_cells))
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["centroid_id"].to_numpy()
+            dense = np.empty_like(C)
+            for s in range(m):
+                dense[:, s] = np.searchsorted(sorted_cids[s], C[:, s])
+            A = np.zeros((len(pdf), len(qids)))
+            for s in range(m):
+                A += lut[:, s, :][:, dense[:, s]].T
+            out_q, out_id, out_adc = [], [], []
+            for j in range(len(qids)):
+                mask = np.isin(cells, probed_by_q[j])
+                if not mask.any():
+                    continue
+                rows = np.flatnonzero(mask)
+                kk = min(R, len(rows))
+                sel = rows[np.lexsort((ids[rows], A[rows, j]))[:kk]]
+                out_q.extend([qids[j]] * kk)
+                out_id.extend(ids[sel])
+                out_adc.extend(A[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {query_id_col: out_q, id_col: out_id, "adc": out_adc}
+                )
+
+    partial = pruned.mapInPandas(
+        kernel, schema=f"{query_id_col} long, {id_col} long, adc double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc", id_col)
+    cand = (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= R)
+        .select(query_id_col, id_col)
+    )
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qe"))
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qe")), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

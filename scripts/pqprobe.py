@@ -172,6 +172,56 @@ def run(spark, n: int, k_code: int, rerank: int) -> None:
     codes.unpersist()
 
 
+def run_ivfpq(spark, n: int) -> None:
+    """IVFPQ composition: coarse pruning in front of the ADC scan.
+    Reports probed-mass fraction (the scan-cost multiplier on top of
+    PQ's 16 B/vec) and recall of the full retrieve+rerank deployment."""
+    from batch_process_spark.operators.similarity import ivf_probe_sets
+
+    corpus = corpus_df(spark, n).persist()
+    corpus.count()
+    queries = queries_df(spark)
+    t0 = time.time()
+    assigned_codes, cents, cb = pq.ivfpq_index(
+        corpus, SUBDIM, k_code=256, n_centroids=32
+    )
+    assigned_codes = assigned_codes.persist()
+    assigned_codes.count()
+    cb = cb.persist()
+    t_build = time.time() - t0
+    cell_sizes = {
+        r["centroid_id"]: r["count"]
+        for r in assigned_codes.groupBy("centroid_id").count().collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=K).collect()
+    }
+    print(f"[ivfpq] n={n:,} cells=32 build={t_build:.1f}s")
+    print("| nprobe | probed fraction | wall (s) | recall@10 (IVFPQ->rerank) |")
+    print("|---|---|---|---|")
+    for nprobe in (2, 4, 8):
+        per_q: dict = {}
+        for r in ivf_probe_sets(cents, queries, k=K, nprobe=nprobe).collect():
+            per_q.setdefault(r["query_id"], 0)
+            per_q[r["query_id"]] += cell_sizes.get(r["centroid_id"], 0)
+        frac = sum(per_q.values()) / (len(per_q) * n)
+        t0 = time.time()
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in pq.ivfpq_topk(
+                assigned_codes, cents, cb, queries, SUBDIM, corpus,
+                k=K, rerank_factor=20, nprobe=nprobe,
+            ).collect()
+        }
+        wall = time.time() - t0
+        rec = len(got & exact) / len(exact)
+        print(f"| {nprobe} | {frac:.3f} | {wall:.1f} | {rec:.3f} |")
+    corpus.unpersist()
+    assigned_codes.unpersist()
+    cb.unpersist()
+
+
 def main() -> None:
     sizes = [int(s) for s in sys.argv[1:]] or [65536, 262144]
     spark = get_spark("pqprobe", extra_conf={"spark.ui.enabled": "true"})
@@ -184,6 +234,7 @@ def main() -> None:
     for n in sizes:
         for k_code, rerank in ((64, 100), (256, 200)):
             run(spark, n, k_code, rerank)
+    run_ivfpq(spark, sizes[-1])
 
 
 if __name__ == "__main__":

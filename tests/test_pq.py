@@ -266,3 +266,52 @@ def test_empty_cluster_disappears_deterministically(spark):
     # codebook holds only surviving clusters and no NULL/NaN rows
     assert cids <= {0, 1} and len(cids) >= 1
     assert cb.filter(F.col("c").isNull() | F.isnan("c")).count() == 0
+
+
+def test_ivfpq_topk_matches_brute_force_when_all_cells_probed(spark):
+    """With nprobe covering every cell and rerank covering the corpus,
+    IVFPQ returns exactly the brute-force answer (pruning lossless,
+    ADC candidates superset, rerank exact); with nprobe=1 every
+    returned neighbor sits in the query's own probed cell."""
+    from batch_process_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark).persist()
+    emb.count()
+    assigned_codes, cents, cb = pq.ivfpq_index(
+        emb, subdim=2, k_code=2, n_centroids=2
+    )
+    assigned_codes = assigned_codes.persist()
+    assigned_codes.count()
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    got = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in pq.ivfpq_topk(
+            assigned_codes, cents, cb, queries, subdim=2, corpus=emb,
+            k=2, rerank_factor=3, nprobe=2,  # both cells, R=6=|corpus|
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=2).collect()
+    }
+    assert got == want
+
+    # nprobe=1: every answer lies in the query's PROBED cell (the
+    # pruning guarantee — which cell that is belongs to ivf_probe_sets)
+    from batch_process_spark.operators.similarity import ivf_probe_sets
+
+    cell_of = {
+        r["vec_id"]: r["centroid_id"] for r in assigned_codes.collect()
+    }
+    probed = {}
+    for r in ivf_probe_sets(cents, queries, k=2, nprobe=1).collect():
+        probed.setdefault(r["query_id"], set()).add(r["centroid_id"])
+    rows1 = pq.ivfpq_topk(
+        assigned_codes, cents, cb, queries, subdim=2, corpus=emb,
+        k=2, rerank_factor=3, nprobe=1,
+    ).collect()
+    assert rows1  # non-vacuous
+    for r in rows1:
+        assert cell_of[r["vec_id"]] in probed[r["query_id"]], r
+    emb.unpersist(); assigned_codes.unpersist()
