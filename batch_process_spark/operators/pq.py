@@ -558,3 +558,36 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def make_ivfpq_scorer(
+    assigned_codes: DataFrame,
+    centroids: list,
+    codebook: DataFrame,
+    subdim: int,
+    rerank_factor: int = 5,
+    nprobe: int | str = 4,
+    stats: dict | None = None,
+):
+    """Drop-in serving scorer (``stream_topk_serving`` signature) over
+    a prebuilt IVFPQ index: each micro-batch probes cells, ADC-scans
+    only the probed mass, and exact-reranks against the ``corpus``
+    argument the serving loop passes. The full composition of
+    ``make_adc_scorer`` with coarse pruning — the per-batch cost at
+    100 TB is probed-mass x m bytes plus the bounded rerank join."""
+
+    def scorer(
+        corpus: DataFrame,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        k: int = 10,
+    ) -> DataFrame:
+        return ivfpq_topk(
+            assigned_codes, centroids, codebook, queries, subdim, corpus,
+            k=k, rerank_factor=rerank_factor, nprobe=nprobe, stats=stats,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        )
+
+    return scorer

@@ -311,3 +311,81 @@ def q208_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("n_tokens") / _PACK_BUDGET * 1000000 + F.lit(0.5)) / 1000000
         ).alias("fill_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q209: embedding drift between corpus snapshots (centroid shift per label)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q209_embedding_drift",
+    """
+    WITH d AS (
+      SELECT vec_id, label, vec_id % 2 AS snap, u.i AS pos,
+             embedding[u.i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    m AS (
+      SELECT label, pos,
+             avg(v) FILTER (WHERE snap = 0) AS ma,
+             avg(v) FILTER (WHERE snap = 1) AS mb
+      FROM d GROUP BY label, pos
+    ),
+    c AS (
+      SELECT label,
+             CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT m.label, c.n_a, c.n_b,
+           floor(sqrt(sum((ma - mb) * (ma - mb))) * 1000000 + 0.5) / 1000000
+             AS centroid_shift,
+           floor(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb)))
+                 * 1000000 + 0.5) / 1000000 AS centroid_cos
+    FROM m JOIN c USING (label)
+    WHERE c.n_a > 0 AND c.n_b > 0
+    GROUP BY m.label, c.n_a, c.n_b
+    """,
+)
+def q209_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: split the corpus into two
+    deterministic snapshots (vec_id parity — in production, two
+    ingestion dates), compute each label's centroid in both, and
+    report the per-label centroid SHIFT (L2) and centroid COSINE —
+    the "did this class move under the new embedding model / data
+    mix?" check that q143's PSI does for scalar features. Scale
+    shape: one position-explode into a (label, pos) partial agg
+    (conditional avgs — exchange carries labels x dims rows), then a
+    labels-sized reduce; no vector ever leaves its task unaggregated."""
+    docs = _t(spark, sf_dir, "embeddings")
+    d = docs.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("pos", "vf"),
+    ).select("vec_id", "label", "snap", "pos", F.col("vf").cast("double").alias("v"))
+    m = d.groupBy("label", "pos").agg(
+        F.avg(F.when(F.col("snap") == 0, F.col("v"))).alias("ma"),
+        F.avg(F.when(F.col("snap") == 1, F.col("v"))).alias("mb"),
+    )
+    c = docs.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    six = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        m.join(c, "label")
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy("label", "n_a", "n_b")
+        .agg(
+            six(F.sqrt(F.sum((F.col("ma") - F.col("mb")) ** 2))).alias("centroid_shift"),
+            six(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                )
+            ).alias("centroid_cos"),
+        )
+    )

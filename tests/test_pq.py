@@ -315,3 +315,25 @@ def test_ivfpq_topk_matches_brute_force_when_all_cells_probed(spark):
     for r in rows1:
         assert cell_of[r["vec_id"]] in probed[r["query_id"]], r
     emb.unpersist(); assigned_codes.unpersist()
+
+
+def test_ivfpq_scorer_matches_brute_force_batchwise(spark):
+    """make_ivfpq_scorer has the serving-scorer contract and, with all
+    cells probed + corpus-covering rerank, equals brute force on a
+    plain batch call (the streaming plumbing itself is pinned by the
+    ADC-scorer serving test)."""
+    from batch_process_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark).persist()
+    emb.count()
+    assigned_codes, cents, cb = pq.ivfpq_index(
+        emb, subdim=2, k_code=2, n_centroids=2
+    )
+    scorer = pq.make_ivfpq_scorer(
+        assigned_codes, cents, cb, subdim=2, rerank_factor=3, nprobe=2
+    )
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {tuple(r) for r in scorer(emb, queries, k=2).collect()}
+    want = {tuple(r) for r in brute_force_topk(emb, queries, k=2).collect()}
+    assert got == want
+    emb.unpersist()

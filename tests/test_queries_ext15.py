@@ -67,3 +67,31 @@ def test_packing_efficiency_closed_form(spark, tmp_path):
     assert out[(0, 0)] == (2, 600, 1.171875)
     assert out[(1, 0)] == (1, 100, 0.195313)  # floor(x*1e6+0.5)/1e6
     assert sum(t for _, t, _ in out.values()) == 700  # token conservation
+
+
+def test_embedding_drift_closed_form(spark, tmp_path):
+    """Label 0's snapshot centroids are orthogonal unit vectors ->
+    shift sqrt(2), cos 0; label 1 is identical across snapshots ->
+    shift 0, cos 1; label 2 exists only in snapshot A -> excluded."""
+    from batch_process_spark.queries_ext15 import q209_embedding_drift
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),  # snap A (even)
+        (2, [1.0, 0.0, 0.0, 0.0], 0),  # snap A
+        (1, [0.0, 1.0, 0.0, 0.0], 0),  # snap B (odd)
+        (4, [0.5, 0.5, 0.0, 0.0], 1),  # snap A
+        (5, [0.5, 0.5, 0.0, 0.0], 1),  # snap B
+        (6, [9.0, 9.0, 9.0, 9.0], 2),  # snap A only -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {
+        r["label"]: (r["n_a"], r["n_b"], r["centroid_shift"], r["centroid_cos"])
+        for r in q209_embedding_drift(spark, d).collect()
+    }
+    assert set(out) == {0, 1}
+    n_a, n_b, shift, cos = out[0]
+    assert (n_a, n_b) == (2, 1)
+    assert abs(shift - 2 ** 0.5) < 1e-6 and cos == 0.0
+    assert out[1] == (1, 1, 0.0, 1.0)
