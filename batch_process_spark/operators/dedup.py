@@ -436,6 +436,52 @@ def minhash_near_dup_pairs(
     return verified
 
 
+def minhash_candidate_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Audit of the LSH CANDIDATE stage (the part threshold-filtering
+    hides): every banded candidate pair gets its exact Jaccard, and the
+    output is the candidate-quality histogram — (j_decile, n_pairs,
+    frac) — i.e. how much of the expensive verify budget the banding
+    spends on sub-threshold pairs. Tuning bands/rows moves this
+    histogram; a fat low-decile tail at scale means wasted verify I/O.
+
+    Same pipeline stages as ``minhash_near_dup_pairs`` (shared memoized
+    shingle frame, map-only signatures, banded join as the only wide
+    stage); the histogram adds one decile-keyed partial agg plus a
+    1-row total broadcast."""
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    sh = _memoized_shingle_frame(base, id_col, text_col, k, num_hashes)
+    sigs = sh.filter(F.size("shingles") > 0).select(F.col(id_col), F.col("sig"))
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    js = (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .select(F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("js"))
+    )
+    d = js.groupBy(
+        F.least(F.floor(F.col("js") * 10).cast("int"), F.lit(9)).alias("j_decile")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    tot = d.agg(F.sum("n_pairs").alias("tot"))
+    return d.crossJoin(F.broadcast(tot)).select(
+        "j_decile",
+        "n_pairs",
+        (F.floor(F.col("n_pairs") / F.col("tot") * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # blocked exact n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -140,6 +140,7 @@ def _minhash_oracle(
     bands: int = 4,
     threshold: float = 0.7,
     corpus_sql: str | None = None,
+    tail: str | None = None,
 ) -> str:
     rows = num_hashes // bands
     sh = duck_shingles("text", 3)
@@ -152,6 +153,17 @@ def _minhash_oracle(
         "md5(concat_ws('|', '%d', %s))" % (b, ", ".join(f"m{b * rows + r}" for r in range(rows)))
         for b in range(bands)
     )
+    tail = tail or f"""
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6)
+             AS jaccard_sim
+    FROM cands
+    JOIN docs a ON a.doc_id = cands.id_a
+    JOIN docs b ON b.doc_id = cands.id_b
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
+    """
     return f"""
     WITH corpus AS ({corpus_sql or _NEAR_DUP_CORPUS}),
     docs AS (SELECT doc_id, {sh} AS shingles FROM corpus),
@@ -167,15 +179,7 @@ def _minhash_oracle(
       FROM banded l JOIN banded r USING (band_key)
       WHERE l.doc_id < r.doc_id
     )
-    SELECT id_a, id_b,
-           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-                 (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6)
-             AS jaccard_sim
-    FROM cands
-    JOIN docs a ON a.doc_id = cands.id_a
-    JOIN docs b ON b.doc_id = cands.id_b
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-          (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
+    {tail}
     """
 
 

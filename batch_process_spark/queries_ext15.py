@@ -389,3 +389,238 @@ def q209_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q210: MMR diversified retrieval (greedy relevance/diversity rerank)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 8
+
+_Q210_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+_Q210_COS = (
+    f"round({_Q210_DOT.format(a='{x}', b='{y}')}"
+    f" / (sqrt({_Q210_DOT.format(a='{x}', b='{x}')})"
+    f" * sqrt({_Q210_DOT.format(a='{y}', b='{y}')})), 6)"
+)
+
+
+@_q(
+    "q210_mmr_diversified",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.embedding,
+             {_Q210_COS.format(x='e.embedding', y='q.qe')} AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, embedding, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {_MMR_POOL}
+    ),
+    sim AS (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             {_Q210_COS.format(x='a.embedding', y='b.embedding')} AS s
+      FROM cand a JOIN cand b ON a.query_id = b.query_id
+    ),
+    p1 AS (
+      SELECT query_id, vec_id, rel AS score FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT c.query_id, c.vec_id,
+             floor(({_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA} * s1.s)
+                   * 1000000 + 0.5) / 1000000 AS mmr
+      FROM cand c
+      JOIN p1 ON c.query_id = p1.query_id AND c.vec_id != p1.vec_id
+      JOIN sim s1 ON s1.query_id = c.query_id
+                 AND s1.va = c.vec_id AND s1.vb = p1.vec_id
+    ),
+    p2 AS (
+      SELECT query_id, vec_id, mmr AS score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY mmr DESC, vec_id) AS rn
+        FROM m2) WHERE rn = 1
+    ),
+    m3 AS (
+      SELECT c.query_id, c.vec_id,
+             floor(({_MMR_LAMBDA} * c.rel
+                    - {1 - _MMR_LAMBDA} * greatest(sa.s, sb.s))
+                   * 1000000 + 0.5) / 1000000 AS mmr
+      FROM cand c
+      JOIN p1 ON c.query_id = p1.query_id AND c.vec_id != p1.vec_id
+      JOIN p2 ON c.query_id = p2.query_id AND c.vec_id != p2.vec_id
+      JOIN sim sa ON sa.query_id = c.query_id
+                 AND sa.va = c.vec_id AND sa.vb = p1.vec_id
+      JOIN sim sb ON sb.query_id = c.query_id
+                 AND sb.va = c.vec_id AND sb.vb = p2.vec_id
+    ),
+    p3 AS (
+      SELECT query_id, vec_id, mmr AS score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY mmr DESC, vec_id) AS rn
+        FROM m3) WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS INT) AS pick, vec_id, score FROM p1
+    UNION ALL SELECT query_id, CAST(2 AS INT), vec_id, score FROM p2
+    UNION ALL SELECT query_id, CAST(3 AS INT), vec_id, score FROM p3
+    """,
+)
+def q210_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: from each query's top-8
+    relevance pool, greedily pick 3 results maximizing
+    lambda*rel - (1-lambda)*max-sim-to-already-picked (lambda=0.7) —
+    the diversity-aware serving layer that keeps a results page from
+    showing three near-duplicates. Greedy steps are FIXED (3 picks)
+    and every compared value is rounded BEFORE its argmax (ties to
+    the lowest vec_id), so both engines pick identical sets. Scale
+    shape: MMR is a RERANK stage — the pool comes from an ANN tier
+    (q27/IVFPQ) in production, so every frame here is bounded by
+    queries x pool (the pairwise sim matrix is pool^2 per query,
+    never corpus-sized); the corpus is touched only by the one
+    brute-force scoring pass that builds the pool at oracle scale."""
+    from batch_process_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("rel"),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = _memoized_persist(
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sim = _memoized_persist(
+        a.join(b, F.col("a.query_id") == F.col("b.query_id"))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("s"),
+        )
+    )
+    six = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+
+    def argmax(df, val_col):
+        w = Window.partitionBy("query_id").orderBy(F.desc(val_col), F.asc("vec_id"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "vec_id", F.col(val_col).alias("score"))
+        )
+
+    p1 = argmax(cand, "rel")
+    s1 = p1.select("query_id", F.col("vec_id").alias("v1"))
+    m2 = (
+        cand.join(s1, "query_id")
+        .filter(F.col("vec_id") != F.col("v1"))
+        .join(
+            sim.select("query_id", F.col("va").alias("vec_id"),
+                       F.col("vb").alias("v1"), F.col("s").alias("s1")),
+            ["query_id", "vec_id", "v1"],
+        )
+        .select(
+            "query_id", "vec_id",
+            six(_MMR_LAMBDA * F.col("rel") - (1 - _MMR_LAMBDA) * F.col("s1")).alias("mmr"),
+        )
+    )
+    p2 = argmax(m2, "mmr")
+    s2 = p2.select("query_id", F.col("vec_id").alias("v2"))
+    m3 = (
+        cand.join(s1, "query_id").join(s2, "query_id")
+        .filter((F.col("vec_id") != F.col("v1")) & (F.col("vec_id") != F.col("v2")))
+        .join(
+            sim.select("query_id", F.col("va").alias("vec_id"),
+                       F.col("vb").alias("v1"), F.col("s").alias("sa")),
+            ["query_id", "vec_id", "v1"],
+        )
+        .join(
+            sim.select("query_id", F.col("va").alias("vec_id"),
+                       F.col("vb").alias("v2"), F.col("s").alias("sb")),
+            ["query_id", "vec_id", "v2"],
+        )
+        .select(
+            "query_id", "vec_id",
+            six(
+                _MMR_LAMBDA * F.col("rel")
+                - (1 - _MMR_LAMBDA) * F.greatest("sa", "sb")
+            ).alias("mmr"),
+        )
+    )
+    p3 = argmax(m3, "mmr")
+    return (
+        p1.select("query_id", F.lit(1).cast("int").alias("pick"), "vec_id", "score")
+        .unionByName(
+            p2.select("query_id", F.lit(2).cast("int").alias("pick"), "vec_id", "score")
+        )
+        .unionByName(
+            p3.select("query_id", F.lit(3).cast("int").alias("pick"), "vec_id", "score")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211: LSH candidate-quality audit (verify-budget histogram)
+# ---------------------------------------------------------------------------
+
+_Q211_TAIL = """
+    , j AS (
+      SELECT round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                   (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS js
+      FROM cands
+      JOIN docs a ON a.doc_id = cands.id_a
+      JOIN docs b ON b.doc_id = cands.id_b
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    ),
+    d AS (SELECT least(CAST(floor(js * 10) AS INT), 9) AS j_decile,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM j GROUP BY 1),
+    t AS (SELECT sum(n_pairs) AS tot FROM d)
+    SELECT j_decile, n_pairs,
+           floor(n_pairs::DOUBLE / tot * 1000000 + 0.5) / 1000000 AS frac
+    FROM d, t
+"""
+
+
+def _q211_oracle() -> str:
+    from batch_process_spark.queries_ext import _minhash_oracle
+
+    return _minhash_oracle(tail=_Q211_TAIL)
+
+
+@_q("q211_lsh_candidate_audit", _q211_oracle())
+def q211_lsh_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality histogram of the q18 MinHash-LSH pipeline:
+    exact Jaccard of EVERY banded candidate pair, bucketed by decile —
+    the "how much verify budget does the banding waste below
+    threshold" tuning view that the thresholded q18 output hides. Same
+    corpus, signatures, and banding as q18 (shared memoized shingle
+    frame); adds one decile partial agg and a 1-row total broadcast."""
+    from batch_process_spark.operators import dedup
+    from batch_process_spark.queries_ext import _near_dup_corpus
+
+    return dedup.minhash_candidate_audit(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text",
+        k=3, num_hashes=16, bands=4,
+    )

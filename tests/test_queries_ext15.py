@@ -95,3 +95,51 @@ def test_embedding_drift_closed_form(spark, tmp_path):
     assert (n_a, n_b) == (2, 1)
     assert abs(shift - 2 ** 0.5) < 1e-6 and cos == 0.0
     assert out[1] == (1, 1, 0.0, 1.0)
+
+
+def test_mmr_skips_near_duplicate_of_first_pick(spark, tmp_path):
+    """Query [1,1,0,0]; candidate B=[1,.01,0,0] is most relevant,
+    A=[1,0,0,0] is B's near-duplicate, C=[0,1,0,0] is equally
+    relevant as A but orthogonal to B. Pure relevance would rank
+    B, A/C...; MMR picks B, then C (A's similarity-to-B penalty
+    sinks it), then A."""
+    from batch_process_spark.queries_ext15 import q210_mmr_diversified
+
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0], 0),   # the query (vec_id < 5)
+        (10, [1.0, 0.0, 0.0, 0.0], 0),  # A: near-dup of B
+        (11, [1.0, 0.01, 0.0, 0.0], 0),  # B: top relevance
+        (12, [0.0, 1.0, 0.0, 0.0], 0),  # C: diverse, rel == A's
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {
+        r["pick"]: r["vec_id"]
+        for r in q210_mmr_diversified(spark, d).filter("query_id = 0").collect()
+    }
+    assert out == {1: 11, 2: 12, 3: 10}
+
+
+def test_lsh_candidate_audit_histogram(spark, tmp_path):
+    """An exact duplicate pair must land in decile 9 (identical docs
+    share every band and have Jaccard 1.0); fractions sum to ~1 and
+    deciles stay in [0, 9]."""
+    from batch_process_spark.queries_ext15 import q211_lsh_candidate_audit
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        base,
+        base,  # exact duplicate -> guaranteed candidate at J=1.0
+        "completely different words about ships and harbors at dawn",
+        "yet another unrelated document mentioning volcanic geology",
+    ]
+    d = str(tmp_path)
+    _docs(spark, rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["j_decile"]: (r["n_pairs"], r["frac"])
+        for r in q211_lsh_candidate_audit(spark, d).collect()
+    }
+    assert out and all(0 <= k <= 9 for k in out)
+    assert out[9][0] >= 1  # the exact-dup pair
+    assert abs(sum(f for _, f in out.values()) - 1.0) < 1e-3
