@@ -624,3 +624,61 @@ def q211_lsh_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _near_dup_corpus(spark, sf_dir), "doc_id", "text",
         k=3, num_hashes=16, bands=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# q212: hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q212_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             {_Q210_COS.format(x='e.embedding', y='q.qe')} AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label != q.qlabel
+    )
+    SELECT query_id, vec_id, label AS neg_label, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q212_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor query, the 5 OTHER-label
+    vectors with the highest cosine — the near-boundary negatives a
+    contrastive/retrieval trainer pairs with each anchor (random
+    negatives are too easy; these carry the gradient). Scale shape:
+    the label filter rides the scoring pass (no post-hoc join), the
+    corpus never shuffles, and only partitions x Q x k candidates
+    reach the merge — at real scale the scoring pass is the ANN tier
+    (IVFPQ) with the label predicate pushed into the candidate scan."""
+    from batch_process_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "neg_label", "score", "rank")
+    )

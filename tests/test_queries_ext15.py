@@ -143,3 +143,28 @@ def test_lsh_candidate_audit_histogram(spark, tmp_path):
     assert out and all(0 <= k <= 9 for k in out)
     assert out[9][0] >= 1  # the exact-dup pair
     assert abs(sum(f for _, f in out.values()) - 1.0) < 1e-3
+
+
+def test_hard_negatives_exclude_same_label_and_rank_by_cosine(spark, tmp_path):
+    """All mined negatives carry a different label than the anchor and
+    arrive in descending-cosine order; the same-label near-duplicate
+    never appears even though it is the globally nearest vector."""
+    from batch_process_spark.queries_ext15 import q212_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),    # anchor (vec_id < 5), label 7
+        (10, [1.0, 0.01, 0.0, 0.0], 7),  # same label: excluded despite cos~1
+        (11, [0.9, 0.1, 0.0, 0.0], 3),   # hard negative (closest other-label)
+        (12, [0.0, 1.0, 0.0, 0.0], 3),   # easy negative
+        (13, [0.5, 0.5, 0.0, 0.0], 4),   # middling negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = sorted(
+        (r["rank"], r["vec_id"], r["neg_label"], r["score"])
+        for r in q212_hard_negatives(spark, d).filter("query_id = 0").collect()
+    )
+    assert [v for _, v, _, _ in out] == [11, 13, 12]  # by descending cosine
+    assert all(lab != 7 for _, _, lab, _ in out)
+    assert [r for r, _, _, _ in out] == [1, 2, 3]
