@@ -497,3 +497,29 @@ def test_layout_bucketed_respread_kills_exchanges(spark, tmp_path, monkeypatch):
     finally:
         invalidate_tables()
         monkeypatch.delenv("SPARK_GRAFT_LAYOUT_CACHE")
+
+
+def test_q206_adc_lut_broadcast_no_cartesian(spark, qs):
+    """The PQ ADC search joins the codes frame to the query LUT via a
+    BROADCAST (the LUT is queries x m x k, corpus-independent); the
+    corpus side must never enter a cartesian product."""
+    plan = plan_of(qs["q206_pq_adc_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q207_span_stats_join_no_cartesian(spark, qs):
+    """The sliding-span audit's stats-to-spans join is an equi-join on
+    the span hash — never a cartesian product or nested loop."""
+    plan = plan_of(qs["q207_sliding_span_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q209_drift_partial_aggs(spark, qs):
+    """The drift monitor's (label, pos) conditional means run as
+    two-phase hash aggregates (partial_ prefixed) — the exchange
+    carries labels x dims partials, never raw exploded rows."""
+    plan = plan_of(qs["q209_embedding_drift"](spark, SF))
+    assert "partial_avg" in plan
+    assert "CartesianProduct" not in plan
