@@ -682,3 +682,97 @@ def q212_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "neg_label", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q213: triplet mining (anchor, positive, hard negative, margin)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q213_triplet_mining",
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, label AS alabel, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    pos AS (
+      SELECT anchor_id, vec_id AS pos_id, score AS pos_score FROM (
+        SELECT q.anchor_id, e.vec_id,
+               {_Q210_COS.format(x='e.embedding', y='q.qe')} AS score,
+               row_number() OVER (PARTITION BY q.anchor_id
+                                  ORDER BY {_Q210_COS.format(x='e.embedding', y='q.qe')} DESC,
+                                           e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label = q.alabel AND e.vec_id != q.anchor_id
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, vec_id AS neg_id, score AS neg_score, rn AS neg_rank FROM (
+        SELECT q.anchor_id, e.vec_id,
+               {_Q210_COS.format(x='e.embedding', y='q.qe')} AS score,
+               row_number() OVER (PARTITION BY q.anchor_id
+                                  ORDER BY {_Q210_COS.format(x='e.embedding', y='q.qe')} DESC,
+                                           e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label != q.alabel
+      ) WHERE rn <= 3
+    )
+    SELECT p.anchor_id, p.pos_id, n.neg_id, CAST(n.neg_rank AS INT) AS neg_rank,
+           floor((p.pos_score - n.neg_score) * 1000000 + 0.5) / 1000000 AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+    """,
+)
+def q213_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplets: each anchor pairs its nearest
+    SAME-label vector (the positive) with its 3 nearest OTHER-label
+    vectors (the hard negatives, q212's mining), emitting the cosine
+    margin pos - neg the trainer's loss will push on — near-zero or
+    negative margins are exactly the triplets worth training on.
+    Scale shape: two label-filtered scoring passes over the broadcast
+    anchor batch (corpus never shuffles; per-partition top-k merges),
+    then a positives><negatives join keyed on the anchor — bounded at
+    anchors x 3 rows."""
+    from batch_process_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "anchor_id",
+        "alabel",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("score"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    pos = (
+        scored.filter(
+            (F.col("label") == F.col("alabel")) & (F.col("vec_id") != F.col("anchor_id"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("vec_id").alias("pos_id"), F.col("score").alias("pos_score"))
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+            F.col("rn").cast("int").alias("neg_rank"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "neg_rank",
+        (
+            F.floor((F.col("pos_score") - F.col("neg_score")) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("margin"),
+    )

@@ -168,3 +168,31 @@ def test_hard_negatives_exclude_same_label_and_rank_by_cosine(spark, tmp_path):
     assert [v for _, v, _, _ in out] == [11, 13, 12]  # by descending cosine
     assert all(lab != 7 for _, _, lab, _ in out)
     assert [r for r, _, _, _ in out] == [1, 2, 3]
+
+
+def test_triplet_mining_margins_closed_form(spark, tmp_path):
+    """The positive is the nearest same-label vector; negatives are
+    q212's hard negatives; the margin of the hardest negative is
+    smaller than the easiest's (margins grow with neg_rank)."""
+    from batch_process_spark.queries_ext15 import q213_triplet_mining
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),    # anchor
+        (10, [1.0, 0.02, 0.0, 0.0], 7),  # positive (nearest same-label)
+        (14, [0.0, 0.0, 1.0, 0.0], 7),   # far same-label: not the positive
+        (11, [0.9, 0.1, 0.0, 0.0], 3),   # hardest negative
+        (12, [0.5, 0.5, 0.0, 0.0], 4),
+        (13, [0.0, 1.0, 0.0, 0.0], 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = sorted(
+        (r["neg_rank"], r["pos_id"], r["neg_id"], r["margin"])
+        for r in q213_triplet_mining(spark, d).filter("anchor_id = 0").collect()
+    )
+    assert [p for _, p, _, _ in out] == [10, 10, 10]  # positive fixed
+    assert [n for _, _, n, _ in out] == [11, 12, 13]  # negs by hardness
+    margins = [m for _, _, _, m in out]
+    assert margins == sorted(margins)  # hardest negative -> smallest margin
+    assert all(m > 0 for m in margins)  # positive is nearer than every neg
