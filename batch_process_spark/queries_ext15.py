@@ -1,16 +1,26 @@
-"""Query catalog part 16 (q205+): product quantization — the
-compressed-vector layer of the similarity-search north star. q205
-trains per-subspace codebooks and encodes the corpus (codes pinned
-per vector under the oracle via md5, reconstruction error exact to
-1e-4); q206 runs asymmetric-distance (ADC) top-k search over the
-codes — m table lookups per candidate instead of d multiplies, the
-query-side half of a FAISS-style IVFPQ deployment (the IVF half is
-q25-q27/similarity.py).
+"""Query catalog part 16 (q205+): the compressed/curated retrieval
+layer of the similarity-search north star, plus the corpus audits a
+training pipeline runs around it.
 
-Oracle discipline: the q103 deterministic-kmeans pattern, per
-subspace — init = k lowest vec_ids, one Lloyd round, argmin ties to
-the lowest centroid id, float32->double casts before any arithmetic.
-See operators/pq.py for the 100 TB shuffle accounting.
+- q205/q206: product quantization — per-subspace codebooks + corpus
+  encoding (codes pinned per vector under the oracle via md5), and
+  asymmetric-distance (ADC) top-k search (m table lookups per
+  candidate instead of d multiplies; the query-side half of a
+  FAISS-style IVFPQ deployment — the IVF half is q25-q27 and the
+  composition is `operators/pq.py::ivfpq_topk`).
+- q207/q208: curation audits — sliding-span duplicated-content
+  fraction (shift-invariant, catches what fixed blocks miss) and
+  sequence-packing fill rate.
+- q209: embedding-centroid drift between corpus snapshots.
+- q210-q213: retrieval/training data prep — MMR diversified rerank,
+  LSH candidate-quality histogram, hard-negative mining, and
+  triplet mining with margins.
+
+Oracle discipline for the PQ queries: the q103 deterministic-kmeans
+pattern, per subspace — init = k lowest vec_ids, one Lloyd round,
+argmin ties to the lowest centroid id, float32->double casts before
+any arithmetic. See operators/pq.py for the 100 TB shuffle
+accounting.
 
 Reference parity: beyond the reference (SURVEY §7 M6 north star);
 its analytics stop at pandas group-bys.
