@@ -247,8 +247,11 @@ def pq_encode_fused(
 
 def _query_luts(queries: DataFrame, codebook: DataFrame, subdim: int,
                 query_id_col: str, vec_col: str):
-    """(m, sorted-cid arrays, qids, LUT) for a bounded query batch:
-    LUT[q, s, j] = |q_s - c_{s,j}|^2 with j in sorted-cid order."""
+    """(m, sorted-cid arrays, qids, per-sub LUT list) for a bounded
+    query batch: luts[s][q, j] = |q_s - c_{s,j}|^2 with j in sorted-cid
+    order. A LIST per subspace, not one stacked array — subspaces may
+    keep different numbers of surviving clusters (empty-cluster drop),
+    so the per-sub k is ragged."""
     import numpy as np
 
     m, cids, cent = _codebook_arrays(codebook, subdim)
@@ -258,14 +261,11 @@ def _query_luts(queries: DataFrame, codebook: DataFrame, subdim: int,
         return m, sorted_cids, np.empty(0, dtype=np.int64), None
     qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
     Qm = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
-    lut = np.stack(
-        [
-            ((Qm[:, s * subdim : (s + 1) * subdim][:, None, :] - cent[s][None, :, :]) ** 2).sum(-1)
-            for s in range(m)
-        ],
-        axis=1,
-    )
-    return m, sorted_cids, qids, lut
+    luts = [
+        ((Qm[:, s * subdim : (s + 1) * subdim][:, None, :] - cent[s][None, :, :]) ** 2).sum(-1)
+        for s in range(m)
+    ]
+    return m, sorted_cids, qids, luts
 
 
 def pq_adc_topk_fused(
@@ -288,10 +288,10 @@ def pq_adc_topk_fused(
     import numpy as np
     import pandas as pd
 
-    m, sorted_cids, qids, lut = _query_luts(
+    m, sorted_cids, qids, luts = _query_luts(
         queries, codebook, subdim, query_id_col, vec_col
     )
-    if lut is None:
+    if luts is None:
         return codes_df.sparkSession.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, adc double"
         )
@@ -307,7 +307,7 @@ def pq_adc_topk_fused(
                 dense[:, s] = np.searchsorted(sorted_cids[s], C[:, s])
             A = np.zeros((len(pdf), len(qids)))
             for s in range(m):
-                A += lut[:, s, :][:, dense[:, s]].T
+                A += luts[s][:, dense[:, s]].T
             kk = min(k, len(pdf))
             out_q, out_id, out_adc = [], [], []
             for j in range(len(qids)):
@@ -490,10 +490,10 @@ def ivfpq_topk(
         probe_map.setdefault(r[query_id_col], set()).add(r["centroid_id"])
     all_cells = sorted({c for s in probe_map.values() for c in s})
 
-    m, sorted_cids, qids, lut = _query_luts(
+    m, sorted_cids, qids, luts = _query_luts(
         queries, codebook, subdim, query_id_col, vec_col
     )
-    if lut is None or not all_cells:
+    if luts is None or not all_cells:
         return assigned_codes.sparkSession.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, score double, rank int"
         )
@@ -516,7 +516,7 @@ def ivfpq_topk(
                 dense[:, s] = np.searchsorted(sorted_cids[s], C[:, s])
             A = np.zeros((len(pdf), len(qids)))
             for s in range(m):
-                A += lut[:, s, :][:, dense[:, s]].T
+                A += luts[s][:, dense[:, s]].T
             out_q, out_id, out_adc = [], [], []
             for j in range(len(qids)):
                 mask = np.isin(cells, probed_by_q[j])

@@ -523,3 +523,40 @@ def test_q209_drift_partial_aggs(spark, qs):
     plan = plan_of(qs["q209_embedding_drift"](spark, SF))
     assert "partial_avg" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_topk_prunes_partitions_on_disk_layout(spark, tmp_path_factory):
+    """ivfpq_topk over a codes index written partitionBy(centroid_id)
+    (the ivf_write layout) pushes its probed-cells filter into
+    PartitionFilters — the scan lists only probed cells' files — and
+    still answers exactly (all cells probed here)."""
+    from batch_process_spark.operators import pq
+    from batch_process_spark.operators.similarity import brute_force_topk, ivf_write
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i // 5), 1.0, 0.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    emb.count()
+    assigned_codes, cents, cb = pq.ivfpq_index(emb, subdim=2, k_code=4, n_centroids=2)
+    path = str(tmp_path_factory.mktemp("ivfpq") / "codes")
+    ivf_write(assigned_codes, path)
+    on_disk = spark.read.parquet(path)
+
+    queries = emb.filter("vec_id in (0, 17)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq.ivfpq_topk(
+        on_disk, cents, cb, queries, subdim=2, corpus=emb,
+        k=3, rerank_factor=10, nprobe=2,  # both cells -> exact
+    )
+    plan = plan_of(out)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "centroid_id" in pf and "IN" in pf
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in out.collect()}
+    want = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    assert got == want
+    emb.unpersist()
