@@ -277,6 +277,7 @@ def pq_adc_topk_fused(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_scores: bool = False,
 ) -> DataFrame:
     """ADC top-k over a fused codes frame (id, codes): per-partition
     top-k per query via LUT lookups (m additions per vector), then an
@@ -284,7 +285,11 @@ def pq_adc_topk_fused(
     scan touches m int64 codes per vector instead of d floats. Only
     partitions x Q x k (query_id, vec_id, adc) rows ever shuffle.
     Returns (query_id, vec_id, adc) with EXACTLY k rows per query
-    (ties on adc break to the lowest vec_id)."""
+    (ties on adc break to the lowest vec_id). ``round_scores`` rounds
+    every distance to 6 decimals BEFORE the cut (half-up-via-floor,
+    the repo idiom), making the candidate set bit-replicable by a SQL
+    oracle — FP sum-order drift (1e-15) can then never flip a cut
+    boundary between engines."""
     import numpy as np
     import pandas as pd
 
@@ -308,6 +313,8 @@ def pq_adc_topk_fused(
             A = np.zeros((len(pdf), len(qids)))
             for s in range(m):
                 A += luts[s][:, dense[:, s]].T
+            if round_scores:
+                A = np.floor(A * 1000000 + 0.5) / 1000000
             kk = min(k, len(pdf))
             out_q, out_id, out_adc = [], [], []
             for j in range(len(qids)):
@@ -367,9 +374,12 @@ def make_adc_scorer(codebook: DataFrame, codes: DataFrame, subdim: int,
         query_id_col: str = "query_id",
         k: int = 10,
     ) -> DataFrame:
+        # rounded candidate cut: the serving answer becomes fully
+        # engine-replicable (q214's oracle re-derives the exact set)
         cand = pq_adc_topk_fused(
             codes, queries, codebook, subdim, k=rerank_factor * k,
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+            round_scores=True,
         ).select(query_id_col, id_col)
         q = queries.select(query_id_col, F.col(vec_col).alias("__qe"))
         scored = (

@@ -208,7 +208,8 @@ _SPAN_WORDS = 8
       FROM documents
     ),
     s AS (
-      SELECT doc_id, md5(array_to_string(ws[i:i+{_SPAN_WORDS - 1}], ' ')) AS h
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(ws[i:i+{_SPAN_WORDS - 1}], ' ')), 1, 15))::BIGINT AS h
       FROM t, unnest(range(1, len(ws) - {_SPAN_WORDS - 2})) AS u(i)
       WHERE len(ws) >= {_SPAN_WORDS}
     ),
@@ -249,9 +250,18 @@ def q207_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("ws") - (_SPAN_WORDS - 1)),
-                lambda i: F.md5(
-                    F.array_join(F.slice("ws", i, _SPAN_WORDS), " ")
-                ),
+                # 60-bit md5-prefix key (the shingle_fingerprint
+                # idiom, widened): 8 B through the stats agg and join
+                # instead of a 32-char string; collisions ~n^2/2^61,
+                # and the oracle computes the IDENTICAL key so even
+                # those hash-match
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("ws", i, _SPAN_WORDS), " ")),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
             )
         ).alias("h"),
     )
@@ -785,4 +795,99 @@ def q213_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("pos_score") - F.col("neg_score")) * 1000000 + F.lit(0.5))
             / 1000000
         ).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214: streaming COMPRESSED serving — PQ/ADC scorer in the serving loop
+# ---------------------------------------------------------------------------
+
+_Q214_DIRS: dict = {}
+_Q214_RERANK = 3  # candidates per query = 3 * k = 30
+
+
+@_q(
+    "q214_streaming_pq_serving",
+    f"""
+    WITH {_PQ_SQL_CTES},
+    q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 15),
+    qd AS (SELECT d.vec_id AS query_id, d.sub, d.spos, d.v
+           FROM dims d JOIN q ON d.vec_id = q.query_id),
+    lut AS (
+      SELECT qd.query_id, c.sub, c.cid, sum((qd.v - c.c) * (qd.v - c.c)) AS l
+      FROM qd JOIN cb c ON qd.sub = c.sub AND qd.spos = c.spos
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id,
+             floor(sum(l.l) * 1000000 + 0.5) / 1000000 AS adc6
+      FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc6, vec_id) AS rn
+        FROM adc) WHERE rn <= {10 * _Q214_RERANK}
+    ),
+    qe AS (SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id < 15),
+    rescored AS (
+      SELECT c.query_id, c.vec_id,
+             {_Q210_COS.format(x='e.embedding', y='qe.qemb')} AS score
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN qe ON qe.query_id = c.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rank
+      FROM rescored
+    ) WHERE rank <= 10
+    """,
+)
+def q214_streaming_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q172's serving loop with the COMPRESSED scorer: 15 query
+    vectors arrive over three micro-batches; each batch retrieves 30
+    candidates per query by rounded ADC over the fused PQ codes and
+    exact-reranks them by cosine (make_adc_scorer). The oracle
+    re-derives the EXACT candidate sets (the scorer cuts on distances
+    rounded to 6 decimals, so the cut is engine-replicable) and the
+    rerank — the full retrieve-compressed/rerank-float deployment held
+    to a value-level oracle, per batch. Per batch the scan touches m
+    int64 codes per vector; the float corpus only sees the bounded
+    candidate join."""
+    from batch_process_spark.queries_ext10 import _q172_table, _staged_slices
+    from batch_process_spark.streaming.similarity import (
+        bounded_collect_sink,
+        stream_topk_serving,
+    )
+    from batch_process_spark.streaming.windows import drain_all
+
+    corpus = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = _codebook(spark, sf_dir)
+    codes = _memoized_persist(pq.pq_encode_fused(corpus, cb, _PQ_SUBDIM))
+    scorer = pq.make_adc_scorer(cb, codes, _PQ_SUBDIM, rerank_factor=_Q214_RERANK)
+
+    d, write_slice = _staged_slices(_Q214_DIRS, sf_dir, "q214_slices_", _q172_table)
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .format("parquet")
+        .load(d)
+    )
+    sink, collected = bounded_collect_sink(max_rows_per_batch=10 * 15)
+    q = stream_topk_serving(stream, corpus, sink, k=10, scorer=scorer)
+    try:
+        drain_all(q)
+        write_slice(1)
+        drain_all(q)
+        write_slice(2)
+        drain_all(q)
+        err = q.exception()
+        if err is not None:
+            raise err
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        collected, "query_id long, vec_id long, score double, rank int"
     )
