@@ -474,11 +474,12 @@ def minhash_candidate_audit(
         F.least(F.floor(F.col("js") * 10).cast("int"), F.lit(9)).alias("j_decile")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
     tot = d.agg(F.sum("n_pairs").alias("tot"))
+    from batch_process_spark.functions.rounding import round_half_up
+
     return d.crossJoin(F.broadcast(tot)).select(
         "j_decile",
         "n_pairs",
-        (F.floor(F.col("n_pairs") / F.col("tot") * 1000000 + F.lit(0.5)) / 1000000)
-        .alias("frac"),
+        round_half_up(F.col("n_pairs") / F.col("tot"), 6).alias("frac"),
     )
 
 

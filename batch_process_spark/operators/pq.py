@@ -201,6 +201,17 @@ def _codebook_arrays(codebook: DataFrame, subdim: int):
         subs.setdefault(r["sub"], {}).setdefault(r["cid"], {})[r["spos"]] = r["c"]
     m = max(subs) + 1
     cids = {s: sorted(subs[s]) for s in subs}
+    for s in subs:
+        for c in cids[s]:
+            if len(subs[s][c]) != subdim:
+                # the join formulation silently tolerates a ragged last
+                # subspace (dim % subdim != 0); the dense kernels cannot
+                # — name the real constraint instead of a KeyError
+                raise ValueError(
+                    f"codebook subspace {s} centroid {c} has "
+                    f"{len(subs[s][c])} positions, expected subdim={subdim} "
+                    "— the fused PQ kernels require dim % subdim == 0"
+                )
     cent = {
         s: np.array([[subs[s][c][p] for p in range(subdim)] for c in cids[s]])
         for s in subs
@@ -226,9 +237,6 @@ def pq_encode_fused(
 
     m, cids, cent = _codebook_arrays(codebook, subdim)
     cid_arr = {s: np.asarray(cids[s], dtype=np.int64) for s in cids}
-    # argmin(|x-c|^2) == argmin(|c|^2 - 2xc); ties resolve to the first
-    # (= lowest-cid) centroid in both formulations
-    cnorm = {s: (cent[s] ** 2).sum(axis=1) for s in cent}
 
     def kernel(it):
         for pdf in it:
@@ -238,7 +246,19 @@ def pq_encode_fused(
             out = np.empty((len(pdf), m), dtype=np.int64)
             for s in range(m):
                 Xa = X[:, s * subdim : (s + 1) * subdim]
-                d = cnorm[s][None, :] - 2.0 * (Xa @ cent[s].T)
+                C = cent[s]
+                # EXPLICIT sum of squared diffs, one centroid at a time
+                # (vectorized over rows) — NOT the expanded
+                # |c|^2 - 2xc BLAS form: on an exact real-arithmetic
+                # tie the explicit form's terms pair-equal between the
+                # two centroids, so the sums are bit-equal and the
+                # argmin's first-minimum == the join/SQL formulation's
+                # lowest-cid tie-break; the expanded form loses that to
+                # cancellation and could desync codes from the oracle.
+                d = np.empty((len(pdf), C.shape[0]))
+                for j in range(C.shape[0]):
+                    diff = Xa - C[j]
+                    d[:, j] = np.einsum("ij,ij->i", diff, diff)
                 out[:, s] = cid_arr[s][d.argmin(axis=1)]
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(out)})
 
@@ -278,6 +298,7 @@ def pq_adc_topk_fused(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_scores: bool = False,
+    probe_map: dict | None = None,
 ) -> DataFrame:
     """ADC top-k over a fused codes frame (id, codes): per-partition
     top-k per query via LUT lookups (m additions per vector), then an
@@ -289,7 +310,13 @@ def pq_adc_topk_fused(
     every distance to 6 decimals BEFORE the cut (half-up-via-floor,
     the repo idiom), making the candidate set bit-replicable by a SQL
     oracle — FP sum-order drift (1e-15) can then never flip a cut
-    boundary between engines."""
+    boundary between engines.
+
+    ``probe_map`` (query_id -> iterable of centroid ids) turns on the
+    IVFPQ masked path: ``codes_df`` must then carry a ``centroid_id``
+    column, and each query accumulates ADC ONLY over the rows whose
+    cell it probes — compute proportional to probed mass, never the
+    full rows x queries matrix."""
     import numpy as np
     import pandas as pd
 
@@ -300,6 +327,12 @@ def pq_adc_topk_fused(
         return codes_df.sparkSession.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, adc double"
         )
+    probed_by_q = None
+    if probe_map is not None:
+        probed_by_q = [
+            np.asarray(sorted(probe_map.get(int(q), ())), dtype=np.int64)
+            for q in qids
+        ]
 
     def kernel(it):
         for pdf in it:
@@ -307,28 +340,39 @@ def pq_adc_topk_fused(
                 continue
             C = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
             ids = pdf[id_col].to_numpy()
+            cells = pdf["centroid_id"].to_numpy() if probed_by_q is not None else None
             dense = np.empty_like(C)
             for s in range(m):
                 dense[:, s] = np.searchsorted(sorted_cids[s], C[:, s])
-            A = np.zeros((len(pdf), len(qids)))
-            for s in range(m):
-                A += luts[s][:, dense[:, s]].T
-            if round_scores:
-                A = np.floor(A * 1000000 + 0.5) / 1000000
-            kk = min(k, len(pdf))
             out_q, out_id, out_adc = [], [], []
             for j in range(len(qids)):
+                if probed_by_q is not None:
+                    # masked path: gather ONLY this query's probed rows
+                    # before any arithmetic — compute proportional to
+                    # probed mass, never the full rows x queries grid
+                    rows = np.flatnonzero(np.isin(cells, probed_by_q[j]))
+                    if not len(rows):
+                        continue
+                else:
+                    rows = np.arange(len(pdf))
+                acc = np.zeros(len(rows))
+                for s in range(m):
+                    acc += luts[s][j][dense[rows, s]]
+                if round_scores:
+                    acc = np.floor(acc * 1000000 + 0.5) / 1000000
+                kk = min(k, len(rows))
                 # lexsort, not argpartition: ties at the kk boundary
                 # must break to the lowest vec_id HERE too, or the
                 # partition-local cut could drop the row the global
                 # (adc, id) merge would have kept
-                sel = np.lexsort((ids, A[:, j]))[:kk]
+                sel = np.lexsort((ids[rows], acc))[:kk]
                 out_q.extend([qids[j]] * kk)
-                out_id.extend(ids[sel])
-                out_adc.extend(A[sel, j])
-            yield pd.DataFrame(
-                {query_id_col: out_q, id_col: out_id, "adc": out_adc}
-            )
+                out_id.extend(ids[rows][sel])
+                out_adc.extend(acc[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {query_id_col: out_q, id_col: out_id, "adc": out_adc}
+                )
 
     partial = codes_df.mapInPandas(
         kernel, schema=f"{query_id_col} long, {id_col} long, adc double"
@@ -364,7 +408,6 @@ def make_adc_scorer(codebook: DataFrame, codes: DataFrame, subdim: int,
     score, rank) with the cosine rounded to 6 decimals, rank ties to
     the lowest id. With ``rerank_factor * k >= |corpus|`` the result
     is exactly brute force (the equivalence the tests pin)."""
-    from batch_process_spark.operators.similarity import cosine
 
     def scorer(
         corpus: DataFrame,
@@ -381,24 +424,46 @@ def make_adc_scorer(codebook: DataFrame, codes: DataFrame, subdim: int,
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
             round_scores=True,
         ).select(query_id_col, id_col)
-        q = queries.select(query_id_col, F.col(vec_col).alias("__qe"))
-        scored = (
-            cand.join(corpus.select(id_col, vec_col), id_col)
-            .join(F.broadcast(q), query_id_col)
-            .select(
-                query_id_col,
-                id_col,
-                F.round(cosine(F.col(vec_col), F.col("__qe")), 6).alias("score"),
-            )
-        )
-        w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
-        return (
-            scored.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "score", "rank")
+        return _exact_rerank(
+            cand, corpus, queries, k,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
         )
 
     return scorer
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The shared float-rerank tail of every compressed retrieval path:
+    join the bounded (query, candidate-id) frame back to the float
+    corpus, score by exact cosine (rounded to 6, the q25 idiom), keep
+    the top ``k`` per query with ties to the lowest id. Output is the
+    ``brute_force_topk`` schema: (query_id, vec_id, score, rank)."""
+    from batch_process_spark.operators.similarity import cosine
+
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qe"))
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qe")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -471,10 +536,7 @@ def ivfpq_topk(
     ``ivf_write`` layout); the candidate exchange carries partitions
     x Q x R rows; the float corpus is touched only by the bounded
     rerank id-join."""
-    import numpy as np
-    import pandas as pd
-
-    from batch_process_spark.operators.similarity import cosine, ivf_probe_sets
+    from batch_process_spark.operators.similarity import ivf_probe_sets
 
     if nprobe == "auto" and stats is None:
         # the codes frame carries no embeddings, so cell stats cannot be
@@ -499,74 +561,23 @@ def ivfpq_topk(
     for r in probes.select(query_id_col, "centroid_id").collect():
         probe_map.setdefault(r[query_id_col], set()).add(r["centroid_id"])
     all_cells = sorted({c for s in probe_map.values() for c in s})
-
-    m, sorted_cids, qids, luts = _query_luts(
-        queries, codebook, subdim, query_id_col, vec_col
-    )
-    if luts is None or not all_cells:
+    if not all_cells:
         return assigned_codes.sparkSession.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, score double, rank int"
         )
-    probed_by_q = [
-        np.asarray(sorted(probe_map.get(int(q), ())), dtype=np.int64) for q in qids
-    ]
-    R = rerank_factor * k
 
+    # the isin filter lands in PartitionFilters under the ivf_write
+    # layout (plan-tested); the masked fused kernel then scores each
+    # query only over its own probed rows
     pruned = assigned_codes.filter(F.col("centroid_id").isin(all_cells))
-
-    def kernel(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            C = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
-            ids = pdf[id_col].to_numpy()
-            cells = pdf["centroid_id"].to_numpy()
-            dense = np.empty_like(C)
-            for s in range(m):
-                dense[:, s] = np.searchsorted(sorted_cids[s], C[:, s])
-            A = np.zeros((len(pdf), len(qids)))
-            for s in range(m):
-                A += luts[s][:, dense[:, s]].T
-            out_q, out_id, out_adc = [], [], []
-            for j in range(len(qids)):
-                mask = np.isin(cells, probed_by_q[j])
-                if not mask.any():
-                    continue
-                rows = np.flatnonzero(mask)
-                kk = min(R, len(rows))
-                sel = rows[np.lexsort((ids[rows], A[rows, j]))[:kk]]
-                out_q.extend([qids[j]] * kk)
-                out_id.extend(ids[sel])
-                out_adc.extend(A[sel, j])
-            if out_q:
-                yield pd.DataFrame(
-                    {query_id_col: out_q, id_col: out_id, "adc": out_adc}
-                )
-
-    partial = pruned.mapInPandas(
-        kernel, schema=f"{query_id_col} long, {id_col} long, adc double"
-    )
-    w = Window.partitionBy(query_id_col).orderBy("adc", id_col)
-    cand = (
-        partial.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= R)
-        .select(query_id_col, id_col)
-    )
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qe"))
-    scored = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(q), query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qe")), 6).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
+    cand = pq_adc_topk_fused(
+        pruned, queries, codebook, subdim, k=rerank_factor * k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        probe_map=probe_map,
+    ).select(query_id_col, id_col)
+    return _exact_rerank(
+        cand, corpus, queries, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
 
 

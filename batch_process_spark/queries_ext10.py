@@ -1463,14 +1463,29 @@ def q177_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every staged-slice memo must live here so release_staged_slices can
+# invalidate it — later catalog modules (e.g. queries_ext15's q214)
+# REGISTER theirs instead of growing this module's tuple by hand.
+_STAGED_SLICE_MEMOS: list = []
+
+
+def register_staged_slice_memo(memo: dict) -> dict:
+    _STAGED_SLICE_MEMOS.append(memo)
+    return memo
+
+
+for _m in (_Q171_DIRS, _Q172_DIRS, _Q173_DIRS):
+    register_staged_slice_memo(_m)
+
+
 def release_staged_slices() -> None:
-    """Drop the q171/q172/q173 staged micro-batch slice dirs — each
+    """Drop ALL registered staged micro-batch slice dirs — each
     snapshots a source table, so after a mid-session table rewrite it
     would feed the stream stale rows. Called by invalidate_tables
     (same contract as queries_ext8.release_sketch_caches)."""
     import shutil
 
-    for dirs in (_Q171_DIRS, _Q172_DIRS, _Q173_DIRS):
+    for dirs in _STAGED_SLICE_MEMOS:
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
         dirs.clear()

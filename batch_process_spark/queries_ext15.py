@@ -183,7 +183,7 @@ def q206_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = adc.select(
         "query_id",
         "vec_id",
-        (F.floor(F.col("adc") * 1000000 + F.lit(0.5)) / 1000000).alias("adc_dist"),
+        round_half_up(F.col("adc"), 6).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
     return (
@@ -273,8 +273,7 @@ def q207_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(dup).alias("n_dup_spans"),
-            (F.floor(F.sum(dup) / F.count(F.lit(1)) * 1000000 + F.lit(0.5)) / 1000000)
-            .alias("dup_frac"),
+            round_half_up(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
     )
 
@@ -327,9 +326,7 @@ def q208_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("pack_shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
-        (
-            F.floor(F.sum("n_tokens") / _PACK_BUDGET * 1000000 + F.lit(0.5)) / 1000000
-        ).alias("fill_frac"),
+        round_half_up(F.sum("n_tokens") / _PACK_BUDGET, 6).alias("fill_frac"),
     )
 
 
@@ -393,7 +390,7 @@ def q209_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
         F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_b"),
     )
-    six = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    six = lambda col: round_half_up(col, 6)  # noqa: E731
     return (
         m.join(c, "label")
         .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
@@ -539,7 +536,7 @@ def q210_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("s"),
         )
     )
-    six = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    six = lambda col: round_half_up(col, 6)  # noqa: E731
 
     def argmax(df, val_col):
         w = Window.partitionBy("query_id").orderBy(F.desc(val_col), F.asc("vec_id"))
@@ -791,10 +788,7 @@ def q213_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_id",
         "neg_id",
         "neg_rank",
-        (
-            F.floor((F.col("pos_score") - F.col("neg_score")) * 1000000 + F.lit(0.5))
-            / 1000000
-        ).alias("margin"),
+        round_half_up(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
     )
 
 
@@ -802,7 +796,13 @@ def q213_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q214: streaming COMPRESSED serving — PQ/ADC scorer in the serving loop
 # ---------------------------------------------------------------------------
 
-_Q214_DIRS: dict = {}
+# registered so invalidate_tables -> release_staged_slices drops the
+# staged query slices when the underlying table is rewritten (without
+# this, a mid-session rewrite would serve STALE query vectors while
+# the oracle reads the new table)
+from batch_process_spark.queries_ext10 import register_staged_slice_memo
+
+_Q214_DIRS: dict = register_staged_slice_memo({})
 _Q214_RERANK = 3  # candidates per query = 3 * k = 30
 
 

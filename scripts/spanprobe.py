@@ -84,8 +84,12 @@ def main() -> None:
         sb0 = shuffle_write_bytes(port)
         t0 = time.time()
         out = q(spark, path)
-        # closed-form expectation, checked distributed
-        exp = F.when(F.col("doc_id") % 10 == 0, F.lit(1.0)).when(
+        # closed-form expectation, checked distributed; the last
+        # i%10==0 doc only has its planted copy when doc i+1 exists
+        # (n % 10 == 1 would otherwise assert spuriously)
+        exp = F.when(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") + 1 < n), F.lit(1.0)
+        ).when(
             F.col("doc_id") % 10 == 1,
             F.floor(F.lit(41.0) / 42 * 1000000 + 0.5) / 1000000,
         ).otherwise(F.lit(0.0))
