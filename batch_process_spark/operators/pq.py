@@ -612,3 +612,42 @@ def make_ivfpq_scorer(
         )
 
     return scorer
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization — the 1-bit tier below PQ: sign-bit codes packed
+# into 64-bit words (32x smaller than float32 at d=64), searched by
+# Hamming distance (XOR + popcount — the cheapest first-pass filter in
+# any vector stack). Integer-exact end to end, so the oracle needs no
+# rounding discipline at all.
+# ---------------------------------------------------------------------------
+
+
+def sign_bit_words(vec_col: Column | str, dim: int, word_bits: int = 32):
+    """Pack ``dim`` sign bits (element > 0) into ``ceil(dim/word_bits)``
+    BIGINT words, least-significant bit first. 32-bit words by default:
+    values stay < 2^32, so neither engine touches the BIGINT sign bit
+    and the packing is plain exact integer arithmetic (bit * 2^j summed
+    via a literal powers array — no shift builtins, whose column-arg
+    support differs across engines)."""
+    words = []
+    for w in range((dim + word_bits - 1) // word_bits):
+        lo = w * word_bits
+        n = min(word_bits, dim - lo)
+        bits = F.transform(
+            F.slice(vec_col, lo + 1, n), lambda x: (x > 0).cast("long")
+        )
+        powers = F.array(*[F.lit(1 << j).cast("long") for j in range(n)])
+        words.append(
+            F.aggregate(
+                F.zip_with(bits, powers, lambda b, p: b * p),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+        )
+    return words
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed words: popcount(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

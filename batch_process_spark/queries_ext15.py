@@ -891,3 +891,101 @@ def q214_streaming_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         collected, "query_id long, vec_id long, score double, rank int"
     )
+
+
+# ---------------------------------------------------------------------------
+# q215/q216: binary quantization — sign-bit codes + Hamming search
+# ---------------------------------------------------------------------------
+
+_BQ_WORDS_SQL = """
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(range(1, 33),
+                  j -> CASE WHEN embedding[j] > 0
+                            THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))
+                  AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(33, 65),
+                  j -> CASE WHEN embedding[j] > 0
+                            THEN (1::BIGINT << (j - 33)) ELSE 0::BIGINT END))
+                  AS BIGINT) AS w1
+      FROM embeddings
+"""
+
+
+def _bq_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    w0, w1 = pq.sign_bit_words("embedding", 64)
+    return _memoized_persist(
+        emb.select("vec_id", "label", w0.alias("w0"), w1.alias("w1"))
+    )
+
+
+@_q(
+    "q215_binary_quantize",
+    f"""
+    WITH b AS ({_BQ_WORDS_SQL})
+    SELECT vec_id, label, w0, w1,
+           CAST(bit_count(w0) + bit_count(w1) AS BIGINT) AS n_bits
+    FROM b
+    """,
+)
+def q215_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit vector compression: 64 sign bits packed into two 32-bit
+    words (256 B float32 -> 8 B, the tier below PQ's 16 B) — the
+    cheapest first-pass filter in a vector stack, searched by XOR +
+    popcount (q216). Integer-exact end to end: every packed word of
+    every vector sits under the oracle with NO rounding discipline.
+    Scale shape: pure map-side array expressions inside codegen — the
+    100 TB plan is scan -> project -> write, like q159."""
+    b = _bq_words(spark, sf_dir)
+    return b.select(
+        "vec_id", "label", "w0", "w1",
+        (F.bit_count("w0") + F.bit_count("w1")).cast("long").alias("n_bits"),
+    )
+
+
+@_q(
+    "q216_hamming_topk",
+    f"""
+    WITH b AS ({_BQ_WORDS_SQL}),
+    q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM b WHERE vec_id < 5)
+    SELECT query_id, vec_id, hamming, rank FROM (
+      SELECT q.query_id, b.vec_id,
+             CAST(bit_count(xor(b.w0, q.q0)) + bit_count(xor(b.w1, q.q1))
+                  AS BIGINT) AS hamming,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY bit_count(xor(b.w0, q.q0)) + bit_count(xor(b.w1, q.q1)),
+                        b.vec_id) AS rank
+      FROM b CROSS JOIN q
+    ) WHERE rank <= 10
+    """,
+)
+def q216_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-10 over the packed sign-bit codes: distance = two
+    XORs + two popcounts per candidate — integer-exact, so ranking
+    needs no rounding discipline at all (ties to the lowest vec_id).
+    The deployment shape mirrors ADC: Hamming preselects, floats
+    rerank (the rerank tail is `pq._exact_rerank`, shared with the PQ
+    scorers); the catalog entry keeps the pure Hamming ranking so the
+    oracle pins every distance. Scale: queries broadcast, the corpus
+    scans its 8 B/vector words map-side, only partitions x Q x k rows
+    reach the merge."""
+    b = _bq_words(spark, sf_dir)
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = b.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (pq.hamming(F.col("w0"), F.col("q0")) + pq.hamming(F.col("w1"), F.col("q1")))
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "hamming", "rank")
+    )

@@ -196,3 +196,35 @@ def test_triplet_mining_margins_closed_form(spark, tmp_path):
     margins = [m for _, _, _, m in out]
     assert margins == sorted(margins)  # hardest negative -> smallest margin
     assert all(m > 0 for m in margins)  # positive is nearer than every neg
+
+
+def test_binary_quantize_words_closed_form(spark, tmp_path):
+    """Known sign patterns pack to known words: alternating +/- in the
+    low 32 dims -> 0x55555555; all-positive high dims -> 0xFFFFFFFF;
+    zeros pack as 0-bits (strict > 0)."""
+    from batch_process_spark.queries_ext15 import (
+        q215_binary_quantize,
+        q216_hamming_topk,
+    )
+
+    alt = [1.0 if j % 2 == 0 else -1.0 for j in range(32)] + [1.0] * 32
+    zero = [0.0] * 64
+    rows = [(0, alt, 0), (1, zero, 0), (2, alt, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {
+        r["vec_id"]: (r["w0"], r["w1"], r["n_bits"])
+        for r in q215_binary_quantize(spark, d).collect()
+    }
+    assert out[0] == (0x55555555, 0xFFFFFFFF, 48)
+    assert out[1] == (0, 0, 0)
+    assert out[0] == out[2]
+
+    # hamming: vec 0 vs its twin 2 -> 0; vs the zero vector -> 48
+    ham = {
+        (r["query_id"], r["vec_id"]): r["hamming"]
+        for r in q216_hamming_topk(spark, d).collect()
+    }
+    assert ham[(0, 2)] == 0 and ham[(0, 0)] == 0
+    assert ham[(0, 1)] == 48 and ham[(1, 0)] == 48
