@@ -989,3 +989,170 @@ def q216_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "hamming", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q217: retrieval-tier evaluation (recall@10 / MRR@10 vs exact)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q217_retrieval_eval",
+    f"""
+    WITH {_PQ_SQL_CTES},
+    bq AS ({_BQ_WORDS_SQL}),
+    q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+    qe AS (SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT qe.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY qe.query_id
+                 ORDER BY {_Q210_COS.format(x='e.embedding', y='qe.qemb')} DESC,
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN qe
+        WHERE e.vec_id != qe.query_id
+      ) WHERE rank <= 10
+    ),
+    qw AS (SELECT vec_id AS query_id, w0 AS b0, w1 AS b1 FROM bq WHERE vec_id < 5),
+    ham AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT qw.query_id, bq.vec_id,
+               row_number() OVER (PARTITION BY qw.query_id
+                 ORDER BY bit_count(xor(bq.w0, qw.b0)) + bit_count(xor(bq.w1, qw.b1)),
+                          bq.vec_id) AS rank
+        FROM bq CROSS JOIN qw
+        WHERE bq.vec_id != qw.query_id
+      ) WHERE rank <= 10
+    ),
+    qd AS (SELECT d.vec_id AS query_id, d.sub, d.spos, d.v
+           FROM dims d JOIN q ON d.vec_id = q.query_id),
+    lut AS (
+      SELECT qd.query_id, c.sub, c.cid, sum((qd.v - c.c) * (qd.v - c.c)) AS l
+      FROM qd JOIN cb c ON qd.sub = c.sub AND qd.spos = c.spos
+      GROUP BY 1, 2, 3
+    ),
+    adcd AS (
+      SELECT l.query_id, a.vec_id,
+             floor(sum(l.l) * 1000000 + 0.5) / 1000000 AS adc6
+      FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+      WHERE a.vec_id != l.query_id
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc6, vec_id) AS rank
+        FROM adcd
+      ) WHERE rank <= 10
+    ),
+    tiers AS (
+      SELECT 'hamming' AS tier, query_id, vec_id, rank FROM ham
+      UNION ALL
+      SELECT 'pq_adc' AS tier, query_id, vec_id, rank FROM adc
+    ),
+    truth1 AS (SELECT query_id, vec_id AS nn1 FROM exact WHERE rank = 1),
+    per_q AS (
+      SELECT t.tier, t.query_id,
+             count(e.vec_id) AS n_hit,
+             max(CASE WHEN t.vec_id = truth1.nn1
+                      THEN 1.0 / t.rank ELSE 0.0 END) AS rr
+      FROM tiers t
+      LEFT JOIN exact e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+      JOIN truth1 ON truth1.query_id = t.query_id
+      GROUP BY 1, 2
+    )
+    SELECT tier,
+           floor(avg(n_hit / 10.0) * 1000000 + 0.5) / 1000000 AS recall_at_10,
+           floor(avg(rr) * 1000000 + 0.5) / 1000000 AS mrr_at_10
+    FROM per_q GROUP BY tier
+    """,
+)
+def q217_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval QA harness as a query: recall@10 and MRR@10 of
+    the two compressed tiers (sign-bit Hamming, PQ/ADC) against the
+    exact cosine ranking, self-excluded — the continuous evaluation a
+    pipeline runs before trusting a cheaper tier with candidate
+    generation. MRR uses the exact top-1 neighbor; a tier that misses
+    it inside its own top-10 scores 0 for that query (MRR@10). Every
+    ranking reuses this module's oracle-pinned constructions, so the
+    metric itself is value-hash-checked. Scale shape: three bounded
+    top-10 frames per query joined on (query, vec), then a tiers-sized
+    aggregate."""
+    from batch_process_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus_noself = emb.select("vec_id", "embedding")
+    # exact, self-excluded: brute_force_topk includes self (cos=1, rank
+    # 1), so request k=11 and re-rank after dropping self
+    exact11 = brute_force_topk(corpus_noself, queries, k=11)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    exact = (
+        exact11.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id", F.col("rk").alias("rank"))
+    )
+
+    b = _bq_words(spark, sf_dir)
+    qw = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("b0"),
+        F.col("w1").alias("b1"),
+    )
+    wham = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    ham = (
+        b.crossJoin(F.broadcast(qw))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            (pq.hamming(F.col("w0"), F.col("b0"))
+             + pq.hamming(F.col("w1"), F.col("b1"))).alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(wham))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+
+    cb = _codebook(spark, sf_dir)
+    codes = _memoized_persist(pq.pq_encode(emb, cb, _PQ_SUBDIM))
+    adcs = (
+        pq.pq_adc_scores(queries, cb, codes, _PQ_SUBDIM)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            round_half_up(F.col("adc"), 6).alias("adc6"),
+        )
+    )
+    wadc = Window.partitionBy("query_id").orderBy("adc6", "vec_id")
+    adc = (
+        adcs.withColumn("rank", F.row_number().over(wadc))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+
+    tiers = ham.select(F.lit("hamming").alias("tier"), "query_id", "vec_id", "rank").unionByName(
+        adc.select(F.lit("pq_adc").alias("tier"), "query_id", "vec_id", "rank")
+    )
+    truth1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("vec_id").alias("nn1")
+    )
+    hits = exact.select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    per_q = (
+        tiers.join(hits, ["query_id", "vec_id"], "left")
+        .join(truth1, "query_id")
+        .groupBy("tier", "query_id")
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+            F.max(
+                F.when(F.col("vec_id") == F.col("nn1"), 1.0 / F.col("rank")).otherwise(0.0)
+            ).alias("rr"),
+        )
+    )
+    return per_q.groupBy("tier").agg(
+        round_half_up(F.avg(F.col("n_hit") / 10.0), 6).alias("recall_at_10"),
+        round_half_up(F.avg("rr"), 6).alias("mrr_at_10"),
+    )

@@ -228,3 +228,39 @@ def test_binary_quantize_words_closed_form(spark, tmp_path):
     }
     assert ham[(0, 2)] == 0 and ham[(0, 0)] == 0
     assert ham[(0, 1)] == 48 and ham[(1, 0)] == 48
+
+
+def test_retrieval_eval_finds_planted_duplicate(spark, tmp_path):
+    """With vec 5 an exact copy of query 0, both compressed tiers rank
+    it first (identical sign bits; identical PQ codes), so MRR@10 is
+    1.0 for the single query, and recall is a valid fraction."""
+    import numpy as np
+
+    from batch_process_spark.queries_ext15 import q217_retrieval_eval
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=64)
+    rows = [(0, A)]
+    # vectors 1-3 seed the PQ codebook with far-away patterns
+    for i in (1, 2, 3):
+        rows.append((i, rng.normal(size=64) + 5.0 * (-1) ** i))
+    rows.append((5, A.copy()))  # planted duplicate of the query
+    for i in (6, 7, 8, 9):
+        rows.append((i, rng.normal(size=64) + 3.0))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {
+        r["tier"]: (r["recall_at_10"], r["mrr_at_10"])
+        for r in q217_retrieval_eval(spark, d).collect()
+    }
+    # NOTE: vec_ids 1-3 are ALSO queries (vec_id < 5); the planted-dup
+    # guarantee applies to query 0, so assert per-tier mrr >= 1/4
+    # (query 0 contributes rr=1.0 out of 4 queries) and valid ranges.
+    assert set(out) == {"hamming", "pq_adc"}
+    for tier, (rec, mrr) in out.items():
+        assert 0.0 <= rec <= 1.0 and 0.0 <= mrr <= 1.0, tier
+        assert mrr >= 1.0 / 4 - 1e-9, (tier, mrr)
