@@ -1156,3 +1156,115 @@ def q217_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.avg(F.col("n_hit") / 10.0), 6).alias("recall_at_10"),
         round_half_up(F.avg("rr"), 6).alias("mrr_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q218: three-tier retrieval cascade (Hamming -> ADC -> exact)
+# ---------------------------------------------------------------------------
+
+_CASCADE_R1 = 50  # Hamming survivors per query
+_CASCADE_R2 = 20  # ADC survivors per query
+
+
+@_q(
+    "q218_retrieval_cascade",
+    f"""
+    WITH {_PQ_SQL_CTES},
+    bq AS ({_BQ_WORDS_SQL}),
+    qw AS (SELECT vec_id AS query_id, w0 AS b0, w1 AS b1 FROM bq WHERE vec_id < 5),
+    c1 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qw.query_id, bq.vec_id,
+               row_number() OVER (PARTITION BY qw.query_id
+                 ORDER BY bit_count(xor(bq.w0, qw.b0)) + bit_count(xor(bq.w1, qw.b1)),
+                          bq.vec_id) AS rn
+        FROM bq CROSS JOIN qw
+      ) WHERE rn <= {_CASCADE_R1}
+    ),
+    q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+    qd AS (SELECT d.vec_id AS query_id, d.sub, d.spos, d.v
+           FROM dims d JOIN q ON d.vec_id = q.query_id),
+    lut AS (
+      SELECT qd.query_id, c.sub, c.cid, sum((qd.v - c.c) * (qd.v - c.c)) AS l
+      FROM qd JOIN cb c ON qd.sub = c.sub AND qd.spos = c.spos
+      GROUP BY 1, 2, 3
+    ),
+    adcd AS (
+      SELECT l.query_id, a.vec_id,
+             floor(sum(l.l) * 1000000 + 0.5) / 1000000 AS adc6
+      FROM a2 a
+      JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+      JOIN c1 ON c1.query_id = l.query_id AND c1.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc6, vec_id) AS rn
+        FROM adcd
+      ) WHERE rn <= {_CASCADE_R2}
+    ),
+    qe AS (SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id < 5),
+    rescored AS (
+      SELECT c2.query_id, c2.vec_id,
+             {_Q210_COS.format(x='e.embedding', y='qe.qemb')} AS score
+      FROM c2
+      JOIN embeddings e ON e.vec_id = c2.vec_id
+      JOIN qe ON qe.query_id = c2.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rank
+      FROM rescored
+    ) WHERE rank <= 10
+    """,
+)
+def q218_retrieval_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval cascade, end to end under one oracle:
+    Hamming over 8 B sign-bit words preselects 50 candidates per query
+    (integer-exact cut), PQ/ADC rescoring narrows to 20 (cut on the
+    6-decimal-rounded distance), exact cosine reranks to the final 10
+    — each tier touching ~an order of magnitude fewer, richer bytes.
+    Every cut is engine-replicable (integer Hamming; rounded ADC;
+    rounded cosine; all ties to the lowest id), so the DuckDB oracle
+    re-derives the full cascade value-for-value. Scale shape: tier 1
+    is the map-side 8 B/vector scan, tier 2 joins codes only for the
+    bounded survivors, tier 3 is the shared _exact_rerank id-join."""
+    b = _bq_words(spark, sf_dir)
+    qw = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("b0"),
+        F.col("w1").alias("b1"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    c1 = (
+        b.crossJoin(F.broadcast(qw))
+        .select(
+            "query_id", "vec_id",
+            (pq.hamming(F.col("w0"), F.col("b0"))
+             + pq.hamming(F.col("w1"), F.col("b1"))).alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _CASCADE_R1)
+        .select("query_id", "vec_id")
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = _codebook(spark, sf_dir)
+    codes = _memoized_persist(pq.pq_encode(emb, cb, _PQ_SUBDIM))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adcd = (
+        pq.pq_adc_scores(queries, cb, codes, _PQ_SUBDIM)
+        .join(c1, ["query_id", "vec_id"])
+        .select("query_id", "vec_id", round_half_up(F.col("adc"), 6).alias("adc6"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy("adc6", "vec_id")
+    c2 = (
+        adcd.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _CASCADE_R2)
+        .select("query_id", "vec_id")
+    )
+    return pq._exact_rerank(c2, emb.select("vec_id", "embedding"), queries, 10)

@@ -92,6 +92,11 @@ NOTES = {
     "q209_embedding_drift": "position-explode into a (label, pos) conditional-avg partial agg (exchange carries labels x dims rows), then a labels-sized reduce; snapshot counts ride a second labels-sized agg joined back",
     "q210_mmr_diversified": "rerank stage: every frame bounded by queries x pool (pairwise sim = pool^2 per query); corpus touched only by the pool-building scoring pass (ANN tier at scale); three fixed argmax windows, each k rows per query group",
     "q211_lsh_candidate_audit": "q18's stages verbatim (memoized shingle frame, map-only signatures, banded join as the only wide stage) + decile partial agg + 1-row total broadcast",
+    "q212_hard_negatives": "label predicate rides the broadcast-query scoring pass (no post-hoc join); per-partition top-k merge; the scoring tier is ANN (IVFPQ) at corpus scale",
+    "q213_triplet_mining": "two label-filtered scoring passes over the broadcast anchor batch; positives><negatives join keyed on the anchor, bounded at anchors x 3 rows",
+    "q215_binary_quantize": "pure map-side array expressions in codegen: scan -> project (two packed words per vector) — the q159 shape at 1 bit/dim",
+    "q216_hamming_topk": "queries broadcast; corpus scans its 8 B/vector words map-side (two XOR+popcount per candidate); only partitions x Q x k rows reach the merge",
+    "q217_retrieval_eval": "three bounded top-10 frames per query (exact / hamming / ADC) joined on (query, vec); final aggregate is tiers-sized",
 }
 
 

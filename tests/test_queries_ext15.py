@@ -264,3 +264,30 @@ def test_retrieval_eval_finds_planted_duplicate(spark, tmp_path):
     for tier, (rec, mrr) in out.items():
         assert 0.0 <= rec <= 1.0 and 0.0 <= mrr <= 1.0, tier
         assert mrr >= 1.0 / 4 - 1e-9, (tier, mrr)
+
+
+def test_cascade_surfaces_planted_duplicate_at_rank_one(spark, tmp_path):
+    """An exact copy of query 0 survives every cascade tier (Hamming 0,
+    minimal ADC, cosine 1.0) and lands at rank 1... behind the query
+    itself, which is also in the corpus — so ranks 1 and 2 are the
+    query and its copy in id order."""
+    import numpy as np
+
+    from batch_process_spark.queries_ext15 import q218_retrieval_cascade
+
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=64)
+    rows = [(0, A)] + [(i, rng.normal(size=64) + 4.0 * (-1) ** i) for i in (1, 2, 3)]
+    rows.append((7, A.copy()))
+    rows += [(i, rng.normal(size=64)) for i in range(8, 20)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = {
+        r["rank"]: (r["vec_id"], r["score"])
+        for r in q218_retrieval_cascade(spark, d).filter("query_id = 0").collect()
+    }
+    assert got[1] == (0, 1.0) and got[2] == (7, 1.0)
