@@ -1268,3 +1268,161 @@ def q218_retrieval_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     return pq._exact_rerank(c2, emb.select("vec_id", "embedding"), queries, 10)
+
+
+# ---------------------------------------------------------------------------
+# q219: span-level source attribution (argmax shared-span partner)
+# ---------------------------------------------------------------------------
+
+_ATTR_DF_CAP = 10  # spans in more docs than this carry no attribution signal
+
+
+@_q(
+    "q219_span_attribution",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(ws[i:i+{_SPAN_WORDS - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM t, unnest(range(1, len(ws) - {_SPAN_WORDS - 2})) AS u(i)
+      WHERE len(ws) >= {_SPAN_WORDS}
+    ),
+    sd AS (SELECT DISTINCT doc_id, h FROM s),
+    keep AS (
+      SELECT h FROM sd GROUP BY h
+      HAVING count(*) > 1 AND count(*) <= {_ATTR_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_spans
+      FROM sd a
+      JOIN sd b ON a.h = b.h AND a.doc_id != b.doc_id
+      JOIN keep k ON k.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b AS attributed_to, shared_spans FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_a
+                                   ORDER BY shared_spans DESC, doc_b) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def q219_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance attribution: for every document sharing content,
+    the single partner document with the MOST shared 8-word spans —
+    the "which source did this text come from" question asked of
+    model outputs and suspected copies alike. Boilerplate spans
+    (document frequency > _ATTR_DF_CAP = 10) are excluded BEFORE the
+    pair join: they carry no attribution signal, and a span in f docs
+    fans out f^2 pair rows — the cap is what keeps the join
+    linear-ish at corpus scale (the standard move; the excluded mass
+    is exactly the q207 high-frequency tail). Distinct (doc, span)
+    first, so a span repeated inside one doc votes once. Ties break
+    to the lowest partner id."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= _SPAN_WORDS)
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (_SPAN_WORDS - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("ws", i, _SPAN_WORDS), " ")),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            )
+        ).alias("h"),
+    ).distinct()
+    keep = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") > 1) & (F.col("df") <= _ATTR_DF_CAP))
+        .select("h")
+    )
+    kept = spans.join(keep, "h")
+    a = kept.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+    b = kept.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("shared_spans"), F.asc("doc_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_a", F.col("doc_b").alias("attributed_to"), "shared_spans")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220: dedup savings report (cluster-size histogram + bytes removed)
+# ---------------------------------------------------------------------------
+
+
+def _q220_oracle() -> str:
+    from batch_process_spark.queries_ext import _NEAR_DUP_CORPUS
+    from batch_process_spark.queries_ext3 import _cc_oracle
+
+    return f"""
+    WITH clusters AS ({_cc_oracle()}),
+    corpus AS ({_NEAR_DUP_CORPUS}),
+    lens AS (SELECT doc_id, length(text) AS n_chars FROM corpus),
+    per_c AS (
+      SELECT c.component, c.cluster_size,
+             sum(CASE WHEN c.node != c.component THEN l.n_chars ELSE 0 END)
+               AS bytes_removed
+      FROM clusters c JOIN lens l ON l.doc_id = c.node
+      GROUP BY 1, 2
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS docs_removed,
+           CAST(sum(bytes_removed) AS BIGINT) AS bytes_removed
+    FROM per_c GROUP BY cluster_size
+    """
+
+
+@_q("q220_dedup_savings", _q220_oracle())
+def q220_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT a pipeline publishes after q79's clustering:
+    per cluster size, how many clusters exist, how many documents the
+    min-id-survivor policy removes, and how many bytes of text that
+    reclaims — the "was the dedup pass worth it" accounting. Reuses
+    q79's exact pair stream and components; the report adds one
+    node-sized join to text lengths and two small aggregates."""
+    from batch_process_spark.operators import dedup
+    from batch_process_spark.operators.graph import dedup_clusters
+    from batch_process_spark.queries_ext import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.7
+    )
+    clusters = dedup_clusters(pairs)
+    lens = corpus.select(
+        F.col("doc_id").alias("node"), F.length("text").alias("n_chars")
+    )
+    per_c = (
+        clusters.join(lens, "node")
+        .groupBy("component", "cluster_size")
+        .agg(
+            F.sum(
+                F.when(F.col("node") != F.col("component"), F.col("n_chars"))
+                .otherwise(F.lit(0))
+            ).alias("bytes_removed")
+        )
+    )
+    return per_c.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
+        F.sum("bytes_removed").cast("long").alias("bytes_removed"),
+    )
