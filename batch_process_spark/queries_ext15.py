@@ -1426,3 +1426,51 @@ def q220_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
         F.sum("bytes_removed").cast("long").alias("bytes_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q221: tokenizer fertility (chars per token) per corpus slice
+# ---------------------------------------------------------------------------
+
+
+from batch_process_spark.queries_ext import DUCK_TOKENS  # noqa: E402
+
+
+@_q(
+    "q221_tokenizer_fertility",
+    f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len({DUCK_TOKENS.format(t='text')})) AS BIGINT) AS total_tokens,
+           floor(sum(length(text))::DOUBLE
+                 / greatest(sum(len({DUCK_TOKENS.format(t='text')})), 1)
+                 * 1000000 + 0.5) / 1000000 AS chars_per_token
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q221_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility proxy per (lang, source): characters per
+    token — the compression-budget number that decides how many
+    documents fit a token budget, and the first signal that a slice
+    is script-mismatched for the tokenizer (fertility spikes). One
+    map-side projection (length + token count per doc) into a
+    slice-sized partial agg."""
+    from batch_process_spark.operators.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(tokens_col("text")).alias("n_tokens"),
+    )
+    return per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        round_half_up(
+            F.sum("n_chars") / F.greatest(F.sum("n_tokens"), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )

@@ -335,3 +335,19 @@ def test_dedup_savings_conservation(spark, tmp_path):
     for size, (n, removed, bytes_removed) in out.items():
         assert removed == (size - 1) * n
         assert bytes_removed >= removed * len(text) - 40 * removed
+
+
+def test_tokenizer_fertility_closed_form(spark, tmp_path):
+    """'ab cd' -> 5 chars / 2 tokens = 2.5; punctuation-only text
+    contributes chars but zero tokens (greatest(.,1) guards)."""
+    from batch_process_spark.queries_ext15 import q221_tokenizer_fertility
+
+    rows = [("ab cd", "en", "s1"), ("!!!", "en", "s2")]
+    d = str(tmp_path)
+    _docs(spark, rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["source"]: (r["n_docs"], r["total_chars"], r["total_tokens"], r["chars_per_token"])
+        for r in q221_tokenizer_fertility(spark, d).collect()
+    }
+    assert out["s1"] == (1, 5, 2, 2.5)
+    assert out["s2"] == (1, 3, 0, 3.0)
