@@ -7,6 +7,7 @@ from __future__ import annotations
 
 
 def _docs(spark, rows):
+    assert all(isinstance(t, str) for t in rows), "rows must be plain texts"
     return spark.createDataFrame(
         [(i, t, "en", "s", len(t)) for i, t in enumerate(rows)],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -342,9 +343,12 @@ def test_tokenizer_fertility_closed_form(spark, tmp_path):
     contributes chars but zero tokens (greatest(.,1) guards)."""
     from batch_process_spark.queries_ext15 import q221_tokenizer_fertility
 
-    rows = [("ab cd", "en", "s1"), ("!!!", "en", "s2")]
+    df = spark.createDataFrame(
+        [(0, "ab cd", "en", "s1", 5), (1, "!!!", "en", "s2", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
     d = str(tmp_path)
-    _docs(spark, rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     out = {
         r["source"]: (r["n_docs"], r["total_chars"], r["total_tokens"], r["chars_per_token"])
         for r in q221_tokenizer_fertility(spark, d).collect()
