@@ -1474,3 +1474,82 @@ def q221_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars") / F.greatest(F.sum("n_tokens"), F.lit(1)), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q222: quality-score vs duplication calibration
+# ---------------------------------------------------------------------------
+
+
+def _q222_oracle() -> str:
+    from batch_process_spark.queries import ORACLES
+
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / length(text) "
+        "ELSE 0.0 END"
+    )
+    digit = (
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) "
+        "ELSE 0.0 END"
+    )
+    ntok = f"len({DUCK_TOKENS.format(t='text')})"
+    return f"""
+    WITH dupes AS ({ORACLES['q207_sliding_span_dedup']}),
+    q AS (
+      SELECT doc_id,
+             greatest(1.0 - least({punct} * 2, 0.4) - least({digit} * 2, 0.3)
+                      - CASE WHEN {ntok} < 5 OR {ntok} > 100000
+                             THEN 0.3 ELSE 0.0 END, 0.0) AS score
+      FROM documents
+    )
+    SELECT least(CAST(floor(score * 5) AS INT), 4) AS q_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(d.dup_frac) * 1000000 + 0.5) / 1000000 AS avg_dup_frac
+    FROM q JOIN dupes d USING (doc_id)
+    GROUP BY 1
+    """
+
+
+@_q("q222_quality_dup_calibration", _q222_oracle())
+def q222_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the quality score against measured duplication:
+    per quality-score quintile (q23's Gopher-style formula, restated
+    UNROUNDED so the bucketing avoids the engines' divergent decimal
+    rounding), the average sliding-span duplicated-content fraction
+    (q207) — if low-quality buckets are not also the duplicated ones,
+    the two filters are removing DIFFERENT documents and both earn
+    their place in the pipeline. Docs too short for spans (<8 words)
+    are excluded by the inner join, as in q207. One map-side score
+    projection joined to q207's per-doc frame; the aggregate is
+    5 buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    from batch_process_spark.operators.dedup import tokens_col
+
+    t = F.col("text")
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_tokens = F.size(tokens_col(t))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+    score = F.greatest(
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.4))
+        - F.least(digit_ratio * 2, F.lit(0.3))
+        - F.when((n_tokens < 5) | (n_tokens > 100000), 0.3).otherwise(0.0),
+        F.lit(0.0),
+    )
+    q = docs.select("doc_id", score.alias("score"))
+    dup = q207_sliding_span_dedup(spark, sf_dir).select("doc_id", "dup_frac")
+    return (
+        q.join(dup, "doc_id")
+        .groupBy(
+            F.least(F.floor(F.col("score") * 5).cast("int"), F.lit(4)).alias("q_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_half_up(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+        )
+    )

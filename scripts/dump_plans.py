@@ -97,6 +97,10 @@ NOTES = {
     "q215_binary_quantize": "pure map-side array expressions in codegen: scan -> project (two packed words per vector) — the q159 shape at 1 bit/dim",
     "q216_hamming_topk": "queries broadcast; corpus scans its 8 B/vector words map-side (two XOR+popcount per candidate); only partitions x Q x k rows reach the merge",
     "q217_retrieval_eval": "three bounded top-10 frames per query (exact / hamming / ADC) joined on (query, vec); final aggregate is tiers-sized",
+    "q218_retrieval_cascade": "tier 1 map-side 8 B/vector Hamming scan; tier 2 ADC restricted to the 50 survivors per query; tier 3 the shared exact-rerank id-join on 20",
+    "q219_span_attribution": "distinct (doc, span) first; boilerplate spans excluded by df cap BEFORE the pair join (a span in f docs fans out f^2 rows); argmax partner via per-doc window",
+    "q220_dedup_savings": "q79's pair stream + components verbatim; one node-sized length join + two small aggregates",
+    "q221_tokenizer_fertility": "map-side length + token count per doc into a slice-sized partial agg",
 }
 
 

@@ -355,3 +355,23 @@ def test_tokenizer_fertility_closed_form(spark, tmp_path):
     }
     assert out["s1"] == (1, 5, 2, 2.5)
     assert out["s2"] == (1, 3, 0, 3.0)
+
+
+def test_quality_dup_calibration_buckets(spark, tmp_path):
+    """Clean prose lands in the top quality bucket; a punctuation- and
+    digit-riddled duplicated pair lands lower WITH dup_frac 1.0 — the
+    calibration view separates the two populations."""
+    from batch_process_spark.queries_ext15 import q222_quality_dup_calibration
+
+    clean = "the quick brown fox jumps over the lazy dog again today"
+    junk = "!!! 123 ### 456 $$$ 789 %%% 000 @@@ 111 ^^^ 222"
+    rows = [clean, junk, junk]  # junk duplicated
+    d = str(tmp_path)
+    _docs(spark, rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["q_bucket"]: (r["n_docs"], r["avg_dup_frac"])
+        for r in q222_quality_dup_calibration(spark, d).collect()
+    }
+    assert out[4] == (1, 0.0)  # clean doc: top bucket, no duplication
+    low = [b for b in out if b < 4]
+    assert len(low) == 1 and out[low[0]] == (2, 1.0)  # the junk pair
