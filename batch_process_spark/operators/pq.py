@@ -616,7 +616,7 @@ def make_ivfpq_scorer(
 
 # ---------------------------------------------------------------------------
 # Binary quantization — the 1-bit tier below PQ: sign-bit codes packed
-# into 64-bit words (32x smaller than float32 at d=64), searched by
+# into 32-bit words (32x smaller than float32 at d=64), searched by
 # Hamming distance (XOR + popcount — the cheapest first-pass filter in
 # any vector stack). Integer-exact end to end, so the oracle needs no
 # rounding discipline at all.
@@ -634,13 +634,18 @@ def sign_bit_words(vec_col: Column | str, dim: int, word_bits: int = 32):
     for w in range((dim + word_bits - 1) // word_bits):
         lo = w * word_bits
         n = min(word_bits, dim - lo)
+        # NULL elements and short vectors pack as 0-BITS, matching the
+        # SQL twin's CASE ... ELSE 0 (without the coalesces, one NULL
+        # element would collapse the whole word to NULL Spark-side and
+        # desync the oracle)
         bits = F.transform(
-            F.slice(vec_col, lo + 1, n), lambda x: (x > 0).cast("long")
+            F.slice(vec_col, lo + 1, n),
+            lambda x: F.coalesce((x > 0).cast("long"), F.lit(0)),
         )
         powers = F.array(*[F.lit(1 << j).cast("long") for j in range(n)])
         words.append(
             F.aggregate(
-                F.zip_with(bits, powers, lambda b, p: b * p),
+                F.zip_with(bits, powers, lambda b, p: F.coalesce(b, F.lit(0)) * p),
                 F.lit(0).cast("long"),
                 lambda a, x: a + x,
             )

@@ -82,6 +82,20 @@ _PQ_SQL_CTES = f"""
 """
 
 
+# Query-side ADC lookup-table block (q206/q214/q217/q218): expects a
+# CTE `q(query_id)` selecting the query ids; produces `lut(query_id,
+# sub, cid, l)` against the trained codebook `cb`.
+_ADC_LUT_SQL = """
+    qd AS (SELECT d.vec_id AS query_id, d.sub, d.spos, d.v
+           FROM dims d JOIN q ON d.vec_id = q.query_id),
+    lut AS (
+      SELECT qd.query_id, c.sub, c.cid, sum((qd.v - c.c) * (qd.v - c.c)) AS l
+      FROM qd JOIN cb c ON qd.sub = c.sub AND qd.spos = c.spos
+      GROUP BY 1, 2, 3
+    )
+"""
+
+
 def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized PQ codebook over the embeddings table (feeds
     both q205's encode and q206's LUT + codes — trained once)."""
@@ -143,13 +157,7 @@ def q205_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_PQ_SQL_CTES},
     q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
-    qd AS (SELECT d.vec_id AS query_id, d.sub, d.spos, d.v
-           FROM dims d JOIN q ON d.vec_id = q.query_id),
-    lut AS (
-      SELECT qd.query_id, c.sub, c.cid, sum((qd.v - c.c) * (qd.v - c.c)) AS l
-      FROM qd JOIN cb c ON qd.sub = c.sub AND qd.spos = c.spos
-      GROUP BY 1, 2, 3
-    ),
+    {_ADC_LUT_SQL},
     scored AS (
       SELECT l.query_id, a.vec_id,
              floor(sum(l.l) * 1000000 + 0.5) / 1000000 AS adc_dist
@@ -199,11 +207,12 @@ def q206_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_WORDS = 8
 
-
-@_q(
-    "q207_sliding_span_dedup",
-    f"""
-    WITH t AS (
+# Shared span construction (q207 / q219 / q222-via-q207): every sliding
+# _SPAN_WORDS-word span, keyed by the 60-bit md5-prefix BIGINT (the
+# shingle_fingerprint idiom widened — 8 B through aggs and joins;
+# collisions ~n^2/2^61 and the oracle computes the IDENTICAL key).
+_SPAN_SQL_CTES = f"""
+    t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
       FROM documents
     ),
@@ -212,7 +221,38 @@ _SPAN_WORDS = 8
              ('0x' || substr(md5(array_to_string(ws[i:i+{_SPAN_WORDS - 1}], ' ')), 1, 15))::BIGINT AS h
       FROM t, unnest(range(1, len(ws) - {_SPAN_WORDS - 2})) AS u(i)
       WHERE len(ws) >= {_SPAN_WORDS}
-    ),
+    )
+"""
+
+
+def _span_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) span-occurrence rows — the Spark twin of
+    _SPAN_SQL_CTES. Occurrence-level: q207 counts positions; q219
+    distincts first. Spans assemble IN-ROW (transform over a sequence,
+    no token explode)."""
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= _SPAN_WORDS)
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (_SPAN_WORDS - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("ws", i, _SPAN_WORDS), " ")),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            )
+        ).alias("h"),
+    )
+
+
+@_q(
+    "q207_sliding_span_dedup",
+    f"""
+    WITH {_SPAN_SQL_CTES},
     st AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY h)
     SELECT s.doc_id,
            CAST(count(*) AS BIGINT) AS n_spans,
@@ -241,30 +281,7 @@ def q207_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, which stays bounded because the build side carries ONE row
     per hash (the n_docs count), not the occurrence list."""
     docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
-    t = docs.select("doc_id", ws.alias("ws")).filter(
-        F.size("ws") >= _SPAN_WORDS
-    )
-    spans = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (_SPAN_WORDS - 1)),
-                # 60-bit md5-prefix key (the shingle_fingerprint
-                # idiom, widened): 8 B through the stats agg and join
-                # instead of a 32-char string; collisions ~n^2/2^61,
-                # and the oracle computes the IDENTICAL key so even
-                # those hash-match
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.array_join(F.slice("ws", i, _SPAN_WORDS), " ")),
-                        1, 15,
-                    ),
-                    16, 10,
-                ).cast("long"),
-            )
-        ).alias("h"),
-    )
+    spans = _span_frame(docs)
     stats = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     dup = (F.col("nd") > 1).cast("long")
     return (
@@ -811,13 +828,7 @@ _Q214_RERANK = 3  # candidates per query = 3 * k = 30
     f"""
     WITH {_PQ_SQL_CTES},
     q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 15),
-    qd AS (SELECT d.vec_id AS query_id, d.sub, d.spos, d.v
-           FROM dims d JOIN q ON d.vec_id = q.query_id),
-    lut AS (
-      SELECT qd.query_id, c.sub, c.cid, sum((qd.v - c.c) * (qd.v - c.c)) AS l
-      FROM qd JOIN cb c ON qd.sub = c.sub AND qd.spos = c.spos
-      GROUP BY 1, 2, 3
-    ),
+    {_ADC_LUT_SQL},
     adc AS (
       SELECT l.query_id, a.vec_id,
              floor(sum(l.l) * 1000000 + 0.5) / 1000000 AS adc6
@@ -919,6 +930,33 @@ def _bq_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hamming_ranked(
+    b: DataFrame, k: int, n_queries: int = 5, exclude_self: bool = False
+) -> DataFrame:
+    """(query_id, vec_id, hamming, rank<=k) over the packed-words frame
+    — the shared Hamming tier of q216/q217/q218. Queries broadcast;
+    the corpus scans its 8 B/vector words map-side; ties to the lowest
+    vec_id."""
+    qw = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("b0"),
+        F.col("w1").alias("b1"),
+    )
+    scored = b.crossJoin(F.broadcast(qw)).select(
+        "query_id",
+        "vec_id",
+        (pq.hamming(F.col("w0"), F.col("b0"))
+         + pq.hamming(F.col("w1"), F.col("b1"))).cast("long").alias("hamming"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 @_q(
     "q215_binary_quantize",
     f"""
@@ -971,24 +1009,7 @@ def q216_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans its 8 B/vector words map-side, only partitions x Q x k rows
     reach the merge."""
     b = _bq_words(spark, sf_dir)
-    q = b.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("q0"),
-        F.col("w1").alias("q1"),
-    )
-    scored = b.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "vec_id",
-        (pq.hamming(F.col("w0"), F.col("q0")) + pq.hamming(F.col("w1"), F.col("q1")))
-        .cast("long")
-        .alias("hamming"),
-    )
-    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "hamming", "rank")
-    )
+    return _hamming_ranked(b, 10).select("query_id", "vec_id", "hamming", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -1025,13 +1046,7 @@ def q216_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE bq.vec_id != qw.query_id
       ) WHERE rank <= 10
     ),
-    qd AS (SELECT d.vec_id AS query_id, d.sub, d.spos, d.v
-           FROM dims d JOIN q ON d.vec_id = q.query_id),
-    lut AS (
-      SELECT qd.query_id, c.sub, c.cid, sum((qd.v - c.c) * (qd.v - c.c)) AS l
-      FROM qd JOIN cb c ON qd.sub = c.sub AND qd.spos = c.spos
-      GROUP BY 1, 2, 3
-    ),
+    {_ADC_LUT_SQL},
     adcd AS (
       SELECT l.query_id, a.vec_id,
              floor(sum(l.l) * 1000000 + 0.5) / 1000000 AS adc6
@@ -1085,10 +1100,10 @@ def q217_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    corpus_noself = emb.select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
     # exact, self-excluded: brute_force_topk includes self (cos=1, rank
     # 1), so request k=11 and re-rank after dropping self
-    exact11 = brute_force_topk(corpus_noself, queries, k=11)
+    exact11 = brute_force_topk(corpus, queries, k=11)
     w = Window.partitionBy("query_id").orderBy("rank")
     exact = (
         exact11.filter(F.col("vec_id") != F.col("query_id"))
@@ -1097,25 +1112,9 @@ def q217_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", F.col("rk").alias("rank"))
     )
 
-    b = _bq_words(spark, sf_dir)
-    qw = b.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("b0"),
-        F.col("w1").alias("b1"),
-    )
-    wham = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
-    ham = (
-        b.crossJoin(F.broadcast(qw))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            (pq.hamming(F.col("w0"), F.col("b0"))
-             + pq.hamming(F.col("w1"), F.col("b1"))).alias("hamming"),
-        )
-        .withColumn("rank", F.row_number().over(wham))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "rank")
-    )
+    ham = _hamming_ranked(
+        _bq_words(spark, sf_dir), 10, exclude_self=True
+    ).select("query_id", "vec_id", "rank")
 
     cb = _codebook(spark, sf_dir)
     codes = _memoized_persist(pq.pq_encode(emb, cb, _PQ_SUBDIM))
@@ -1182,13 +1181,7 @@ _CASCADE_R2 = 20  # ADC survivors per query
       ) WHERE rn <= {_CASCADE_R1}
     ),
     q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
-    qd AS (SELECT d.vec_id AS query_id, d.sub, d.spos, d.v
-           FROM dims d JOIN q ON d.vec_id = q.query_id),
-    lut AS (
-      SELECT qd.query_id, c.sub, c.cid, sum((qd.v - c.c) * (qd.v - c.c)) AS l
-      FROM qd JOIN cb c ON qd.sub = c.sub AND qd.spos = c.spos
-      GROUP BY 1, 2, 3
-    ),
+    {_ADC_LUT_SQL},
     adcd AS (
       SELECT l.query_id, a.vec_id,
              floor(sum(l.l) * 1000000 + 0.5) / 1000000 AS adc6
@@ -1231,24 +1224,9 @@ def q218_retrieval_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the full cascade value-for-value. Scale shape: tier 1
     is the map-side 8 B/vector scan, tier 2 joins codes only for the
     bounded survivors, tier 3 is the shared _exact_rerank id-join."""
-    b = _bq_words(spark, sf_dir)
-    qw = b.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("b0"),
-        F.col("w1").alias("b1"),
-    )
-    w1 = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
-    c1 = (
-        b.crossJoin(F.broadcast(qw))
-        .select(
-            "query_id", "vec_id",
-            (pq.hamming(F.col("w0"), F.col("b0"))
-             + pq.hamming(F.col("w1"), F.col("b1"))).alias("hamming"),
-        )
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= _CASCADE_R1)
-        .select("query_id", "vec_id")
-    )
+    c1 = _hamming_ranked(
+        _bq_words(spark, sf_dir), _CASCADE_R1
+    ).select("query_id", "vec_id")
 
     emb = _t(spark, sf_dir, "embeddings")
     cb = _codebook(spark, sf_dir)
@@ -1280,16 +1258,7 @@ _ATTR_DF_CAP = 10  # spans in more docs than this carry no attribution signal
 @_q(
     "q219_span_attribution",
     f"""
-    WITH t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(array_to_string(ws[i:i+{_SPAN_WORDS - 1}], ' ')), 1, 15))::BIGINT AS h
-      FROM t, unnest(range(1, len(ws) - {_SPAN_WORDS - 2})) AS u(i)
-      WHERE len(ws) >= {_SPAN_WORDS}
-    ),
+    WITH {_SPAN_SQL_CTES},
     sd AS (SELECT DISTINCT doc_id, h FROM s),
     keep AS (
       SELECT h FROM sd GROUP BY h
@@ -1323,23 +1292,7 @@ def q219_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, so a span repeated inside one doc votes once. Ties break
     to the lowest partner id."""
     docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
-    t = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= _SPAN_WORDS)
-    spans = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (_SPAN_WORDS - 1)),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.array_join(F.slice("ws", i, _SPAN_WORDS), " ")),
-                        1, 15,
-                    ),
-                    16, 10,
-                ).cast("long"),
-            )
-        ).alias("h"),
-    ).distinct()
+    spans = _span_frame(docs).distinct()
     keep = (
         spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -101,6 +101,7 @@ NOTES = {
     "q219_span_attribution": "distinct (doc, span) first; boilerplate spans excluded by df cap BEFORE the pair join (a span in f docs fans out f^2 rows); argmax partner via per-doc window",
     "q220_dedup_savings": "q79's pair stream + components verbatim; one node-sized length join + two small aggregates",
     "q221_tokenizer_fertility": "map-side length + token count per doc into a slice-sized partial agg",
+    "q222_quality_dup_calibration": "map-side unrounded quality score joined to q207's per-doc span frame; the aggregate is 5 quintile buckets",
 }
 
 

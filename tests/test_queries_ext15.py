@@ -375,3 +375,26 @@ def test_quality_dup_calibration_buckets(spark, tmp_path):
     assert out[4] == (1, 0.0)  # clean doc: top bucket, no duplication
     low = [b for b in out if b < 4]
     assert len(low) == 1 and out[low[0]] == (2, 1.0)  # the junk pair
+
+
+def test_span_attribution_df_cap_excludes_boilerplate(spark, tmp_path):
+    """A boilerplate span present in MORE than _ATTR_DF_CAP documents
+    creates no attribution: 12 docs sharing one 8-word header (df=12 >
+    cap=10) plus unique tails produce ZERO output rows; lowering the
+    share to 2 docs (df=2 <= cap) produces the attribution."""
+    from batch_process_spark.queries_ext15 import q219_span_attribution
+
+    header = "standard legal disclaimer text applies to this document"
+    rows = [f"{header} unique{i} tail{i} words{i} here{i}" for i in range(12)]
+    d = str(tmp_path)
+    _docs(spark, rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    assert q219_span_attribution(spark, d).count() == 0
+
+    rows2 = [f"{header} unique{i} tail{i} words{i} here{i}" for i in range(2)]
+    d2 = str(tmp_path / "two")
+    _docs(spark, rows2).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    out = {
+        r["doc_a"]: r["attributed_to"]
+        for r in q219_span_attribution(spark, d2).collect()
+    }
+    assert out == {0: 1, 1: 0}
