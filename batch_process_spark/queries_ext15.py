@@ -1506,3 +1506,123 @@ def q222_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q223: join fan-out audit (pre-flight cardinality forecast)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q223_join_fanout_audit",
+    """
+    WITH l AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
+               FROM lineitem GROUP BY 1),
+    o AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS no
+          FROM orders GROUP BY 1),
+    j AS (
+      SELECT COALESCE(l.k, o.k) AS k,
+             COALESCE(nl, 0) AS nl, COALESCE(no, 0) AS no
+      FROM l FULL JOIN o USING (k)
+    )
+    SELECT CASE WHEN nl * no = 0 THEN 'dangling'
+                WHEN nl * no = 1 THEN '1:1'
+                WHEN nl * no <= 10 THEN 'low'
+                WHEN nl * no <= 100 THEN 'mid'
+                ELSE 'high' END AS fanout_class,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(nl) AS BIGINT) AS rows_left,
+           CAST(sum(no) AS BIGINT) AS rows_right,
+           CAST(sum(nl * no) AS BIGINT) AS est_output_rows
+    FROM j GROUP BY 1
+    """,
+)
+def q223_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality forecast: per join key, the exact
+    output multiplicity nl x no of a lineitem><orders equi-join,
+    bucketed into fan-out classes — the "will this join explode"
+    check a pipeline runs BEFORE submitting a cross-table join over
+    100 TB (a 'high' bucket holding most keys means salting or
+    pre-aggregation first; 'dangling' counts broken referential
+    integrity). Two key-grained partial aggs + a key-sized full outer
+    join — never the join itself; the forecast costs the key
+    cardinality, not the output cardinality."""
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("nl"))
+    orders = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("no"))
+    j = li.join(orders, "k", "full").select(
+        F.coalesce("nl", F.lit(0)).alias("nl"),
+        F.coalesce("no", F.lit(0)).alias("no"),
+    )
+    prod = F.col("nl") * F.col("no")
+    cls = (
+        F.when(prod == 0, "dangling")
+        .when(prod == 1, "1:1")
+        .when(prod <= 10, "low")
+        .when(prod <= 100, "mid")
+        .otherwise("high")
+    )
+    return j.groupBy(cls.alias("fanout_class")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("nl").cast("long").alias("rows_left"),
+        F.sum("no").cast("long").alias("rows_right"),
+        F.sum(prod).cast("long").alias("est_output_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224: incremental-ingest dedup delta (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q224_ingest_dedup_delta",
+    """
+    WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+    chashes AS (SELECT DISTINCT h FROM corpus),
+    firsts AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h),
+    cls AS (
+      SELECT b.doc_id,
+             CASE WHEN c.h IS NOT NULL THEN 'dup_vs_corpus'
+                  WHEN b.doc_id != f.first_id THEN 'dup_in_batch'
+                  ELSE 'novel' END AS ingest_class
+      FROM batch b
+      LEFT JOIN chashes c ON c.h = b.h
+      JOIN firsts f ON f.h = b.h
+    )
+    SELECT ingest_class, CAST(count(*) AS BIGINT) AS n_docs
+    FROM cls GROUP BY ingest_class
+    """,
+)
+def q224_ingest_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest accounting: split the table into an existing
+    deduped corpus (even doc_ids — in production, the indexed store)
+    and an arriving batch (odd), and classify every batch document as
+    a duplicate of the CORPUS (content hash already indexed), a
+    duplicate WITHIN the batch (not its hash's first occurrence), or
+    novel — the numbers an ingest pipeline publishes per increment
+    before appending. Scale shape: the corpus side reduces to its
+    distinct hash set (one partial-agg pass over the store — in
+    production a bloom/persisted index, q129's pattern); the batch
+    joins on the hash, never on text."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    cls = (
+        batch.join(corpus.withColumn("__in_corpus", F.lit(1)), "h", "left")
+        .join(firsts, "h")
+        .select(
+            F.when(F.col("__in_corpus").isNotNull(), "dup_vs_corpus")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+            .otherwise("novel")
+            .alias("ingest_class")
+        )
+    )
+    return cls.groupBy("ingest_class").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -102,6 +102,8 @@ NOTES = {
     "q220_dedup_savings": "q79's pair stream + components verbatim; one node-sized length join + two small aggregates",
     "q221_tokenizer_fertility": "map-side length + token count per doc into a slice-sized partial agg",
     "q222_quality_dup_calibration": "map-side unrounded quality score joined to q207's per-doc span frame; the aggregate is 5 quintile buckets",
+    "q223_join_fanout_audit": "two key-grained partial aggs + a key-sized full outer join — the forecast costs key cardinality, never the output cardinality it predicts",
+    "q224_ingest_dedup_delta": "corpus side reduces to its distinct hash set (one partial-agg pass; a bloom/persisted index in production); the batch joins on the 16-byte hash, never on text",
 }
 
 

@@ -398,3 +398,47 @@ def test_span_attribution_df_cap_excludes_boilerplate(spark, tmp_path):
         for r in q219_span_attribution(spark, d2).collect()
     }
     assert out == {0: 1, 1: 0}
+
+
+def test_join_fanout_classes_closed_form(spark, tmp_path):
+    """Keys engineered per class: a 1:1 key, a 2x3=6 'low' key, a
+    dangling left-only key, and a dangling right-only key."""
+    from batch_process_spark.queries_ext15 import q223_join_fanout_audit
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "l_orderkey long"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1,), (2,), (2,), (2,), (4,)], "o_orderkey long"
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = {
+        r["fanout_class"]: (r["n_keys"], r["rows_left"], r["rows_right"], r["est_output_rows"])
+        for r in q223_join_fanout_audit(spark, d).collect()
+    }
+    assert out["1:1"] == (1, 1, 1, 1)       # key 1
+    assert out["low"] == (1, 2, 3, 6)       # key 2: 2x3
+    assert out["dangling"] == (2, 1, 1, 0)  # keys 3 (left) + 4 (right)
+
+
+def test_ingest_dedup_delta_classes(spark, tmp_path):
+    """Even ids form the corpus; odd-batch docs classify as
+    dup_vs_corpus (hash indexed), dup_in_batch (second occurrence
+    within the batch), or novel."""
+    from batch_process_spark.queries_ext15 import q224_ingest_dedup_delta
+
+    rows = [
+        "alpha text",   # 0: corpus
+        "alpha text",   # 1: batch -> dup_vs_corpus
+        "other corpus", # 2: corpus
+        "fresh batch",  # 3: batch -> novel (first of its hash)
+        "unused",       # 4: corpus
+        "fresh batch",  # 5: batch -> dup_in_batch (3 is first)
+    ]
+    d = str(tmp_path)
+    _docs(spark, rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["ingest_class"]: r["n_docs"]
+        for r in q224_ingest_dedup_delta(spark, d).collect()
+    }
+    assert out == {"dup_vs_corpus": 1, "novel": 1, "dup_in_batch": 1}
