@@ -1626,3 +1626,69 @@ def q224_ingest_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cls.groupBy("ingest_class").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# q225: embedding-health audit (norms + isotropy per label)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q225_embedding_health",
+    """
+    WITH d AS (
+      SELECT vec_id, label, u.i AS pos, embedding[u.i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    norms AS (
+      SELECT vec_id, label, sqrt(sum(v * v)) AS nrm
+      FROM d GROUP BY vec_id, label
+    ),
+    unitm AS (
+      SELECT d.label, d.pos, avg(d.v / n.nrm) AS m
+      FROM d JOIN norms n USING (vec_id)
+      WHERE n.nrm > 0
+      GROUP BY d.label, d.pos
+    ),
+    iso AS (SELECT label, sum(m * m) AS iso FROM unitm GROUP BY label)
+    SELECT n.label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           floor(avg(n.nrm) * 1000000 + 0.5) / 1000000 AS avg_norm,
+           floor(min(i.iso) * 1000000 + 0.5) / 1000000 AS isotropy
+    FROM norms n JOIN iso i USING (label)
+    GROUP BY n.label
+    """,
+)
+def q225_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health per label: average vector norm (a norm
+    collapse or explosion is the first symptom of a bad encoder
+    export) and ISOTROPY — the squared norm of the mean unit vector,
+    0 for a perfectly spread label, 1 for a label collapsed onto one
+    direction (high values make cosine retrieval degenerate; the
+    check run before trusting an embedding drop). Scale shape: one
+    position-explode into per-vector norm partials, a (label, pos)
+    conditional-mean agg (labels x dims exchange rows, the q209
+    shape), and a labels-sized reduce."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "label", "pos", F.col("vf").cast("double").alias("v"))
+    norms = d.groupBy("vec_id", "label").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    unitm = (
+        d.join(norms.select("vec_id", "nrm"), "vec_id")
+        .filter(F.col("nrm") > 0)
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v") / F.col("nrm")).alias("m"))
+    )
+    iso = unitm.groupBy("label").agg(F.sum(F.col("m") * F.col("m")).alias("iso"))
+    return (
+        norms.join(iso, "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            round_half_up(F.avg("nrm"), 6).alias("avg_norm"),
+            round_half_up(F.min("iso"), 6).alias("isotropy"),
+        )
+    )

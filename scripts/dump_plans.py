@@ -104,6 +104,7 @@ NOTES = {
     "q222_quality_dup_calibration": "map-side unrounded quality score joined to q207's per-doc span frame; the aggregate is 5 quintile buckets",
     "q223_join_fanout_audit": "two key-grained partial aggs + a key-sized full outer join — the forecast costs key cardinality, never the output cardinality it predicts",
     "q224_ingest_dedup_delta": "corpus side reduces to its distinct hash set (one partial-agg pass; a bloom/persisted index in production); the batch joins on the 16-byte hash, never on text",
+    "q225_embedding_health": "position-explode into per-vector norm partials, then a (label, pos) mean agg (labels x dims exchange rows, the q209 shape) and a labels-sized reduce",
 }
 
 

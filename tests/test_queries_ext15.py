@@ -442,3 +442,26 @@ def test_ingest_dedup_delta_classes(spark, tmp_path):
         for r in q224_ingest_dedup_delta(spark, d).collect()
     }
     assert out == {"dup_vs_corpus": 1, "novel": 1, "dup_in_batch": 1}
+
+
+def test_embedding_health_isotropy_extremes(spark, tmp_path):
+    """A label whose vectors all point one way has isotropy 1.0; a
+    label with two exactly opposite unit vectors has isotropy 0.0;
+    norms average exactly."""
+    from batch_process_spark.queries_ext15 import q225_embedding_health
+
+    rows = [
+        (0, [2.0, 0.0, 0.0, 0.0], 1),   # collapsed label 1 (norm 2)
+        (1, [4.0, 0.0, 0.0, 0.0], 1),   # same direction (norm 4)
+        (2, [1.0, 0.0, 0.0, 0.0], 2),   # isotropic label 2: +x
+        (3, [-1.0, 0.0, 0.0, 0.0], 2),  # and -x -> mean unit vec 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {
+        r["label"]: (r["n_vectors"], r["avg_norm"], r["isotropy"])
+        for r in q225_embedding_health(spark, d).collect()
+    }
+    assert out[1] == (2, 3.0, 1.0)
+    assert out[2] == (2, 1.0, 0.0)
