@@ -1692,3 +1692,119 @@ def q225_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.min("iso"), 6).alias("isotropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q226: effective (post-dedup) token budget per source
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q226_effective_tokens",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS hh,
+             len({DUCK_TOKENS.format(t='text')}) AS n_tokens
+      FROM documents
+    ),
+    surv AS (SELECT hh, min(doc_id) AS keep_id FROM h GROUP BY hh)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN doc_id = keep_id THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS effective_tokens
+    FROM h JOIN surv USING (hh)
+    GROUP BY source
+    """,
+)
+def q226_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token budget a mixture planner actually gets: per source,
+    raw tokens vs EFFECTIVE tokens after exact dedup (min-doc-id
+    survivor per content hash; a cross-source duplicate credits only
+    the survivor's source — the accounting that stops two sources
+    from both claiming the same text). One hash partial-agg + a
+    hash-keyed join; tokens counted map-side."""
+    from batch_process_spark.operators.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("hh"),
+        F.size(tokens_col("text")).alias("n_tokens"),
+    )
+    surv = docs.groupBy("hh").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        docs.join(surv, "hh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep_id"), F.col("n_tokens"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("effective_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227: PII incidence per source (compliance scan)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+@_q(
+    "q227_pii_incidence",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0
+                  THEN concat(text, ' contact user', doc_id,
+                              '@example.com ip 10.0.0.', doc_id % 255)
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(t, '{_PII_EMAIL}') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_email,
+           CAST(sum(CASE WHEN regexp_matches(t, '{_PII_IPV4}') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ipv4,
+           floor(sum(CASE WHEN regexp_matches(t, '{_PII_EMAIL}')
+                            OR regexp_matches(t, '{_PII_IPV4}')
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                 * 1000000 + 0.5) / 1000000 AS pii_rate
+    FROM synth GROUP BY source
+    """,
+)
+def q227_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance scan: per source, how many documents carry an email
+    or IPv4 (PII planted on every third doc, as in q59 — the raw
+    corpus is synthetic and PII-free) and the combined incidence rate
+    — the per-source view that decides which sources need the q59
+    redaction pass before release. Map-side regex booleans (the
+    RE2/Java-portable q59 patterns) into a source-sized agg."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com ip 10.0.0."),
+            F.col("doc_id") % 255,
+        ),
+    ).otherwise(F.col("text"))
+    synth = docs.select("source", t.alias("t"))
+    has_email = F.col("t").rlike(_PII_EMAIL)
+    has_ipv4 = F.col("t").rlike(_PII_IPV4)
+    return synth.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(has_email.cast("long")).alias("n_email"),
+        F.sum(has_ipv4.cast("long")).alias("n_ipv4"),
+        round_half_up(
+            F.sum((has_email | has_ipv4).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("pii_rate"),
+    )

@@ -465,3 +465,42 @@ def test_embedding_health_isotropy_extremes(spark, tmp_path):
     }
     assert out[1] == (2, 3.0, 1.0)
     assert out[2] == (2, 1.0, 0.0)
+
+
+def test_effective_tokens_cross_source_credit(spark, tmp_path):
+    """A duplicate spanning two sources credits only the survivor's
+    source: s1 keeps its 2 tokens, s2's copy contributes raw but zero
+    effective tokens."""
+    from batch_process_spark.queries_ext15 import q226_effective_tokens
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "s1", 10),
+            (1, "alpha beta", "en", "s2", 10),  # cross-source duplicate
+            (2, "gamma delta eps", "en", "s2", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["source"]: (r["n_docs"], r["raw_tokens"], r["effective_tokens"])
+        for r in q226_effective_tokens(spark, d).collect()
+    }
+    assert out["s1"] == (1, 2, 2)
+    assert out["s2"] == (2, 5, 3)  # the copy's 2 tokens don't count
+
+
+def test_pii_incidence_planted_rate(spark, tmp_path):
+    """PII is planted on doc_ids divisible by 3; with ids 0-5 in one
+    source that is 2 of 6 docs -> rate 1/3, email and ipv4 counted."""
+    from batch_process_spark.queries_ext15 import q227_pii_incidence
+
+    rows = [f"plain text number {i}" for i in range(6)]
+    d = str(tmp_path)
+    _docs(spark, rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["source"]: (r["n_docs"], r["n_email"], r["n_ipv4"], r["pii_rate"])
+        for r in q227_pii_incidence(spark, d).collect()
+    }
+    assert out["s"] == (6, 2, 2, 0.333333)
