@@ -15,6 +15,16 @@ training pipeline runs around it.
 - q210-q213: retrieval/training data prep — MMR diversified rerank,
   LSH candidate-quality histogram, hard-negative mining, and
   triplet mining with margins.
+- q214: streaming PQ serving (the retrieve-compressed/rerank-float
+  loop, value-hash-matched per micro-batch).
+- q215-q218: the binary tier and its composition — sign-bit codes,
+  Hamming top-k, the retrieval-tier evaluation harness (recall@10 /
+  MRR@10 vs exact), and the three-tier cascade under one oracle.
+- q219-q227: corpus operations — span-level source attribution,
+  dedup savings report, tokenizer fertility, quality-vs-duplication
+  calibration, join fan-out forecast, incremental-ingest dedup
+  delta, embedding-health (norms + isotropy), effective post-dedup
+  token budgets, and PII incidence.
 
 Oracle discipline for the PQ queries: the q103 deterministic-kmeans
 pattern, per subspace — init = k lowest vec_ids, one Lloyd round,
