@@ -115,3 +115,74 @@ def docx_report_op(df, out="report.docx", title="Report", caption=None, plot=Non
         )
     docx_report_spec(sections, out)
     return df
+
+
+@operator(name="dedup_report", phase="post")
+def dedup_report(
+    df,
+    id_col="path",
+    text_col="text",
+    method="exact",
+    threshold=0.7,
+    out=None,
+    **cfg,
+):
+    """Config-driven dedup accounting over the pipeline's text frame
+    (the q220 report shape as a reference-style post stage): cluster
+    duplicates by content — ``method="exact"`` groups on the content
+    hash (one partial-agg pass), ``method="minhash"`` runs the full
+    MinHash-LSH near-dup pipeline at ``threshold`` — and report, per
+    cluster size, the cluster count, documents the min-id-survivor
+    policy would remove, and the bytes of text that reclaims.
+    ``out=...`` additionally writes the report as CSV. Returns the
+    report frame (small: one row per cluster size).
+
+    Example config::
+
+        post_process:
+          - name: dedup_report
+            config: {method: exact, out: out/dedup_report.csv}
+    """
+    from batch_process_spark.operators import dedup as dedup_ops
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("node"),
+        F.col(text_col).alias("__text"),
+    )
+    if method == "exact":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__h")
+        clusters = (
+            base.withColumn("__h", F.md5("__text"))
+            .withColumn("component", F.min("node").over(w))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+            .filter(F.col("cluster_size") > 1)
+            .select("node", "component", "cluster_size", "__text")
+        )
+    elif method == "minhash":
+        from batch_process_spark.operators.graph import dedup_clusters
+
+        pairs = dedup_ops.minhash_near_dup_pairs(
+            base.withColumnRenamed("__text", "text"), "node", "text",
+            threshold=threshold,
+        )
+        clusters = dedup_clusters(pairs).join(base, "node")
+    else:
+        raise ValueError(f"dedup_report: unknown method {method!r}")
+    per_c = clusters.groupBy("component", "cluster_size").agg(
+        F.sum(
+            F.when(F.col("node") != F.col("component"), F.length("__text"))
+            .otherwise(F.lit(0))
+        ).alias("bytes_removed")
+    )
+    report = per_c.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
+        F.sum("bytes_removed").cast("long").alias("bytes_removed"),
+    )
+    if out:
+        from batch_process_spark.sinks.writers import write_csv
+
+        write_csv(report, out)
+    return report

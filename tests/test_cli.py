@@ -204,3 +204,34 @@ def test_builtin_docx_report_op(spark, tmp_path):
         doc = z.read("word/document.xml").decode()
     assert any(n.startswith("word/media/image1.") for n in names)
     assert "Table: tbl" in doc and "Figure: means" in doc
+
+
+def test_builtin_dedup_report_op(spark, tmp_path):
+    """The config-driven dedup_report stage: exact clustering over the
+    pipeline frame, conservation of removals, CSV sink; the minhash
+    path clusters the same exact duplicates."""
+    import batch_process_spark.plans.builtin_ops as ops
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [("a.txt", text), ("b.txt", text), ("c.txt", "unrelated words entirely here")],
+        "path string, text string",
+    )
+    out_csv = str(tmp_path / "report")
+    rep = {
+        r["cluster_size"]: (r["n_clusters"], r["docs_removed"], r["bytes_removed"])
+        for r in ops.dedup_report(df, out=out_csv).collect()
+    }
+    assert rep == {2: (1, 1, len(text))}  # a/b duplicate; c untouched
+    got = spark.read.option("header", True).csv(out_csv).collect()
+    assert len(got) == 1 and got[0]["docs_removed"] == "1"
+
+    rep_mh = {
+        r["cluster_size"]: r["docs_removed"]
+        for r in ops.dedup_report(df, method="minhash").collect()
+    }
+    assert rep_mh == {2: 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown method"):
+        ops.dedup_report(df, method="bogus")
