@@ -175,6 +175,19 @@ def dedup_clusters(
     return cc.join(sizes, "component").select("node", "component", "cluster_size")
 
 
+def cluster_savings_report(per_cluster: DataFrame) -> DataFrame:
+    """Roll a per-cluster frame (cluster_size, bytes_removed) into the
+    dedup savings report: per cluster size, the cluster count, the
+    documents a min-id-survivor policy removes, and the bytes
+    reclaimed — shared by q220 and the ``dedup_report`` pipeline
+    stage so the accounting cannot drift between them."""
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
+        F.sum("bytes_removed").cast("long").alias("bytes_removed"),
+    )
+
+
 def wedge_join(
     edges: DataFrame,
     u_col: str = "u",

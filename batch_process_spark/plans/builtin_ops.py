@@ -124,18 +124,24 @@ def dedup_report(
     text_col="text",
     method="exact",
     threshold=0.7,
+    k=3,
+    num_hashes=16,
+    bands=4,
     out=None,
     **cfg,
 ):
     """Config-driven dedup accounting over the pipeline's text frame
     (the q220 report shape as a reference-style post stage): cluster
     duplicates by content — ``method="exact"`` groups on the content
-    hash (one partial-agg pass), ``method="minhash"`` runs the full
-    MinHash-LSH near-dup pipeline at ``threshold`` — and report, per
-    cluster size, the cluster count, documents the min-id-survivor
-    policy would remove, and the bytes of text that reclaims.
-    ``out=...`` additionally writes the report as CSV. Returns the
-    report frame (small: one row per cluster size).
+    hash (ONE partial-agg pass: exact duplicates share identical text,
+    so per-cluster byte totals derive from the count and one member's
+    length), ``method="minhash"`` runs the full MinHash-LSH near-dup
+    pipeline (``k``/``num_hashes``/``bands``/``threshold`` all plumbed
+    from the config) — and report, per cluster size, the cluster
+    count, documents the min-id-survivor policy would remove, and the
+    UTF-8 bytes (octet_length) of text that reclaims. ``out=...``
+    additionally writes the report as CSV. Returns the report frame
+    (small: one row per cluster size).
 
     Example config::
 
@@ -144,43 +150,57 @@ def dedup_report(
             config: {method: exact, out: out/dedup_report.csv}
     """
     from batch_process_spark.operators import dedup as dedup_ops
+    from batch_process_spark.operators.graph import cluster_savings_report
 
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("node"),
         F.col(text_col).alias("__text"),
     )
     if method == "exact":
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("__h")
-        clusters = (
-            base.withColumn("__h", F.md5("__text"))
-            .withColumn("component", F.min("node").over(w))
-            .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        # exact duplicates share IDENTICAL text, so the per-cluster
+        # accounting needs only (count, one length) per hash — a single
+        # partial-agg exchange carrying (hash, node, length), never the
+        # text payload
+        per_cluster = (
+            base.select(
+                F.md5("__text").alias("__h"),
+                F.col("node"),
+                F.octet_length("__text").alias("__len"),
+            )
+            .groupBy("__h")
+            .agg(
+                F.count(F.lit(1)).alias("cluster_size"),
+                F.first("__len").alias("__len"),
+            )
             .filter(F.col("cluster_size") > 1)
-            .select("node", "component", "cluster_size", "__text")
+            .select(
+                "cluster_size",
+                ((F.col("cluster_size") - 1) * F.col("__len")).alias("bytes_removed"),
+            )
         )
     elif method == "minhash":
         from batch_process_spark.operators.graph import dedup_clusters
 
         pairs = dedup_ops.minhash_near_dup_pairs(
             base.withColumnRenamed("__text", "text"), "node", "text",
-            threshold=threshold,
+            k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
         )
-        clusters = dedup_clusters(pairs).join(base, "node")
+        lens = base.select("node", F.octet_length("__text").alias("n_bytes"))
+        per_cluster = (
+            dedup_clusters(pairs)
+            .join(lens, "node")
+            .groupBy("component", "cluster_size")
+            .agg(
+                F.sum(
+                    F.when(F.col("node") != F.col("component"), F.col("n_bytes"))
+                    .otherwise(F.lit(0))
+                ).alias("bytes_removed")
+            )
+            .select("cluster_size", "bytes_removed")
+        )
     else:
         raise ValueError(f"dedup_report: unknown method {method!r}")
-    per_c = clusters.groupBy("component", "cluster_size").agg(
-        F.sum(
-            F.when(F.col("node") != F.col("component"), F.length("__text"))
-            .otherwise(F.lit(0))
-        ).alias("bytes_removed")
-    )
-    report = per_c.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).alias("n_clusters"),
-        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
-        F.sum("bytes_removed").cast("long").alias("bytes_removed"),
-    )
+    report = cluster_savings_report(per_cluster)
     if out:
         from batch_process_spark.sinks.writers import write_csv
 

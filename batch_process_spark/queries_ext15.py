@@ -1338,7 +1338,7 @@ def _q220_oracle() -> str:
     return f"""
     WITH clusters AS ({_cc_oracle()}),
     corpus AS ({_NEAR_DUP_CORPUS}),
-    lens AS (SELECT doc_id, length(text) AS n_chars FROM corpus),
+    lens AS (SELECT doc_id, strlen(text) AS n_chars FROM corpus),
     per_c AS (
       SELECT c.component, c.cluster_size,
              sum(CASE WHEN c.node != c.component THEN l.n_chars ELSE 0 END)
@@ -1370,25 +1370,24 @@ def q220_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_near_dup_pairs(
         corpus, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.7
     )
+    from batch_process_spark.operators.graph import cluster_savings_report
+
     clusters = dedup_clusters(pairs)
     lens = corpus.select(
-        F.col("doc_id").alias("node"), F.length("text").alias("n_chars")
+        F.col("doc_id").alias("node"), F.octet_length("text").alias("n_bytes")
     )
     per_c = (
         clusters.join(lens, "node")
         .groupBy("component", "cluster_size")
         .agg(
             F.sum(
-                F.when(F.col("node") != F.col("component"), F.col("n_chars"))
+                F.when(F.col("node") != F.col("component"), F.col("n_bytes"))
                 .otherwise(F.lit(0))
             ).alias("bytes_removed")
         )
+        .select("cluster_size", "bytes_removed")
     )
-    return per_c.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).alias("n_clusters"),
-        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
-        F.sum("bytes_removed").cast("long").alias("bytes_removed"),
-    )
+    return cluster_savings_report(per_c)
 
 
 # ---------------------------------------------------------------------------
@@ -1799,8 +1798,11 @@ def q227_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.when(
         F.col("doc_id") % 3 == 0,
+        # coalesce: DuckDB's concat SKIPS NULL args while Spark's
+        # returns NULL — a NULL text row would otherwise lose its
+        # planted PII Spark-side only and desync the oracle
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"),
             F.col("doc_id"),
             F.lit("@example.com ip 10.0.0."),
