@@ -1820,3 +1820,76 @@ def q227_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((has_email | has_ipv4).cast("long")) / F.count(F.lit(1)), 6
         ).alias("pii_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q228: LSH tuning planner (expected candidate recall per band config)
+# ---------------------------------------------------------------------------
+
+_LSH_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows) at 16 hashes
+
+
+def _q228_oracle() -> str:
+    from batch_process_spark.queries_ext import DUCK_TOKENS as _DT  # noqa: F401
+
+    pair_sql = """
+      SELECT round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS j
+      FROM d a JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.3
+    """
+    rows = "\n      UNION ALL\n".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band,"
+        f" CAST(count(*) AS BIGINT) AS n_pairs,"
+        f" floor(avg(1.0 - pow(1.0 - pow(j, {r}), {b})) * 1000000 + 0.5) / 1000000"
+        f" AS expected_recall FROM pairs"
+        for b, r in _LSH_CONFIGS
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             list_distinct({DUCK_TOKENS.format(t='text')}) AS grams
+      FROM documents
+    ),
+    pairs AS ({pair_sql})
+    {rows}
+    """
+
+
+@_q("q228_lsh_tuning_curve", _q228_oracle())
+def q228_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-the-LSH planner: for each candidate banding of a
+    16-hash MinHash signature, the EXPECTED candidate recall
+    1-(1-J^r)^b averaged over an observed similar-pair sample (q19's
+    blocked exact-Jaccard pairs at J>=0.3) — the S-curve evaluated
+    against THIS corpus's actual similarity distribution, which is
+    what picks bands=4 over the alternatives before paying for a full
+    dedup run. Pure arithmetic over the bounded pair sample; the only
+    corpus-scale work is q19's blocked pair generation (never
+    quadratic)."""
+    from batch_process_spark.operators import dedup
+
+    pairs = dedup.blocked_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        block_cols=["lang", "n_chars"], threshold=0.3,
+    ).select(F.col("jaccard_sim").alias("j"))
+    outs = []
+    for b, r in _LSH_CONFIGS:
+        outs.append(
+            pairs.agg(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                round_half_up(
+                    F.avg(
+                        1.0 - F.pow(1.0 - F.pow(F.col("j"), F.lit(r)), F.lit(b))
+                    ),
+                    6,
+                ).alias("expected_recall"),
+            ).select("bands", "rows_per_band", "n_pairs", "expected_recall")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

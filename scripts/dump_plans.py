@@ -107,6 +107,7 @@ NOTES = {
     "q225_embedding_health": "position-explode into per-vector norm partials, then a (label, pos) mean agg (labels x dims exchange rows, the q209 shape) and a labels-sized reduce",
     "q226_effective_tokens": "one content-hash partial agg + a hash-keyed join; tokens counted map-side — the mixture planner's budget costs one pass",
     "q227_pii_incidence": "map-side regex booleans (RE2/Java-portable q59 patterns) into a source-sized agg",
+    "q228_lsh_tuning_curve": "pure arithmetic over q19's bounded blocked-pair sample (never quadratic); three 1-row aggregates unioned",
 }
 
 

@@ -504,3 +504,32 @@ def test_pii_incidence_planted_rate(spark, tmp_path):
         for r in q227_pii_incidence(spark, d).collect()
     }
     assert out["s"] == (6, 2, 2, 0.333333)
+
+
+def test_lsh_tuning_curve_closed_form(spark, tmp_path):
+    """One similar pair with known Jaccard: expected recall per config
+    equals the S-curve 1-(1-J^r)^b evaluated at the rounded J."""
+    from batch_process_spark.queries_ext15 import _LSH_CONFIGS, q228_lsh_tuning_curve
+
+    # same lang and SAME n_chars (the blocking key): 'aa bb cc' vs
+    # 'aa bb dd' -> grams {aa,bb,cc} vs {aa,bb,dd}: J = 2/4 = 0.5
+    df = spark.createDataFrame(
+        [
+            (0, "aa bb cc", "en", "s", 8),
+            (1, "aa bb dd", "en", "s", 8),
+            (2, "zz yy xx", "en", "s", 8),  # J=0 with both: below 0.3
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        (r["bands"], r["rows_per_band"]): (r["n_pairs"], r["expected_recall"])
+        for r in q228_lsh_tuning_curve(spark, d).collect()
+    }
+    import math
+    for b, r in _LSH_CONFIGS:
+        n, got = out[(b, r)]
+        assert n == 1
+        want = math.floor((1.0 - (1.0 - 0.5 ** r) ** b) * 1e6 + 0.5) / 1e6
+        assert got == want, (b, r)
