@@ -265,18 +265,37 @@ def pq_encode_fused(
     return df.mapInPandas(kernel, schema=f"{id_col} long, codes array<long>")
 
 
+# Hard bound on the query frames the PQ/ADC entry points will collect to
+# the driver.  Mirrors similarity.brute_force_topk's guard: the limit rides
+# the collect itself (no extra probe job) and one row past the cap is
+# enough to detect overflow instead of silently OOMing the driver.
+MAX_PQ_QUERIES = 10_000
+
+
+def _guarded_query_rows(queries: DataFrame, cols: list, what: str):
+    rows = queries.select(*cols).limit(MAX_PQ_QUERIES + 1).collect()
+    if len(rows) > MAX_PQ_QUERIES:
+        raise ValueError(
+            f"{what} collects the queries frame to the driver; got "
+            f">{MAX_PQ_QUERIES} query rows. Batch the query set (e.g. "
+            "stream_topk_serving micro-batches) or use the distributed "
+            "lsh_topk / ivf_topk paths for corpus-sized query sets."
+        )
+    return rows
+
+
 def _query_luts(queries: DataFrame, codebook: DataFrame, subdim: int,
                 query_id_col: str, vec_col: str):
     """(m, sorted-cid arrays, qids, per-sub LUT list) for a bounded
     query batch: luts[s][q, j] = |q_s - c_{s,j}|^2 with j in sorted-cid
     order. A LIST per subspace, not one stacked array — subspaces may
     keep different numbers of surviving clusters (empty-cluster drop),
-    so the per-sub k is ragged."""
+    so the per-sub k is ragged. Collect is guarded (MAX_PQ_QUERIES)."""
     import numpy as np
 
     m, cids, cent = _codebook_arrays(codebook, subdim)
     sorted_cids = {s: np.asarray(cids[s], dtype=np.int64) for s in cids}
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qrows = _guarded_query_rows(queries, [query_id_col, vec_col], "pq_adc_topk_fused")
     if not qrows:
         return m, sorted_cids, np.empty(0, dtype=np.int64), None
     qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
@@ -543,7 +562,9 @@ def ivfpq_topk(
         # derived here — require them from the float-assignment side
         raise ValueError(
             "ivfpq_topk(nprobe='auto') needs stats=ivf_index_stats(...) "
-            "computed on the float assignment at index-build time"
+            "computed on the float assignment at index-build time — or "
+            "loaded from a stored index via similarity.ivf_read_index "
+            "(ivf_write persists them under path/_ivf_meta)"
         )
     probes = ivf_probe_sets(
         centroids,
@@ -556,9 +577,19 @@ def ivfpq_topk(
         max_fraction=max_fraction,
         auto_margin_scale=auto_margin_scale,
     )
-    # bounded: Q x probed-cells rows
+    # bounded: Q x probed-cells rows — but Q itself must be bounded, so the
+    # guard caps at MAX_PQ_QUERIES x probed cells (cells/query <= len(centroids))
+    probe_cap = MAX_PQ_QUERIES * max(1, len(centroids))
+    probe_rows = probes.select(query_id_col, "centroid_id").limit(probe_cap + 1).collect()
+    if len(probe_rows) > probe_cap:
+        raise ValueError(
+            f"ivfpq_topk collects the probe set to the driver; got "
+            f">{probe_cap} (query, cell) rows — the queries frame exceeds "
+            f"{MAX_PQ_QUERIES} rows. Batch the query set or use the "
+            "distributed ivf_topk path."
+        )
     probe_map: dict = {}
-    for r in probes.select(query_id_col, "centroid_id").collect():
+    for r in probe_rows:
         probe_map.setdefault(r[query_id_col], set()).add(r["centroid_id"])
     all_cells = sorted({c for s in probe_map.values() for c in s})
     if not all_cells:

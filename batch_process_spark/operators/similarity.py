@@ -411,11 +411,67 @@ def ivf_topk(
     )
 
 
-def ivf_write(assigned: DataFrame, path: str) -> None:
+def ivf_write(
+    assigned: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    stats: dict | None = None,
+    vec_col: str = "embedding",
+) -> None:
     """Materialize an IVF index: vectors written partitioned by
     centroid — the layout that makes query-time probing read only
-    nprobe/k of the corpus (partition pruning at the file listing)."""
+    nprobe/k of the corpus (partition pruning at the file listing).
+
+    When ``centroids`` is passed, the index's METADATA (centroids +
+    ``ivf_index_stats``) is persisted under ``path/_ivf_meta`` as one
+    tiny JSON text file, so ``nprobe="auto"`` works straight off the
+    stored index (``ivf_read_index``) with no float-corpus rescan at
+    query time. ``stats=None`` computes them here — one n_centroids-row
+    aggregation, the only extra job — at the one moment the float
+    assignment is guaranteed on hand (index build). The ``_``-prefixed
+    subdir is invisible to ``spark.read.parquet(path)``, and the write
+    goes through the DataFrame writer, so it lands on whatever Hadoop
+    filesystem ``path`` lives on (HDFS/S3/local alike)."""
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    if centroids is not None:
+        import json
+
+        if stats is None:
+            stats = ivf_index_stats(assigned, centroids, vec_col=vec_col)
+        meta = {
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "stats": {
+                # JSON keys are strings; ivf_read_index restores ints
+                "cell_sizes": {str(k): v for k, v in stats["cell_sizes"].items()},
+                "n_vectors": stats["n_vectors"],
+                "mean_cell_size": stats["mean_cell_size"],
+                "mean_within_dist": stats["mean_within_dist"],
+            },
+        }
+        spark = assigned.sparkSession
+        (
+            spark.createDataFrame([(json.dumps(meta),)], "value string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(path.rstrip("/") + "/_ivf_meta")
+        )
+
+
+def ivf_read_index(spark, path: str):
+    """(assigned DataFrame, centroids, stats) from an ``ivf_write``-n
+    index with persisted metadata. The assigned frame is the lazy
+    partitioned scan (probe filters land in PartitionFilters); the
+    metadata load reads ONE tiny text file — no corpus I/O — so
+    ``ivf_topk(..., nprobe="auto", stats=stats)`` and
+    ``ivfpq_topk(..., nprobe="auto", stats=stats)`` run off the stored
+    index alone."""
+    import json
+
+    rows = spark.read.text(path.rstrip("/") + "/_ivf_meta").collect()
+    meta = json.loads("".join(r["value"] for r in rows))
+    stats = meta["stats"]
+    stats["cell_sizes"] = {int(k): v for k, v in stats["cell_sizes"].items()}
+    return spark.read.parquet(path), meta["centroids"], stats
 
 
 def ivf_read_probe(spark, path: str, centroid_ids: list[int]) -> DataFrame:

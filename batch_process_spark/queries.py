@@ -360,10 +360,10 @@ def invalidate_tables(path: str | None = None) -> int:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 4) AS DOUBLE)      AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_charge,
            floor(avg(l_quantity) * 10000 + 0.5) / 10000                     AS avg_qty,
            floor(avg(l_extendedprice) * 10000 + 0.5) / 10000                AS avg_price,
            floor(avg(l_discount) * 10000 + 0.5) / 10000                     AS avg_disc,
@@ -382,14 +382,23 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Sums accumulate as DECIMAL: the per-row double->decimal(28,10)
+    # cast is a deterministic function of each value and decimal
+    # addition is EXACT, so the result is independent of row/partition
+    # order — a layout rewrite (SPARK_GRAFT_LAYOUT_CACHE bucketed
+    # respread) or a different executor count cannot flip the last
+    # rounded digit the way float summation order can (BASELINE §7,
+    # round 8). Partial aggregation still applies (decimal sum is
+    # associative), so the shuffle stays six rows of decimals.
+    dec = lambda c: c.cast("decimal(28,10)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.sum(dec(F.col("l_quantity"))), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))), 4).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec(disc_price)), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dec(disc_price * (1 + F.col("l_tax")))), 4).cast("double").alias("sum_charge"),
             round_half_up(F.avg("l_quantity")).alias("avg_qty"),
             round_half_up(F.avg("l_extendedprice")).alias("avg_price"),
             round_half_up(F.avg("l_discount")).alias("avg_disc"),

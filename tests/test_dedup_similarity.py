@@ -488,3 +488,70 @@ def test_ivf_auto_nprobe(spark):
 
     with _pytest.raises(ValueError, match="auto"):
         ivf_probe_sets(cents, queries, k=3, nprobe="auto")
+
+
+def test_ivf_write_persists_meta_for_auto_nprobe(spark, tmp_path):
+    """ivf_write(centroids=...) persists centroids + ivf_index_stats
+    under path/_ivf_meta; ivf_read_index restores them EXACTLY (int
+    cell keys included), the data read ignores the meta dir, and
+    nprobe="auto" off the stored index matches auto off fresh stats —
+    the serving process needs no float-corpus rescan at startup."""
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        ivf_index,
+        ivf_index_stats,
+        ivf_read_index,
+        ivf_topk,
+        ivf_write,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(40, 4))
+    b = rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(40, 4))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = ivf_index(corpus, n_centroids=2)
+    fresh = ivf_index_stats(assigned, cents)
+
+    path = str(tmp_path / "ividx")
+    ivf_write(assigned, path, centroids=cents)  # stats computed inside
+    loaded_df, loaded_cents, loaded = ivf_read_index(spark, path)
+
+    assert loaded_cents == [[float(x) for x in c] for c in cents]
+    assert loaded["cell_sizes"] == fresh["cell_sizes"]  # int keys restored
+    assert loaded["n_vectors"] == fresh["n_vectors"]
+    assert abs(loaded["mean_within_dist"] - fresh["mean_within_dist"]) < 1e-12
+    # the _ivf_meta dir is invisible to the parquet scan
+    assert loaded_df.count() == 80 and "value" not in loaded_df.columns
+
+    queries = spark.createDataFrame(
+        [(0, [5.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    off_store = {
+        tuple(r)
+        for r in ivf_topk(
+            loaded_df, loaded_cents, queries, k=3, nprobe="auto", stats=loaded
+        ).collect()
+    }
+    off_fresh = {
+        tuple(r)
+        for r in ivf_topk(
+            assigned, cents, queries, k=3, nprobe="auto", stats=fresh
+        ).collect()
+    }
+    assert off_store == off_fresh
+
+    # the meta load touches ONE tiny text file, not the corpus: the
+    # text scan's input is exactly the _ivf_meta part file(s)
+    meta_scan = spark.read.text(path + "/_ivf_meta")
+    files = meta_scan.inputFiles()
+    assert len(files) == 1 and "_ivf_meta" in files[0]
+
+    # precomputed stats are honored verbatim (no recompute job): a
+    # sentinel stats dict round-trips
+    sentinel = dict(fresh)
+    sentinel["mean_within_dist"] = 0.123456
+    ivf_write(assigned, path, centroids=cents, stats=sentinel)
+    _, _, again = ivf_read_index(spark, path)
+    assert again["mean_within_dist"] == 0.123456

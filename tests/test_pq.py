@@ -411,3 +411,41 @@ def test_pq_parity_property(spark):
             assert abs(got[vid] - join_adc[vid]) < 1e-9, vid
 
     prop()
+
+
+def test_adc_query_collect_guard_trips(spark, monkeypatch):
+    """pq_adc_topk_fused collects the queries frame to the driver; a
+    queries frame past MAX_PQ_QUERIES must raise the designed error
+    (not silently OOM). Cap shrunk via monkeypatch so the test stays
+    tiny; the limit(n+1) rides the collect itself."""
+    import pytest
+
+    monkeypatch.setattr(pq, "MAX_PQ_QUERIES", 3)
+    emb = _emb(spark)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=0)
+    codes = pq.pq_encode_fused(emb, cb, subdim=2)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")  # 6 > 3
+    with pytest.raises(ValueError, match="pq_adc_topk_fused.*query rows"):
+        pq.pq_adc_topk_fused(codes, queries, cb, subdim=2, k=2).collect()
+    # at-or-under the cap still works
+    ok = pq.pq_adc_topk_fused(codes, queries.limit(3), cb, subdim=2, k=1)
+    assert ok.count() == 3
+
+
+def test_ivfpq_probe_collect_guard_trips(spark, monkeypatch):
+    """ivfpq_topk's probe-set collect is bounded by MAX_PQ_QUERIES x
+    n_cells; an oversized queries frame raises instead of pulling a
+    corpus-sized probe set onto the driver."""
+    import pytest
+
+    monkeypatch.setattr(pq, "MAX_PQ_QUERIES", 1)
+    emb = _emb(spark)
+    assigned_codes, cents, cb = pq.ivfpq_index(
+        emb, subdim=2, k_code=2, n_centroids=2
+    )
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="ivfpq_topk.*probe set"):
+        pq.ivfpq_topk(
+            assigned_codes, cents, cb, queries, subdim=2, corpus=emb,
+            k=2, rerank_factor=3, nprobe=2,
+        ).collect()
