@@ -106,9 +106,14 @@ def synth(spark, n: int, path: str) -> None:
 def probe_q219(spark, q, n: int, path: str, port: int) -> str:
     out = q(spark, path)
     out.write.format("noop").mode("overwrite").save()  # warm
+    # timed window covers ONE steady execution (the noop save); the
+    # closed-form checks re-execute the query and are kept OUTSIDE the
+    # wall and shuffle deltas (earlier draft double-counted them)
     sb0 = shuffle_write_bytes(port)
     t0 = time.time()
-    out = q(spark, path)
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    shuf = fmt_shuffle(shuffle_delta(sb0, shuffle_write_bytes(port)), n_spans(n))
     r = F.col("doc_a") % 10
     partner = (
         F.when(r == 0, F.col("doc_a") + 1)
@@ -124,8 +129,6 @@ def probe_q219(spark, q, n: int, path: str, port: int) -> str:
         | (F.col("shared_spans") != 41)
     ).count()
     n_rows = out.count()
-    wall = time.time() - t0
-    shuf = fmt_shuffle(shuffle_delta(sb0, shuffle_write_bytes(port)), n_spans(n))
     ok = bad == 0 and n_rows == 6 * n // 10
     return f"| q219 | {n:,} | {wall:.1f} | {shuf} | {bad}+{abs(n_rows - 6*n//10)} |", ok
 
@@ -140,7 +143,7 @@ def probe_q222(spark, q, n: int, path: str, port: int) -> str:
     out.write.format("noop").mode("overwrite").save()
     sb0 = shuffle_write_bytes(port)
     t0 = time.time()
-    rows = {r["q_bucket"]: r for r in q(spark, path).collect()}  # 2 rows
+    rows = {r["q_bucket"]: r for r in out.collect()}  # 2 rows, ONE execution
     wall = time.time() - t0
     shuf = fmt_shuffle(shuffle_delta(sb0, shuffle_write_bytes(port)), n)
     exp4 = math.floor((5 + 41 / 42) / 9 * 1_000_000 + 0.5) / 1_000_000
@@ -159,7 +162,7 @@ def probe_q224(spark, q, n: int, path: str, port: int) -> str:
     out.write.format("noop").mode("overwrite").save()
     sb0 = shuffle_write_bytes(port)
     t0 = time.time()
-    rows = {r["ingest_class"]: r["n_docs"] for r in q(spark, path).collect()}
+    rows = {r["ingest_class"]: r["n_docs"] for r in out.collect()}
     wall = time.time() - t0
     # per-row unit: batch docs (n/2)
     shuf = fmt_shuffle(shuffle_delta(sb0, shuffle_write_bytes(port)), n // 2)

@@ -108,6 +108,12 @@ NOTES = {
     "q226_effective_tokens": "one content-hash partial agg + a hash-keyed join; tokens counted map-side — the mixture planner's budget costs one pass",
     "q227_pii_incidence": "map-side regex booleans (RE2/Java-portable q59 patterns) into a source-sized agg",
     "q228_lsh_tuning_curve": "pure arithmetic over q19's bounded blocked-pair sample (never quadratic); three 1-row aggregates unioned",
+    "q229_zipf_slope": "token explode into a (source, term) partial agg; the top-200 window runs over the COUNTED vocab frame with a WindowGroupLimit heap (plan-guarded) — never sorts raw tokens",
+    "q230_dedup_threshold_curve": "q207's span stats, then a 10-row histogram + suffix-sum window — no per-threshold rescan",
+    "q231_context_budget_pack": "q25's bounded candidate frame joins token counts; running sum hash-partitions on query_id (plan-guarded)",
+    "q232_matryoshka_eval": "three brute-force Arrow scans over SLICED embeddings (same column, free projection); recall join over queries x k row sets",
+    "q233_license_propagation": "q79's clustering + a node-sized tier join + two tiny aggregates (clusters, then the <=9-row transition matrix)",
+    "q234_epoch_mixture_plan": "q226's hash partial-agg + hash join; 1-row total broadcast back over the 20-row source frame (plan-guarded)",
 }
 
 

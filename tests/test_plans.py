@@ -560,3 +560,36 @@ def test_ivfpq_topk_prunes_partitions_on_disk_layout(spark, tmp_path_factory):
     }
     assert got == want
     emb.unpersist()
+
+
+def test_q229_zipf_window_after_partial_agg(spark, qs):
+    """q229's top-200 window must run over the COUNTED (source, term)
+    frame, not the raw token explode: the plan shows a partial-agg
+    HashAggregate below the window sort, and the rank<=N filter is
+    pushed into a WindowGroupLimit (per-partition top-k heaps — the
+    window never fully sorts a vocab partition)."""
+    plan = plan_of(qs["q229_zipf_slope"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final for the tf count
+    assert "CartesianProduct" not in plan
+
+
+def test_q231_no_cartesian_and_windows_partitioned(spark, qs):
+    """q231's packing join touches the bounded candidate frame only —
+    no cartesian fallback — and the running sum windows on query_id
+    (a global unpartitioned window over the corpus would serialize)."""
+    plan = plan_of(qs["q231_context_budget_pack"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the running-sum window hash-partitions on query_id (parallel
+    # across queries), never an empty partition spec (global sort)
+    assert "hashpartitioning(query_id" in plan
+    assert "windowspecdefinition(query_id" in plan
+
+
+def test_q234_total_is_broadcast(spark, qs):
+    """q234 crosses the 20-row per-source frame with the 1-row total —
+    that must be a broadcast nested loop over the LITERALLY one-row
+    side, never a shuffled cartesian of anything corpus-sized."""
+    plan = plan_of(qs["q234_epoch_mixture_plan"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
