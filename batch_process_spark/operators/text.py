@@ -79,8 +79,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(t)
     n_tokens = F.size(toks)
     mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
-    # explicit ASCII punct ranges (portable across Java regex and RE2)
-    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    # explicit ASCII punct ranges (portable across Java regex and RE2).
+    # Counted via regexp_count of the POSITIVE class: value-identical to
+    # length(regexp_replace(negated-class, '')) but 78x faster — Java
+    # regex hits a slow path replacing a negated MULTI-range class
+    # (62.5 s vs 0.8 s per 1M docs, round-9 profiling). Single-range
+    # negations ([^0-9], [^A-Z]) don't trip it and stay as-is.
+    punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     uppers = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
     swr = stopword_ratio(t, "en")

@@ -1491,7 +1491,9 @@ def q222_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = F.col("text")
     n_chars = F.length(t)
-    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    # positive-class regexp_count: value-identical to the negated-class
+    # replace, 78x faster (see operators/text.py quality_score)
+    punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     n_tokens = F.size(tokens_col(t))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
