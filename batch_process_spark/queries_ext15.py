@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from batch_process_spark.functions.rounding import round_half_up
 from batch_process_spark.operators import pq
+from batch_process_spark.operators import text
 from batch_process_spark.queries import _q, _t
 from batch_process_spark.queries_ext8 import _memoized_persist
 
@@ -1426,7 +1427,7 @@ def q221_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.length("text").alias("n_chars"),
-        F.size(tokens_col("text")).alias("n_tokens"),
+        text.token_count_ws("text").alias("n_tokens"),
     )
     return per.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1495,7 +1496,7 @@ def q222_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replace, 78x faster (see operators/text.py quality_score)
     punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    n_tokens = F.size(tokens_col(t))
+    n_tokens = text.token_count_ws(t)
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
     score = F.greatest(
@@ -1741,7 +1742,7 @@ def q226_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.md5("text").alias("hh"),
-        F.size(tokens_col("text")).alias("n_tokens"),
+        text.token_count_ws("text").alias("n_tokens"),
     )
     surv = docs.groupBy("hh").agg(F.min("doc_id").alias("keep_id"))
     return (

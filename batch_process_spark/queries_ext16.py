@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from batch_process_spark.functions.rounding import round_half_up
 from batch_process_spark.operators import similarity
+from batch_process_spark.operators import text
 from batch_process_spark.operators.dedup import tokens_col
 from batch_process_spark.queries import ORACLES, _q, _t
 from batch_process_spark.queries_ext import DUCK_TOKENS  # also registers q25's oracle
@@ -166,7 +167,7 @@ def q230_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_spark.queries_ext15 import q207_sliding_span_dedup
 
     toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens_col("text")).alias("n_tokens")
+        "doc_id", text.token_count_ws("text").alias("n_tokens")
     )
     d = (
         q207_sliding_span_dedup(spark, sf_dir)
@@ -246,7 +247,7 @@ def q231_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+        "doc_id", text.token_count_ws("text").cast("long").alias("n_tokens")
     )
     w = (
         Window.partitionBy("query_id")
@@ -485,7 +486,7 @@ def q234_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("hh"),
-        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        text.token_count_ws("text").cast("long").alias("n_tokens"),
     )
     surv = h.groupBy("hh").agg(F.min("doc_id").alias("keep_id"))
     eff = (
