@@ -22,7 +22,10 @@ around the dedup/retrieval north stars —
   allocation, flagging sources pushed past the ~4-epoch knee
   (data-constrained scaling).
 
-All six are full value-hash oracles over the standard tables.
+- q235: label-noise audit — nearest-centroid cosine confusion matrix
+  over the embeddings table (off-diagonal mass = relabel/drop triage).
+
+All seven are full value-hash oracles over the standard tables.
 
 Reference parity: beyond the reference (SURVEY §7 M6); these are the
 LLM-pipeline audits the brief adds on top of the reference surface.
@@ -509,3 +512,92 @@ def q234_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(alloc / F.col("eff_tokens"), 6).alias("epochs"),
         (alloc / F.col("eff_tokens") > _EPOCH_CAP).alias("over_cap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q235: label-noise audit — nearest-centroid confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q235_label_confusion",
+    """
+    WITH d AS (
+      SELECT vec_id, label, u.i - 1 AS pos, embedding[u.i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (SELECT label AS clabel, pos, avg(v) AS c FROM d GROUP BY 1, 2),
+    cn AS (SELECT clabel, sum(c * c) AS nc FROM cent GROUP BY 1),
+    vn AS (SELECT vec_id, sum(v * v) AS nv FROM d GROUP BY 1),
+    dots AS (
+      SELECT d.vec_id, c.clabel, sum(d.v * c.c) AS dot
+      FROM d JOIN cent c USING (pos) GROUP BY 1, 2
+    ),
+    scores AS (
+      SELECT vec_id, clabel,
+             round(dot / (sqrt(nv) * sqrt(nc)), 6) AS s
+      FROM dots JOIN vn USING (vec_id) JOIN cn USING (clabel)
+    ),
+    pred AS (
+      SELECT vec_id, clabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, clabel) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT e.label AS true_label, p.clabel AS predicted_label,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings e JOIN pred p USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def q235_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: assign every embedding to its NEAREST label
+    centroid by cosine and publish the (true label, predicted label)
+    confusion matrix — off-diagonal mass is the mislabel/ambiguity
+    candidate set an annotation pass reviews before the labels are
+    trusted for training (the relabel-or-drop triage). Cosine rounded
+    to 6 decimals before the argmax, ties to the lowest label — the
+    q25/q103 determinism discipline, so both engines pick identical
+    winners.
+
+    Scale shape: the centroid table is labels x dims (one partial-agg
+    pass, map-side combined); it broadcasts back and every vector
+    scores against all L centroids with in-row zip_with arithmetic
+    (the q95 pattern widened from own-label to all-labels — rows x L
+    intermediate, argmax reduced BEFORE anything shuffles); the
+    confusion matrix is an L^2-row aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        dims.groupBy(F.col("label").alias("clabel"), F.col("pos"))
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+        .withColumn(
+            "nc", F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cvec", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("s", F.round(dot / (F.sqrt(nv) * F.sqrt(F.col("nc"))), 6))
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.max(F.struct(F.col("s"), (-F.col("clabel")).cast("long").alias("__nl"))).alias("m")
+    )
+    return pred.groupBy(
+        F.col("label").alias("true_label"),
+        (-F.col("m.__nl")).cast("int").alias("predicted_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -177,3 +177,30 @@ def test_epoch_plan_uniform_split_closed_form(spark, tmp_path):
     assert rows["srcA"]["allocated_tokens"] == 1000
     assert rows["srcA"]["epochs"] == 10.0 and rows["srcA"]["over_cap"] is True
     assert rows["srcB"]["epochs"] == 2.5 and rows["srcB"]["over_cap"] is False
+
+
+def test_label_confusion_finds_the_planted_mislabel(spark, tmp_path):
+    """Two orthogonal-direction label clusters; one vector carries
+    label 1 but points along label 0's direction — the confusion
+    matrix must show exactly that one off-diagonal cell."""
+    from batch_process_spark.queries_ext16 import q235_label_confusion
+
+    d = str(tmp_path)
+    rows = []
+    for i in range(10):  # label 0: +x axis
+        rows.append((i, [10.0, 0.0] + [0.1 * (i % 3)] * 62, 0))
+    for i in range(10, 20):  # label 1: +y axis
+        rows.append((i, [0.0, 10.0] + [0.1 * (i % 3)] * 62, 1))
+    rows.append((99, [10.0, 0.0] + [0.0] * 62, 1))  # mislabeled
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    out = {
+        (r["true_label"], r["predicted_label"]): r["n_vectors"]
+        for r in q235_label_confusion(spark, d).collect()
+    }
+    assert out[(0, 0)] == 10          # clean label-0 vectors stay
+    assert out[(1, 0)] == 1           # the planted mislabel crosses
+    assert out.get((1, 1), 0) == 10   # clean label-1 vectors stay
+    assert (0, 1) not in out
