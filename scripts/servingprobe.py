@@ -126,6 +126,59 @@ def main() -> None:
             f"| {n:,} | {n_codes:,} | {wall:.2f} | {shuf} | {wall_nb:.2f} | {nb_mb} | {n_answers} |"
         )
         assert n_answers == 3 * K * N_QUERIES, n_answers
+
+        # the production fix for the no-bcast seam (BASELINE 5u): float
+        # corpus stored BUCKETED on vec_id — the rerank id-join is then
+        # exchange-free on the corpus side, so the no-broadcast per-batch
+        # shuffle should collapse to candidate/window traffic only,
+        # independent of corpus size
+        from batch_process_spark.sinks.writers import write_bucketed
+
+        write_bucketed(corpus, "servingprobe_corpus_bkt", "vec_id", n_buckets=32)
+        bkt = spark.table("servingprobe_corpus_bkt")
+        with tempfile.TemporaryDirectory() as sdir2:
+            def feed2(batch_no: int) -> None:
+                pdf = pd.DataFrame(
+                    [(q + batch_no * 1000, v) for q, v in qrows],
+                    columns=["query_id", "embedding"],
+                )
+                spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(sdir2)
+
+            feed2(0)
+            sink2, collected2 = bounded_collect_sink(max_rows_per_batch=K * N_QUERIES)
+            stream2 = (
+                spark.readStream.schema("query_id long, embedding array<double>")
+                .format("parquet")
+                .load(sdir2)
+            )
+            q2 = stream_topk_serving(stream2, bkt, sink2, k=K, scorer=scorer)
+            try:
+                drain_all(q2)
+                saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                try:
+                    sbb = shuffle_write_bytes(port)
+                    t0 = time.time()
+                    feed2(1)
+                    drain_all(q2)
+                    wall_bkt = time.time() - t0
+                    bb = shuffle_delta(sbb, shuffle_write_bytes(port))
+                    bb_mb = f"{bb / 2**20:.1f}" if bb is not None else "n/a"
+                finally:
+                    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+                err = q2.exception()
+                if err is not None:
+                    raise err
+            finally:
+                q2.stop()
+            # same answers off the bucketed corpus
+            a_plain = {tuple(r) for r in collected}
+            a_bkt = {tuple(r) for r in collected2}
+            assert a_bkt <= a_plain, "bucketed-corpus serving answers diverged"
+        print(
+            f"|   ^ bucketed corpus, no-bcast | | {wall_bkt:.2f} | | | | {bb_mb} | {len(collected2)} |"
+        )
+        spark.sql("DROP TABLE IF EXISTS servingprobe_corpus_bkt")
         corpus.unpersist()
         codes.unpersist()
 
