@@ -467,7 +467,14 @@ def ivf_read_index(spark, path: str):
     index alone."""
     import json
 
-    rows = spark.read.text(path.rstrip("/") + "/_ivf_meta").collect()
+    try:
+        rows = spark.read.text(path.rstrip("/") + "/_ivf_meta").collect()
+    except Exception as exc:  # AnalysisException: missing meta dir
+        raise ValueError(
+            f"no _ivf_meta under {path!r} — the index was written without "
+            "centroids. Re-write it with ivf_write(assigned, path, "
+            "centroids=...) to persist the auto-nprobe metadata."
+        ) from exc
     meta = json.loads("".join(r["value"] for r in rows))
     stats = meta["stats"]
     stats["cell_sizes"] = {int(k): v for k, v in stats["cell_sizes"].items()}

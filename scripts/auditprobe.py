@@ -103,7 +103,7 @@ def synth(spark, n: int, path: str) -> None:
     )
 
 
-def probe_q219(spark, q, n: int, path: str, port: int) -> str:
+def probe_q219(spark, q, n: int, path: str, port: int):
     out = q(spark, path)
     out.write.format("noop").mode("overwrite").save()  # warm
     # timed window covers ONE steady execution (the noop save); the
@@ -138,7 +138,7 @@ def n_spans(n: int) -> int:
     return n * (WORDS - SPAN + 1) + n // 10
 
 
-def probe_q222(spark, q, n: int, path: str, port: int) -> str:
+def probe_q222(spark, q, n: int, path: str, port: int):
     out = q(spark, path)
     out.write.format("noop").mode("overwrite").save()
     sb0 = shuffle_write_bytes(port)
@@ -157,7 +157,7 @@ def probe_q222(spark, q, n: int, path: str, port: int) -> str:
     return f"| q222 | {n:,} | {wall:.1f} | {shuf} | {0 if ok else rows} |", ok
 
 
-def probe_q224(spark, q, n: int, path: str, port: int) -> str:
+def probe_q224(spark, q, n: int, path: str, port: int):
     out = q(spark, path)
     out.write.format("noop").mode("overwrite").save()
     sb0 = shuffle_write_bytes(port)

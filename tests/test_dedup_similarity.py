@@ -555,3 +555,20 @@ def test_ivf_write_persists_meta_for_auto_nprobe(spark, tmp_path):
     ivf_write(assigned, path, centroids=cents, stats=sentinel)
     _, _, again = ivf_read_index(spark, path)
     assert again["mean_within_dist"] == 0.123456
+
+
+def test_ivf_read_index_without_meta_raises_the_designed_error(spark, tmp_path):
+    """An index written WITHOUT centroids has no _ivf_meta; loading it
+    must raise the explanatory ValueError, not a raw path error."""
+    import pytest
+
+    from batch_process_spark.operators.similarity import ivf_read_index, ivf_write
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 2) for i in range(8)],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    path = str(tmp_path / "nometa")
+    ivf_write(vecs, path)  # no centroids -> no meta
+    with pytest.raises(ValueError, match="no _ivf_meta"):
+        ivf_read_index(spark, path)
