@@ -524,6 +524,79 @@ def ivfpq_index(
     return assigned_codes, cents, cb
 
 
+def ivfpq_write(
+    assigned_codes: DataFrame,
+    path: str,
+    centroids: list,
+    codebook: DataFrame,
+    subdim: int,
+    stats: dict | None = None,
+) -> None:
+    """Persist the COMPLETE IVFPQ index: codes written
+    ``partitionBy("centroid_id")`` (the ``ivf_write`` layout —
+    query-time probes prune at the file listing) plus ONE tiny meta
+    file carrying the coarse centroids, the auto-nprobe cell stats,
+    the PQ codebook (m x k x subdim doubles — a few hundred kB at
+    deployment sizes), and ``subdim``. A serving process restarts from
+    ``ivfpq_read`` alone: no float-corpus rescan, no retrain.
+
+    ``stats`` should be ``ivf_index_stats(float_assigned, centroids)``
+    computed at index-build time (the codes frame carries no
+    embeddings, so they cannot be derived later)."""
+    from batch_process_spark.operators.similarity import write_index_meta
+
+    assigned_codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    cb_rows = [
+        [int(r["sub"]), int(r["cid"]), int(r["spos"]), float(r["c"])]
+        for r in codebook.collect()  # bounded: m x k x subdim rows
+    ]
+    meta: dict = {
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "pq": {"subdim": int(subdim), "codebook": cb_rows},
+    }
+    if stats is not None:
+        meta["stats"] = {
+            "cell_sizes": {str(k): v for k, v in stats["cell_sizes"].items()},
+            "n_vectors": stats["n_vectors"],
+            "mean_cell_size": stats["mean_cell_size"],
+            "mean_within_dist": stats["mean_within_dist"],
+        }
+    write_index_meta(assigned_codes.sparkSession, path, meta)
+
+
+def ivfpq_read(spark, path: str):
+    """(assigned_codes, centroids, codebook, subdim, stats) from an
+    ``ivfpq_write``-n index: the codes frame is the lazy partitioned
+    scan, the codebook is rebuilt as a DataFrame with the
+    ``pq_train`` schema, and ``stats`` (None if not persisted) feeds
+    ``nprobe="auto"``. One tiny text-file read — no corpus I/O —
+    then e.g.::
+
+        codes, cents, cb, subdim, stats = ivfpq_read(spark, path)
+        scorer = make_ivfpq_scorer(codes, cents, cb, subdim,
+                                   nprobe="auto", stats=stats)
+    """
+    from batch_process_spark.operators.similarity import read_index_meta
+
+    meta = read_index_meta(spark, path)
+    if "pq" not in meta:
+        raise ValueError(
+            f"index at {path!r} has no PQ metadata — it was written by "
+            "ivf_write, not ivfpq_write; use ivf_read_index instead"
+        )
+    cb = spark.createDataFrame(
+        [tuple(r) for r in meta["pq"]["codebook"]],
+        "sub int, cid int, spos int, c double",
+    )
+    return (
+        spark.read.parquet(path),
+        meta["centroids"],
+        cb,
+        meta["pq"]["subdim"],
+        meta.get("stats"),
+    )
+
+
 def ivfpq_topk(
     assigned_codes: DataFrame,
     centroids: list,

@@ -448,13 +448,45 @@ def ivf_write(
                 "mean_within_dist": stats["mean_within_dist"],
             },
         }
-        spark = assigned.sparkSession
-        (
-            spark.createDataFrame([(json.dumps(meta),)], "value string")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .text(path.rstrip("/") + "/_ivf_meta")
-        )
+        write_index_meta(assigned.sparkSession, path, meta)
+
+
+def write_index_meta(spark, path: str, meta: dict) -> None:
+    """Persist an index metadata dict as ONE tiny JSON text file under
+    ``path/_ivf_meta`` — through the DataFrame writer, so it lands on
+    whatever Hadoop filesystem the index lives on; the ``_`` prefix
+    keeps it invisible to ``spark.read.parquet(path)``. Shared by
+    ``ivf_write`` and ``pq.ivfpq_write`` (which adds the codebook)."""
+    import json
+
+    (
+        spark.createDataFrame([(json.dumps(meta),)], "value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path.rstrip("/") + "/_ivf_meta")
+    )
+
+
+def read_index_meta(spark, path: str) -> dict:
+    """Load ``path/_ivf_meta`` (see ``write_index_meta``); restores the
+    int keys of ``stats.cell_sizes``. Raises the explanatory error when
+    the index was written without metadata."""
+    import json
+
+    try:
+        rows = spark.read.text(path.rstrip("/") + "/_ivf_meta").collect()
+    except Exception as exc:  # AnalysisException: missing meta dir
+        raise ValueError(
+            f"no _ivf_meta under {path!r} — the index was written without "
+            "centroids. Re-write it with ivf_write(assigned, path, "
+            "centroids=...) (or pq.ivfpq_write) to persist the metadata."
+        ) from exc
+    meta = json.loads("".join(r["value"] for r in rows))
+    if "stats" in meta and "cell_sizes" in meta["stats"]:
+        meta["stats"]["cell_sizes"] = {
+            int(k): v for k, v in meta["stats"]["cell_sizes"].items()
+        }
+    return meta
 
 
 def ivf_read_index(spark, path: str):
@@ -465,20 +497,8 @@ def ivf_read_index(spark, path: str):
     ``ivf_topk(..., nprobe="auto", stats=stats)`` and
     ``ivfpq_topk(..., nprobe="auto", stats=stats)`` run off the stored
     index alone."""
-    import json
-
-    try:
-        rows = spark.read.text(path.rstrip("/") + "/_ivf_meta").collect()
-    except Exception as exc:  # AnalysisException: missing meta dir
-        raise ValueError(
-            f"no _ivf_meta under {path!r} — the index was written without "
-            "centroids. Re-write it with ivf_write(assigned, path, "
-            "centroids=...) to persist the auto-nprobe metadata."
-        ) from exc
-    meta = json.loads("".join(r["value"] for r in rows))
-    stats = meta["stats"]
-    stats["cell_sizes"] = {int(k): v for k, v in stats["cell_sizes"].items()}
-    return spark.read.parquet(path), meta["centroids"], stats
+    meta = read_index_meta(spark, path)
+    return spark.read.parquet(path), meta["centroids"], meta["stats"]
 
 
 def ivf_read_probe(spark, path: str, centroid_ids: list[int]) -> DataFrame:

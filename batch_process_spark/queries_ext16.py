@@ -234,7 +234,7 @@ def _q231_oracle() -> str:
 def q231_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG context assembly: per query, take the exact cosine ranking
     (q25's top-10) in rank order and keep candidates while the
-    cumulative token count still fits a {_CTX_BUDGET}-token context
+    cumulative token count still fits a 600-token (_CTX_BUDGET) context
     window (greedy prefix — the standard context packer; a candidate
     that overflows the window is cut along with everything ranked
     below it). vec_id keys the documents table directly (the testdata
@@ -474,11 +474,11 @@ def _q234_oracle() -> str:
 @_q("q234_epoch_mixture_plan", _q234_oracle())
 def q234_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repeat/epoch plan a data-constrained training run publishes
-    (Muennighoff et al. 2023): with a total budget of
-    {_EPOCH_BUDGET_X}x the deduped corpus split UNIFORMLY across
+    (Muennighoff et al. 2023): with a total budget of 4x
+    (_EPOCH_BUDGET_X) the deduped corpus split UNIFORMLY across
     sources (the mixture target), each source's unique tokens must be
     repeated allocated/effective epochs — and any source pushed past
-    ~{_EPOCH_CAP} epochs is flagged (returns from repetition decay
+    ~4 epochs (_EPOCH_CAP) is flagged (returns from repetition decay
     there; the planner should re-weight or find more data). Effective
     tokens use q226's exact-dedup survivor accounting (min-doc-id per
     content hash, cross-source duplicates credit the survivor only).

@@ -449,3 +449,59 @@ def test_ivfpq_probe_collect_guard_trips(spark, monkeypatch):
             assigned_codes, cents, cb, queries, subdim=2, corpus=emb,
             k=2, rerank_factor=3, nprobe=2,
         ).collect()
+
+
+def test_ivfpq_write_read_roundtrip_serves_identically(spark, tmp_path):
+    """The full stored-index serving story: ivfpq_write persists codes
+    (partitioned), centroids, stats, and the PQ CODEBOOK; ivfpq_read
+    restores all five pieces; a scorer built purely from disk returns
+    the exact same answers as one built from the in-memory index —
+    a serving process restart needs no float rescan and no retrain."""
+    from batch_process_spark.operators.similarity import ivf_index_stats
+
+    emb = _emb(spark).persist()
+    emb.count()
+    assigned_codes, cents, cb = pq.ivfpq_index(emb, subdim=2, k_code=2, n_centroids=2)
+    float_assigned = emb.join(assigned_codes.select("vec_id", "centroid_id"), "vec_id")
+    stats = ivf_index_stats(float_assigned, cents)
+    path = str(tmp_path / "ivfpq_idx")
+    pq.ivfpq_write(assigned_codes, path, cents, cb, subdim=2, stats=stats)
+
+    codes2, cents2, cb2, subdim2, stats2 = pq.ivfpq_read(spark, path)
+    assert subdim2 == 2
+    assert cents2 == [[float(x) for x in c] for c in cents]
+    assert stats2["cell_sizes"] == stats["cell_sizes"]  # int keys restored
+    assert sorted(map(tuple, cb2.collect())) == sorted(
+        (int(r["sub"]), int(r["cid"]), int(r["spos"]), float(r["c"]))
+        for r in cb.collect()
+    )
+
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(3)
+    mem = {
+        tuple(r)
+        for r in pq.ivfpq_topk(
+            assigned_codes, cents, cb, queries, subdim=2, corpus=emb,
+            k=2, rerank_factor=3, nprobe=2,
+        ).collect()
+    }
+    disk = {
+        tuple(r)
+        for r in pq.ivfpq_topk(
+            codes2, cents2, cb2, queries, subdim=2, corpus=emb,
+            k=2, rerank_factor=3, nprobe="auto", stats=stats2,
+        ).collect()
+    }
+    # nprobe=2 covers both cells; auto on this tiny two-blob index
+    # probes within its mass budget — with full rerank both are exact
+    assert mem == disk
+
+    # a plain ivf_write index refuses ivfpq_read with the designed error
+    import pytest
+
+    from batch_process_spark.operators.similarity import ivf_write
+
+    path2 = str(tmp_path / "plain")
+    ivf_write(float_assigned, path2, centroids=cents, stats=stats)
+    with pytest.raises(ValueError, match="no PQ metadata"):
+        pq.ivfpq_read(spark, path2)
+    emb.unpersist()
