@@ -597,6 +597,61 @@ def ivfpq_read(spark, path: str):
     )
 
 
+def ivfpq_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally grow a stored IVFPQ index (``ivfpq_write``
+    layout): assign arriving FLOAT vectors to the existing coarse
+    centroids (`similarity.ivf_assign` — no refit), encode them with
+    the PERSISTED codebook (map-only fused kernel — no retrain),
+    append the (id, codes, centroid_id) rows under the partitioned
+    layout, and exactly merge the auto-nprobe stats. Returns the
+    appended codes increment.
+
+    The codebook staying fixed is the standard FAISS add() contract:
+    quantization error for the new vectors is whatever the existing
+    codebook gives them; re-training is an offline rebuild decision."""
+    from batch_process_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index_stats,
+        merge_index_stats,
+        read_index_meta,
+        write_index_meta,
+    )
+
+    meta = read_index_meta(spark, path)
+    if "pq" not in meta:
+        raise ValueError(
+            f"index at {path!r} has no PQ metadata — use ivf_append for "
+            "a plain IVF float index"
+        )
+    cents = meta["centroids"]
+    subdim = meta["pq"]["subdim"]
+    cb = spark.createDataFrame(
+        [tuple(r) for r in meta["pq"]["codebook"]],
+        "sub int, cid int, spos int, c double",
+    )
+    assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode_fused(new_vectors, cb, subdim, id_col=id_col, vec_col=vec_col)
+    inc = assigned.select(id_col, "centroid_id").join(codes, id_col)
+    inc.write.mode("append").partitionBy("centroid_id").parquet(path)
+    if meta.get("stats") is not None:
+        delta = ivf_index_stats(assigned, cents, vec_col=vec_col)
+        merged = merge_index_stats(meta["stats"], delta)
+        meta["stats"] = {
+            "cell_sizes": {str(k): v for k, v in merged["cell_sizes"].items()},
+            "n_vectors": merged["n_vectors"],
+            "mean_cell_size": merged["mean_cell_size"],
+            "mean_within_dist": merged["mean_within_dist"],
+        }
+        write_index_meta(spark, path, meta)
+    return inc
+
+
 def ivfpq_topk(
     assigned_codes: DataFrame,
     centroids: list,

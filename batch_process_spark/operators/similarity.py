@@ -507,6 +507,100 @@ def ivf_read_probe(spark, path: str, centroid_ids: list[int]) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("centroid_id").isin(centroid_ids))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest centroid (squared Euclidean,
+    ties to the lowest centroid id) — the incremental-ingest half of
+    KMeans: new vectors join an EXISTING index without refitting.
+    Pure codegen expressions (the centroid list rides the plan as a
+    literal array, n_centroids x dim doubles); map-only, zero
+    shuffle."""
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    d2 = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(F.element_at(d2, i + 1).alias("d"), i.alias("i")),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(ranked, 1)["i"].cast("int").alias("centroid_id"),
+    )
+
+
+def merge_index_stats(old: dict, delta: dict) -> dict:
+    """Exact merge of two ``ivf_index_stats`` dicts (cell sizes add;
+    the global mean within-cell distance is the n-weighted average —
+    derivable because the stat is a global mean, not per-cell)."""
+    sizes = dict(old["cell_sizes"])
+    for k, v in delta["cell_sizes"].items():
+        sizes[k] = sizes.get(k, 0) + v
+    total = old["n_vectors"] + delta["n_vectors"]
+    return {
+        "cell_sizes": sizes,
+        "n_vectors": total,
+        "mean_cell_size": total / max(len(sizes), 1),
+        "mean_within_dist": (
+            old["mean_within_dist"] * old["n_vectors"]
+            + delta["mean_within_dist"] * delta["n_vectors"]
+        ) / max(total, 1),
+    }
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally grow a stored IVF index: assign the arriving
+    vectors to the EXISTING centroids (``ivf_assign`` — no refit, the
+    cells stay stable so previously-served probe sets remain valid),
+    append them under the partitioned layout (only the touched cells'
+    directories gain files), and merge the persisted auto-nprobe stats
+    exactly (``merge_index_stats``). Returns the assigned increment.
+
+    At 100 TB this is the ingest path: per batch, one map-only assign
+    + one partitioned append + one n_centroids-row stats job; the
+    existing index is never rewritten. Re-clustering (centroid drift
+    after heavy growth) is a separate offline rebuild decision — the
+    persisted cell_sizes are exactly the signal to trigger it."""
+    meta = read_index_meta(spark, path)
+    if "pq" in meta:
+        raise ValueError(
+            f"index at {path!r} is an IVFPQ codes index — float vectors "
+            "cannot be appended to it; use pq.ivfpq_append"
+        )
+    cents = meta["centroids"]
+    assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    if "stats" in meta:
+        delta = ivf_index_stats(assigned, cents, vec_col=vec_col)
+        merged = merge_index_stats(meta["stats"], delta)
+        meta["stats"] = {
+            "cell_sizes": {str(k): v for k, v in merged["cell_sizes"].items()},
+            "n_vectors": merged["n_vectors"],
+            "mean_cell_size": merged["mean_cell_size"],
+            "mean_within_dist": merged["mean_within_dist"],
+        }
+        write_index_meta(spark, path, meta)
+    return assigned
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -572,3 +572,118 @@ def test_ivf_read_index_without_meta_raises_the_designed_error(spark, tmp_path):
     ivf_write(vecs, path)  # no centroids -> no meta
     with pytest.raises(ValueError, match="no _ivf_meta"):
         ivf_read_index(spark, path)
+
+
+def test_ivf_append_grows_the_stored_index_in_place(spark, tmp_path):
+    """Incremental ingest: new vectors assign to the EXISTING centroids
+    (no refit), append under the partitioned layout, and the persisted
+    auto-nprobe stats merge exactly — n_vectors and cell masses equal
+    the sum of the parts, and a query off the stored index retrieves an
+    APPENDED vector as its own nearest neighbor."""
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        ivf_append,
+        ivf_index,
+        ivf_index_stats,
+        ivf_read_index,
+        ivf_topk,
+        ivf_write,
+    )
+
+    rng = np.random.default_rng(21)
+    a = rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(30, 4))
+    b = rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(30, 4))
+    part_a = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(part_a, n_centroids=2)
+    path = str(tmp_path / "growing")
+    ivf_write(assigned, path, centroids=cents)
+
+    newv = spark.createDataFrame(
+        [(1000, [5.0, 0.3, 0.0, 0.0]), (1001, [-5.0, 0.3, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    inc = ivf_append(spark, path, newv)
+    assert inc.count() == 2
+
+    df, cents2, stats2 = ivf_read_index(spark, path)
+    assert df.count() == 62
+    assert stats2["n_vectors"] == 62
+    assert sum(stats2["cell_sizes"].values()) == 62
+    base = ivf_index_stats(assigned, cents)
+    # each blob-side append landed in that blob's cell
+    grown = {
+        c: stats2["cell_sizes"][c] - base["cell_sizes"].get(c, 0)
+        for c in stats2["cell_sizes"]
+    }
+    assert sorted(grown.values()) == [1, 1]
+
+    q = spark.createDataFrame(
+        [(0, [5.0, 0.3, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    top = ivf_topk(df, cents2, q, k=1, nprobe="auto", stats=stats2).collect()
+    assert top[0]["vec_id"] == 1000  # the appended vector IS the NN of itself
+
+    # wrong-kind guards
+    import pytest
+
+    from batch_process_spark.operators import pq
+
+    with pytest.raises(ValueError, match="no PQ metadata"):
+        pq.ivfpq_append(spark, path, newv)
+
+
+def test_ivfpq_append_encodes_with_the_stored_codebook(spark, tmp_path):
+    """IVFPQ incremental ingest: the increment is encoded with the
+    PERSISTED codebook (no retrain), appended partitioned, stats
+    merged; search off the stored index retrieves the appended vector."""
+    import numpy as np
+    import pytest
+
+    from batch_process_spark.operators import pq
+    from batch_process_spark.operators.similarity import ivf_append, ivf_index_stats
+
+    rng = np.random.default_rng(22)
+    vecs = np.vstack([
+        rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+        rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+    ])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    corpus.count()
+    assigned_codes, cents, cb = pq.ivfpq_index(corpus, subdim=2, k_code=4, n_centroids=2)
+    float_assigned = corpus.join(assigned_codes.select("vec_id", "centroid_id"), "vec_id")
+    stats = ivf_index_stats(float_assigned, cents)
+    path = str(tmp_path / "growing_pq")
+    pq.ivfpq_write(assigned_codes, path, cents, cb, subdim=2, stats=stats)
+
+    newv = spark.createDataFrame(
+        [(2000, [5.0, 0.2, 0.1, 0.0])], "vec_id long, embedding array<double>"
+    )
+    inc = pq.ivfpq_append(spark, path, newv)
+    assert {c for c in inc.columns} == {"vec_id", "centroid_id", "codes"}
+    assert inc.count() == 1
+
+    codes2, cents2, cb2, subdim2, stats2 = pq.ivfpq_read(spark, path)
+    assert codes2.count() == 41 and stats2["n_vectors"] == 41
+    # the appended row's codes match a fresh encode under the same codebook
+    enc = pq.pq_encode_fused(newv, cb2, subdim2).collect()[0]["codes"]
+    stored = codes2.filter("vec_id = 2000").collect()[0]["codes"]
+    assert list(stored) == list(enc)
+
+    full_corpus = corpus.unionByName(newv)
+    q = newv.select(F.col("vec_id").alias("query_id"), "embedding")
+    top = pq.ivfpq_topk(
+        codes2, cents2, cb2, q, subdim=2, corpus=full_corpus,
+        k=1, rerank_factor=5, nprobe="auto", stats=stats2,
+    ).collect()
+    assert top[0]["vec_id"] == 2000
+
+    with pytest.raises(ValueError, match="IVFPQ codes index"):
+        ivf_append(spark, path, newv)
+    corpus.unpersist()
