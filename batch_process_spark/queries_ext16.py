@@ -24,8 +24,11 @@ around the dedup/retrieval north stars —
 
 - q235: label-noise audit — nearest-centroid cosine confusion matrix
   over the embeddings table (off-diagonal mass = relabel/drop triage).
+- q236: embedding-LSH blocking quality — candidate precision and pair
+  recall of the sign-bucket blocking vs the exact all-pairs referee on
+  a fixed audit sample (q211's text-MinHash audit, embedding twin).
 
-All seven are full value-hash oracles over the standard tables.
+All eight are full value-hash oracles over the standard tables.
 
 Reference parity: beyond the reference (SURVEY §7 M6); these are the
 LLM-pipeline audits the brief adds on top of the reference surface.
@@ -601,3 +604,107 @@ def q235_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         (-F.col("m.__nl")).cast("int").alias("predicted_label"),
     ).agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# ---------------------------------------------------------------------------
+# q236: embedding-LSH blocking quality (candidate precision / pair recall)
+# ---------------------------------------------------------------------------
+
+_Q236_SAMPLE = 300      # fixed audit sample (the all-pairs referee is O(n^2))
+_Q236_THRESH = 0.3      # q26's near-dup threshold
+_Q236_BITS = 4
+
+
+def _q236_oracle() -> str:
+    from batch_process_spark.queries_ext import _DOT, _bucket_sql
+    from batch_process_spark.operators.similarity import _seeded_hyperplanes
+
+    planes = _seeded_hyperplanes(64, _Q236_BITS, seed=42)
+    cos = (
+        f"round({_DOT.format(a='a.embedding', b='b.embedding')} / "
+        f"(sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * "
+        f"sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)"
+    )
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding', planes)} AS bucket
+      FROM embeddings WHERE vec_id < {_Q236_SAMPLE}
+    ),
+    exact AS (
+      SELECT count(*) AS n FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE {cos} >= {_Q236_THRESH}
+    ),
+    cand AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {cos} AS score
+      FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN score >= {_Q236_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_verified
+      FROM cand
+    )
+    SELECT CAST(e.n AS BIGINT) AS n_exact_pairs, a.n_candidates, a.n_verified,
+           floor(a.n_verified / a.n_candidates::DOUBLE * 1000000 + 0.5) / 1000000
+             AS candidate_precision,
+           floor(a.n_verified / e.n::DOUBLE * 1000000 + 0.5) / 1000000
+             AS pair_recall
+    FROM agg a, exact e
+    """
+
+
+@_q("q236_lsh_blocking_eval", _q236_oracle())
+def q236_lsh_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for the embedding-LSH near-dup path
+    (q26): on a FIXED audit sample (vec_id < 300 — the exact all-pairs
+    referee is O(n^2), so production audits run on a sample exactly
+    like this), measure the sign-bucket blocking's candidate PRECISION
+    (verified / same-bucket candidates — how much exact-scoring work
+    the blocking wastes) and pair RECALL (verified / all true pairs —
+    what the blocking misses; the verify step makes precision-of-output
+    1.0 by construction, so recall is the number that can silently
+    rot). The q211 audit asks this for the text-MinHash path; this is
+    its embedding twin. Same seeded hyperplanes as q26, replicated as
+    SQL literals in the oracle."""
+    from batch_process_spark.operators.similarity import (
+        _seeded_hyperplanes,
+        cosine,
+        lsh_bucket,
+    )
+
+    planes = _seeded_hyperplanes(64, _Q236_BITS, seed=42)
+    s = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _Q236_SAMPLE)
+        .select(
+            "vec_id", "embedding", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+        )
+    )
+    a, b = s.alias("a"), s.alias("b")
+    score = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(score >= _Q236_THRESH)
+        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    )
+    cand = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(score.alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("score") >= _Q236_THRESH).cast("long")).alias("n_verified"),
+        )
+    )
+    return cand.crossJoin(F.broadcast(exact)).select(
+        "n_exact_pairs",
+        "n_candidates",
+        "n_verified",
+        round_half_up(F.col("n_verified") / F.col("n_candidates"), 6).alias(
+            "candidate_precision"
+        ),
+        round_half_up(F.col("n_verified") / F.col("n_exact_pairs"), 6).alias(
+            "pair_recall"
+        ),
+    )

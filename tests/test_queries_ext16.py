@@ -204,3 +204,32 @@ def test_label_confusion_finds_the_planted_mislabel(spark, tmp_path):
     assert out[(1, 0)] == 1           # the planted mislabel crosses
     assert out.get((1, 1), 0) == 10   # clean label-1 vectors stay
     assert (0, 1) not in out
+
+
+def test_lsh_blocking_eval_closed_form(spark, tmp_path):
+    """Three near-identical vectors (pairwise cosine ~1, same LSH
+    bucket) + one isolated opposite-direction vector: exact pairs = 3
+    (the clique), candidates = the clique's 3 (the isolate shares no
+    bucket... or if it does, its pairs fail the verify), recall 1.0,
+    and every verified pair is exact -> precision consistency:
+    n_verified <= n_candidates and pair_recall = n_verified/n_exact."""
+    import numpy as np
+
+    from batch_process_spark.queries_ext16 import q236_lsh_blocking_eval
+
+    d = str(tmp_path)
+    base = np.ones(64)
+    rows = [
+        (0, base + 0.01), (1, base + 0.02), (2, base + 0.03),
+        (3, -base),
+    ]
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    r = q236_lsh_blocking_eval(spark, d).collect()[0]
+    assert r["n_exact_pairs"] == 3            # the clique; -base fails 0.3
+    assert r["n_verified"] == 3               # same bucket (identical signs)
+    assert r["pair_recall"] == 1.0
+    assert r["n_verified"] <= r["n_candidates"]
