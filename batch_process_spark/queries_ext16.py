@@ -27,8 +27,13 @@ around the dedup/retrieval north stars —
 - q236: embedding-LSH blocking quality — candidate precision and pair
   recall of the sign-bucket blocking vs the exact all-pairs referee on
   a fixed audit sample (q211's text-MinHash audit, embedding twin).
+- q237: soft dedup — duplicate-aware 1/cluster_size sampling weights
+  per source (repeat discounting instead of hard removal).
+- q238: cross-lingual near-duplicate matrix — q26's verified embedding
+  pairs labeled by both documents' languages; off-diagonal mass is the
+  translation-duplicate leak same-language dedup cannot see.
 
-All eight are full value-hash oracles over the standard tables.
+All ten are full value-hash oracles over the standard tables.
 
 Reference parity: beyond the reference (SURVEY §7 M6); these are the
 LLM-pipeline audits the brief adds on top of the reference surface.
@@ -707,4 +712,140 @@ def q236_lsh_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("n_verified") / F.col("n_exact_pairs"), 6).alias(
             "pair_recall"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237: soft dedup — duplicate-aware sampling weights per source
+# ---------------------------------------------------------------------------
+
+
+def _q237_oracle() -> str:
+    from batch_process_spark.queries_ext import _NEAR_DUP_CORPUS
+    from batch_process_spark.queries_ext3 import _cc_oracle
+
+    return f"""
+    WITH clusters AS ({_cc_oracle()}),
+    corpus AS ({_NEAR_DUP_CORPUS}),
+    w AS (
+      SELECT c.doc_id,
+             1.0 / coalesce(cl.cluster_size, 1) AS weight
+      FROM corpus c LEFT JOIN clusters cl ON cl.node = c.doc_id
+    ),
+    src AS (
+      SELECT d.source, w.doc_id, w.weight
+      FROM w JOIN documents d ON d.doc_id = w.doc_id % 1000000
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(sum(weight) * 1000000 + 0.5) / 1000000 AS effective_docs,
+           floor(sum(weight) / count(*) * 1000000 + 0.5) / 1000000
+             AS mean_weight
+    FROM src GROUP BY source
+    """
+
+
+@_q("q237_soft_dedup_weights", _q237_oracle())
+def q237_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, weight every
+    document by 1/cluster_size (its q79 near-dup cluster; singletons
+    weigh 1) so each duplicated content unit contributes one document
+    of total sampling mass — the repeat-discounting alternative to
+    hard removal (duplicates stay available, their gradient mass does
+    not multiply). Output per source: raw docs, EFFECTIVE docs (the
+    weighted mass a sampler should draw against), and the mean weight
+    — a low mean flags the duplication-heavy sources. Mutated copies
+    (doc_id + 1e6, q79's corpus) attribute to their base document's
+    source, as in q233.
+
+    Scale shape: q79's clustering, a left join at corpus granularity
+    (cluster frame is pairs-sized, much smaller), and a sources-sized
+    aggregate."""
+    from batch_process_spark.queries_ext import _near_dup_corpus
+    from batch_process_spark.queries_ext3 import q79_dedup_clusters
+
+    corpus = _near_dup_corpus(spark, sf_dir).select("doc_id")
+    cl = q79_dedup_clusters(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "cluster_size"
+    )
+    # rename the corpus-side id before joining back to documents — the
+    # corpus derives FROM documents, so keeping both as doc_id would be
+    # a same-lineage ambiguous self-join
+    w = corpus.join(cl, "doc_id", "left").select(
+        F.col("doc_id").alias("wid"),
+        (F.lit(1.0) / F.coalesce(F.col("cluster_size"), F.lit(1))).alias("weight"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = w.join(docs, (F.col("wid") % 1000000) == F.col("doc_id")).select(
+        "source", "weight"
+    )
+    return src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round_half_up(F.sum("weight"), 6).alias("effective_docs"),
+        round_half_up(F.sum("weight") / F.count(F.lit(1)), 6).alias("mean_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238: cross-lingual near-duplicate matrix
+# ---------------------------------------------------------------------------
+
+
+def _q238_oracle() -> str:
+    from batch_process_spark.queries import ORACLES
+
+    return f"""
+    WITH pairs AS ({ORACLES['q26_embedding_neardup']}),
+    lp AS (
+      SELECT p.id_a, p.id_b, p.score,
+             least(da.lang, db.lang) AS lang_a,
+             greatest(da.lang, db.lang) AS lang_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT lang_a, lang_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN lang_a != lang_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross,
+           floor(avg(score) * 1000000 + 0.5) / 1000000 AS avg_score
+    FROM lp GROUP BY lang_a, lang_b
+    """
+
+
+@_q("q238_crosslingual_neardup", _q238_oracle())
+def q238_crosslingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation-duplicate detection: q26's verified embedding
+    near-dup pairs, labeled with both documents' languages (embedding
+    i encodes document i — the q231 testdata contract) and aggregated
+    into a language-pair matrix. Off-diagonal cells (lang_a != lang_b)
+    are content that survives SAME-language dedup untouched — the
+    multilingual-corpus leak every per-language pipeline has to hunt
+    explicitly, because text-level MinHash (q18) cannot see it.
+    Language pair normalized (least, greatest) so (en, fr) and
+    (fr, en) land in one cell.
+
+    Scale shape: q26's bucket-blocked pair stream (never all-pairs) +
+    two id-equi joins to the lang dimension + a langs^2-row aggregate."""
+    from batch_process_spark.queries_ext import q26_embedding_neardup
+
+    pairs = q26_embedding_neardup(spark, sf_dir)
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    lp = (
+        pairs.join(langs.withColumnRenamed("lang", "la"), pairs.id_a == langs.doc_id)
+        .drop("doc_id")
+        .join(
+            langs.withColumnRenamed("lang", "lb").withColumnRenamed("doc_id", "doc_b"),
+            pairs.id_b == F.col("doc_b"),
+        )
+        .select(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+            "score",
+        )
+    )
+    return lp.groupBy("lang_a", "lang_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("lang_a") != F.col("lang_b")).cast("long")).alias("n_cross"),
+        round_half_up(F.avg("score"), 6).alias("avg_score"),
     )

@@ -116,6 +116,8 @@ NOTES = {
     "q234_epoch_mixture_plan": "q226's hash partial-agg + hash join; 1-row total broadcast back over the 20-row source frame (plan-guarded)",
     "q235_label_confusion": "labels x dims centroid partial-agg broadcast back; all-label cosine scored in-row (zip_with) with the argmax reduced before any shuffle; L^2-row confusion agg",
     "q236_lsh_blocking_eval": "fixed 300-row audit sample: bucket equi-join candidates + the O(sample^2) exact referee, both reduced to counts in-stage; 1-row output",
+    "q237_soft_dedup_weights": "q79's clustering + a corpus-granular left join (cluster frame is pairs-sized) + a sources-sized agg",
+    "q238_crosslingual_neardup": "q26's bucket-blocked verified pairs + two id-equi lang joins + a langs^2-row agg",
 }
 
 

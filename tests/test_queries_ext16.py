@@ -233,3 +233,58 @@ def test_lsh_blocking_eval_closed_form(spark, tmp_path):
     assert r["n_verified"] == 3               # same bucket (identical signs)
     assert r["pair_recall"] == 1.0
     assert r["n_verified"] <= r["n_candidates"]
+
+
+def test_soft_dedup_weights_sum_to_content_units(spark, tmp_path):
+    """A 2-doc near-dup pair weighs 1/2 each; singletons weigh 1 — the
+    source's effective mass equals its count of distinct content
+    units. The planted %20==0 mutated twin halves doc 0's weight."""
+    from batch_process_spark.queries_ext16 import q237_soft_dedup_weights
+
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    spark.createDataFrame(
+        [
+            (0, base, "en", "srcA", len(base)),    # %20==0 -> mutated twin planted
+            (1, other, "en", "srcB", len(other)),  # singleton
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    rows = {r["source"]: r for r in q237_soft_dedup_weights(spark, str(tmp_path)).collect()}
+    # srcA: doc 0 + its mutated copy (both attribute to srcA), each 0.5
+    assert rows["srcA"]["n_docs"] == 2
+    assert rows["srcA"]["effective_docs"] == 1.0
+    assert rows["srcA"]["mean_weight"] == 0.5
+    assert rows["srcB"]["n_docs"] == 1 and rows["srcB"]["effective_docs"] == 1.0
+
+
+def test_crosslingual_neardup_finds_the_planted_translation_pair(spark, tmp_path):
+    """Two near-identical embeddings with different langs land in the
+    off-diagonal (en, fr) cell; a same-lang pair lands on the
+    diagonal with n_cross 0."""
+    import numpy as np
+
+    from batch_process_spark.queries_ext16 import q238_crosslingual_neardup
+
+    d = str(tmp_path)
+    base = np.ones(64)
+    vecs = [
+        (0, base + 0.01), (1, base + 0.02),      # en-fr translation pair
+        (10, -base + 0.01), (11, -base + 0.02),  # de-de same-lang pair
+    ]
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    text = " ".join(f"t{i}" for i in range(20))
+    spark.createDataFrame(
+        [(0, text, "en", "s", 1), (1, text, "fr", "s", 1),
+         (10, text, "de", "s", 1), (11, text, "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    rows = {(r["lang_a"], r["lang_b"]): r for r in
+            q238_crosslingual_neardup(spark, d).collect()}
+    assert rows[("en", "fr")]["n_pairs"] == 1 and rows[("en", "fr")]["n_cross"] == 1
+    assert rows[("de", "de")]["n_pairs"] == 1 and rows[("de", "de")]["n_cross"] == 0
