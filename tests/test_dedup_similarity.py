@@ -687,3 +687,38 @@ def test_ivfpq_append_encodes_with_the_stored_codebook(spark, tmp_path):
     with pytest.raises(ValueError, match="IVFPQ codes index"):
         ivf_append(spark, path, newv)
     corpus.unpersist()
+
+
+def test_merge_index_stats_split_equals_whole(spark):
+    """Property: stats(A) merged with stats(B) equals stats(A union B)
+    exactly for counts and to float precision for the global mean —
+    the invariant ivf_append's incremental maintenance rides on.
+    Random corpora via hypothesis-style seeds (no SparkSession needed
+    beyond building the frames once per seed)."""
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index_stats,
+        merge_index_stats,
+    )
+
+    rng = np.random.default_rng(77)
+    cents = [list(map(float, rng.normal(size=4))) for _ in range(3)]
+    for seed in (0, 1, 2):
+        r = np.random.default_rng(100 + seed)
+        va = r.normal(size=(25, 4))
+        vb = r.normal(size=(13, 4))
+        mk = lambda vs, off: spark.createDataFrame(
+            [(off + i, [float(x) for x in v]) for i, v in enumerate(vs)],
+            "vec_id long, embedding array<double>",
+        )
+        a, b = mk(va, 0), mk(vb, 1000)
+        sa = ivf_index_stats(ivf_assign(a, cents), cents)
+        sb = ivf_index_stats(ivf_assign(b, cents), cents)
+        whole = ivf_index_stats(ivf_assign(a.unionByName(b), cents), cents)
+        merged = merge_index_stats(sa, sb)
+        assert merged["cell_sizes"] == whole["cell_sizes"], seed
+        assert merged["n_vectors"] == whole["n_vectors"]
+        assert abs(merged["mean_within_dist"] - whole["mean_within_dist"]) < 1e-9
+        assert abs(merged["mean_cell_size"] - whole["mean_cell_size"]) < 1e-12
