@@ -27,6 +27,12 @@ import sys
 from pathlib import Path
 
 
+# Cap on per-step detail lines printed by `run` — the full log is the
+# --history parquet sink; the driver never holds more than one partition
+# of the results frame (toLocalIterator) plus this many printed rows.
+MAX_CLI_ROWS = 1000
+
+
 def load_plugins(plugin_dir: str) -> None:
     for py in sorted(Path(plugin_dir).glob("*.py")):
         spec = importlib.util.spec_from_file_location(py.stem, py)
@@ -141,16 +147,32 @@ def main(argv=None) -> int:
         return 0
 
     result = pipeline.run(tree)
-    records = result.results.collect()
-    for r in records:
-        line = f"[{r['step']}] {r['phase']:<12} {r['processor']:<20} {r['status']}"
-        if r["error"]:
-            line += f"  {r['error']}"
-        print(line)
+    # Bounded driver materialization: one row per (file x processor) step
+    # would OOM the driver on a 100M-file tree if collected wholesale.
+    # Print the first MAX_CLI_ROWS detail lines, then a distributed
+    # status summary; --history already persists the full log.
+    shown = 0
+    for r in result.results.toLocalIterator():
+        if shown < MAX_CLI_ROWS:
+            line = f"[{r['step']}] {r['phase']:<12} {r['processor']:<20} {r['status']}"
+            if r["error"]:
+                line += f"  {r['error']}"
+            print(line)
+        elif shown == MAX_CLI_ROWS:
+            print(f"... detail output truncated at {MAX_CLI_ROWS} rows "
+                  "(pass --history <dir> for the full log)")
+            break
+        shown += 1
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["status"]: r["n"]
+        for r in result.results.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print("status summary: " + json.dumps(counts, sort_keys=True))
     if args.history:
         result.write_history(args.history)
-    n_failed = sum(1 for r in records if r["status"] == "failed")
-    return 1 if n_failed else 0
+    return 1 if counts.get("failed", 0) else 0
 
 
 if __name__ == "__main__":

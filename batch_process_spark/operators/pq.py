@@ -285,17 +285,19 @@ def _guarded_query_rows(queries: DataFrame, cols: list, what: str):
 
 
 def _query_luts(queries: DataFrame, codebook: DataFrame, subdim: int,
-                query_id_col: str, vec_col: str):
+                query_id_col: str, vec_col: str,
+                what: str = "pq_adc_topk_fused"):
     """(m, sorted-cid arrays, qids, per-sub LUT list) for a bounded
     query batch: luts[s][q, j] = |q_s - c_{s,j}|^2 with j in sorted-cid
     order. A LIST per subspace, not one stacked array — subspaces may
     keep different numbers of surviving clusters (empty-cluster drop),
-    so the per-sub k is ragged. Collect is guarded (MAX_PQ_QUERIES)."""
+    so the per-sub k is ragged. Collect is guarded (MAX_PQ_QUERIES);
+    ``what`` names the caller's entry point in the guard error."""
     import numpy as np
 
     m, cids, cent = _codebook_arrays(codebook, subdim)
     sorted_cids = {s: np.asarray(cids[s], dtype=np.int64) for s in cids}
-    qrows = _guarded_query_rows(queries, [query_id_col, vec_col], "pq_adc_topk_fused")
+    qrows = _guarded_query_rows(queries, [query_id_col, vec_col], what)
     if not qrows:
         return m, sorted_cids, np.empty(0, dtype=np.int64), None
     qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
@@ -318,6 +320,7 @@ def pq_adc_topk_fused(
     query_id_col: str = "query_id",
     round_scores: bool = False,
     probe_map: dict | None = None,
+    what: str = "pq_adc_topk_fused",
 ) -> DataFrame:
     """ADC top-k over a fused codes frame (id, codes): per-partition
     top-k per query via LUT lookups (m additions per vector), then an
@@ -340,7 +343,7 @@ def pq_adc_topk_fused(
     import pandas as pd
 
     m, sorted_cids, qids, luts = _query_luts(
-        queries, codebook, subdim, query_id_col, vec_col
+        queries, codebook, subdim, query_id_col, vec_col, what=what
     )
     if luts is None:
         return codes_df.sparkSession.createDataFrame(
@@ -441,7 +444,7 @@ def make_adc_scorer(codebook: DataFrame, codes: DataFrame, subdim: int,
         cand = pq_adc_topk_fused(
             codes, queries, codebook, subdim, k=rerank_factor * k,
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-            round_scores=True,
+            round_scores=True, what="make_adc_scorer",
         ).select(query_id_col, id_col)
         return _exact_rerank(
             cand, corpus, queries, k,
@@ -732,7 +735,7 @@ def ivfpq_topk(
     cand = pq_adc_topk_fused(
         pruned, queries, codebook, subdim, k=rerank_factor * k,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-        probe_map=probe_map,
+        probe_map=probe_map, what="ivfpq_topk",
     ).select(query_id_col, id_col)
     return _exact_rerank(
         cand, corpus, queries, k,

@@ -534,7 +534,8 @@ def q234_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, u.i - 1 AS pos, embedding[u.i]::DOUBLE AS v
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
     ),
-    cent AS (SELECT label AS clabel, pos, avg(v) AS c FROM d GROUP BY 1, 2),
+    cent AS (SELECT label AS clabel, pos, round(avg(v), 12) AS c
+             FROM d GROUP BY 1, 2),
     cn AS (SELECT clabel, sum(c * c) AS nc FROM cent GROUP BY 1),
     vn AS (SELECT vec_id, sum(v * v) AS nv FROM d GROUP BY 1),
     dots AS (
@@ -579,7 +580,12 @@ def q235_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         dims.groupBy(F.col("label").alias("clabel"), F.col("pos"))
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        # centroid components rounded to 12dp in BOTH engines before the
+        # cosine: the per-(label,pos) float sum order differs across
+        # engines/partitionings, and an unrounded 1e-15 drift could flip
+        # the 6dp-rounded argmax at a boundary (the q01 summation-order
+        # hazard, fixed at the centroid instead of the sum)
+        .agg(F.round(F.avg(F.col("v").cast("double")), 12).alias("c"))
         .groupBy("clabel")
         .agg(
             F.transform(

@@ -46,9 +46,11 @@ def load_selfchecks(root: str) -> dict[str, set[str]]:
         base = os.path.basename(path)
         with open(path, errors="replace") as f:
             for line in f:
-                m = re.match(r"\s*PASS\s+(q\d+\w*)", line) or re.match(
-                    r"\s*(q\d+\w*)\s*:?\s.*\bPASS\b", line
-                )
+                # anchored on the actual selfcheck format: 'PASS <qname>:'
+                # (Spark \r progress-bar junk may precede it on the same
+                # physical line, so search — but the token must be the
+                # literal PASS immediately before the query name)
+                m = re.search(r"\bPASS (q\d+\w*):", line)
                 if m:
                     cov.setdefault(m.group(1), set()).add(base)
     return cov
