@@ -456,26 +456,56 @@ def write_index_meta(spark, path: str, meta: dict) -> None:
     ``path/_ivf_meta`` — through the DataFrame writer, so it lands on
     whatever Hadoop filesystem the index lives on; the ``_`` prefix
     keeps it invisible to ``spark.read.parquet(path)``. Shared by
-    ``ivf_write`` and ``pq.ivfpq_write`` (which adds the codebook)."""
-    import json
+    ``ivf_write`` and ``pq.ivfpq_write`` (which adds the codebook).
 
+    Concurrency contract: index mutation (``ivf_write`` / ``*_append``
+    / ``ivf_delete`` / ``ivf_recluster``) is SINGLE-WRITER — appends
+    read-modify-write the stats, so two concurrent writers lose one
+    update. To make lost updates and torn writes *detectable*, each
+    write (a) stamps a monotonic ``version`` (prior stored version
+    + 1), and (b) stages the new meta in a temp dir then renames it
+    over ``_ivf_meta``, shrinking the no-meta window from
+    write-duration to a single FS rename. Readers that cache meta can
+    compare ``version`` to detect a concurrent swap."""
+    import json
+    import uuid
+
+    base = path.rstrip("/")
+    try:
+        stored = int(read_index_meta(spark, base).get("version", 0))
+    except ValueError:  # first write: no prior meta
+        stored = 0
+    meta["version"] = max(stored, int(meta.get("version", 0))) + 1
+    tmp = f"{base}/_ivf_meta_tmp_{uuid.uuid4().hex[:12]}"
     (
         spark.createDataFrame([(json.dumps(meta),)], "value string")
         .coalesce(1)
         .write.mode("overwrite")
-        .text(path.rstrip("/") + "/_ivf_meta")
+        .text(tmp)
     )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    final = jvm.org.apache.hadoop.fs.Path(base + "/_ivf_meta")
+    fs.delete(final, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), final):
+        raise IOError(f"rename {tmp} -> {base}/_ivf_meta failed")
 
 
 def read_index_meta(spark, path: str) -> dict:
     """Load ``path/_ivf_meta`` (see ``write_index_meta``); restores the
-    int keys of ``stats.cell_sizes``. Raises the explanatory error when
-    the index was written without metadata."""
+    int keys of ``stats.cell_sizes``. Raises the explanatory error ONLY
+    when the meta dir is genuinely absent (AnalysisException /
+    path-not-found) — permission errors, corrupt JSON, and transient FS
+    failures propagate unchanged so they aren't misdiagnosed as a
+    meta-less index."""
     import json
+
+    from pyspark.errors import AnalysisException
 
     try:
         rows = spark.read.text(path.rstrip("/") + "/_ivf_meta").collect()
-    except Exception as exc:  # AnalysisException: missing meta dir
+    except AnalysisException as exc:  # missing meta dir only
         raise ValueError(
             f"no _ivf_meta under {path!r} — the index was written without "
             "centroids. Re-write it with ivf_write(assigned, path, "
@@ -599,6 +629,306 @@ def ivf_append(
         }
         write_index_meta(spark, path, meta)
     return assigned
+
+
+def subtract_index_stats(old: dict, removed: dict) -> dict:
+    """Exact inverse of ``merge_index_stats``: remove a batch's stats
+    from an index's stats. Cells that reach size 0 drop out of
+    ``cell_sizes`` entirely (matching what ``ivf_index_stats`` on the
+    remaining vectors would produce — its groupBy never emits empty
+    cells), so delete-then-rebuild and subtract agree exactly."""
+    sizes = dict(old["cell_sizes"])
+    for k, v in removed["cell_sizes"].items():
+        left = sizes.get(k, 0) - v
+        if left < 0:
+            raise ValueError(f"cell {k}: removing {v} from {sizes.get(k, 0)}")
+        if left == 0:
+            sizes.pop(k, None)
+        else:
+            sizes[k] = left
+    total = old["n_vectors"] - removed["n_vectors"]
+    if total < 0:
+        raise ValueError("removing more vectors than the index holds")
+    return {
+        "cell_sizes": sizes,
+        "n_vectors": total,
+        "mean_cell_size": total / max(len(sizes), 1),
+        "mean_within_dist": (
+            (
+                old["mean_within_dist"] * old["n_vectors"]
+                - removed["mean_within_dist"] * removed["n_vectors"]
+            )
+            / total
+            if total
+            else 0.0
+        ),
+    }
+
+
+def _ids_frame(spark, ids, id_col: str) -> DataFrame:
+    if isinstance(ids, DataFrame):
+        return ids.select(id_col).distinct()
+    return spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} long"
+    ).distinct()
+
+
+def ivf_delete(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Purge vectors from a stored IVF or IVFPQ index (takedown /
+    opt-out): rewrite ONLY the cell directories that actually contain
+    the doomed ids, and decrement the persisted auto-nprobe stats
+    exactly (``subtract_index_stats``). ``ids`` is an id list or a
+    single-column DataFrame (takedown lists can be corpus-sized — the
+    frame path never collects them to the driver beyond the touched-
+    cell set, which is bounded by n_centroids).
+
+    100 TB shape: one column-pruned (id, centroid_id) scan semi-joined
+    to the id set finds the touched cells (centroid_id is a partition
+    column, so the scan reads the id column only); each touched cell is
+    rewritten with an anti-join and swapped in crash-safely
+    (``swap_directory`` — never destructive of the only copy); cells
+    the ids don't touch are never read or written. A cell left empty is
+    removed outright, matching a from-scratch rebuild's stats.
+
+    For an IVFPQ codes index the size stats decrement exactly, but
+    ``mean_within_dist`` is kept unchanged (the deleted vectors' float
+    coordinates are gone — only their codes remain), a documented
+    approximation of the auto-nprobe calibration scalar. Single-writer
+    contract as in ``write_index_meta``."""
+    import shutil
+
+    from batch_process_spark.sinks.swapdir import recover_swap, swap_directory
+
+    meta = read_index_meta(spark, path)
+    base = path.rstrip("/")
+    ids_df = _ids_frame(spark, ids, id_col)
+    idx = spark.read.parquet(base)
+    doomed = idx.join(ids_df, id_col, "semi")
+    per_cell = {
+        r["centroid_id"]: r["n"]
+        for r in doomed.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: <= n_centroids rows
+    }
+    n_deleted = sum(per_cell.values())
+    if not per_cell:
+        return {"n_deleted": 0, "cells_rewritten": 0, "cells_dropped": 0,
+                "version": meta.get("version")}
+
+    if "pq" in meta:
+        removed_stats = {
+            "cell_sizes": per_cell,
+            "n_vectors": n_deleted,
+            # codes carry no float coordinates: treat the removed batch as
+            # having the index's own mean within-dist, which leaves the
+            # calibration scalar unchanged (documented approximation)
+            "mean_within_dist": (meta.get("stats") or {}).get("mean_within_dist", 0.0),
+        }
+    else:
+        removed_stats = ivf_index_stats(doomed, meta["centroids"], vec_col=vec_col)
+
+    dropped = rewritten = 0
+    for cid, n_del in sorted(per_cell.items()):
+        cell_dir = f"{base}/centroid_id={cid}"
+        tmp = f"{base}.__delete__.{cid}"
+        recover_swap(cell_dir, tmp)
+        keep = spark.read.parquet(cell_dir).join(ids_df, id_col, "anti")
+        stored_size = (meta.get("stats") or {}).get("cell_sizes", {}).get(cid)
+        if stored_size is not None and stored_size == n_del:
+            # cell emptied: remove the directory (a rebuild would not
+            # emit this cell at all)
+            shutil.rmtree(cell_dir)
+            dropped += 1
+            continue
+        keep.write.mode("overwrite").parquet(tmp)
+        swap_directory(tmp, cell_dir)
+        rewritten += 1
+
+    if meta.get("stats") is not None:
+        merged = subtract_index_stats(
+            {**meta["stats"], "cell_sizes": dict(meta["stats"]["cell_sizes"])},
+            removed_stats,
+        )
+        meta["stats"] = {
+            "cell_sizes": {str(k): v for k, v in merged["cell_sizes"].items()},
+            "n_vectors": merged["n_vectors"],
+            "mean_cell_size": merged["mean_cell_size"],
+            "mean_within_dist": merged["mean_within_dist"],
+        }
+        write_index_meta(spark, base, meta)
+    from batch_process_spark.queries import invalidate_tables
+
+    invalidate_tables(base)
+    return {
+        "n_deleted": n_deleted,
+        "cells_rewritten": rewritten,
+        "cells_dropped": dropped,
+        "version": meta.get("version"),
+    }
+
+
+def index_skew(stats: dict) -> float:
+    """Cell-size skew signal from stored index stats: the largest cell
+    as a multiple of the mean cell size (1.0 = perfectly balanced).
+    This is the number ``ivf_recluster`` thresholds on — and it comes
+    straight off ``_ivf_meta``, no corpus I/O."""
+    sizes = stats.get("cell_sizes") or {}
+    if not sizes:
+        return 0.0
+    return max(sizes.values()) / max(stats.get("mean_cell_size", 0.0), 1e-12)
+
+
+def ivf_recluster(
+    spark,
+    path: str,
+    skew_threshold: float = 4.0,
+    n_centroids: int | None = None,
+    seed: int = 42,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    force: bool = False,
+) -> dict:
+    """Offline re-cluster of a drifted stored index: when the persisted
+    ``cell_sizes`` skew (``index_skew`` — largest cell / mean cell)
+    exceeds ``skew_threshold``, re-train the coarse centroids, re-assign
+    every vector, and swap the fresh index in crash-safely
+    (``swap_directory``); below the threshold it is a no-op that reports
+    the measured skew. This is the consumer of the drift signal
+    ``ivf_append`` accumulates — heavy out-of-distribution growth piles
+    new vectors into few cells, degrading probe recall at fixed nprobe,
+    and the fix is a rebuild, not more probes.
+
+    Plain IVF float index: the stored vectors ARE the training corpus —
+    no argument needed. IVFPQ codes index: pass ``corpus`` (the float
+    vectors; codes are not trainable input) — coarse centroids re-train,
+    vectors re-assign, and codes re-encode with the PERSISTED codebook
+    (the FAISS re-add contract: no codebook retrain, that is a separate
+    decision). ``n_centroids`` defaults to the stored centroid count.
+    The meta version stays monotonic across the swap."""
+    from batch_process_spark.sinks.swapdir import swap_directory
+
+    meta = read_index_meta(spark, path)
+    base = path.rstrip("/")
+    if meta.get("stats") is None:
+        raise ValueError(
+            f"index at {path!r} has no persisted stats — re-write it with "
+            "ivf_write(..., centroids=...) so drift is measurable"
+        )
+    skew = index_skew(meta["stats"])
+    if skew < skew_threshold and not force:
+        return {"reclustered": False, "skew": skew,
+                "skew_threshold": skew_threshold}
+    k = n_centroids or len(meta["centroids"])
+    old_version = int(meta.get("version", 0))
+    tmp = base + ".__recluster__"
+
+    if "pq" in meta:
+        if corpus is None:
+            raise ValueError(
+                "re-clustering an IVFPQ codes index needs corpus= (the "
+                "float vectors) — codes cannot train coarse centroids"
+            )
+        from batch_process_spark.operators import pq as _pq
+
+        subdim = meta["pq"]["subdim"]
+        cb = spark.createDataFrame(
+            [tuple(r) for r in meta["pq"]["codebook"]],
+            "sub int, cid int, spos int, c double",
+        )
+        assigned, cents = ivf_index(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=k, seed=seed
+        )
+        codes = _pq.pq_encode_fused(
+            corpus, cb, subdim, id_col=id_col, vec_col=vec_col
+        )
+        assigned_codes = assigned.select(id_col, "centroid_id").join(codes, id_col)
+        stats = ivf_index_stats(assigned, cents, vec_col=vec_col)
+        _pq.ivfpq_write(assigned_codes, tmp, cents, cb, subdim, stats=stats)
+    else:
+        train = corpus if corpus is not None else (
+            spark.read.parquet(base).select(id_col, vec_col)
+        )
+        assigned, cents = ivf_index(
+            train, id_col=id_col, vec_col=vec_col, n_centroids=k, seed=seed
+        )
+        ivf_write(assigned, tmp, centroids=cents, vec_col=vec_col)
+
+    swap_directory(tmp, base)
+    # re-stamp version continuity: the fresh meta started at 1 in tmp
+    new_meta = read_index_meta(spark, base)
+    new_meta["version"] = old_version  # write bumps to old_version + 1
+    write_index_meta(spark, base, new_meta)
+    from batch_process_spark.queries import invalidate_tables
+
+    invalidate_tables(base)
+    return {
+        "reclustered": True,
+        "skew": skew,
+        "skew_after": index_skew(read_index_meta(spark, base)["stats"]),
+        "n_centroids": k,
+    }
+
+
+def compact_index(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    min_files: int = 4,
+) -> dict:
+    """Small-files compaction over a stored index's cell directories:
+    repeated ``ivf_append``/``ivfpq_append`` batches accrete one file
+    set per append per touched cell, and the per-file open/footer cost
+    eventually dominates probe reads. Rewrites each cell directory
+    holding >= ``min_files`` parquet files down to ~``target_mb`` files
+    (``coalesce`` — no shuffle), swapped in crash-safely per cell.
+
+    ``_ivf_meta`` is untouched (row content and stats do not change, so
+    the version does not bump). Temp directories live OUTSIDE the index
+    root (``path.__compact__.<cell>``) — a sibling inside the root
+    would be listed as a malformed ``centroid_id`` partition by any
+    concurrent reader. Single-writer contract as for appends."""
+    import os
+
+    from batch_process_spark.sinks.compact import parquet_files
+    from batch_process_spark.sinks.swapdir import recover_swap, swap_directory
+
+    base = path.rstrip("/")
+    report = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    cells = sorted(
+        d for d in os.listdir(base)
+        if d.startswith("centroid_id=") and os.path.isdir(os.path.join(base, d))
+    )
+    for d in cells:
+        cell_dir = os.path.join(base, d)
+        tmp = f"{base}.__compact__.{d.split('=', 1)[1]}"
+        recover_swap(cell_dir, tmp)
+        files = parquet_files(cell_dir)
+        report["files_before"] += len(files)
+        if len(files) < min_files:
+            report["files_after"] += len(files)
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, round(total / (target_mb * 1024 * 1024)))
+        if n_out >= len(files):
+            report["files_after"] += len(files)
+            continue
+        spark.read.parquet(cell_dir).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        swap_directory(tmp, cell_dir)
+        report["cells_compacted"] += 1
+        report["files_after"] += len(parquet_files(cell_dir))
+    from batch_process_spark.queries import invalidate_tables
+
+    invalidate_tables(base)
+    return report
 
 
 def embedding_near_dup_pairs(

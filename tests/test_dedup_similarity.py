@@ -722,3 +722,335 @@ def test_merge_index_stats_split_equals_whole(spark):
         assert merged["n_vectors"] == whole["n_vectors"]
         assert abs(merged["mean_within_dist"] - whole["mean_within_dist"]) < 1e-9
         assert abs(merged["mean_cell_size"] - whole["mean_cell_size"]) < 1e-12
+
+
+def test_ivf_delete_purges_and_decrements_stats_exactly(spark, tmp_path):
+    """Takedown through the stored index: deleted ids vanish from reads
+    and serving, ONLY touched cell dirs are rewritten, and the persisted
+    stats equal a from-scratch rebuild on the survivors (the
+    subtract_index_stats exactness claim)."""
+    import os
+
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        ivf_delete,
+        ivf_index,
+        ivf_index_stats,
+        ivf_read_index,
+        ivf_topk,
+        ivf_write,
+    )
+
+    rng = np.random.default_rng(31)
+    a = rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(25, 4))
+    b = rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(25, 4))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(corpus, n_centroids=2)
+    path = str(tmp_path / "idx")
+    ivf_write(assigned, path, centroids=cents)
+    v0 = _read_meta_version(spark, path)
+
+    # blob-a ids 0..24; delete three of them (list form)
+    doomed = [0, 1, 2]
+    cell_of_b = assigned.filter("vec_id = 30").collect()[0]["centroid_id"]
+    untouched_dir = os.path.join(path, f"centroid_id={cell_of_b}")
+    files_before = sorted(os.listdir(untouched_dir))
+
+    rep = ivf_delete(spark, path, doomed)
+    assert rep["n_deleted"] == 3 and rep["cells_rewritten"] == 1
+    assert rep["cells_dropped"] == 0
+    assert sorted(os.listdir(untouched_dir)) == files_before  # never touched
+
+    df, cents2, stats2 = ivf_read_index(spark, path)
+    left_ids = {r["vec_id"] for r in df.select("vec_id").collect()}
+    assert left_ids == set(range(50)) - set(doomed)
+
+    # stats equal a from-scratch rebuild on the survivors
+    rebuilt = ivf_index_stats(assigned.filter(~F.col("vec_id").isin(doomed)), cents)
+    assert stats2["cell_sizes"] == rebuilt["cell_sizes"]
+    assert stats2["n_vectors"] == rebuilt["n_vectors"]
+    assert abs(stats2["mean_within_dist"] - rebuilt["mean_within_dist"]) < 1e-9
+    assert _read_meta_version(spark, path) > v0
+
+    # serving never returns a deleted id
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in a[0]])], "query_id long, embedding array<double>"
+    )
+    got = {r["vec_id"] for r in ivf_topk(df, cents2, q, k=5, nprobe=2).collect()}
+    assert not (got & set(doomed))
+
+    # emptying a whole cell drops its directory and its stats key
+    rest_of_a = [i for i in range(25) if i not in doomed]
+    rep2 = ivf_delete(spark, path, rest_of_a)
+    assert rep2["cells_dropped"] == 1
+    assert len(os.listdir(path)) >= 1
+    _, _, stats3 = ivf_read_index(spark, path)
+    assert len(stats3["cell_sizes"]) == 1 and stats3["n_vectors"] == 25
+
+    # deleting nothing is a no-op
+    rep3 = ivf_delete(spark, path, [99999])
+    assert rep3["n_deleted"] == 0
+
+
+def _read_meta_version(spark, path):
+    from batch_process_spark.operators.similarity import read_index_meta
+
+    return int(read_index_meta(spark, path).get("version", 0))
+
+
+def test_ivfpq_delete_removes_from_serving(spark, tmp_path):
+    """Deletion through an IVFPQ codes index: sizes decrement exactly,
+    mean_within_dist stays (documented approximation — the floats are
+    gone), and ivfpq_topk never surfaces a deleted id."""
+    import numpy as np
+
+    from batch_process_spark.operators import pq
+    from batch_process_spark.operators.similarity import (
+        ivf_delete,
+        ivf_index_stats,
+    )
+
+    rng = np.random.default_rng(32)
+    vecs = np.vstack([
+        rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+        rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+    ])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    corpus.count()
+    assigned_codes, cents, cb = pq.ivfpq_index(corpus, subdim=2, k_code=4, n_centroids=2)
+    float_assigned = corpus.join(assigned_codes.select("vec_id", "centroid_id"), "vec_id")
+    stats = ivf_index_stats(float_assigned, cents)
+    path = str(tmp_path / "idx_pq")
+    pq.ivfpq_write(assigned_codes, path, cents, cb, subdim=2, stats=stats)
+
+    # DataFrame-form ids (the takedown-list path)
+    ids_df = spark.createDataFrame([(7,)], "vec_id long")
+    rep = ivf_delete(spark, path, ids_df)
+    assert rep["n_deleted"] == 1
+
+    codes2, cents2, cb2, subdim2, stats2 = pq.ivfpq_read(spark, path)
+    assert codes2.filter("vec_id = 7").count() == 0
+    assert stats2["n_vectors"] == stats["n_vectors"] - 1
+    assert abs(stats2["mean_within_dist"] - stats["mean_within_dist"]) < 1e-12
+
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[7]])], "query_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]
+        for r in pq.ivfpq_topk(
+            codes2, cents2, cb2, q, subdim=subdim2, corpus=corpus,
+            k=5, nprobe=2,
+        ).collect()
+    }
+    assert 7 not in got and got  # neighbors still served
+    corpus.unpersist()
+
+
+def test_ivf_recluster_restores_balance_after_skewed_growth(spark, tmp_path):
+    """The drift consumer: skewed appends pile into few cells; recluster
+    re-trains + re-assigns + swaps, skew drops, content and version
+    continuity are preserved; a balanced index is a no-op."""
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        index_skew,
+        ivf_append,
+        ivf_index,
+        ivf_read_index,
+        ivf_recluster,
+        ivf_write,
+        read_index_meta,
+    )
+
+    rng = np.random.default_rng(33)
+    a = rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.3, size=(20, 4))
+    b = rng.normal(loc=(4.0, 1.0, 0.0, 0.0), scale=0.3, size=(20, 4))
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(base, n_centroids=2)
+    path = str(tmp_path / "drifting")
+    ivf_write(assigned, path, centroids=cents)
+
+    # balanced: no-op below threshold
+    rep0 = ivf_recluster(spark, path, skew_threshold=1.9)
+    assert rep0["reclustered"] is False and rep0["skew"] < 1.9
+
+    # out-of-distribution growth: 4 batches all landing in ONE cell
+    for batch in range(4):
+        newv = spark.createDataFrame(
+            [
+                (1000 + batch * 100 + j,
+                 [float(x) for x in rng.normal((-6.0, 0.0, 0.0, 0.0), 0.2)])
+                for j in range(20)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        ivf_append(spark, path, newv)
+
+    meta = read_index_meta(spark, path)
+    skew_before = index_skew(meta["stats"])
+    assert skew_before > 1.5
+    v_before = int(meta["version"])
+
+    rep = ivf_recluster(spark, path, skew_threshold=1.5, seed=7)
+    assert rep["reclustered"] is True
+    assert rep["skew_after"] < rep["skew"]
+
+    df, cents2, stats2 = ivf_read_index(spark, path)
+    assert df.count() == 120 and stats2["n_vectors"] == 120
+    assert _read_meta_version(spark, path) > v_before  # monotonic across swap
+    assert len(cents2) == 2
+
+
+def test_ivfpq_recluster_reencodes_with_persisted_codebook(spark, tmp_path):
+    """IVFPQ recluster: refuses without the float corpus; with it, the
+    coarse layout re-trains while codes still match a fresh encode
+    under the PERSISTED codebook (no retrain)."""
+    import numpy as np
+    import pytest
+
+    from batch_process_spark.operators import pq
+    from batch_process_spark.operators.similarity import (
+        ivf_index_stats,
+        ivf_recluster,
+    )
+
+    rng = np.random.default_rng(34)
+    vecs = np.vstack([
+        rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+        rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+    ])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    corpus.count()
+    assigned_codes, cents, cb = pq.ivfpq_index(corpus, subdim=2, k_code=4, n_centroids=2)
+    float_assigned = corpus.join(assigned_codes.select("vec_id", "centroid_id"), "vec_id")
+    stats = ivf_index_stats(float_assigned, cents)
+    path = str(tmp_path / "pq_drift")
+    pq.ivfpq_write(assigned_codes, path, cents, cb, subdim=2, stats=stats)
+
+    with pytest.raises(ValueError, match="needs corpus"):
+        ivf_recluster(spark, path, force=True)
+
+    rep = ivf_recluster(spark, path, corpus=corpus, force=True, seed=9)
+    assert rep["reclustered"] is True
+
+    codes2, cents2, cb2, subdim2, stats2 = pq.ivfpq_read(spark, path)
+    assert codes2.count() == 40 and stats2["n_vectors"] == 40
+    # codes identical to a fresh encode under the SAME (persisted) codebook
+    fresh = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.pq_encode_fused(corpus, cb2, subdim2).collect()
+    }
+    for r in codes2.select("vec_id", "codes").collect():
+        assert list(r["codes"]) == fresh[r["vec_id"]]
+    corpus.unpersist()
+
+
+def test_compact_index_bounds_files_preserving_answers(spark, tmp_path):
+    """Repeated appends accrete one file set per batch per cell;
+    compact_index rewrites cell dirs down without changing answers,
+    stats, or the meta version (content is identical)."""
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        compact_index,
+        ivf_append,
+        ivf_index,
+        ivf_read_index,
+        ivf_topk,
+        ivf_write,
+    )
+    from batch_process_spark.sinks.compact import parquet_files
+
+    rng = np.random.default_rng(35)
+    a = rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4))
+    b = rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4))
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(base, n_centroids=2)
+    path = str(tmp_path / "accreting")
+    ivf_write(assigned, path, centroids=cents)
+
+    for batch in range(5):
+        newv = spark.createDataFrame(
+            [
+                (2000 + batch * 10 + j,
+                 [float(x) for x in rng.normal((5.0, 0.0, 0.0, 0.0), 0.2)])
+                for j in range(3)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        ivf_append(spark, path, newv)
+
+    v_before = _read_meta_version(spark, path)
+    df0, cents0, stats0 = ivf_read_index(spark, path)
+    q = spark.createDataFrame(
+        [(0, [5.0, 0.1, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    before = [
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in ivf_topk(df0, cents0, q, k=5, nprobe=2).collect()
+    ]
+
+    n_files_before = len(parquet_files(path))
+    rep = compact_index(spark, path, target_mb=128, min_files=3)
+    assert rep["cells_compacted"] >= 1
+    assert rep["files_after"] < rep["files_before"] == n_files_before
+
+    df1, cents1, stats1 = ivf_read_index(spark, path)
+    assert df1.count() == 55 and stats1 == stats0
+    assert _read_meta_version(spark, path) == v_before  # content unchanged
+    after = [
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in ivf_topk(df1, cents1, q, k=5, nprobe=2).collect()
+    ]
+    assert after == before
+
+
+def test_subtract_index_stats_inverts_merge(spark):
+    """Property: subtract(merge(A, B), B) == A exactly for counts and
+    to float precision for the mean — the invariant ivf_delete's exact
+    stats decrement rides on."""
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        merge_index_stats,
+        subtract_index_stats,
+    )
+
+    rng = np.random.default_rng(36)
+    for trial in range(25):
+        cells = rng.integers(1, 6)
+        A = {
+            "cell_sizes": {int(c): int(rng.integers(1, 50)) for c in range(cells)},
+            "mean_within_dist": float(rng.uniform(0, 0.5)),
+        }
+        B = {
+            "cell_sizes": {
+                int(c): int(rng.integers(1, 50))
+                for c in rng.choice(cells + 2, size=rng.integers(1, cells + 1), replace=False)
+            },
+            "mean_within_dist": float(rng.uniform(0, 0.5)),
+        }
+        for s in (A, B):
+            s["n_vectors"] = sum(s["cell_sizes"].values())
+            s["mean_cell_size"] = s["n_vectors"] / len(s["cell_sizes"])
+        back = subtract_index_stats(merge_index_stats(A, B), B)
+        assert back["cell_sizes"] == A["cell_sizes"]
+        assert back["n_vectors"] == A["n_vectors"]
+        assert abs(back["mean_within_dist"] - A["mean_within_dist"]) < 1e-9
