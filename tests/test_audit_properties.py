@@ -1,0 +1,115 @@
+"""Property tests for the audit math behind q229 / q233 / q237
+(VERDICT r9 item 9, the merge_index_stats style): for ANY corpus the
+results must be independent of row order and partitioning (Spark and
+the DuckDB oracle see different physical orders, so any order
+sensitivity is a latent hash-mismatch), and the closed-form claims —
+restrictive-wins dominance, sampling mass conservation — must hold.
+
+Each hypothesis example writes the SAME document multiset in two
+layouts (shuffled row order, different partition counts) and runs the
+real catalog queries on both."""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+
+_doc = st.lists(st.sampled_from(WORDS), min_size=3, max_size=12)
+_corpus = st.lists(_doc, min_size=8, max_size=24)
+
+
+def _two_layouts(spark, docs_words, seed):
+    """Write (doc_id, text, source) in natural order/4 partitions and
+    shuffled order/9 partitions; yield both sf-dir paths."""
+    rows = [
+        (i, " ".join(w), f"src{i % 3}") for i, w in enumerate(docs_words)
+    ]
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    dirs = []
+    for layout, parts in ((rows, 4), (shuffled, 9)):
+        d = tempfile.mkdtemp(prefix="auditprop_")
+        (
+            spark.createDataFrame(layout, "doc_id long, text string, source string")
+            .repartition(parts)
+            .write.mode("overwrite")
+            .parquet(d + "/documents.parquet")
+        )
+        dirs.append(d)
+    return dirs
+
+
+def _rowset(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_words=_corpus, seed=st.integers(0, 2**20))
+def test_q229_zipf_slope_invariant_under_doc_shuffling(spark, docs_words, seed):
+    """The per-source Zipf slope is a function of the term-frequency
+    MULTISET: shuffling document order and changing partitioning must
+    not move it (ranks tie-break on the term, so the fitted top-200
+    set is unique; the 5-number OLS reduce is exact sums)."""
+    from batch_process_spark.queries_ext16 import q229_zipf_slope
+
+    a, b = _two_layouts(spark, docs_words, seed)
+    try:
+        assert _rowset(q229_zipf_slope(spark, a)) == _rowset(q229_zipf_slope(spark, b))
+    finally:
+        shutil.rmtree(a), shutil.rmtree(b)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_words=_corpus, seed=st.integers(0, 2**20))
+def test_q233_restrictive_wins_is_order_free(spark, docs_words, seed):
+    """License propagation: identical matrix under re-layout (max is
+    commutative/associative — no order can launder a restricted tier
+    out), and in every cell the effective tier DOMINATES the survivor
+    tier (propagation never relaxes terms)."""
+    from batch_process_spark.queries_ext16 import q233_license_propagation
+
+    a, b = _two_layouts(spark, docs_words, seed)
+    try:
+        ra = q233_license_propagation(spark, a)
+        assert _rowset(ra) == _rowset(q233_license_propagation(spark, b))
+        for r in ra.collect():
+            assert r["effective_tier"] >= r["survivor_tier"]
+    finally:
+        shutil.rmtree(a), shutil.rmtree(b)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_words=_corpus, seed=st.integers(0, 2**20))
+def test_q237_weights_conserve_sampling_mass(spark, docs_words, seed):
+    """Soft dedup: every near-dup cluster's weights sum to exactly 1
+    (1/cluster_size x cluster_size), so the corpus-wide effective mass
+    equals the number of DISTINCT content units: singletons + one per
+    cluster. Also order-free under re-layout."""
+    from batch_process_spark.queries_ext import _near_dup_corpus
+    from batch_process_spark.queries_ext3 import q79_dedup_clusters
+    from batch_process_spark.queries_ext16 import q237_soft_dedup_weights
+
+    a, b = _two_layouts(spark, docs_words, seed)
+    try:
+        ra = q237_soft_dedup_weights(spark, a)
+        assert _rowset(ra) == _rowset(q237_soft_dedup_weights(spark, b))
+
+        corpus_n = _near_dup_corpus(spark, a).count()
+        cl = q79_dedup_clusters(spark, a)
+        n_components = cl.select("component").distinct().count()
+        clustered_docs = cl.count()
+        expected_mass = (corpus_n - clustered_docs) + n_components
+        got = sum(r["effective_docs"] for r in ra.collect())
+        # per-source 6dp rounding -> tolerance scales with source count
+        assert abs(got - expected_mass) < 1e-5 * max(ra.count(), 1) + 1e-9
+        # n_docs conserves the raw corpus
+        assert sum(r["n_docs"] for r in ra.collect()) == corpus_n
+    finally:
+        shutil.rmtree(a), shutil.rmtree(b)
