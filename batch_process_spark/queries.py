@@ -360,10 +360,10 @@ def invalidate_tables(path: str | None = None) -> int:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 4) AS DOUBLE)      AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_charge,
+           CAST(floor(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT))::DOUBLE / 1000000 * 10000 + 0.5) / 10000 AS DOUBLE) AS sum_qty,
+           CAST(floor(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT))::DOUBLE / 1000000 * 10000 + 0.5) / 10000 AS DOUBLE) AS sum_base_price,
+           CAST(floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT))::DOUBLE / 1000000 * 10000 + 0.5) / 10000 AS DOUBLE) AS sum_disc_price,
+           CAST(floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT))::DOUBLE / 1000000 * 10000 + 0.5) / 10000 AS DOUBLE) AS sum_charge,
            floor(avg(l_quantity) * 10000 + 0.5) / 10000                     AS avg_qty,
            floor(avg(l_extendedprice) * 10000 + 0.5) / 10000                AS avg_price,
            floor(avg(l_discount) * 10000 + 0.5) / 10000                     AS avg_disc,
@@ -382,23 +382,32 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # Sums accumulate as DECIMAL: the per-row double->decimal(28,10)
-    # cast is a deterministic function of each value and decimal
-    # addition is EXACT, so the result is independent of row/partition
-    # order — a layout rewrite (SPARK_GRAFT_LAYOUT_CACHE bucketed
-    # respread) or a different executor count cannot flip the last
-    # rounded digit the way float summation order can (BASELINE §7,
-    # round 8). Partial aggregation still applies (decimal sum is
-    # associative), so the shuffle stays six rows of decimals.
-    dec = lambda c: c.cast("decimal(28,10)")
+    # Order-independent money sums via integer micro-units (the
+    # q111/q114 quantize-then-sum discipline, adopted after the r10
+    # A/B in scripts/q01ab.py measured it 0.64x the DECIMAL(28,10)
+    # cast path): each value quantizes to 1e-6 units with the repo's
+    # half-up-via-floor idiom — EXACT here because the true values
+    # carry <= 6 decimal digits (price 2dp, disc_price 4dp, charge
+    # 6dp), so value*1e6 is an integer and the double's ~1e-12
+    # relative error can never sit on the .5 boundary — and the longs
+    # accumulate in DECIMAL(38,0) (exact, associative, long-backed
+    # compact, no bigint overflow at any SF). Result independent of
+    # row/partition order (BASELINE §7 round 8's requirement) without
+    # a per-row BigDecimal materialization; both engines then
+    # unquantize the SAME exact integer sum with identical IEEE ops.
+    micro = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("decimal(38,0)")
+    unq = lambda c, name: (
+        F.floor(F.sum(micro(c)).cast("double") / 1_000_000 * 10_000 + F.lit(0.5))
+        / 10_000
+    ).alias(name)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec(F.col("l_quantity"))), 4).cast("double").alias("sum_qty"),
-            F.round(F.sum(dec(F.col("l_extendedprice"))), 4).cast("double").alias("sum_base_price"),
-            F.round(F.sum(dec(disc_price)), 4).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(dec(disc_price * (1 + F.col("l_tax")))), 4).cast("double").alias("sum_charge"),
+            unq(F.col("l_quantity"), "sum_qty"),
+            unq(F.col("l_extendedprice"), "sum_base_price"),
+            unq(disc_price, "sum_disc_price"),
+            unq(disc_price * (1 + F.col("l_tax")), "sum_charge"),
             round_half_up(F.avg("l_quantity")).alias("avg_qty"),
             round_half_up(F.avg("l_extendedprice")).alias("avg_price"),
             round_half_up(F.avg("l_discount")).alias("avg_disc"),

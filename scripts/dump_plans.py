@@ -87,7 +87,7 @@ NOTES = {
     "q204_ngram_novelty_curve": "every gram reduces to its first doc via one partial-agg min at gram granularity; the unpartitioned window only ever sees the 10 decile rows (bounded by construction)",
     "q205_product_quantization": "PQ train+encode: (vec_id, sub) partial aggs against a codebook frame AQE broadcasts while small (no forced hint — huge m*k degrades to shuffle join instead of OOM); per-vector md5 over sub-ordered codes; production path is the map-only fused Arrow kernel (pqprobe: 0 B/vec)",
     "q206_pq_adc_topk": "ADC search: queries x m x k LUT built by one tiny agg and broadcast into the codes join; corpus side partial-aggs to one 8-byte (query, vec) sum before the exchange; ranking on the rounded distance",
-    "q207_sliding_span_dedup": "spans assemble in-row (transform over a sequence, no token explode); span-stats agg keys on the hash with map-side partials; the stats-to-spans join's build side carries ONE row per hash, so boilerplate spans stay bounded per task",
+    "q207_sliding_span_dedup": "spans assemble ONCE in a fused Arrow kernel (mapInPandas, byte-identical md5 keys; 2x the codegen slice+join assembly), repartition on h, (h,doc_id) pre-agg exchange-free, distinct-doc count as a COUNT WINDOW over h — no self-join (Catalyst planned no ReusedExchange across the old stats join, so assembly ran twice)",
     "q208_packing_efficiency": "one grouped agg over the per-shard-parallel packing window (q77's shape); no global window",
     "q209_embedding_drift": "position-explode into a (label, pos) conditional-avg partial agg (exchange carries labels x dims rows), then a labels-sized reduce; snapshot counts ride a second labels-sized agg joined back",
     "q210_mmr_diversified": "rerank stage: every frame bounded by queries x pool (pairwise sim = pool^2 per query); corpus touched only by the pool-building scoring pass (ANN tier at scale); three fixed argmax windows, each k rows per query group",

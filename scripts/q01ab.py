@@ -114,9 +114,11 @@ def main() -> None:
 
     spark = get_spark("q01ab")
     con = duckdb.connect()
-    con.sql(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet/*.parquet'"
-    )
+    import os
+
+    p = f"{SF}/lineitem.parquet"
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM {src}")
     q01_a = entry.queries()["q01_pricing_summary"]
 
     # correctness first: each variant vs its own duck twin
