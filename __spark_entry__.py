@@ -29,6 +29,7 @@ import batch_process_spark.queries_ext13  # noqa: F401  (registers part-14 queri
 import batch_process_spark.queries_ext14  # noqa: F401  (registers part-15 queries)
 import batch_process_spark.queries_ext15  # noqa: F401  (registers part-16 queries)
 import batch_process_spark.queries_ext16  # noqa: F401  (registers part-17 queries)
+import batch_process_spark.queries_ext17  # noqa: F401  (registers part-18 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -118,6 +118,10 @@ NOTES = {
     "q236_lsh_blocking_eval": "fixed 300-row audit sample: bucket equi-join candidates + the O(sample^2) exact referee, both reduced to counts in-stage; 1-row output",
     "q237_soft_dedup_weights": "q79's clustering + a corpus-granular left join (cluster frame is pairs-sized) + a sources-sized agg",
     "q238_crosslingual_neardup": "q26's bucket-blocked verified pairs + two id-equi lang joins + a langs^2-row agg",
+    "q239_survivor_quality_pick": "q79's clustering + a node-sized score join; per-component argmax as max(struct(score,-id)) — no data-scale window; 1-row output",
+    "q240_span_novelty_curve": "Arrow span kernel once -> repartition(h) -> distinct -> MIN window over h (q207's no-self-join shape); deciles off a broadcast 1-row min/max — no global NTILE sort",
+    "q241_oov_rate": "one token explode feeds the term-count agg; top-K cut is TakeOrderedAndProject (per-partition heaps); the K-row vocab broadcasts back over the token stream",
+    "q242_dup_by_length": "q207's doc-grained frame joined to a length projection; range-decile buckets off a broadcast 1-row min/max; 10-row agg",
 }
 
 

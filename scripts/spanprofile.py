@@ -67,7 +67,10 @@ def main() -> None:
     t = F.col("text")
     n_chars = F.length(t)
     punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    # NOTE: all-counts form (the round-10 fix). Swapping `digits` back
+    # to length(regexp_replace(t, '[^0-9]', '')) reproduces the second
+    # regex cliff: the whole projection de-optimizes ~42x.
+    digits = F.regexp_count(t, F.lit(r"[0-9]"))
     n_tokens = text.token_count_ws(t)
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
