@@ -13,6 +13,10 @@ config.yaml`` lifecycle (SURVEY §3.1):
     python -m batch_process_spark.cli query q01_pricing_summary \
         --sf-dir /root/testdata/sf0.01 [--limit 20] [--json] [--explain]
                                                      # run a catalog query
+    python -m batch_process_spark.cli index-compact <dir> [--target-mb 128]
+    python -m batch_process_spark.cli index-delete <dir> --ids 1,2,3|@file
+    python -m batch_process_spark.cli index-recluster <dir> \
+        [--skew-threshold 4.0] [--force]             # stored-index lifecycle
 
 Plugins: ``--plugins <dir>`` imports every ``*.py`` there; modules
 self-register via the ``@operator`` decorator.
@@ -43,9 +47,13 @@ def load_plugins(plugin_dir: str) -> None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="batch_process_spark")
     ap.add_argument(
-        "command", choices=["run", "simulate", "ops", "compact", "template", "query"]
+        "command",
+        choices=[
+            "run", "simulate", "ops", "compact", "template", "query",
+            "index-compact", "index-delete", "index-recluster",
+        ],
     )
-    ap.add_argument("root", nargs="?", help="directory tree to process / query name")
+    ap.add_argument("root", nargs="?", help="directory tree to process / query name / index dir")
     ap.add_argument("-c", "--config", help="YAML/JSON rule config")
     ap.add_argument("--plugins", help="directory of plugin modules")
     ap.add_argument("--history", help="parquet dir for the run history sink")
@@ -56,6 +64,10 @@ def main(argv=None) -> int:
     ap.add_argument("--limit", type=int, default=50, help="query: max rows printed")
     ap.add_argument("--json", action="store_true", help="query: JSON-lines output")
     ap.add_argument("--explain", action="store_true", help="query: print the physical plan instead of rows")
+    ap.add_argument("--ids", help="index-delete: comma-separated vector ids, or @file with one id per line")
+    ap.add_argument("--id-col", default="vec_id", help="index-delete: id column name")
+    ap.add_argument("--skew-threshold", type=float, default=4.0, help="index-recluster: rebuild when max-cell/mean-cell exceeds this")
+    ap.add_argument("--force", action="store_true", help="index-recluster: rebuild regardless of skew")
     args = ap.parse_args(argv)
 
     import batch_process_spark.plans.builtin_ops  # noqa: F401  (registers built-ins)
@@ -107,6 +119,35 @@ def main(argv=None) -> int:
 
         tpl = generate_template(args.root)
         print(format_config_yaml(tpl), end="")
+        return 0
+
+    if args.command in ("index-compact", "index-delete", "index-recluster"):
+        # stored-index lifecycle from the command line: the takedown /
+        # maintenance entry points an operator runs without writing a
+        # driver script. All three print ONE JSON report line.
+        if not args.root:
+            ap.error(f"{args.command} needs the index <dir>")
+        from batch_process_spark.operators import similarity
+        from batch_process_spark.session import get_spark
+
+        spark = get_spark("batch_process_spark.cli")
+        if args.command == "index-compact":
+            rep = similarity.compact_index(spark, args.root, target_mb=args.target_mb)
+        elif args.command == "index-delete":
+            if not args.ids:
+                ap.error("index-delete needs --ids 1,2,3 or --ids @file")
+            if args.ids.startswith("@"):
+                with open(args.ids[1:]) as f:
+                    ids = [int(line) for line in f if line.strip()]
+            else:
+                ids = [int(x) for x in args.ids.split(",") if x.strip()]
+            rep = similarity.ivf_delete(spark, args.root, ids, id_col=args.id_col)
+        else:
+            rep = similarity.ivf_recluster(
+                spark, args.root,
+                skew_threshold=args.skew_threshold, force=args.force,
+            )
+        print(json.dumps(rep, sort_keys=True))
         return 0
 
     if args.command == "compact":

@@ -265,3 +265,56 @@ def test_cli_run_output_is_bounded(spark, tmp_path, capsys, monkeypatch):
     assert "detail output truncated at 2 rows" in out
     summary = _json.loads(out.splitlines()[-1].split("status summary: ", 1)[1])
     assert summary.get("success", 0) == 4 and "failed" not in summary
+
+
+def test_cli_index_lifecycle_subcommands(spark, tmp_path, capsys):
+    """index-delete / index-recluster / index-compact drive the stored-
+    index lifecycle from the command line and print one JSON report."""
+    import json as _json
+
+    import numpy as np
+
+    from batch_process_spark.cli import main
+    from batch_process_spark.operators.similarity import (
+        ivf_index,
+        ivf_read_index,
+        ivf_write,
+    )
+
+    rng = np.random.default_rng(51)
+    vecs = np.vstack([
+        rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+        rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+    ])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(corpus, n_centroids=2)
+    path = str(tmp_path / "cli_idx")
+    ivf_write(assigned, path, centroids=cents)
+
+    # delete two ids via an @file list
+    ids_file = tmp_path / "doomed.txt"
+    ids_file.write_text("3\n7\n")
+    assert main(["index-delete", path, "--ids", f"@{ids_file}"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_deleted"] == 2
+    df, _, stats = ivf_read_index(spark, path)
+    assert stats["n_vectors"] == 38 and df.filter("vec_id IN (3, 7)").count() == 0
+
+    # recluster: no-op below threshold, forced rebuild works
+    assert main(["index-recluster", path, "--skew-threshold", "50"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["reclustered"] is False
+    assert main(["index-recluster", path, "--force"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["reclustered"] is True
+    df2, _, stats2 = ivf_read_index(spark, path)
+    assert stats2["n_vectors"] == 38
+
+    # compact reports without changing answers
+    assert main(["index-compact", path]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_after"] <= rep["files_before"]
+    assert ivf_read_index(spark, path)[0].count() == 38

@@ -1054,3 +1054,60 @@ def test_subtract_index_stats_inverts_merge(spark):
         assert back["cell_sizes"] == A["cell_sizes"]
         assert back["n_vectors"] == A["n_vectors"]
         assert abs(back["mean_within_dist"] - A["mean_within_dist"]) < 1e-9
+
+
+def test_ivf_delete_matches_rebuild_property(spark):
+    """Property (hypothesis-style seeds): for ANY random corpus and ANY
+    random delete subset, the stats ivf_delete persists equal
+    ivf_index_stats recomputed from scratch on the survivors — counts
+    exactly, the mean to float tolerance — and the surviving id set is
+    exactly corpus minus doomed."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        ivf_delete,
+        ivf_index,
+        ivf_index_stats,
+        ivf_read_index,
+        ivf_write,
+    )
+
+    for seed in (101, 202, 303):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(40, 90))
+        vecs = rng.normal(size=(n, 6)) + rng.choice(
+            [(4.0, 0, 0, 0, 0, 0), (-4.0, 0, 0, 0, 0, 0), (0, 4.0, 0, 0, 0, 0)],
+            size=n,
+        )
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        assigned, cents = ivf_index(corpus, n_centroids=3, seed=seed)
+        doomed = sorted(
+            int(i) for i in rng.choice(n, size=int(rng.integers(1, n - 1)),
+                                        replace=False)
+        )
+        d = tempfile.mkdtemp(prefix="delprop_")
+        try:
+            path = d + "/idx"
+            ivf_write(assigned, path, centroids=cents)
+            rep = ivf_delete(spark, path, doomed)
+            assert rep["n_deleted"] == len(doomed)
+
+            df, cents2, stats2 = ivf_read_index(spark, path)
+            left = {r["vec_id"] for r in df.select("vec_id").collect()}
+            assert left == set(range(n)) - set(doomed)
+
+            rebuilt = ivf_index_stats(
+                assigned.filter(~F.col("vec_id").isin(doomed)), cents
+            )
+            assert stats2["cell_sizes"] == rebuilt["cell_sizes"]
+            assert stats2["n_vectors"] == rebuilt["n_vectors"]
+            assert abs(stats2["mean_within_dist"] - rebuilt["mean_within_dist"]) < 1e-9
+            assert abs(stats2["mean_cell_size"] - rebuilt["mean_cell_size"]) < 1e-9
+        finally:
+            shutil.rmtree(d)
