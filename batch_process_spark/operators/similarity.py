@@ -876,6 +876,45 @@ def ivf_recluster(
     }
 
 
+def make_stored_ivf_scorer(
+    spark,
+    path: str,
+    nprobe: int | str = "auto",
+    max_fraction: float = 0.125,
+):
+    """Serving scorer bound to a STORED float-IVF index path, for
+    ``streaming.similarity.stream_topk_serving``: it re-reads the meta
+    file and the partitioned scan ON EVERY CALL, so index mutations —
+    ``ivf_append``, ``ivf_delete``, ``ivf_recluster``,
+    ``compact_index`` — land in the NEXT micro-batch without
+    restarting the stream. The per-batch refresh costs one tiny meta
+    text read plus a fresh file listing; the corpus argument the
+    serving loop passes is IGNORED (the stored index carries the float
+    vectors and the calibrated stats — it is the corpus).
+
+    This is the single-writer/many-reader contract in motion: readers
+    always serve a complete committed state (the meta swap is a
+    rename; cell rewrites are directory swaps), and the monotonic meta
+    ``version`` tells a reader which state answered its batch."""
+
+    def scorer(
+        corpus: DataFrame,  # ignored: the stored index IS the corpus
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        k: int = 10,
+    ) -> DataFrame:
+        df, cents, stats = ivf_read_index(spark, path)
+        return ivf_topk(
+            df, cents, queries,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+            k=k, nprobe=nprobe, stats=stats, max_fraction=max_fraction,
+        )
+
+    return scorer
+
+
 def compact_index(
     spark,
     path: str,

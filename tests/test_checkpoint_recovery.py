@@ -413,3 +413,87 @@ def test_stream_serving_with_ivf_scorer(spark, tmp_path):
     }
     got = {(r["query_id"], r["rank"], r["vec_id"]) for r in collected}
     assert got == exact
+
+
+def test_stored_index_serving_sees_mutations_between_batches(spark, tmp_path):
+    """The serving lifecycle end-to-end: a stream served off a STORED
+    index (make_stored_ivf_scorer re-reads per batch) answers batch 1
+    from the initial index; then the index mutates UNDER the running
+    recipe — ivf_append a new nearest neighbor, ivf_delete an old one —
+    and batch 2's answers reflect both, with no stream restart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        ivf_append,
+        ivf_delete,
+        ivf_index,
+        make_stored_ivf_scorer,
+        ivf_write,
+    )
+    from batch_process_spark.streaming.similarity import stream_topk_serving
+    from batch_process_spark.streaming.windows import drain_all
+
+    rng = np.random.default_rng(61)
+    vecs = np.vstack([
+        rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+        rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+    ])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(corpus, n_centroids=2)
+    path = str(tmp_path / "serving_idx")
+    ivf_write(assigned, path, centroids=cents)
+
+    src = tmp_path / "queries"
+    src.mkdir()
+    probe = [5.0, 0.05, 0.0, 0.0]
+
+    def write_q(qid):
+        pq.write_table(
+            pa.table({
+                "query_id": pa.array([qid], pa.int64()),
+                "embedding": pa.array([probe], pa.list_(pa.float64())),
+            }),
+            str(src / f"q{qid}.parquet"),
+        )
+
+    answers = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            answers.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    stream = spark.readStream.schema(
+        "query_id long, embedding array<double>"
+    ).parquet(str(src))
+    q = stream_topk_serving(
+        stream, corpus, sink, k=3,
+        scorer=make_stored_ivf_scorer(spark, path, nprobe=1),
+    )
+    try:
+        write_q(1)
+        drain_all(q)
+        batch1 = set(answers[1])
+        assert batch1 and 9000 not in batch1
+
+        # mutate the index while the stream keeps running: the exact
+        # probe vector arrives (id 9000), and one of batch 1's answers
+        # is taken down
+        ivf_append(spark, path, spark.createDataFrame(
+            [(9000, probe)], "vec_id long, embedding array<double>"
+        ))
+        takedown = min(batch1)
+        ivf_delete(spark, path, [takedown])
+
+        write_q(2)
+        drain_all(q)
+        batch2 = set(answers[2])
+        assert 9000 in batch2        # the appended vector is served
+        assert takedown not in batch2  # the deleted one never is
+    finally:
+        q.stop()
