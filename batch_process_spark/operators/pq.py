@@ -776,6 +776,41 @@ def make_ivfpq_scorer(
     return scorer
 
 
+def make_stored_ivfpq_scorer(
+    spark,
+    path: str,
+    rerank_factor: int = 5,
+    nprobe: int | str = "auto",
+):
+    """Serving scorer bound to a STORED IVFPQ index path (the
+    ``similarity.make_stored_ivf_scorer`` twin): every call re-reads
+    the meta (centroids + stats + codebook, one tiny text file) and
+    the partitioned codes scan, so ``ivfpq_append`` / ``ivf_delete`` /
+    ``ivf_recluster`` / ``compact_index`` land in the NEXT micro-batch
+    without restarting the stream. The exact rerank still runs against
+    the ``corpus`` frame the serving loop passes — the float source of
+    truth lives outside the codes index, so pass a corpus whose reads
+    also refresh (a parquet path read, not a cached frame) if it
+    mutates too."""
+
+    def scorer(
+        corpus: DataFrame,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        k: int = 10,
+    ) -> DataFrame:
+        codes, cents, cb, subdim, stats = ivfpq_read(spark, path)
+        return ivfpq_topk(
+            codes, cents, cb, queries, subdim, corpus,
+            k=k, rerank_factor=rerank_factor, nprobe=nprobe, stats=stats,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        )
+
+    return scorer
+
+
 # ---------------------------------------------------------------------------
 # Binary quantization — the 1-bit tier below PQ: sign-bit codes packed
 # into 32-bit words (32x smaller than float32 at d=64), searched by

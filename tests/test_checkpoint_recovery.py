@@ -497,3 +497,88 @@ def test_stored_index_serving_sees_mutations_between_batches(spark, tmp_path):
         assert takedown not in batch2  # the deleted one never is
     finally:
         q.stop()
+
+
+def test_stored_ivfpq_serving_sees_mutations_between_batches(spark, tmp_path):
+    """PQ twin of the stored-index serving lifecycle: batch 1 serves
+    off the initial codes index; ivfpq_append + ivf_delete mutate it
+    under the running stream; batch 2 serves the appended id and never
+    the deleted one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    import numpy as np
+
+    from batch_process_spark.operators import pq
+    from batch_process_spark.operators.similarity import (
+        ivf_delete,
+        ivf_index_stats,
+    )
+    from batch_process_spark.streaming.similarity import stream_topk_serving
+    from batch_process_spark.streaming.windows import drain_all
+
+    rng = np.random.default_rng(62)
+    vecs = np.vstack([
+        rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+        rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.2, size=(20, 4)),
+    ])
+    probe = [5.0, 0.05, 0.0, 0.0]
+    corpus_path = str(tmp_path / "float_corpus")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        + [(9000, probe)],  # float source of truth already holds the late vector
+        "vec_id long, embedding array<double>",
+    ).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    built = corpus.filter("vec_id < 9000")
+    assigned_codes, cents, cb = pq.ivfpq_index(built, subdim=2, k_code=4, n_centroids=2)
+    float_assigned = built.join(assigned_codes.select("vec_id", "centroid_id"), "vec_id")
+    stats = ivf_index_stats(float_assigned, cents)
+    path = str(tmp_path / "serving_pq")
+    pq.ivfpq_write(assigned_codes, path, cents, cb, subdim=2, stats=stats)
+
+    src = tmp_path / "pq_queries"
+    src.mkdir()
+
+    def write_q(qid):
+        pq_.write_table(
+            pa.table({
+                "query_id": pa.array([qid], pa.int64()),
+                "embedding": pa.array([probe], pa.list_(pa.float64())),
+            }),
+            str(src / f"q{qid}.parquet"),
+        )
+
+    answers = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            answers.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    stream = spark.readStream.schema(
+        "query_id long, embedding array<double>"
+    ).parquet(str(src))
+    q = stream_topk_serving(
+        stream, corpus, sink, k=3,
+        scorer=pq.make_stored_ivfpq_scorer(spark, path, nprobe=1),
+    )
+    try:
+        write_q(1)
+        drain_all(q)
+        batch1 = set(answers[1])
+        assert batch1 and 9000 not in batch1
+
+        pq.ivfpq_append(spark, path, spark.createDataFrame(
+            [(9000, probe)], "vec_id long, embedding array<double>"
+        ))
+        takedown = min(batch1)
+        ivf_delete(spark, path, [takedown])
+
+        write_q(2)
+        drain_all(q)
+        batch2 = set(answers[2])
+        assert 9000 in batch2
+        assert takedown not in batch2
+    finally:
+        q.stop()
