@@ -807,11 +807,13 @@ def ivf_recluster(
 
     Plain IVF float index: the stored vectors ARE the training corpus —
     no argument needed. IVFPQ codes index: pass ``corpus`` (the float
-    vectors; codes are not trainable input) — coarse centroids re-train,
-    vectors re-assign, and codes re-encode with the PERSISTED codebook
-    (the FAISS re-add contract: no codebook retrain, that is a separate
-    decision). ``n_centroids`` defaults to the stored centroid count.
-    The meta version stays monotonic across the swap."""
+    vectors; codes are not trainable input) — coarse centroids re-train
+    and vectors re-assign, while the STORED codes are reused as-is
+    (PQ codes quantize the vector, not its cell, so a coarse re-cluster
+    never changes them; no encode kernel re-runs and the persisted
+    codebook stays fixed — the FAISS re-add contract). ``n_centroids``
+    defaults to the stored centroid count. The meta version stays
+    monotonic across the swap."""
     from batch_process_spark.sinks.swapdir import swap_directory
 
     meta = read_index_meta(spark, path)
@@ -845,10 +847,18 @@ def ivf_recluster(
         assigned, cents = ivf_index(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=k, seed=seed
         )
-        codes = _pq.pq_encode_fused(
-            corpus, cb, subdim, id_col=id_col, vec_col=vec_col
+        # PQ codes are COARSE-INDEPENDENT (they quantize the vector,
+        # not its cell), so a re-cluster reuses the STORED codes and
+        # only re-labels centroid_id — at 100 TB this skips the m-way
+        # encode kernel over the whole float corpus; the coarse
+        # re-train + re-assign already pays the float scan. Vectors
+        # present in the corpus but missing from the stored codes
+        # (shouldn't happen under the single-writer contract) would
+        # drop here — the count is revalidated by the stats job.
+        stored_codes = spark.read.parquet(base).select(id_col, "codes")
+        assigned_codes = assigned.select(id_col, "centroid_id").join(
+            stored_codes, id_col
         )
-        assigned_codes = assigned.select(id_col, "centroid_id").join(codes, id_col)
         stats = ivf_index_stats(assigned, cents, vec_col=vec_col)
         _pq.ivfpq_write(assigned_codes, tmp, cents, cb, subdim, stats=stats)
     else:
