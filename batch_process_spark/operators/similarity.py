@@ -814,10 +814,11 @@ def ivf_recluster(
     codebook stays fixed — the FAISS re-add contract). ``n_centroids``
     defaults to the stored centroid count. The meta version stays
     monotonic across the swap."""
-    from batch_process_spark.sinks.swapdir import swap_directory
+    from batch_process_spark.sinks.swapdir import recover_swap, swap_directory
 
-    meta = read_index_meta(spark, path)
     base = path.rstrip("/")
+    recover_swap(base, base + ".__recluster__")  # repair a crashed earlier swap
+    meta = read_index_meta(spark, path)
     if meta.get("stats") is None:
         raise ValueError(
             f"index at {path!r} has no persisted stats — re-write it with "
