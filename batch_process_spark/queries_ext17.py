@@ -18,8 +18,19 @@ measurements exist:
   fraction per document-length decile; answers "is our duplication
   concentrated in short boilerplate or long mirrored documents",
   which decides whether a length floor substitutes for span dedup.
+- q243: embedding dimension health — per-dimension variance summary
+  with a dead-dimension count (capacity a truncation or PQ layout
+  should drop first).
+- q244: embedding anisotropy — ||mean vector|| / mean ||vector||, the
+  narrow-cone pathology scalar tracked per model version.
+- q245: hubness audit — exact k-occurrence histogram of the cosine
+  kNN graph on a bounded sample (hubs degrade kNN dedup/retrieval;
+  antihubs are unreachable).
+- q246: per-source token-distribution shift — Jensen-Shannon
+  divergence of each source against the corpus marginal (the
+  mixture-design companion to q101/q234).
 
-All four are full value-hash oracles over the standard tables.
+All eight are full value-hash oracles over the standard tables.
 
 Reference parity: beyond the reference (SURVEY §7 M6); LLM-pipeline
 audits the brief adds on top of the reference surface.
@@ -337,4 +348,293 @@ def q242_dup_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_spans").alias("n_spans"),
             round_half_up(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243: embedding dimension health — per-dimension variance table
+# ---------------------------------------------------------------------------
+
+_DEAD_VAR = 0.01  # a dimension below this variance is "dead" capacity
+
+
+@_q(
+    "q243_dim_variance",
+    f"""
+    WITH d AS (
+      SELECT u.i - 1 AS pos, embedding[u.i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    per AS (
+      SELECT pos, CAST(count(*) AS BIGINT) AS n,
+             floor((sum(v * v) / count(*)
+                    - (sum(v) / count(*)) * (sum(v) / count(*)))
+                   * 1000000 + 0.5) / 1000000 AS variance
+      FROM d GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(CASE WHEN variance < {_DEAD_VAR} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dead_dims,
+           floor(min(variance) * 1000000 + 0.5) / 1000000 AS min_variance,
+           floor(max(variance) * 1000000 + 0.5) / 1000000 AS max_variance,
+           floor(avg(variance) * 1000000 + 0.5) / 1000000 AS mean_variance
+    FROM per
+    """,
+)
+def q243_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimension health: population variance per dimension,
+    summarized as the dead-dimension count (variance < 0.01 — capacity
+    the model pays for but cannot use), min/max/mean variance. A
+    truncation plan (q232 matryoshka) or a PQ subspace layout should
+    read this table first: dead or near-dead dimensions are the first
+    to drop. Variance from the E[x^2]-E[x]^2 moments, both engines on
+    the same formula, per-dim values rounded to 6dp BEFORE the summary
+    (the 6dp grid is the comparison contract, not raw float sums).
+
+    Scale shape: one posexplode into a (pos)-keyed partial agg — dims
+    rows out of any corpus size; the summary is a 1-row reduce."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        "pos", F.col("v").cast("double").alias("v")
+    )
+    n = F.count(F.lit(1))
+    var = F.sum(F.col("v") * F.col("v")) / n - (F.sum("v") / n) * (F.sum("v") / n)
+    per = d.groupBy("pos").agg(round_half_up(var, 6).alias("variance"))
+    dead = F.when(F.col("variance") < _DEAD_VAR, 1).otherwise(0)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(dead).cast("long").alias("n_dead_dims"),
+        round_half_up(F.min("variance"), 6).alias("min_variance"),
+        round_half_up(F.max("variance"), 6).alias("max_variance"),
+        round_half_up(F.avg("variance"), 6).alias("mean_variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244: embedding anisotropy — mean-vector norm vs mean vector norm
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q244_anisotropy",
+    """
+    WITH d AS (
+      SELECT vec_id, u.i - 1 AS pos, embedding[u.i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    centroid AS (SELECT pos, sum(v) / count(*) AS c FROM d GROUP BY 1),
+    cn AS (SELECT sqrt(sum(c * c)) AS centroid_norm FROM centroid),
+    vn AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM d GROUP BY 1),
+    mn AS (SELECT avg(nv) AS mean_norm, CAST(count(*) AS BIGINT) AS n_vectors
+           FROM vn)
+    SELECT n_vectors,
+           floor(centroid_norm * 1000000 + 0.5) / 1000000 AS centroid_norm,
+           floor(mean_norm * 1000000 + 0.5) / 1000000 AS mean_norm,
+           floor(centroid_norm / mean_norm * 1000000 + 0.5) / 1000000
+             AS anisotropy
+    FROM cn, mn
+    """,
+)
+def q244_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy: ||mean vector|| / mean ||vector|| — 0 for
+    a directionally balanced embedding space, toward 1 when every
+    vector points the same way (the 'narrow cone' pathology that makes
+    cosine similarities uniformly high and retrieval/clustering
+    mushy). The single scalar an embedding-health dashboard tracks per
+    model version next to q225's field checks.
+
+    Scale shape: one posexplode feeding two tiny aggregates (dims-row
+    centroid, 1-row norm means); nothing corpus-sized shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    centroid = d.groupBy("pos").agg(
+        (F.sum("v") / F.count(F.lit(1))).alias("c")
+    )
+    cn = centroid.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm"))
+    vn = d.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    mn = vn.agg(
+        F.avg("nv").alias("mean_norm"), F.count(F.lit(1)).alias("n_vectors")
+    )
+    return cn.crossJoin(mn).select(
+        "n_vectors",
+        round_half_up(F.col("centroid_norm"), 6).alias("centroid_norm"),
+        round_half_up(F.col("mean_norm"), 6).alias("mean_norm"),
+        round_half_up(F.col("centroid_norm") / F.col("mean_norm"), 6).alias(
+            "anisotropy"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245: hubness audit — k-occurrence distribution on a bounded sample
+# ---------------------------------------------------------------------------
+
+_HUB_SAMPLE = 300  # fixed audit sample (the exact referee is O(n^2))
+_HUB_K = 10
+
+
+def _q245_oracle() -> str:
+    from batch_process_spark.queries_ext import _DOT
+
+    cos = (
+        f"round({_DOT.format(a='a.embedding', b='b.embedding')} / "
+        f"(sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * "
+        f"sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)"
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {_HUB_SAMPLE}),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {cos} AS score
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT qid, nid FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, nid) AS rn
+        FROM scored
+      ) WHERE rn <= {_HUB_K}
+    ),
+    occ AS (
+      SELECT s.vec_id, count(knn.qid) AS k_occ
+      FROM s LEFT JOIN knn ON knn.nid = s.vec_id
+      GROUP BY 1
+    )
+    SELECT CAST(k_occ AS INT) AS k_occurrence,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM occ GROUP BY 1
+    """
+
+
+@_q("q245_hubness_audit", _q245_oracle())
+def q245_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: on a fixed {N}-vector sample, build the exact
+    cosine k-NN graph (k={K}) and publish the k-occurrence histogram —
+    how many vectors appear in 0, 1, ..., many other vectors' top-k.
+    A heavy right tail (hub vectors in everyone's neighbor list) is
+    the high-dimensional pathology that silently degrades kNN-based
+    dedup and retrieval; antihubs (k-occurrence 0) are unreachable by
+    any neighbor search. Skewed hubness argues for centering or
+    re-normalizing embeddings before the ANN index is built.
+
+    Scale shape: the all-pairs referee is bounded to the fixed sample
+    (the q236 discipline — documented cost, never corpus x corpus);
+    per-query top-k via one window over sample-sized rows, then two
+    tiny aggs. At corpus scale the same histogram is estimated from
+    ivf_topk results instead."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _HUB_SAMPLE)
+    from batch_process_spark.operators.similarity import cosine
+
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    scored = (
+        a.join(b, F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _HUB_K
+    )
+    counts = knn.groupBy(F.col("nid").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("k_occ")
+    )
+    occ = (
+        emb.select("vec_id")
+        .join(counts, "vec_id", "left")
+        .select(F.coalesce("k_occ", F.lit(0)).alias("k_occ"))
+    )
+    return occ.groupBy(F.col("k_occ").cast("int").alias("k_occurrence")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+q245_hubness_audit.__doc__ = q245_hubness_audit.__doc__.format(
+    N=_HUB_SAMPLE, K=_HUB_K
+)
+
+
+# ---------------------------------------------------------------------------
+# q246: per-source token-distribution shift (Jensen-Shannon vs corpus)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q246_source_token_jsd",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({DUCK_TOKENS.format(t='text')}) AS term
+      FROM documents
+    ),
+    st AS (SELECT source, term, count(*) AS f FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, sum(f) AS tot FROM st GROUP BY 1),
+    ct AS (SELECT term, sum(f) AS cf FROM st GROUP BY 1),
+    ctot AS (SELECT sum(cf) AS ctot FROM ct),
+    pq AS (
+      SELECT st.source, st.f::DOUBLE / stot.tot AS p,
+             ct.cf::DOUBLE / ctot.ctot AS q
+      FROM st JOIN stot USING (source) JOIN ct USING (term), ctot
+    ),
+    -- corpus terms ABSENT from the source contribute q*log2(q/m) with
+    -- p=0: handled via the missing-mass complement (sum over present
+    -- terms of q, the rest integrates with p=0)
+    parts AS (
+      SELECT source,
+             sum(0.5 * p * log2(p / ((p + q) / 2))
+                 + 0.5 * q * log2(q / ((p + q) / 2))) AS present,
+             1.0 - sum(q) AS q_missing
+      FROM pq GROUP BY 1
+    )
+    SELECT source,
+           floor((present + 0.5 * q_missing) * 1000000 + 0.5) / 1000000
+             AS jsd_bits
+    FROM parts
+    """,
+)
+def q246_source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift per source: Jensen-Shannon divergence (bits)
+    between each source's token distribution and the corpus-wide one —
+    the mixture-design companion to q101/q234: a source with high JSD
+    is the one whose up/down-weighting moves the training distribution
+    most, and a JSD jump release-over-release is a content-drift alarm
+    (q209's embedding drift, restated on raw tokens). Terms the source
+    lacks contribute 0.5*q*log2(q/((0+q)/2)) = 0.5*q per missing term
+    (log2(2) = 1), folded in closed form as half the missing corpus
+    mass — no anti-join materializes the absent vocabulary.
+
+    Scale shape: one token explode into (source, term) partial-agg
+    counts; the corpus marginal joins at term grain; output is one row
+    per source."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens_col("text")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("f"))
+    stot = st.groupBy("source").agg(F.sum("f").alias("tot"))
+    ct = st.groupBy("term").agg(F.sum("f").alias("cf"))
+    ctot = ct.agg(F.sum("cf").alias("ctot"))
+    pq_ = (
+        st.join(stot, "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            (F.col("f").cast("double") / F.col("tot")).alias("p"),
+            (F.col("cf").cast("double") / F.col("ctot")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    part = 0.5 * F.col("p") * F.log2(F.col("p") / m) + 0.5 * F.col("q") * F.log2(
+        F.col("q") / m
+    )
+    parts = pq_.groupBy("source").agg(
+        F.sum(part).alias("present"), (F.lit(1.0) - F.sum("q")).alias("q_missing")
+    )
+    return parts.select(
+        "source",
+        round_half_up(F.col("present") + 0.5 * F.col("q_missing"), 6).alias(
+            "jsd_bits"
+        ),
     )

