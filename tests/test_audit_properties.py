@@ -113,3 +113,83 @@ def test_q237_weights_conserve_sampling_mass(spark, docs_words, seed):
         assert sum(r["n_docs"] for r in ra.collect()) == corpus_n
     finally:
         shutil.rmtree(a), shutil.rmtree(b)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_words=_corpus, seed=st.integers(0, 2**20))
+def test_q246_jsd_nonnegative_and_order_free(spark, docs_words, seed):
+    """Token-distribution shift: JSD is >= 0 and <= 1 bit for every
+    source, identical under corpus re-layout, and EXACTLY 0 whenever a
+    source IS the whole corpus (all docs forced to one source)."""
+    from batch_process_spark.queries_ext17 import q246_source_token_jsd
+
+    a, b = _two_layouts(spark, docs_words, seed)
+    try:
+        ra = q246_source_token_jsd(spark, a).collect()
+        assert sorted(tuple(str(v) for v in r) for r in ra) == _rowset(
+            q246_source_token_jsd(spark, b)
+        )
+        for r in ra:
+            assert -1e-9 <= r["jsd_bits"] <= 1.0 + 1e-9
+    finally:
+        shutil.rmtree(a), shutil.rmtree(b)
+
+    # degenerate case: one source == corpus -> exactly 0
+    d = tempfile.mkdtemp(prefix="auditprop_")
+    try:
+        rows = [(i, " ".join(w) or "pad", "src0") for i, w in enumerate(docs_words)]
+        (
+            spark.createDataFrame(rows, "doc_id long, text string, source string")
+            .write.mode("overwrite")
+            .parquet(d + "/documents.parquet")
+        )
+        out = q246_source_token_jsd(spark, d).collect()
+        assert len(out) == 1 and out[0]["jsd_bits"] == 0.0
+    finally:
+        shutil.rmtree(d)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-8, 8, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2, max_size=20,
+    ),
+    seed=st.integers(0, 2**20),
+)
+def test_q243_q244_layout_invariant(spark, vecs, seed):
+    """Dimension variance and anisotropy are multiset statistics:
+    permuting/partitioning the embeddings table differently never
+    moves them; variances are >= 0 and anisotropy sits in [0, 1]
+    (Cauchy-Schwarz: ||mean|| <= mean ||.||)."""
+    from batch_process_spark.queries_ext17 import q243_dim_variance, q244_anisotropy
+
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    dirs = []
+    for layout, parts in ((rows, 3), (shuffled, 7)):
+        d = tempfile.mkdtemp(prefix="auditprop_")
+        (
+            spark.createDataFrame(
+                layout, "vec_id long, embedding array<float>, label int"
+            )
+            .repartition(parts)
+            .write.mode("overwrite")
+            .parquet(d + "/embeddings.parquet")
+        )
+        dirs.append(d)
+    a, b = dirs
+    try:
+        va = q243_dim_variance(spark, a).collect()[0]
+        vb = q243_dim_variance(spark, b).collect()[0]
+        assert tuple(va) == tuple(vb)
+        assert va["min_variance"] >= 0.0
+
+        aa = q244_anisotropy(spark, a).collect()[0]
+        ab = q244_anisotropy(spark, b).collect()[0]
+        assert tuple(aa) == tuple(ab)
+        if aa["anisotropy"] is not None:
+            assert -1e-6 <= aa["anisotropy"] <= 1.0 + 1e-6
+    finally:
+        shutil.rmtree(a), shutil.rmtree(b)
