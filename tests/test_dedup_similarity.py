@@ -1111,3 +1111,59 @@ def test_ivf_delete_matches_rebuild_property(spark):
             assert abs(stats2["mean_cell_size"] - rebuilt["mean_cell_size"]) < 1e-9
         finally:
             shutil.rmtree(d)
+
+
+def test_index_meta_version_monotonic_across_lifecycle(spark, tmp_path):
+    """The full maintenance chain on one index — write, 2x append,
+    delete, recluster, compact — leaves the meta version STRICTLY
+    increasing at every mutating step and unchanged across compaction
+    (content identical); stats stay consistent with a full recount
+    after the whole chain."""
+    import numpy as np
+
+    from batch_process_spark.operators.similarity import (
+        compact_index,
+        ivf_append,
+        ivf_delete,
+        ivf_index,
+        ivf_read_index,
+        ivf_recluster,
+        ivf_write,
+        read_index_meta,
+    )
+
+    rng = np.random.default_rng(71)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal((5.0, 0, 0, 0), 0.3)]) for i in range(30)]
+        + [(100 + i, [float(x) for x in rng.normal((-5.0, 0, 0, 0), 0.3)])
+           for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(base, n_centroids=2)
+    path = str(tmp_path / "chain")
+    ivf_write(assigned, path, centroids=cents)
+
+    def version():
+        return int(read_index_meta(spark, path)["version"])
+
+    v = [version()]
+    for b in range(2):
+        ivf_append(spark, path, spark.createDataFrame(
+            [(1000 + b * 10 + j,
+              [float(x) for x in rng.normal((5.0, 0, 0, 0), 0.3)])
+             for j in range(5)],
+            "vec_id long, embedding array<double>",
+        ))
+        v.append(version())
+    ivf_delete(spark, path, [0, 1, 100])
+    v.append(version())
+    ivf_recluster(spark, path, force=True, seed=5)
+    v.append(version())
+    assert v == sorted(set(v)), v  # strictly increasing
+
+    compact_index(spark, path, min_files=2)
+    assert version() == v[-1]  # compaction changes no content
+
+    df, cents2, stats = ivf_read_index(spark, path)
+    assert df.count() == 67 and stats["n_vectors"] == 67
+    assert sum(stats["cell_sizes"].values()) == 67
