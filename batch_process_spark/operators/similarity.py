@@ -738,7 +738,6 @@ def ivf_delete(
         cell_dir = f"{base}/centroid_id={cid}"
         tmp = f"{base}.__delete__.{cid}"
         recover_swap(cell_dir, tmp)
-        keep = spark.read.parquet(cell_dir).join(ids_df, id_col, "anti")
         stored_size = (meta.get("stats") or {}).get("cell_sizes", {}).get(cid)
         if stored_size is not None and stored_size == n_del:
             # cell emptied: remove the directory (a rebuild would not
@@ -746,6 +745,7 @@ def ivf_delete(
             shutil.rmtree(cell_dir)
             dropped += 1
             continue
+        keep = spark.read.parquet(cell_dir).join(ids_df, id_col, "anti")
         keep.write.mode("overwrite").parquet(tmp)
         swap_directory(tmp, cell_dir)
         rewritten += 1
