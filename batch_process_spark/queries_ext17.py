@@ -29,8 +29,11 @@ measurements exist:
 - q246: per-source token-distribution shift — Jensen-Shannon
   divergence of each source against the corpus marginal (the
   mixture-design companion to q101/q234).
+- q247: span containment — asymmetric duplication (a doc whose spans
+  live inside a longer container) that symmetric Jaccard under-scores;
+  the quote/mirror/wrapper detector.
 
-All eight are full value-hash oracles over the standard tables.
+All nine are full value-hash oracles over the standard tables.
 
 Reference parity: beyond the reference (SURVEY §7 M6); LLM-pipeline
 audits the brief adds on top of the reference surface.
@@ -638,3 +641,91 @@ def q246_source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jsd_bits"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q247: span containment — asymmetric duplication (doc inside doc)
+# ---------------------------------------------------------------------------
+
+_CONT_THRESH = 0.9  # fraction of a doc's spans found in the container
+_CONT_DF_CAP = 10   # q219's boilerplate cap on the pair join
+_CONT_MIN_SPANS = 5  # ignore docs too short to make the claim
+
+
+@_q(
+    "q247_span_containment",
+    f"""
+    WITH {{spans}},
+    sd AS (SELECT DISTINCT doc_id, h FROM s),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM sd GROUP BY 1),
+    keep AS (
+      SELECT h FROM sd GROUP BY h
+      HAVING count(*) > 1 AND count(*) <= {_CONT_DF_CAP}
+    ),
+    kept AS (SELECT sd.doc_id, sd.h FROM sd JOIN keep USING (h)),
+    pairs AS (
+      SELECT a.doc_id AS contained, b.doc_id AS container,
+             CAST(count(*) AS BIGINT) AS shared_spans
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained, container, shared_spans,
+           CAST(t.n_spans AS BIGINT) AS n_spans,
+           floor(shared_spans::DOUBLE / t.n_spans * 1000000 + 0.5) / 1000000
+             AS containment
+    FROM pairs JOIN tot t ON t.doc_id = pairs.contained
+    WHERE t.n_spans >= {_CONT_MIN_SPANS}
+      AND shared_spans::DOUBLE / t.n_spans >= {_CONT_THRESH}
+    """.format(spans=_SPAN_SQL_CTES),
+)
+def q247_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric duplication: document A is CONTAINED in document B
+    when >= 90% of A's distinct 8-word spans also occur in B — the
+    quote/mirror/wrapper case symmetric Jaccard dedup (q18/q79)
+    systematically under-scores, because the long container dilutes
+    the union. Emits (contained, container, shared spans, containment
+    fraction) for docs with at least {_CONT_MIN_SPANS} spans; the
+    denominator is ALL the contained doc's distinct spans (so a doc
+    sharing only a few informative spans with everyone cannot fake
+    containment), while the pair join counts spans under q219's
+    boilerplate df-cap (> {_CONT_DF_CAP} docs carry no containment
+    signal and would fan out quadratically — at 100 TB the cap is what
+    keeps the join linear-ish; a doc made purely of boilerplate is
+    therefore reported uncontained, the conservative direction).
+
+    Scale shape: the Arrow span kernel once, distinct at (doc, h),
+    df-capped pair join (build side one row per hash), per-doc span
+    totals join at pair grain."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = _span_frame(docs).distinct()
+    tot = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    keep = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") > 1) & (F.col("df") <= _CONT_DF_CAP))
+        .select("h")
+    )
+    kept = spans.join(keep, "h")
+    a = kept.select(F.col("h"), F.col("doc_id").alias("contained"))
+    b = kept.select(F.col("h"), F.col("doc_id").alias("container"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("contained") != F.col("container"))
+        .groupBy("contained", "container")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+    j = pairs.join(tot.withColumnRenamed("doc_id", "contained"), "contained")
+    frac = F.col("shared_spans") / F.col("n_spans")
+    return (
+        j.filter((F.col("n_spans") >= _CONT_MIN_SPANS) & (frac >= _CONT_THRESH))
+        .select(
+            "contained", "container", "shared_spans",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            round_half_up(frac, 6).alias("containment"),
+        )
+    )
+
+
+q247_span_containment.__doc__ = q247_span_containment.__doc__.format(
+    _CONT_MIN_SPANS=_CONT_MIN_SPANS, _CONT_DF_CAP=_CONT_DF_CAP
+)

@@ -126,6 +126,7 @@ NOTES = {
     "q244_anisotropy": "one posexplode feeding two tiny aggs (dims-row centroid, 1-row norm means); nothing corpus-sized shuffles",
     "q245_hubness_audit": "all-pairs referee bounded to the fixed sample (q236 discipline); per-query top-k window over sample-sized rows",
     "q246_source_token_jsd": "token explode -> (source, term) partial-agg counts; corpus marginal joins at term grain; missing vocabulary folded in closed form (no anti-join)",
+    "q247_span_containment": "Arrow span kernel -> distinct (doc,h) -> df-capped pair join (q219 discipline, build side one row/hash); per-doc totals join at pair grain; asymmetric fraction filter",
 }
 
 

@@ -1,4 +1,4 @@
-"""Tests for query-catalog part 18 (q239-q246): closed-form fixtures
+"""Tests for query-catalog part 18 (q239-q247): closed-form fixtures
 where the metric is known by construction (the DuckDB oracle pins the
 same queries value-for-value on the real tables; these pin the
 SEMANTICS on inputs whose answer is derivable by hand)."""
@@ -222,3 +222,25 @@ def test_q246_jsd_closed_form(spark, tmp_path):
     out = {r["source"]: r["jsd_bits"] for r in
            q246_source_token_jsd(spark, d2).collect()}
     assert out == {"s1": exp, "s2": exp}
+
+
+def test_q247_containment_closed_form(spark, tmp_path):
+    """A 12-word doc whose words are exactly the PREFIX of a 16-word
+    doc: all 5 of A's spans occur in B -> containment(A in B) = 1.0;
+    the reverse direction (5 of B's 9 spans) is 0.56 and filtered by
+    the 0.9 threshold; an unrelated doc never appears."""
+    from batch_process_spark.queries_ext17 import q247_span_containment
+
+    words = [f"w{chr(97 + i)}" for i in range(16)]
+    a = " ".join(words[:12])     # 5 spans
+    b = " ".join(words)          # 9 spans, first 5 shared
+    u = " ".join(f"u{i}" for i in range(12))
+    d = str(tmp_path)
+    _docs(spark, [(a, "en"), (b, "en"), (u, "en")], d)
+
+    rows = q247_span_containment(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["contained"], r["container"]) == (0, 1)
+    assert r["shared_spans"] == 5 and r["n_spans"] == 5
+    assert r["containment"] == 1.0
