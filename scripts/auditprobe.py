@@ -171,6 +171,40 @@ def probe_q224(spark, q, n: int, path: str, port: int):
     return f"| q224 | {n:,} | {wall:.1f} | {shuf} | {0 if ok else rows} |", ok
 
 
+def probe_q247(spark, q, n: int, path: str, port: int):
+    """Planted containment closed form: per decade, doc 10d is fully
+    contained in the prefix-copy 10d+1 (41/41 spans), the prefix-copy
+    conversely holds 41/42 (~0.97619) of its spans in the base, the
+    exact copy 10d+3 <-> 10d+2 and in-batch twins 10d+5 <-> 10d+7 are
+    1.0 both ways; punct docs have 1 distinct span (below MIN_SPANS)
+    and a df above the cap — never emitted. 6 rows per decade."""
+    out = q(spark, path)
+    out.write.format("noop").mode("overwrite").save()
+    sb0 = shuffle_write_bytes(port)
+    t0 = time.time()
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    shuf = fmt_shuffle(shuffle_delta(sb0, shuffle_write_bytes(port)), n_spans(n))
+    r = F.col("contained") % 10
+    partner = (
+        F.when(r == 0, F.col("contained") + 1)
+        .when(r == 1, F.col("contained") - 1)
+        .when(r == 2, F.col("contained") + 1)
+        .when(r == 3, F.col("contained") - 1)
+        .when(r == 5, F.col("contained") + 2)
+        .when(r == 7, F.col("contained") - 2)
+    )
+    exp_cont = F.when(r == 1, F.lit(0.97619)).otherwise(F.lit(1.0))
+    bad = out.filter(
+        partner.isNull()
+        | (F.col("container") != partner)
+        | (F.col("containment") != exp_cont)
+    ).count()
+    n_rows = out.count()
+    ok = bad == 0 and n_rows == 6 * n // 10
+    return f"| q247 | {n:,} | {wall:.1f} | {shuf} | {bad}+{abs(n_rows - 6*n//10)} |", ok
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -189,6 +223,7 @@ def main() -> None:
             ("q219_span_attribution", probe_q219),
             ("q222_quality_dup_calibration", probe_q222),
             ("q224_ingest_dedup_delta", probe_q224),
+            ("q247_span_containment", probe_q247),
         ):
             line, ok = probe(spark, qs[name], n, path, port)
             print(line)
@@ -199,7 +234,7 @@ def main() -> None:
             f"CREATE VIEW documents AS SELECT * FROM '{path}/documents.parquet/*.parquet'"
         )
         for name in ("q219_span_attribution", "q222_quality_dup_calibration",
-                     "q224_ingest_dedup_delta"):
+                     "q224_ingest_dedup_delta", "q247_span_containment"):
             t0 = time.time()
             con.sql(oracles[name]).fetchall()
             print(f"|   duckdb {name.split('_')[0]} | {n:,} | {time.time()-t0:.1f} | | | |")
