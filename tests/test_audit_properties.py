@@ -193,3 +193,52 @@ def test_q243_q244_layout_invariant(spark, vecs, seed):
             assert -1e-6 <= aa["anisotropy"] <= 1.0 + 1e-6
     finally:
         shutil.rmtree(a), shutil.rmtree(b)
+
+
+_long_doc = st.lists(st.sampled_from(WORDS), min_size=8, max_size=14)
+_span_corpus = st.lists(_long_doc, min_size=6, max_size=18)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_words=_span_corpus, seed=st.integers(0, 2**20))
+def test_q247_containment_bounds_and_order_free(spark, docs_words, seed):
+    """Span containment: identical under corpus re-layout; every
+    emitted row satisfies 0.9 <= containment <= 1.0, contained !=
+    container, shared <= total spans; and an EXACT duplicate pair is
+    always reported contained in BOTH directions at exactly 1.0."""
+    from batch_process_spark.queries_ext17 import q247_span_containment
+
+    # plant one exact duplicate of the first doc so at least one
+    # containment pair must exist
+    docs_words = list(docs_words) + [docs_words[0]]
+    a, b = _two_layouts(spark, docs_words, seed)
+    try:
+        ra = q247_span_containment(spark, a).collect()
+        assert sorted(tuple(str(v) for v in r) for r in ra) == _rowset(
+            q247_span_containment(spark, b)
+        )
+        for r in ra:
+            assert r["contained"] != r["container"]
+            assert 0.9 <= r["containment"] <= 1.0
+            assert r["shared_spans"] <= r["n_spans"]
+        twin_rows = {
+            (r["contained"], r["container"]): r["containment"]
+            for r in ra
+        }
+        dup_id = len(docs_words) - 1
+
+        # python twin of the span machinery: the planted pair is only
+        # REQUIRED in the output when doc 0 clears the MIN_SPANS floor
+        # and none of its spans exceed the boilerplate df cap
+        def spans_of(words):
+            return {tuple(words[i : i + 8]) for i in range(len(words) - 7)}
+
+        s0 = spans_of(docs_words[0])
+        df = {
+            sp: sum(1 for w in docs_words if sp in spans_of(w)) for sp in s0
+        }
+        if len(s0) >= 5 and all(2 <= v <= 10 for v in df.values()):
+            assert twin_rows.get((0, dup_id)) == 1.0
+            assert twin_rows.get((dup_id, 0)) == 1.0
+    finally:
+        shutil.rmtree(a), shutil.rmtree(b)
