@@ -188,10 +188,11 @@ def main(argv=None) -> int:
         return 0
 
     result = pipeline.run(tree)
-    # Bounded driver materialization: one row per (file x processor) step
-    # would OOM the driver on a 100M-file tree if collected wholesale.
-    # Print the first MAX_CLI_ROWS detail lines, then a distributed
-    # status summary; --history already persists the full log.
+    # result.results is driver-local with ONE ROW PER PIPELINE STAGE
+    # (compiler.py builds it from the stage log, not per input file),
+    # so it is small by construction. The truncation below is cheap
+    # defense-in-depth for configs with very many stages, not an OOM
+    # guard; --history persists the full log either way.
     shown = 0
     for r in result.results.toLocalIterator():
         if shown < MAX_CLI_ROWS:

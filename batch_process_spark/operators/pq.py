@@ -627,6 +627,7 @@ def ivfpq_append(
     )
 
     meta = read_index_meta(spark, path)
+    expected = int(meta.get("version", 0))
     if "pq" not in meta:
         raise ValueError(
             f"index at {path!r} has no PQ metadata — use ivf_append for "
@@ -651,7 +652,7 @@ def ivfpq_append(
             "mean_cell_size": merged["mean_cell_size"],
             "mean_within_dist": merged["mean_within_dist"],
         }
-        write_index_meta(spark, path, meta)
+        write_index_meta(spark, path, meta, expected_version=expected)
     return inc
 
 

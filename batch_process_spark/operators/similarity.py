@@ -234,6 +234,31 @@ def ivf_index(
     return assigned, centroids
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train-only half of ``ivf_index``: fit KMeans and return the
+    centroid list, assigning nothing. Used by ``ivf_recluster``'s
+    sampled retrain — centroids train on a bounded sample while the
+    full corpus re-assigns distributed (``ivf_assign``, argmin-exact),
+    so the retrain wall stops scaling with the corpus."""
+    from pyspark.ml.clustering import KMeans
+
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=20,
+        featuresCol="features", predictionCol="centroid_id",
+    )
+    return [c.tolist() for c in km.fit(ml_df).clusterCenters()]
+
+
 def ivf_index_stats(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -451,7 +476,15 @@ def ivf_write(
         write_index_meta(assigned.sparkSession, path, meta)
 
 
-def write_index_meta(spark, path: str, meta: dict) -> None:
+class ConcurrentIndexMutation(RuntimeError):
+    """The stored ``_ivf_meta`` version moved between a lifecycle op's
+    initial read and its commit — a second writer violated the
+    single-writer contract. The op's data writes may have landed but
+    its stats update was NOT applied; re-read the index and retry."""
+
+
+def write_index_meta(spark, path: str, meta: dict,
+                     expected_version: int | None = None) -> None:
     """Persist an index metadata dict as ONE tiny JSON text file under
     ``path/_ivf_meta`` — through the DataFrame writer, so it lands on
     whatever Hadoop filesystem the index lives on; the ``_`` prefix
@@ -461,20 +494,45 @@ def write_index_meta(spark, path: str, meta: dict) -> None:
     Concurrency contract: index mutation (``ivf_write`` / ``*_append``
     / ``ivf_delete`` / ``ivf_recluster``) is SINGLE-WRITER — appends
     read-modify-write the stats, so two concurrent writers lose one
-    update. To make lost updates and torn writes *detectable*, each
-    write (a) stamps a monotonic ``version`` (prior stored version
-    + 1), and (b) stages the new meta in a temp dir then renames it
-    over ``_ivf_meta``, shrinking the no-meta window from
-    write-duration to a single FS rename. Readers that cache meta can
-    compare ``version`` to detect a concurrent swap."""
+    update. The contract is ENFORCED at commit, not just documented:
+    every lifecycle op passes ``expected_version`` (the version it read
+    at start), and the write compares-and-swaps against the currently
+    stored version — if another writer bumped it in between, the write
+    fails loudly with ``ConcurrentIndexMutation`` instead of silently
+    losing that writer's stats update. Each successful write stamps a
+    monotonic ``version`` (prior stored version + 1).
+
+    Crash safety: the new meta is staged in a temp dir, the PRIOR meta
+    is renamed aside to ``_ivf_meta.__old__`` (never deleted first),
+    the temp renamed in, and only then the aside dropped — a crash at
+    any point leaves a recoverable meta (the next write rolls the aside
+    back; ``read_index_meta`` also falls back to it), so the version
+    counter survives every crash window."""
     import json
     import uuid
 
+    from batch_process_spark.sinks.hadoopfs import HadoopFS
+
     base = path.rstrip("/")
+    fs = HadoopFS(spark, base)
+    final = base + "/_ivf_meta"
+    old = final + ".__old__"
+    # recover a crash between rename-aside and swap-in: the prior meta
+    # survives under .__old__ — restore it so the version counter (and
+    # concurrent-writer detection) survives the crash
+    if not fs.exists(final) and fs.exists(old):
+        fs.rename(old, final)
     try:
         stored = int(read_index_meta(spark, base).get("version", 0))
     except ValueError:  # first write: no prior meta
         stored = 0
+    if expected_version is not None and stored != int(expected_version):
+        raise ConcurrentIndexMutation(
+            f"index at {base!r}: _ivf_meta version is {stored} but this "
+            f"writer read {int(expected_version)} — a concurrent mutation "
+            "committed in between (single-writer contract violated); "
+            "stats update NOT applied, re-read the index and retry"
+        )
     meta["version"] = max(stored, int(meta.get("version", 0))) + 1
     tmp = f"{base}/_ivf_meta_tmp_{uuid.uuid4().hex[:12]}"
     (
@@ -483,22 +541,23 @@ def write_index_meta(spark, path: str, meta: dict) -> None:
         .write.mode("overwrite")
         .text(tmp)
     )
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(base)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    final = jvm.org.apache.hadoop.fs.Path(base + "/_ivf_meta")
-    fs.delete(final, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), final):
-        raise IOError(f"rename {tmp} -> {base}/_ivf_meta failed")
+    fs.delete(old)  # clear a stale aside from an earlier completed write
+    if fs.exists(final):
+        fs.rename(final, old)  # prior meta stays recoverable, never deleted
+    fs.rename(tmp, final)
+    fs.delete(old)
 
 
 def read_index_meta(spark, path: str) -> dict:
     """Load ``path/_ivf_meta`` (see ``write_index_meta``); restores the
-    int keys of ``stats.cell_sizes``. Raises the explanatory error ONLY
-    when the meta dir is genuinely absent (AnalysisException /
-    path-not-found) — permission errors, corrupt JSON, and transient FS
-    failures propagate unchanged so they aren't misdiagnosed as a
-    meta-less index."""
+    int keys of ``stats.cell_sizes``. A reader that lands inside a
+    writer's crash window (final meta renamed aside, replacement not
+    yet in place) falls back to ``_ivf_meta.__old__`` — the prior
+    committed state, which is exactly what the swap protocol guarantees
+    is still complete. Raises the explanatory error ONLY when BOTH are
+    genuinely absent (AnalysisException / path-not-found) — permission
+    errors, corrupt JSON, and transient FS failures propagate unchanged
+    so they aren't misdiagnosed as a meta-less index."""
     import json
 
     from pyspark.errors import AnalysisException
@@ -506,11 +565,17 @@ def read_index_meta(spark, path: str) -> dict:
     try:
         rows = spark.read.text(path.rstrip("/") + "/_ivf_meta").collect()
     except AnalysisException as exc:  # missing meta dir only
-        raise ValueError(
-            f"no _ivf_meta under {path!r} — the index was written without "
-            "centroids. Re-write it with ivf_write(assigned, path, "
-            "centroids=...) (or pq.ivfpq_write) to persist the metadata."
-        ) from exc
+        try:
+            rows = spark.read.text(
+                path.rstrip("/") + "/_ivf_meta.__old__"
+            ).collect()
+        except AnalysisException:
+            raise ValueError(
+                f"no _ivf_meta under {path!r} — the index was written "
+                "without centroids. Re-write it with ivf_write(assigned, "
+                "path, centroids=...) (or pq.ivfpq_write) to persist the "
+                "metadata."
+            ) from exc
     meta = json.loads("".join(r["value"] for r in rows))
     if "stats" in meta and "cell_sizes" in meta["stats"]:
         meta["stats"]["cell_sizes"] = {
@@ -610,6 +675,7 @@ def ivf_append(
     after heavy growth) is a separate offline rebuild decision — the
     persisted cell_sizes are exactly the signal to trigger it."""
     meta = read_index_meta(spark, path)
+    expected = int(meta.get("version", 0))
     if "pq" in meta:
         raise ValueError(
             f"index at {path!r} is an IVFPQ codes index — float vectors "
@@ -627,7 +693,7 @@ def ivf_append(
             "mean_cell_size": merged["mean_cell_size"],
             "mean_within_dist": merged["mean_within_dist"],
         }
-        write_index_meta(spark, path, meta)
+        write_index_meta(spark, path, meta, expected_version=expected)
     return assigned
 
 
@@ -700,13 +766,20 @@ def ivf_delete(
     ``mean_within_dist`` is kept unchanged (the deleted vectors' float
     coordinates are gone — only their codes remain), a documented
     approximation of the auto-nprobe calibration scalar. Single-writer
-    contract as in ``write_index_meta``."""
-    import shutil
-
-    from batch_process_spark.sinks.swapdir import recover_swap, swap_directory
+    contract as in ``write_index_meta`` — enforced by compare-and-swap
+    on the meta version at commit. All directory ops go through the
+    Hadoop FS API (``sinks.hadoopfs``), so the index may live on
+    HDFS/S3, not just a local path."""
+    from batch_process_spark.sinks.hadoopfs import (
+        HadoopFS,
+        recover_swap_fs,
+        swap_directory_fs,
+    )
 
     meta = read_index_meta(spark, path)
+    expected = int(meta.get("version", 0))
     base = path.rstrip("/")
+    fs = HadoopFS(spark, base)
     ids_df = _ids_frame(spark, ids, id_col)
     idx = spark.read.parquet(base)
     doomed = idx.join(ids_df, id_col, "semi")
@@ -737,17 +810,17 @@ def ivf_delete(
     for cid, n_del in sorted(per_cell.items()):
         cell_dir = f"{base}/centroid_id={cid}"
         tmp = f"{base}.__delete__.{cid}"
-        recover_swap(cell_dir, tmp)
+        recover_swap_fs(fs, cell_dir, tmp)
         stored_size = (meta.get("stats") or {}).get("cell_sizes", {}).get(cid)
         if stored_size is not None and stored_size == n_del:
             # cell emptied: remove the directory (a rebuild would not
             # emit this cell at all)
-            shutil.rmtree(cell_dir)
+            fs.delete(cell_dir)
             dropped += 1
             continue
         keep = spark.read.parquet(cell_dir).join(ids_df, id_col, "anti")
         keep.write.mode("overwrite").parquet(tmp)
-        swap_directory(tmp, cell_dir)
+        swap_directory_fs(fs, tmp, cell_dir)
         rewritten += 1
 
     if meta.get("stats") is not None:
@@ -761,7 +834,7 @@ def ivf_delete(
             "mean_cell_size": merged["mean_cell_size"],
             "mean_within_dist": merged["mean_within_dist"],
         }
-        write_index_meta(spark, base, meta)
+        write_index_meta(spark, base, meta, expected_version=expected)
     from batch_process_spark.queries import invalidate_tables
 
     invalidate_tables(base)
@@ -794,30 +867,60 @@ def ivf_recluster(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     force: bool = False,
+    train_sample: int | None = None,
 ) -> dict:
     """Offline re-cluster of a drifted stored index: when the persisted
     ``cell_sizes`` skew (``index_skew`` — largest cell / mean cell)
     exceeds ``skew_threshold``, re-train the coarse centroids, re-assign
-    every vector, and swap the fresh index in crash-safely
-    (``swap_directory``); below the threshold it is a no-op that reports
-    the measured skew. This is the consumer of the drift signal
-    ``ivf_append`` accumulates — heavy out-of-distribution growth piles
-    new vectors into few cells, degrading probe recall at fixed nprobe,
-    and the fix is a rebuild, not more probes.
+    every vector, and swap the fresh index in crash-safely; below the
+    threshold it is a no-op that reports the measured skew. This is the
+    consumer of the drift signal ``ivf_append`` accumulates — heavy
+    out-of-distribution growth piles new vectors into few cells,
+    degrading probe recall at fixed nprobe, and the fix is a rebuild,
+    not more probes.
 
     Plain IVF float index: the stored vectors ARE the training corpus —
-    no argument needed. IVFPQ codes index: pass ``corpus`` (the float
-    vectors; codes are not trainable input) — coarse centroids re-train
-    and vectors re-assign, while the STORED codes are reused as-is
-    (PQ codes quantize the vector, not its cell, so a coarse re-cluster
-    never changes them; no encode kernel re-runs and the persisted
-    codebook stays fixed — the FAISS re-add contract). ``n_centroids``
-    defaults to the stored centroid count. The meta version stays
-    monotonic across the swap."""
-    from batch_process_spark.sinks.swapdir import recover_swap, swap_directory
+    and the ONLY accepted one. ``corpus=`` is rejected here because an
+    external float corpus can silently resurrect ``ivf_delete``'d
+    (takedown / opt-out) vectors that the caller's copy still contains;
+    the stored index is complete by construction, so there is nothing
+    an external corpus could add. IVFPQ codes index: pass ``corpus``
+    (the float vectors; codes are not trainable input) — coarse
+    centroids re-train and vectors re-assign, while the STORED codes
+    are reused as-is (PQ codes quantize the vector, not its cell, so a
+    coarse re-cluster never changes them; no encode kernel re-runs and
+    the persisted codebook stays fixed — the FAISS re-add contract).
+    The corpus ids must match the stored code ids EXACTLY — verified by
+    count on both sides; extra corpus ids (e.g. deleted vectors still
+    in the caller's copy) or missing ones fail loudly rather than
+    silently resurrecting or dropping vectors and skewing the stats.
+
+    ``train_sample``: when set, KMeans trains on a bounded random
+    sample of ~``train_sample`` vectors instead of the full corpus —
+    the RE-ASSIGN still covers every vector (``ivf_assign``,
+    argmin-exact) and the persisted stats come from the full
+    assignment, so correctness is unchanged; only the centroid
+    positions come from the sample. Coarse centroids are a density
+    summary — at 100 TB a full-corpus KMeans retrain is the one part
+    of the rebuild whose wall scales with the corpus, and a bounded
+    sample caps it (FAISS trains IVF coarse quantizers on bounded
+    samples for the same reason).
+
+    ``n_centroids`` defaults to the stored centroid count. The meta
+    version stays monotonic across the swap, and the swap is guarded by
+    compare-and-swap on the version (``ConcurrentIndexMutation`` if a
+    concurrent writer committed since this op read the meta). Directory
+    ops route through the Hadoop FS API (``sinks.hadoopfs``) so the
+    index may live on HDFS/S3."""
+    from batch_process_spark.sinks.hadoopfs import (
+        HadoopFS,
+        recover_swap_fs,
+        swap_directory_fs,
+    )
 
     base = path.rstrip("/")
-    recover_swap(base, base + ".__recluster__")  # repair a crashed earlier swap
+    fs = HadoopFS(spark, base)
+    recover_swap_fs(fs, base, base + ".__recluster__")  # repair a crashed swap
     meta = read_index_meta(spark, path)
     if meta.get("stats") is None:
         raise ValueError(
@@ -830,7 +933,25 @@ def ivf_recluster(
                 "skew_threshold": skew_threshold}
     k = n_centroids or len(meta["centroids"])
     old_version = int(meta.get("version", 0))
+    n_vectors = int(meta["stats"].get("n_vectors", 0))
     tmp = base + ".__recluster__"
+
+    def _train_assign(full: DataFrame):
+        """Centroids from a bounded sample (if requested), assignment
+        always over the FULL frame."""
+        if train_sample is not None and 0 < train_sample < n_vectors:
+            frac = min(1.0, 1.2 * train_sample / max(n_vectors, 1))
+            sample = full.select(vec_col).sample(fraction=frac, seed=seed)
+            cents = kmeans_centroids(
+                sample, vec_col=vec_col, n_centroids=k, seed=seed
+            )
+            return (
+                ivf_assign(full, cents, id_col=id_col, vec_col=vec_col),
+                cents,
+            )
+        return ivf_index(
+            full, id_col=id_col, vec_col=vec_col, n_centroids=k, seed=seed
+        )
 
     if "pq" in meta:
         if corpus is None:
@@ -845,33 +966,66 @@ def ivf_recluster(
             [tuple(r) for r in meta["pq"]["codebook"]],
             "sub int, cid int, spos int, c double",
         )
-        assigned, cents = ivf_index(
-            corpus, id_col=id_col, vec_col=vec_col, n_centroids=k, seed=seed
-        )
+        assigned, cents = _train_assign(corpus)
         # PQ codes are COARSE-INDEPENDENT (they quantize the vector,
         # not its cell), so a re-cluster reuses the STORED codes and
         # only re-labels centroid_id — at 100 TB this skips the m-way
         # encode kernel over the whole float corpus; the coarse
-        # re-train + re-assign already pays the float scan. Vectors
-        # present in the corpus but missing from the stored codes
-        # (shouldn't happen under the single-writer contract) would
-        # drop here — the count is revalidated by the stats job.
+        # re-train + re-assign already pays the float scan. The inner
+        # join below intersects corpus ids with stored code ids, so a
+        # mismatch either way would silently change the written index
+        # — verify both counts and fail loudly instead.
         stored_codes = spark.read.parquet(base).select(id_col, "codes")
-        assigned_codes = assigned.select(id_col, "centroid_id").join(
-            stored_codes, id_col
+        assigned = assigned.persist()
+        assigned_codes = assigned.join(stored_codes, id_col).persist()
+        n_corpus, n_joined = assigned.count(), assigned_codes.count()
+        if n_joined != n_corpus or n_corpus != n_vectors:
+            assigned.unpersist()
+            assigned_codes.unpersist()
+            raise ValueError(
+                f"IVFPQ recluster id mismatch at {base!r}: corpus has "
+                f"{n_corpus} ids, stored index has {n_vectors}, their "
+                f"intersection {n_joined}. The passed corpus must contain "
+                "exactly the stored ids — a superset (e.g. ivf_delete'd "
+                "vectors still in the caller's float corpus) would "
+                "resurrect purged vectors; a subset would drop live ones."
+            )
+        # stats from the joined rows — exactly what gets written (the
+        # join keeps assigned's float column, so the within-dist term
+        # computes from the same row set the index will serve)
+        stats = ivf_index_stats(assigned_codes, cents, vec_col=vec_col)
+        _pq.ivfpq_write(
+            assigned_codes.select(id_col, "centroid_id", "codes"),
+            tmp, cents, cb, subdim, stats=stats,
         )
-        stats = ivf_index_stats(assigned, cents, vec_col=vec_col)
-        _pq.ivfpq_write(assigned_codes, tmp, cents, cb, subdim, stats=stats)
+        assigned.unpersist()
+        assigned_codes.unpersist()
     else:
-        train = corpus if corpus is not None else (
-            spark.read.parquet(base).select(id_col, vec_col)
-        )
-        assigned, cents = ivf_index(
-            train, id_col=id_col, vec_col=vec_col, n_centroids=k, seed=seed
-        )
+        if corpus is not None:
+            raise ValueError(
+                "plain-IVF recluster trains from the STORED vectors — "
+                "corpus= is not accepted: an external float corpus can "
+                "silently resurrect ivf_delete'd (takedown) vectors still "
+                "present in the caller's copy. The stored index is always "
+                "sufficient; for IVFPQ (codes-only) indexes corpus= is "
+                "required instead."
+            )
+        train = spark.read.parquet(base).select(id_col, vec_col)
+        assigned, cents = _train_assign(train)
         ivf_write(assigned, tmp, centroids=cents, vec_col=vec_col)
 
-    swap_directory(tmp, base)
+    # compare-and-swap: another writer committing between our initial
+    # meta read and this point would have its update overwritten by the
+    # swap — detect and abort (the freshly built tmp is discarded).
+    current = int(read_index_meta(spark, base).get("version", 0))
+    if current != old_version:
+        fs.delete(tmp)
+        raise ConcurrentIndexMutation(
+            f"index at {base!r}: _ivf_meta version moved {old_version} -> "
+            f"{current} during recluster — a concurrent mutation committed; "
+            "rebuild discarded, re-read the index and retry"
+        )
+    swap_directory_fs(fs, tmp, base)
     # re-stamp version continuity: the fresh meta started at 1 in tmp
     new_meta = read_index_meta(spark, base)
     new_meta["version"] = old_version  # write bumps to old_version + 1
@@ -884,6 +1038,7 @@ def ivf_recluster(
         "skew": skew,
         "skew_after": index_skew(read_index_meta(spark, base)["stats"]),
         "n_centroids": k,
+        "train_sample": train_sample,
     }
 
 
@@ -943,38 +1098,42 @@ def compact_index(
     the version does not bump). Temp directories live OUTSIDE the index
     root (``path.__compact__.<cell>``) — a sibling inside the root
     would be listed as a malformed ``centroid_id`` partition by any
-    concurrent reader. Single-writer contract as for appends."""
-    import os
-
-    from batch_process_spark.sinks.compact import parquet_files
-    from batch_process_spark.sinks.swapdir import recover_swap, swap_directory
+    concurrent reader. Single-writer contract as for appends. Listing,
+    sizing, and swaps all go through the Hadoop FS API
+    (``sinks.hadoopfs``) so the index may live on HDFS/S3."""
+    from batch_process_spark.sinks.hadoopfs import (
+        HadoopFS,
+        recover_swap_fs,
+        swap_directory_fs,
+    )
 
     base = path.rstrip("/")
+    fs = HadoopFS(spark, base)
     report = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
     cells = sorted(
-        d for d in os.listdir(base)
-        if d.startswith("centroid_id=") and os.path.isdir(os.path.join(base, d))
+        d for d in fs.listdir(base)
+        if d.startswith("centroid_id=") and fs.is_dir(f"{base}/{d}")
     )
     for d in cells:
-        cell_dir = os.path.join(base, d)
+        cell_dir = f"{base}/{d}"
         tmp = f"{base}.__compact__.{d.split('=', 1)[1]}"
-        recover_swap(cell_dir, tmp)
-        files = parquet_files(cell_dir)
-        report["files_before"] += len(files)
-        if len(files) < min_files:
-            report["files_after"] += len(files)
+        recover_swap_fs(fs, cell_dir, tmp)
+        sizes = fs.file_sizes(cell_dir)
+        report["files_before"] += len(sizes)
+        if len(sizes) < min_files:
+            report["files_after"] += len(sizes)
             continue
-        total = sum(os.path.getsize(f) for f in files)
+        total = sum(sizes.values())
         n_out = max(1, round(total / (target_mb * 1024 * 1024)))
-        if n_out >= len(files):
-            report["files_after"] += len(files)
+        if n_out >= len(sizes):
+            report["files_after"] += len(sizes)
             continue
         spark.read.parquet(cell_dir).coalesce(n_out).write.mode(
             "overwrite"
         ).parquet(tmp)
-        swap_directory(tmp, cell_dir)
+        swap_directory_fs(fs, tmp, cell_dir)
         report["cells_compacted"] += 1
-        report["files_after"] += len(parquet_files(cell_dir))
+        report["files_after"] += len(fs.file_sizes(cell_dir))
     from batch_process_spark.queries import invalidate_tables
 
     invalidate_tables(base)
