@@ -32,6 +32,13 @@ BENCH_QUERIES = [
     "q29_shipping_priority",      # join+topk (TPC-H Q3)
     "q30_local_supplier_volume",  # star join (TPC-H Q5)
     "q31_revenue_forecast",       # scan+agg (TPC-H Q6)
+    # span-dedup family: regression guards for the floors closed in
+    # r9/r10 (regex cliffs, single-pass h-window span shape, fused
+    # Arrow span kernel) — a re-introduced cliff or self-join would
+    # show here round-over-round instead of only at volume probes
+    "q207_sliding_span_dedup",    # span dedup (shared _span_frame)
+    "q219_span_attribution",      # span pair join (df-capped)
+    "q222_quality_dup_calibration",  # quality projection x dup join
 ]
 
 

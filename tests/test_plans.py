@@ -527,6 +527,36 @@ def test_q207_single_span_assembly_no_join(spark, qs):
     assert "Window" in plan
 
 
+def _projects_mixing_replace_and_count(df) -> list[str]:
+    """Optimized-plan lines where regexp_replace shares ONE projection
+    with regexp_count — the round-10 measured cliff condition: a
+    projection fusing both de-optimizes 42.7x per 1M docs even when
+    each expression is harmless alone (operators/text.py cliff note,
+    BASELINE.md §5y)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return [
+        line for line in plan.splitlines()
+        if "regexp_replace" in line and "regexp_count" in line
+    ]
+
+
+def test_quality_projection_never_fuses_replace_with_counts(spark, qs):
+    """Cliff-condition regression pin for the r9/r10 quality floors:
+    no projection in the quality/span family plans may fuse
+    regexp_replace with regexp_count. q222's entire 45 s floor was one
+    such fused projection; all char-class counts are positive-class
+    regexp_count now. Guards q21 (token stats), q23-path quality
+    features, and the calibrated q222."""
+    from batch_process_spark.operators.text import quality_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert _projects_mixing_replace_and_count(quality_features(docs)) == []
+    for q in ("q222_quality_dup_calibration", "q21_token_stats",
+              "q207_sliding_span_dedup", "q219_span_attribution"):
+        mixed = _projects_mixing_replace_and_count(qs[q](spark, SF))
+        assert mixed == [], f"{q} fuses replace with counts:\n" + "\n".join(mixed)
+
+
 def test_q209_drift_partial_aggs(spark, qs):
     """The drift monitor's (label, pos) conditional means run as
     two-phase hash aggregates (partial_ prefixed) — the exchange
