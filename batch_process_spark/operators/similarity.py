@@ -436,6 +436,62 @@ def ivf_topk(
     )
 
 
+def hubness_estimate(
+    topk: DataFrame,
+    corpus_ids: DataFrame | None = None,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """k-occurrence histogram estimated from ANN top-k results — the
+    corpus-scale counterpart of the exact hubness audit (q245): how
+    many vectors appear in 0, 1, ..., many other vectors' neighbor
+    lists. The exact referee is O(n²) and bounded to a fixed sample;
+    this estimator reads only an ANN searcher's output
+    (``ivf_topk`` / ``ivfpq_topk`` / ``lsh_topk`` — any frame with
+    (query_id, vec_id[, rank]) rows), so it scales with |queries| × k,
+    not corpus².
+
+    ``exclude_self``: the standard audit queries the corpus with its
+    own vectors, where each query's top hit is itself — ask the
+    searcher for k+1 neighbors and pass ``k`` here so every query
+    still contributes k true neighbors after its self-match drops
+    (the trim re-ranks by the searcher's ``rank`` when present).
+    ``corpus_ids``: single-column frame of ALL corpus ids, so vectors
+    in NO neighbor list (antihubs — k-occurrence 0, unreachable by any
+    kNN search) are counted; without it the histogram starts at 1.
+
+    Returns (k_occurrence int, n_vectors long). 100 TB shape: one
+    groupBy over |Q|×k neighbor rows (already partitioned by query
+    from the searcher's own top-k window), a column-pruned id-only
+    join against the corpus, and a histogram agg of at most k+1 rows
+    per partition."""
+    t = topk
+    if exclude_self:
+        t = t.filter(F.col(query_id_col) != F.col(id_col))
+    if k is not None:
+        order = [F.asc("rank")] if "rank" in t.columns else [F.asc(id_col)]
+        w = Window.partitionBy(query_id_col).orderBy(*order)
+        t = (
+            t.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    counts = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("k_occ"))
+    if corpus_ids is not None:
+        counts = (
+            corpus_ids.select(id_col)
+            .join(counts, id_col, "left")
+            .select(F.coalesce("k_occ", F.lit(0)).alias("k_occ"))
+        )
+    else:
+        counts = counts.select("k_occ")
+    return counts.groupBy(
+        F.col("k_occ").cast("int").alias("k_occurrence")
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
 def ivf_write(
     assigned: DataFrame,
     path: str,

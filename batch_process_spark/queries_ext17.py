@@ -525,8 +525,10 @@ def q245_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the all-pairs referee is bounded to the fixed sample
     (the q236 discipline — documented cost, never corpus x corpus);
     per-query top-k via one window over sample-sized rows, then two
-    tiny aggs. At corpus scale the same histogram is estimated from
-    ivf_topk results instead."""
+    tiny aggs. At corpus scale the same histogram is computed by
+    ``operators.similarity.hubness_estimate`` over ``ivf_topk`` /
+    ``ivfpq_topk`` output (|Q| x k rows, no all-pairs join) —
+    agreement vs this exact referee is measured in BASELINE.md §5."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _HUB_SAMPLE)
     from batch_process_spark.operators.similarity import cosine
 
