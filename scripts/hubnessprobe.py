@@ -13,17 +13,19 @@ quantizer: boundary-straddling neighborhoods):
    N x dim float64 — 33 MB at 65k x 64, a documented probe bound;
    at real corpus scale the exact referee is the thing you cannot
    run, which is the estimator's reason to exist);
-3. ANN k-NN via ivf_index + ivf_topk (nprobe="auto" off measured
-   stats — the serving default);
-4. hubness_estimate over BOTH result sets (k+1 requested,
-   exclude_self, trimmed to k) and agreement metrics:
+3. ANN k-NN via ivf_index + ivf_topk, SWEPT over nprobe
+   ("auto" — the serving default — then fixed 2 and 1, deliberately
+   degraded so the probe shows how the histogram fails, not just that
+   it succeeds at full recall);
+4. hubness_estimate over each result set (k+1 requested,
+   exclude_self, trimmed to k) and agreement metrics per config:
    - neighbor recall@k (mean per-query overlap — the recall-style row),
    - histogram total-variation distance,
    - hub-set overlap (top 1% vectors by k-occurrence),
    - antihub count agreement (k_occ = 0 bucket).
 
 Usage: python scripts/hubnessprobe.py [n_vectors] [dim] [n_centroids]
-Defaults: 65536 64 64. Prints a markdown row for BASELINE.md §5.
+Defaults: 65536 64 64. Prints markdown rows for BASELINE.md §5.
 """
 
 from __future__ import annotations
@@ -63,15 +65,17 @@ def exact_topk(spark, corpus, ids, mat, k):
         for pdf in it:
             q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-300, None)
-            s = np.round(qn @ cn.T, 6)
+            s = qn @ cn.T
             # top window wide enough that 6-dp ties at the k-boundary
-            # resolve inside it, then exact (-score, id) sort
+            # resolve inside it; round only the candidates (rounding
+            # the full block doubles the memory traffic)
             win = min(kk + 16, s.shape[1])
             part = np.argpartition(-s, win - 1, axis=1)[:, :win]
             out_q, out_n, out_r = [], [], []
             for row, qid in zip(range(s.shape[0]), pdf["query_id"].to_numpy()):
                 cand = part[row]
-                order = cand[np.lexsort((ids_arr[cand], -s[row, cand]))][:kk]
+                sc = np.round(s[row, cand], 6)
+                order = cand[np.lexsort((ids_arr[cand], -sc))][:kk]
                 out_q.extend([qid] * len(order))
                 out_n.extend(ids_arr[order])
                 out_r.extend(range(1, len(order) + 1))
@@ -81,6 +85,7 @@ def exact_topk(spark, corpus, ids, mat, k):
 
     return (
         corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+        .repartition(64)  # ~1k-query blocks: bounds the per-task matmul
         .mapInPandas(knn, schema="query_id long, vec_id long, rank int")
     )
 
@@ -120,19 +125,10 @@ def main() -> None:
     exact.count()
     t_exact = time.time() - t0
 
-    t0 = time.time()
     assigned, cents = ivf_index(corpus, n_centroids=n_cent)
     assigned = assigned.persist()
     stats = ivf_index_stats(assigned, cents)
-    ann = ivf_topk(
-        assigned, cents,
-        corpus.select(F.col("vec_id").alias("query_id"), "embedding"),
-        k=K + 1, nprobe="auto", stats=stats,
-    ).persist()
-    ann.count()
-    t_ann = time.time() - t0
 
-    # recall@K: per-query overlap of the k true vs k ANN neighbors
     def neighbors(t):
         from pyspark.sql import Window
 
@@ -144,45 +140,55 @@ def main() -> None:
             .select("query_id", "vec_id")
         )
 
-    hits = neighbors(exact).intersect(neighbors(ann)).count()
-    recall = hits / (n * K)
-
+    exact_nb = neighbors(exact).persist()
+    exact_nb.count()
     h_exact = {
         r["k_occurrence"]: r["n_vectors"]
         for r in hubness_estimate(exact, corpus_ids=corpus_ids, k=K).collect()
     }
-    h_ann = {
-        r["k_occurrence"]: r["n_vectors"]
-        for r in hubness_estimate(ann, corpus_ids=corpus_ids, k=K).collect()
-    }
-    buckets = sorted(set(h_exact) | set(h_ann))
-    tv = 0.5 * sum(
-        abs(h_exact.get(b, 0) - h_ann.get(b, 0)) / n for b in buckets
-    )
-
-    # hub overlap: top 1% vectors by k-occurrence under each referee
     top = max(1, n // 100)
     hub_e = {r["vec_id"] for r in k_occ_counts(exact, corpus_ids, K)
              .orderBy(F.desc("k_occ"), "vec_id").limit(top).collect()}
-    hub_a = {r["vec_id"] for r in k_occ_counts(ann, corpus_ids, K)
-             .orderBy(F.desc("k_occ"), "vec_id").limit(top).collect()}
-    hub_overlap = len(hub_e & hub_a) / top
-
     mean_occ = sum(k * v for k, v in h_exact.items()) / n
     print(
         f"n={n} dim={dim} centroids={n_cent} k={K} "
         f"mean k_occ exact={mean_occ:.2f} "
-        f"(slots conserved: {sum(k * v for k, v in h_exact.items())})"
+        f"(slots conserved: {sum(k * v for k, v in h_exact.items())}) "
+        f"wall exact referee {t_exact:.1f}s"
     )
-    print("| n | recall@10 | hist TV | hub overlap@1% | antihub exact/est "
-          "| max k_occ exact/est | wall exact (s) | wall estimate (s) |")
-    print("|---|---|---|---|---|---|---|---|")
-    print(
-        f"| {n:,} | {recall:.3f} | {tv:.4f} | {hub_overlap:.3f} "
-        f"| {h_exact.get(0, 0):,}/{h_ann.get(0, 0):,} "
-        f"| {max(h_exact)}/{max(h_ann)} "
-        f"| {t_exact:.1f} | {t_ann:.1f} |"
-    )
+
+    print("| nprobe | recall@10 | hist TV | hub overlap@1% "
+          "| antihub exact/est | max k_occ exact/est | wall estimate (s) |")
+    print("|---|---|---|---|---|---|---|")
+    for nprobe in ("auto", 2, 1):
+        t0 = time.time()
+        ann = ivf_topk(
+            assigned, cents,
+            corpus.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=K + 1, nprobe=nprobe, stats=stats,
+        ).persist()
+        ann.count()
+        t_ann = time.time() - t0
+        hits = exact_nb.intersect(neighbors(ann)).count()
+        recall = hits / (n * K)
+        h_ann = {
+            r["k_occurrence"]: r["n_vectors"]
+            for r in hubness_estimate(ann, corpus_ids=corpus_ids, k=K).collect()
+        }
+        buckets = sorted(set(h_exact) | set(h_ann))
+        tv = 0.5 * sum(
+            abs(h_exact.get(b, 0) - h_ann.get(b, 0)) / n for b in buckets
+        )
+        hub_a = {r["vec_id"] for r in k_occ_counts(ann, corpus_ids, K)
+                 .orderBy(F.desc("k_occ"), "vec_id").limit(top).collect()}
+        hub_overlap = len(hub_e & hub_a) / top
+        print(
+            f"| {nprobe} | {recall:.3f} | {tv:.4f} | {hub_overlap:.3f} "
+            f"| {h_exact.get(0, 0):,}/{h_ann.get(0, 0):,} "
+            f"| {max(h_exact)}/{max(h_ann)} "
+            f"| {t_ann:.1f} |"
+        )
+        ann.unpersist()
 
 
 if __name__ == "__main__":

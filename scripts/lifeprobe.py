@@ -173,6 +173,67 @@ def recluster_probe(spark, base_n: int) -> None:
     base.unpersist()
 
 
+def _build_drifted_index(spark, base_n: int, path: str):
+    """In-distribution base + 4 OOD appends (the recluster_probe setup);
+    returns (queries, exact top-k set) for the OOD region."""
+    base = region_corpus(spark, base_n, offset=0.0).persist()
+    base.count()
+    assigned, cents = ivf_index(base, n_centroids=N_CENTROIDS)
+    ivf_write(assigned, path, centroids=cents)
+    full = base
+    for b in range(4):
+        ood = region_corpus(
+            spark, OOD_BATCH, offset=12.0, id_base=10_000_000 + b * OOD_BATCH,
+            spread=1.0,
+        ).persist()
+        ood.count()
+        ivf_append(spark, path, ood)
+        full = full.unionByName(ood)
+    queries = region_queries(spark, offset=12.0, spread=1.0)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(full, queries, k=K).collect()
+    }
+    return queries, exact
+
+
+def sampled_probe(spark, base_n: int, train_sample: int = 16_384) -> None:
+    """Full retrain vs bounded-sample retrain (ivf_recluster
+    train_sample=): the KMeans fit is the one rebuild cost that scales
+    with the corpus; training on a fixed sample caps it while the
+    re-assign stays full-corpus argmin-exact. Same drifted index
+    cloned to both variants, so the comparison is apples-to-apples at
+    each size."""
+    import shutil
+
+    print(f"\n## sampled retrain: full vs train_sample={train_sample:,} "
+          f"(drifted index, recall/probed-frac at nprobe=4)")
+    print("| index vecs | retrain | recluster wall (s) | skew after | "
+          "recall@10 | probed frac |")
+    print("|---|---|---|---|---|---|")
+    for n in (base_n, base_n * 4):
+        with tempfile.TemporaryDirectory() as td:
+            path_a = td + "/full"
+            queries, exact = _build_drifted_index(spark, n, path_a)
+            path_b = td + "/sampled"
+            shutil.copytree(path_a, path_b)
+            for label, ts, path in (
+                ("full", None, path_a),
+                (f"{train_sample // 1024}k sample", train_sample, path_b),
+            ):
+                t0 = time.time()
+                rep = ivf_recluster(
+                    spark, path, skew_threshold=1.2, train_sample=ts
+                )
+                wall = time.time() - t0
+                assert rep["reclustered"], rep
+                rec, frac = recall_and_cost(spark, path, queries, exact, nprobe=4)
+                print(
+                    f"| {n + 4 * OOD_BATCH:,} | {label} | {wall:.1f} | "
+                    f"{rep['skew_after']:.2f} | {rec:.3f} | {frac:.3f} |"
+                )
+
+
 def delete_probe(spark, sizes: list[int]) -> None:
     import os
 
@@ -262,6 +323,8 @@ def main() -> None:
     spark = get_spark("lifeprobe")
     if "recluster" in sections:
         recluster_probe(spark, base_n)
+    if "sampled" in sections:
+        sampled_probe(spark, base_n)
     if "delete" in sections:
         delete_probe(spark, [base_n, base_n * 4])
     if "compact" in sections:
