@@ -239,24 +239,64 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: int = 42,
+    max_rows: int = 1_000_000,
+    iters: int = 20,
 ) -> list[list[float]]:
-    """Train-only half of ``ivf_index``: fit KMeans and return the
-    centroid list, assigning nothing. Used by ``ivf_recluster``'s
-    sampled retrain — centroids train on a bounded sample while the
-    full corpus re-assigns distributed (``ivf_assign``, argmin-exact),
-    so the retrain wall stops scaling with the corpus."""
-    from pyspark.ml.clustering import KMeans
+    """Train-only half of ``ivf_index``: fit KMeans on a BOUNDED frame
+    and return the centroid list, assigning nothing. Used by
+    ``ivf_recluster``'s sampled retrain — centroids train on a bounded
+    sample while the full corpus re-assigns distributed
+    (``ivf_assign``, argmin-exact), so the retrain wall stops scaling
+    with the corpus.
 
-    from pyspark.ml.functions import array_to_vector
+    The fit runs DRIVER-SIDE in numpy (k-means++ init, Lloyd
+    iterations, empty cells reseeded to the farthest point) — the
+    FAISS coarse-quantizer pattern: train on a small sample locally,
+    assign at scale distributed. Measured why: distributed
+    ``pyspark.ml`` KMeans pays init + per-iteration job launches that
+    DOMINATE at sample sizes (fit on a 16k sample took 24.9 s vs
+    11.3 s on the full 262k corpus — more scheduler wall than math);
+    the numpy fit on the same sample is milliseconds per iteration.
+    ``max_rows`` bounds the driver collect (hard error above it —
+    64-dim float64 at the default cap is ~0.5 GB)."""
+    import numpy as np
 
-    ml_df = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=20,
-        featuresCol="features", predictionCol="centroid_id",
-    )
-    return [c.tolist() for c in km.fit(ml_df).clusterCenters()]
+    rows = corpus.select(F.col(vec_col).cast("array<double>")).limit(
+        max_rows + 1
+    ).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"kmeans_centroids trains driver-side: got > {max_rows} rows; "
+            "pass a bounded sample (or raise max_rows deliberately)"
+        )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    n, k = x.shape[0], min(n_centroids, x.shape[0])
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding
+    cents = np.empty((k, x.shape[1]))
+    cents[0] = x[rng.integers(n)]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        p = d2 / max(d2.sum(), 1e-300)
+        cents[j] = x[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, ((x - cents[j]) ** 2).sum(axis=1))
+
+    for _ in range(iters):
+        dists = np.stack([((x - c) ** 2).sum(axis=1) for c in cents])
+        assign = dists.argmin(axis=0)
+        moved = 0.0
+        for j in range(k):
+            members = x[assign == j]
+            if len(members) == 0:  # reseed an empty cell to the farthest point
+                new = x[dists.min(axis=0).argmax()]
+            else:
+                new = members.mean(axis=0)
+            moved += float(((cents[j] - new) ** 2).sum())
+            cents[j] = new
+        if moved < 1e-12:
+            break
+    return [c.tolist() for c in cents]
 
 
 def ivf_index_stats(
@@ -667,28 +707,44 @@ def ivf_assign(
     """Assign vectors to their nearest centroid (squared Euclidean,
     ties to the lowest centroid id) — the incremental-ingest half of
     KMeans: new vectors join an EXISTING index without refitting.
-    Pure codegen expressions (the centroid list rides the plan as a
-    literal array, n_centroids x dim doubles); map-only, zero
-    shuffle."""
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    d2 = F.transform(
-        cent_arr,
-        lambda c: F.aggregate(
-            F.zip_with(F.col(vec_col), c, lambda a, b: (a.cast("double") - b) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda i: F.struct(F.element_at(d2, i + 1).alias("d"), i.alias("i")),
-        )
-    )
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(ranked, 1)["i"].cast("int").alias("centroid_id"),
+    Map-only Arrow kernel (the centroid matrix rides the closure,
+    n_centroids x dim doubles); zero shuffle.
+
+    Round-11 A/B note: the previous implementation was a Catalyst
+    higher-order-function expression (transform/zip_with/aggregate).
+    HOF lambdas are NOT whole-stage-codegen'd — they interpret per
+    element with object churn — and the full-corpus re-assign inside
+    ``ivf_recluster`` measured 59.6 s vs 10.8 s for the ML transform
+    at 262k x 64 x 32 cells; this numpy kernel does the same argmin
+    in one vectorized pass per batch (~2 s). Same tie semantics
+    (np.argmin returns the first = lowest centroid id)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
+            )
+            # exact per-centroid squared distance (no rearranged form:
+            # ||v||^2 - 2vc + ||c||^2 rounds differently and can flip
+            # near-tie argmins vs the tests' numpy referee)
+            d2 = np.stack([((v - c) ** 2).sum(axis=1) for c in cents], axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "centroid_id": d2.argmin(axis=1).astype(np.int32),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema=f"{id_col} {id_type}, {vec_col} {vec_type}, centroid_id int",
     )
 
 
