@@ -325,6 +325,12 @@ def invalidate_tables(path: str | None = None) -> int:
         release_tf_caches()
     except ImportError:
         pass
+    try:  # the span-family occurrence memo (q207/q219/q240/q247)
+        from batch_process_spark.queries_ext15 import release_span_caches
+
+        release_span_caches()
+    except ImportError:
+        pass
     try:  # q102's grams memo (import-guarded: ext6 may not be loaded)
         from batch_process_spark.queries_ext6 import release_gram_caches
 

@@ -285,6 +285,39 @@ def _span_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+from batch_process_spark.operators.caching import PersistMemo  # noqa: E402
+
+_SPAN_MEMO = PersistMemo(max_entries=2)
+
+
+def release_span_caches() -> None:
+    """Unpersist and drop every memoized span frame. Called by
+    ``queries.invalidate_tables`` after file rewrites."""
+    _SPAN_MEMO.release_all()
+
+
+def _span_occ(docs: DataFrame) -> DataFrame:
+    """The h-partitioned occurrence-level span frame, PERSISTED once
+    per input plan (PersistMemo — the shingle-frame discipline from
+    operators/dedup.py). Why: the span-family audits (q219/q240/q247)
+    join this frame to its own aggregates, and Catalyst never
+    subtree-reuses across such branches (no ReusedExchange, measured
+    round 10) — q247's plan ran the Arrow span kernel FIVE times,
+    q240's twice. With the memo, the kernel + the h-repartition
+    materialize once and every branch reads the cache;
+    ``.distinct()`` on top stays exchange-free (h ⊂ {doc_id, h}
+    satisfies the clustering) and the within-partition dedup is
+    recomputed per branch, which is the cheap part. Memory: occurrence
+    rows are two longs (~41M rows/1M docs ≈ 1 GB cached,
+    MEMORY_AND_DISK via persist default)."""
+    base = _span_frame(docs).repartition(F.col("h"))
+    key = PersistMemo.plan_key(base)
+    hit = _SPAN_MEMO.get(key, docs.sparkSession)
+    if hit is not None:
+        return hit
+    return _SPAN_MEMO.put(key, docs.sparkSession, base)
+
+
 @_q(
     "q207_sliding_span_dedup",
     f"""
@@ -325,7 +358,7 @@ def q207_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by millions of docs is one window partition of (h, doc_id) rows —
     a cheap count, no join bucket at occurrence grain."""
     docs = _t(spark, sf_dir, "documents")
-    spans = _span_frame(docs).repartition(F.col("h"))
+    spans = _span_occ(docs)
     occ = spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
     occ = occ.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("h")))
     dup = F.when(F.col("nd") > 1, F.col("cnt")).otherwise(F.lit(0))
@@ -1336,7 +1369,7 @@ def q219_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, so a span repeated inside one doc votes once. Ties break
     to the lowest partner id."""
     docs = _t(spark, sf_dir, "documents")
-    spans = _span_frame(docs).distinct()
+    spans = _span_occ(docs).distinct()
     keep = (
         spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

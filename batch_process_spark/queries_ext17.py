@@ -49,7 +49,7 @@ from batch_process_spark.operators import text
 from batch_process_spark.operators.dedup import tokens_col
 from batch_process_spark.queries import ORACLES, _q, _t
 from batch_process_spark.queries_ext import DUCK_TOKENS
-from batch_process_spark.queries_ext15 import _SPAN_SQL_CTES, _span_frame
+from batch_process_spark.queries_ext15 import _SPAN_SQL_CTES, _span_occ
 
 import batch_process_spark.queries_ext15  # noqa: F401  (registers q207/q79 deps)
 import batch_process_spark.queries_ext3  # noqa: F401  (registers q79's oracle)
@@ -213,7 +213,7 @@ def q240_span_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets by doc_id RANGE deciles off a broadcast 1-row min/max (the
     q110 pattern — no global NTILE sort), final agg is 10 rows."""
     docs = _t(spark, sf_dir, "documents")
-    occ = _span_frame(docs).repartition(F.col("h")).distinct()
+    occ = _span_occ(docs).distinct()
     first = F.min("doc_id").over(Window.partitionBy("h"))
     f = occ.select("doc_id", (F.col("doc_id") == first).cast("long").alias("novel"))
     per = f.groupBy("doc_id").agg(
@@ -699,7 +699,7 @@ def q247_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped pair join (build side one row per hash), per-doc span
     totals join at pair grain."""
     docs = _t(spark, sf_dir, "documents")
-    spans = _span_frame(docs).distinct()
+    spans = _span_occ(docs).distinct()
     tot = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
     keep = (
         spans.groupBy("h")

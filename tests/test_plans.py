@@ -557,6 +557,31 @@ def test_quality_projection_never_fuses_replace_with_counts(spark, qs):
         assert mixed == [], f"{q} fuses replace with counts:\n" + "\n".join(mixed)
 
 
+def test_span_family_kernel_runs_once_via_memo(spark, qs):
+    """Round-11 pin: the span-family audits branch over the
+    h-partitioned occurrence frame multiple times (a frame joined to
+    its own aggregates is never subtree-reused by Catalyst — the r10
+    ReusedExchange lesson), so queries_ext15._span_occ persists it via
+    PersistMemo. Each plan must run the Arrow span kernel EXACTLY ONCE
+    (one MapInPandas, inside the shared InMemoryRelation) with every
+    other branch reading the cache — q247 previously ran the kernel
+    FIVE times (57.8 -> ~20 s at 1M docs), q240/q242 twice."""
+    from batch_process_spark.queries_ext15 import release_span_caches
+
+    release_span_caches()  # deterministic start: first branch persists
+    try:
+        for q in ("q240_span_novelty_curve", "q242_dup_by_length",
+                  "q247_span_containment", "q219_span_attribution"):
+            plan = plan_of(qs[q](spark, SF))
+            tree = [l.split(")", 1)[1].strip() for l in plan.splitlines()
+                    if l.strip().startswith("(")]
+            assert tree.count("MapInPandas") == 1, f"{q}: kernel not shared"
+            assert tree.count("InMemoryTableScan") >= 2, f"{q}: no cache reads"
+            assert "CartesianProduct" not in plan
+    finally:
+        release_span_caches()
+
+
 def test_q209_drift_partial_aggs(spark, qs):
     """The drift monitor's (label, pos) conditional means run as
     two-phase hash aggregates (partial_ prefixed) — the exchange
