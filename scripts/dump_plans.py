@@ -119,14 +119,14 @@ NOTES = {
     "q237_soft_dedup_weights": "q79's clustering + a corpus-granular left join (cluster frame is pairs-sized) + a sources-sized agg",
     "q238_crosslingual_neardup": "q26's bucket-blocked verified pairs + two id-equi lang joins + a langs^2-row agg",
     "q239_survivor_quality_pick": "q79's clustering + a node-sized score join; per-component argmax as max(struct(score,-id)) — no data-scale window; 1-row output",
-    "q240_span_novelty_curve": "Arrow span kernel once -> repartition(h) -> distinct -> MIN window over h (q207's no-self-join shape); deciles off a broadcast 1-row min/max — no global NTILE sort",
+    "q240_span_novelty_curve": "r11: reads the memoized h-partitioned span frame (_span_occ, kernel once per session); exchange-free distinct -> MIN window over h; deciles off a broadcast 1-row min/max — no global NTILE sort",
     "q241_oov_rate": "one token explode feeds the term-count agg; top-K cut is TakeOrderedAndProject (per-partition heaps); the K-row vocab broadcasts back over the token stream",
-    "q242_dup_by_length": "q207's doc-grained frame joined to a length projection; range-decile buckets off a broadcast 1-row min/max; 10-row agg",
+    "q242_dup_by_length": "q207's doc-grained frame (riding the _span_occ memo — kernel once, both min/max branches read cache) joined to a length projection; range-decile buckets off a broadcast 1-row min/max; 10-row agg",
     "q243_dim_variance": "one posexplode into a (pos)-keyed partial agg (dims rows out of any corpus); 1-row summary",
     "q244_anisotropy": "one posexplode feeding two tiny aggs (dims-row centroid, 1-row norm means); nothing corpus-sized shuffles",
     "q245_hubness_audit": "all-pairs referee bounded to the fixed sample (q236 discipline); per-query top-k window over sample-sized rows",
     "q246_source_token_jsd": "token explode -> (source, term) partial-agg counts; corpus marginal joins at term grain; missing vocabulary folded in closed form (no anti-join)",
-    "q247_span_containment": "Arrow span kernel -> distinct (doc,h) -> df-capped pair join (q219 discipline, build side one row/hash); per-doc totals join at pair grain; asymmetric fraction filter",
+    "q247_span_containment": "r11: memoized span frame (was FIVE kernel runs, now one + InMemoryTableScans) -> exchange-free distinct -> df-capped pair join (build side one row/hash); per-doc totals join at pair grain; asymmetric fraction filter",
 }
 
 
