@@ -617,22 +617,38 @@ def ivfpq_append(
 
     The codebook staying fixed is the standard FAISS add() contract:
     quantization error for the new vectors is whatever the existing
-    codebook gives them; re-training is an offline rebuild decision."""
+    codebook gives them; re-training is an offline rebuild decision.
+
+    Commit protocol: stage-then-swap, identical to ``ivf_append`` —
+    the codes batch lands in a ``_``-prefixed staging dir, the merged
+    stats commit via the version-checked meta write, and only then do
+    the staged files rename into the live cells. A tripped
+    ``ConcurrentIndexMutation`` leaves the index byte-identical to its
+    pre-append state and the retry is duplicate-free."""
+    import uuid
+
     from batch_process_spark.operators.similarity import (
+        APPEND_STAGE_PREFIX,
+        ConcurrentIndexMutation,
+        _move_staged_cells,
         ivf_assign,
         ivf_index_stats,
         merge_index_stats,
         read_index_meta,
+        recover_pending_append,
         write_index_meta,
     )
+    from batch_process_spark.sinks.hadoopfs import HadoopFS
 
-    meta = read_index_meta(spark, path)
-    expected = int(meta.get("version", 0))
+    base = path.rstrip("/")
+    meta = read_index_meta(spark, base)
     if "pq" not in meta:
         raise ValueError(
             f"index at {path!r} has no PQ metadata — use ivf_append for "
             "a plain IVF float index"
         )
+    meta = recover_pending_append(spark, base, meta)
+    expected = int(meta.get("version", 0))
     cents = meta["centroids"]
     subdim = meta["pq"]["subdim"]
     cb = spark.createDataFrame(
@@ -642,8 +658,14 @@ def ivfpq_append(
     assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
     codes = pq_encode_fused(new_vectors, cb, subdim, id_col=id_col, vec_col=vec_col)
     inc = assigned.select(id_col, "centroid_id").join(codes, id_col)
-    inc.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+    fs = HadoopFS(spark, base)
+    stage_name = APPEND_STAGE_PREFIX + uuid.uuid4().hex[:12]
+    stage = f"{base}/{stage_name}"
+    inc.write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
     if meta.get("stats") is not None:
+        # stats need the float coordinates — the staged codes rows
+        # don't carry them, so the delta computes from the assignment
         delta = ivf_index_stats(assigned, cents, vec_col=vec_col)
         merged = merge_index_stats(meta["stats"], delta)
         meta["stats"] = {
@@ -652,7 +674,14 @@ def ivfpq_append(
             "mean_cell_size": merged["mean_cell_size"],
             "mean_within_dist": merged["mean_within_dist"],
         }
-        write_index_meta(spark, path, meta, expected_version=expected)
+    meta["pending_append"] = stage_name
+    try:
+        write_index_meta(spark, base, meta, expected_version=expected)
+    except ConcurrentIndexMutation:
+        fs.delete(stage)  # index untouched — retry is safe
+        raise
+    _move_staged_cells(fs, stage, base)
+    fs.delete(stage)
     return inc
 
 

@@ -269,16 +269,28 @@ def kmeans_centroids(
             f"kmeans_centroids trains driver-side: got > {max_rows} rows; "
             "pass a bounded sample (or raise max_rows deliberately)"
         )
+    if not rows:
+        raise ValueError(
+            "kmeans_centroids: empty training sample (0 rows) — pass a "
+            "non-empty corpus/sample"
+        )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     n, k = x.shape[0], min(n_centroids, x.shape[0])
     rng = np.random.default_rng(seed)
 
-    # k-means++ seeding
+    # k-means++ seeding. Degenerate guard: when every remaining point
+    # coincides with a chosen seed, d2 is all-zero and the D² weights
+    # are undefined — fall back to uniform choice for the rest of the
+    # seeds (Lloyd below then collapses/reseeds empty cells normally).
     cents = np.empty((k, x.shape[1]))
     cents[0] = x[rng.integers(n)]
     d2 = ((x - cents[0]) ** 2).sum(axis=1)
     for j in range(1, k):
-        p = d2 / max(d2.sum(), 1e-300)
+        s = d2.sum()
+        if s <= 0.0:
+            cents[j] = x[rng.integers(n)]
+            continue
+        p = d2 / s
         cents[j] = x[rng.choice(n, p=p)]
         d2 = np.minimum(d2, ((x - cents[j]) ** 2).sum(axis=1))
 
@@ -511,7 +523,16 @@ def hubness_estimate(
     if exclude_self:
         t = t.filter(F.col(query_id_col) != F.col(id_col))
     if k is not None:
-        order = [F.asc("rank")] if "rank" in t.columns else [F.asc(id_col)]
+        # trim preference: searcher rank, else score (best-first), else
+        # id as a deterministic last resort — trimming a rank-less but
+        # scored frame by id would keep the k LOWEST-ID rows, a biased
+        # histogram.
+        if "rank" in t.columns:
+            order = [F.asc("rank")]
+        elif "score" in t.columns:
+            order = [F.desc("score"), F.asc(id_col)]
+        else:
+            order = [F.asc(id_col)]
         w = Window.partitionBy(query_id_col).orderBy(*order)
         t = (
             t.withColumn("__rn", F.row_number().over(w))
@@ -575,8 +596,10 @@ def ivf_write(
 class ConcurrentIndexMutation(RuntimeError):
     """The stored ``_ivf_meta`` version moved between a lifecycle op's
     initial read and its commit — a second writer violated the
-    single-writer contract. The op's data writes may have landed but
-    its stats update was NOT applied; re-read the index and retry."""
+    single-writer contract. The tripped op left the index data
+    untouched: appends stage their batch and discard it on trip
+    (stage-then-swap), recluster discards its rebuilt tmp. Re-read the
+    index and retry — the retry cannot duplicate data."""
 
 
 def write_index_meta(spark, path: str, meta: dict,
@@ -590,13 +613,18 @@ def write_index_meta(spark, path: str, meta: dict,
     Concurrency contract: index mutation (``ivf_write`` / ``*_append``
     / ``ivf_delete`` / ``ivf_recluster``) is SINGLE-WRITER — appends
     read-modify-write the stats, so two concurrent writers lose one
-    update. The contract is ENFORCED at commit, not just documented:
-    every lifecycle op passes ``expected_version`` (the version it read
-    at start), and the write compares-and-swaps against the currently
-    stored version — if another writer bumped it in between, the write
-    fails loudly with ``ConcurrentIndexMutation`` instead of silently
-    losing that writer's stats update. Each successful write stamps a
-    monotonic ``version`` (prior stored version + 1).
+    update. Violations get BEST-EFFORT DETECTION at commit: every
+    lifecycle op passes ``expected_version`` (the version it read at
+    start), and the write compares the currently stored version — if
+    another writer bumped it in between, the write fails loudly with
+    ``ConcurrentIndexMutation`` instead of silently losing that
+    writer's stats update. The check is check-then-act over
+    non-atomic filesystem ops, not an atomic CAS: two writers whose
+    version reads land inside the same commit window can still both
+    succeed — run real multi-writer ingest through one coordinator
+    (e.g. a Structured Streaming sink, one writer per index). Each
+    successful write stamps a monotonic ``version`` (prior stored
+    version + 1).
 
     Crash safety: the new meta is staged in a temp dir, the PRIOR meta
     is renamed aside to ``_ivf_meta.__old__`` (never deleted first),
@@ -767,6 +795,67 @@ def merge_index_stats(old: dict, delta: dict) -> dict:
     }
 
 
+APPEND_STAGE_PREFIX = "_append_stage_"
+
+
+def _move_staged_cells(fs, stage: str, base: str) -> int:
+    """Expose a staged append batch: rename every data file under
+    ``stage/centroid_id=N/`` into the live cell directory of the same
+    name. One FS rename per batch file — O(files-in-batch), no data
+    copy, no rewrite of existing cells. Idempotent for crash recovery:
+    a file whose destination already exists was moved by the crashed
+    run (per-file rename is atomic), so it is skipped; re-running after
+    a partial move finishes the remainder."""
+    moved = 0
+    for cell in fs.listdir(stage):
+        src_dir = f"{stage}/{cell}"
+        if not cell.startswith("centroid_id=") or not fs.is_dir(src_dir):
+            continue  # _SUCCESS marker etc. — dies with the stage dir
+        dst_dir = f"{base}/{cell}"
+        if not fs.exists(dst_dir):
+            fs.mkdirs(dst_dir)
+        for name in fs.listdir(src_dir):
+            if name.startswith(("_", ".")):
+                continue
+            if not fs.exists(f"{dst_dir}/{name}"):
+                fs.rename(f"{src_dir}/{name}", f"{dst_dir}/{name}")
+                moved += 1
+    return moved
+
+
+def recover_pending_append(spark, path: str, meta: dict) -> dict:
+    """Roll a crashed staged append forward. ``*_append`` commits in
+    two steps: (1) CAS meta write carrying ``pending_append`` (the
+    staged batch's dir name) with the already-merged stats, (2) rename
+    the staged files into the live cells. A crash between them leaves
+    stats counting vectors the data doesn't serve yet — recall-safe
+    (auto-nprobe over-probes slightly, results simply lack the batch)
+    but worth healing: every lifecycle op calls this first. If the
+    staged dir still exists the move is completed (idempotent —
+    ``_move_staged_cells``); either way the marker is stripped from
+    the returned dict so the op's own meta write clears it. Never
+    writes meta itself (the caller's CAS'd write does).
+
+    Marker clearing is deliberately LAZY: a successful append leaves
+    its own marker in the committed meta (pointing at the staging dir
+    it already deleted) rather than paying a second meta-write job per
+    batch. Invariant: marker dir absent ⇒ the append is fully exposed
+    and the index is consistent; markers are stripped by the next
+    lifecycle op's commit."""
+    pend = meta.pop("pending_append", None)
+    if not pend:
+        return meta
+    from batch_process_spark.sinks.hadoopfs import HadoopFS
+
+    base = path.rstrip("/")
+    fs = HadoopFS(spark, base)
+    stage = f"{base}/{pend}"
+    if fs.exists(stage):
+        _move_staged_cells(fs, stage, base)
+        fs.delete(stage)
+    return meta
+
+
 def ivf_append(
     spark,
     path: str,
@@ -785,19 +874,43 @@ def ivf_append(
     + one partitioned append + one n_centroids-row stats job; the
     existing index is never rewritten. Re-clustering (centroid drift
     after heavy growth) is a separate offline rebuild decision — the
-    persisted cell_sizes are exactly the signal to trigger it."""
-    meta = read_index_meta(spark, path)
-    expected = int(meta.get("version", 0))
+    persisted cell_sizes are exactly the signal to trigger it.
+
+    Commit protocol (stage-then-swap): the batch is written under a
+    ``_``-prefixed staging dir (invisible to ``spark.read.parquet``),
+    the merged stats are committed by the version-checked meta write,
+    and only THEN are the staged files renamed into the live cells
+    (O(files-in-batch) FS renames — no data copy). A tripped
+    ``ConcurrentIndexMutation`` therefore leaves the index exactly at
+    its pre-append state (the staging dir is deleted) and retrying the
+    append is safe — no orphaned vectors, no duplicate ids. A crash
+    between the meta commit and the rename-in is healed by the next
+    lifecycle op (``recover_pending_append``); until then reads are
+    recall-safe (stats over-count → auto-nprobe over-probes)."""
+    import uuid
+
+    from batch_process_spark.sinks.hadoopfs import HadoopFS
+
+    base = path.rstrip("/")
+    meta = read_index_meta(spark, base)
     if "pq" in meta:
         raise ValueError(
             f"index at {path!r} is an IVFPQ codes index — float vectors "
             "cannot be appended to it; use pq.ivfpq_append"
         )
+    meta = recover_pending_append(spark, base, meta)
+    expected = int(meta.get("version", 0))
     cents = meta["centroids"]
     assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+    fs = HadoopFS(spark, base)
+    stage_name = APPEND_STAGE_PREFIX + uuid.uuid4().hex[:12]
+    stage = f"{base}/{stage_name}"
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
     if "stats" in meta:
-        delta = ivf_index_stats(assigned, cents, vec_col=vec_col)
+        delta = ivf_index_stats(
+            spark.read.parquet(stage), cents, vec_col=vec_col
+        )
         merged = merge_index_stats(meta["stats"], delta)
         meta["stats"] = {
             "cell_sizes": {str(k): v for k, v in merged["cell_sizes"].items()},
@@ -805,7 +918,14 @@ def ivf_append(
             "mean_cell_size": merged["mean_cell_size"],
             "mean_within_dist": merged["mean_within_dist"],
         }
-        write_index_meta(spark, path, meta, expected_version=expected)
+    meta["pending_append"] = stage_name
+    try:
+        write_index_meta(spark, base, meta, expected_version=expected)
+    except ConcurrentIndexMutation:
+        fs.delete(stage)  # index untouched — retry is safe
+        raise
+    _move_staged_cells(fs, stage, base)
+    fs.delete(stage)
     return assigned
 
 
@@ -888,9 +1008,9 @@ def ivf_delete(
         swap_directory_fs,
     )
 
-    meta = read_index_meta(spark, path)
-    expected = int(meta.get("version", 0))
     base = path.rstrip("/")
+    meta = recover_pending_append(spark, base, read_index_meta(spark, base))
+    expected = int(meta.get("version", 0))
     fs = HadoopFS(spark, base)
     ids_df = _ids_frame(spark, ids, id_col)
     idx = spark.read.parquet(base)
@@ -1033,7 +1153,7 @@ def ivf_recluster(
     base = path.rstrip("/")
     fs = HadoopFS(spark, base)
     recover_swap_fs(fs, base, base + ".__recluster__")  # repair a crashed swap
-    meta = read_index_meta(spark, path)
+    meta = recover_pending_append(spark, base, read_index_meta(spark, base))
     if meta.get("stats") is None:
         raise ValueError(
             f"index at {path!r} has no persisted stats — re-write it with "
@@ -1090,13 +1210,20 @@ def ivf_recluster(
         stored_codes = spark.read.parquet(base).select(id_col, "codes")
         assigned = assigned.persist()
         assigned_codes = assigned.join(stored_codes, id_col).persist()
-        n_corpus, n_joined = assigned.count(), assigned_codes.count()
-        if n_joined != n_corpus or n_corpus != n_vectors:
+        # raw counts alone can't see a duplicate corpus id compensating
+        # a missing one (n_corpus stays == n_vectors and the dup's two
+        # join rows inflate n_joined back) — so the corpus id count is
+        # taken DISTINCT; with unique ids, n_distinct == n_vectors ==
+        # n_joined implies exact set equality against the stored ids.
+        n_corpus = assigned.select(id_col).distinct().count()
+        n_raw, n_joined = assigned.count(), assigned_codes.count()
+        if n_raw != n_corpus or n_joined != n_corpus or n_corpus != n_vectors:
             assigned.unpersist()
             assigned_codes.unpersist()
             raise ValueError(
                 f"IVFPQ recluster id mismatch at {base!r}: corpus has "
-                f"{n_corpus} ids, stored index has {n_vectors}, their "
+                f"{n_raw} rows / {n_corpus} distinct ids, stored index "
+                f"has {n_vectors}, their "
                 f"intersection {n_joined}. The passed corpus must contain "
                 "exactly the stored ids — a superset (e.g. ivf_delete'd "
                 "vectors still in the caller's float corpus) would "
@@ -1138,10 +1265,14 @@ def ivf_recluster(
             "rebuild discarded, re-read the index and retry"
         )
     swap_directory_fs(fs, tmp, base)
-    # re-stamp version continuity: the fresh meta started at 1 in tmp
+    # re-stamp version continuity: the fresh meta started at 1 in tmp;
+    # the restamp passes that as expected_version so a writer landing
+    # in the swap→restamp window trips the version check rather than
+    # being silently overwritten
     new_meta = read_index_meta(spark, base)
+    fresh_version = int(new_meta.get("version", 0))
     new_meta["version"] = old_version  # write bumps to old_version + 1
-    write_index_meta(spark, base, new_meta)
+    write_index_meta(spark, base, new_meta, expected_version=fresh_version)
     from batch_process_spark.queries import invalidate_tables
 
     invalidate_tables(base)
@@ -1221,6 +1352,10 @@ def compact_index(
 
     base = path.rstrip("/")
     fs = HadoopFS(spark, base)
+    try:  # heal a crashed append's staged batch before sizing cells
+        recover_pending_append(spark, base, read_index_meta(spark, base))
+    except ValueError:
+        pass  # meta-less index — nothing staged by definition
     report = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
     cells = sorted(
         d for d in fs.listdir(base)

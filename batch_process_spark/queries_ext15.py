@@ -1703,6 +1703,11 @@ def q224_ingest_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.unhex(F.md5("text")).alias("h")  # 16-byte key, not hex
     )
+    # NULL-text docs hash to NULL; the oracle's null-unsafe inner join
+    # (JOIN firsts ON f.h = b.h) drops them from the batch entirely,
+    # while groupBy(h) would pool them into one classified group —
+    # mirror the oracle's drop explicitly.
+    docs = docs.filter(F.col("h").isNotNull())
     per_h = docs.groupBy("h").agg(
         F.count(F.when(F.col("doc_id") % 2 == 1, 1)).alias("n_batch"),
         F.max((F.col("doc_id") % 2 == 0).cast("int")).alias("in_corpus"),

@@ -57,6 +57,11 @@ class HadoopFS:
         if not self._fs.rename(self.jpath(src), self.jpath(dst)):
             raise IOError(f"rename {src!r} -> {dst!r} failed")
 
+    def mkdirs(self, path: str) -> None:
+        """Create ``path`` (and parents); no-op when already present."""
+        if not self._fs.mkdirs(self.jpath(path)):
+            raise IOError(f"mkdirs {path!r} failed")
+
     def listdir(self, path: str) -> list[str]:
         """Child names (files and dirs) of ``path``."""
         return [

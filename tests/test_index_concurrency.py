@@ -304,3 +304,176 @@ def test_hadoopfs_rename_refuses_existing_destination(spark, tmp_path):
     fs = HadoopFS(spark, a)
     with pytest.raises(IOError, match="destination exists"):
         fs.rename(a, b)
+
+
+def _cell_listing(root: str) -> dict[str, tuple[int, bytes]]:
+    """{relative file path: (size, md5)} over every data file under the
+    index's cell directories — the byte-identity referee for the
+    stage-then-swap append contract."""
+    import hashlib
+
+    out = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        rel_dir = os.path.relpath(dirpath, root)
+        if not (rel_dir == "." or rel_dir.startswith("centroid_id=")):
+            continue
+        for name in filenames:
+            p = os.path.join(dirpath, name)
+            with open(p, "rb") as f:
+                h = hashlib.md5(f.read()).digest()
+            out[os.path.relpath(p, root)] = (os.path.getsize(p), h)
+    return out
+
+
+def test_tripped_append_leaves_index_byte_identical(spark, tmp_path,
+                                                    monkeypatch):
+    """Stage-then-swap (r11 verdict item 1): a ConcurrentIndexMutation
+    trip during ivf_append leaves every cell file byte-identical to the
+    pre-append state — no orphaned vectors, no stats drift, no staging
+    residue — and the retry commits the batch exactly once."""
+    path = _build_index(spark, tmp_path)
+    ivf_delete(spark, path, [0, 1, 2])  # the racing writer's commit
+    before_files = _cell_listing(path)
+    before_stats = read_index_meta(spark, path)["stats"]
+    stale = copy.deepcopy(read_index_meta(spark, path))
+    stale["version"] = int(stale["version"]) - 1  # pre-delete view
+
+    real = similarity.read_index_meta
+    calls = {"n": 0}
+
+    def first_read_is_stale(sp, p):
+        calls["n"] += 1
+        return copy.deepcopy(stale) if calls["n"] == 1 else real(sp, p)
+
+    monkeypatch.setattr(similarity, "read_index_meta", first_read_is_stale)
+    new = spark.createDataFrame(
+        [(500, [5.1, 0.0, 0.0, 0.0]), (501, [-5.1, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ConcurrentIndexMutation):
+        ivf_append(spark, path, new)
+    monkeypatch.setattr(similarity, "read_index_meta", real)
+
+    # byte-identical cell listings, unchanged stats, no staging residue
+    assert _cell_listing(path) == before_files
+    after = read_index_meta(spark, path)
+    assert after["stats"] == before_stats
+    assert "pending_append" not in after
+    assert not [d for d in os.listdir(path)
+                if d.startswith(similarity.APPEND_STAGE_PREFIX)]
+
+    # clean retry: exactly-once, no duplicate ids
+    ivf_append(spark, path, new)
+    df, _, stats = ivf_read_index(spark, path)
+    assert df.count() == 39 and stats["n_vectors"] == 39
+    assert df.filter("vec_id IN (500, 501)").count() == 2
+    assert df.select("vec_id").distinct().count() == 39
+
+
+def test_append_crash_between_cas_and_movein_heals(spark, tmp_path,
+                                                   monkeypatch):
+    """Crash window: meta committed (stats + pending_append marker) but
+    the staged files never renamed in. Reads stay recall-safe (stats
+    over-count, data serves the old state), and the NEXT lifecycle op
+    heals it — completes the move, clears the marker — with no
+    duplicate ids."""
+    path = _build_index(spark, tmp_path)
+
+    def crash(fs, stage, base):
+        raise RuntimeError("simulated crash after CAS, before move-in")
+
+    monkeypatch.setattr(similarity, "_move_staged_cells", crash)
+    new = spark.createDataFrame(
+        [(700, [5.3, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ivf_append(spark, path, new)
+    monkeypatch.undo()
+
+    mid = read_index_meta(spark, path)
+    assert mid["stats"]["n_vectors"] == 41  # stats already merged
+    assert mid["pending_append"].startswith(similarity.APPEND_STAGE_PREFIX)
+    assert spark.read.parquet(path).count() == 40  # data not yet exposed
+
+    # next lifecycle op heals: move completed, marker cleared
+    ivf_append(spark, path, spark.createDataFrame(
+        [(701, [-5.3, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    ))
+    df, _, stats = ivf_read_index(spark, path)
+    assert df.count() == 42 and stats["n_vectors"] == 42
+    assert df.select("vec_id").distinct().count() == 42
+    # marker clearing is lazy: the healing append leaves its OWN marker,
+    # whose stage dir is gone — the invariant is marker-dir-absent
+    # (append fully exposed), cleared at the next op's meta commit
+    final = read_index_meta(spark, path)
+    if "pending_append" in final:
+        assert not os.path.exists(os.path.join(path, final["pending_append"]))
+    assert not [d for d in os.listdir(path)
+                if d.startswith(similarity.APPEND_STAGE_PREFIX)]
+    # a delete commits a marker-free meta (recover strips it)
+    ivf_delete(spark, path, [700])
+    assert "pending_append" not in read_index_meta(spark, path)
+
+
+def test_tripped_ivfpq_append_leaves_index_byte_identical(spark, tmp_path,
+                                                          monkeypatch):
+    """Same stage-then-swap contract for the codes index: a tripped
+    ivfpq_append leaves the stored codes byte-identical and the retry
+    is duplicate-free."""
+    from batch_process_spark.operators import pq
+    from batch_process_spark.operators.similarity import ivf_index_stats
+
+    corpus = _two_blob_corpus(spark).persist()
+    corpus.count()
+    codes, cents, cb = pq.ivfpq_index(corpus, subdim=2, k_code=4,
+                                      n_centroids=2)
+    floats = corpus.join(codes.select("vec_id", "centroid_id"), "vec_id")
+    path = str(tmp_path / "pqidx_trip")
+    pq.ivfpq_write(codes, path, cents, cb, subdim=2,
+                   stats=ivf_index_stats(floats, cents))
+    before_files = _cell_listing(path)
+    before_stats = read_index_meta(spark, path)["stats"]
+    stale = copy.deepcopy(read_index_meta(spark, path))
+    stale["version"] = int(stale["version"]) - 1
+
+    real = similarity.read_index_meta
+    calls = {"n": 0}
+
+    def first_read_is_stale(sp, p):
+        calls["n"] += 1
+        return copy.deepcopy(stale) if calls["n"] == 1 else real(sp, p)
+
+    monkeypatch.setattr(similarity, "read_index_meta", first_read_is_stale)
+    new = spark.createDataFrame(
+        [(800, [5.0, 0.1, -5.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ConcurrentIndexMutation):
+        pq.ivfpq_append(spark, path, new)
+    monkeypatch.setattr(similarity, "read_index_meta", real)
+
+    assert _cell_listing(path) == before_files
+    assert read_index_meta(spark, path)["stats"] == before_stats
+    assert not [d for d in os.listdir(path)
+                if d.startswith(similarity.APPEND_STAGE_PREFIX)]
+
+    inc = pq.ivfpq_append(spark, path, new)
+    assert inc.count() == 1
+    codes2, _, _, _, stats2 = pq.ivfpq_read(spark, path)
+    assert codes2.count() == 41 and stats2["n_vectors"] == 41
+    assert codes2.select("vec_id").distinct().count() == 41
+    corpus.unpersist()
+
+
+def test_kmeans_degenerate_inputs(spark):
+    """k-means++ seeding survives an all-identical sample (uniform
+    fallback when every D² weight is zero) and rejects an empty one
+    with a clear error instead of an opaque numpy IndexError."""
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(same, n_centroids=3, seed=5)
+    assert all(c == [1.0, 2.0, 3.0, 4.0] for c in cents)
+    empty = same.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty training sample"):
+        kmeans_centroids(empty, n_centroids=3)
