@@ -662,7 +662,11 @@ def ivfpq_append(
     fs = HadoopFS(spark, base)
     stage_name = APPEND_STAGE_PREFIX + uuid.uuid4().hex[:12]
     stage = f"{base}/{stage_name}"
-    inc.write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
+    # one file per touched cell per batch (see ivf_append) — fewer
+    # rename-ins now, less compaction debt later
+    inc.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(stage)
     if meta.get("stats") is not None:
         # stats need the float coordinates — the staged codes rows
         # don't carry them, so the delta computes from the assignment

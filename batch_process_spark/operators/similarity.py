@@ -906,7 +906,13 @@ def ivf_append(
     fs = HadoopFS(spark, base)
     stage_name = APPEND_STAGE_PREFIX + uuid.uuid4().hex[:12]
     stage = f"{base}/{stage_name}"
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
+    # repartition by cell before staging: ONE file per touched cell per
+    # batch instead of (batch partitions x cells) small files — a
+    # batch-sized shuffle that cuts both the rename-in count and the
+    # append debt compact_index exists to repay
+    assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(stage)
     if "stats" in meta:
         delta = ivf_index_stats(
             spark.read.parquet(stage), cents, vec_col=vec_col
