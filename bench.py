@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q207_sliding_span_dedup",    # span dedup (shared _span_frame)
     "q219_span_attribution",      # span pair join (df-capped)
     "q222_quality_dup_calibration",  # quality projection x dup join
+    "q224_ingest_dedup_delta",    # single-pass per-hash ingest delta (r11 floor)
 ]
 
 

@@ -709,3 +709,25 @@ def test_rerank_against_bucketed_corpus_never_shuffles_corpus(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     finally:
         spark.sql("DROP TABLE IF EXISTS rerank_corpus_bkt")
+
+
+def test_q224_single_scan_single_data_exchange(spark, qs):
+    """Round-11 restructure pin (r11 verdict item 4): q224's published
+    ingest-delta numbers are pure per-hash arithmetic, so the whole
+    query must stay ONE parquet text scan (hash computed in the scan
+    projection) + ONE data-sized hashpartitioning exchange on h; the
+    only other exchange allowed is the SinglePartition gather of the
+    1-row totals. A refactor reintroducing the two-scan corpus/batch
+    shape (2x text scan + distinct + first-occurrence join) fails
+    here instead of at the next volume probe."""
+    plan = qs["q224_ingest_dedup_delta"](spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, f"expected ONE text scan:\n{scans}"
+    exchanges = [l.strip() for l in plan.splitlines() if "Exchange" in l
+                 and "Reused" not in l]
+    hash_ex = [l for l in exchanges if "hashpartitioning" in l]
+    single_ex = [l for l in exchanges if "SinglePartition" in l]
+    assert len(hash_ex) == 1, f"expected ONE h exchange:\n{exchanges}"
+    assert len(exchanges) == len(hash_ex) + len(single_ex)
+    assert "Join" not in plan and "CartesianProduct" not in plan
