@@ -17,6 +17,9 @@ config.yaml`` lifecycle (SURVEY §3.1):
     python -m batch_process_spark.cli index-delete <dir> --ids 1,2,3|@file
     python -m batch_process_spark.cli index-recluster <dir> \
         [--skew-threshold 4.0] [--force]             # stored-index lifecycle
+    python -m batch_process_spark.cli index-hubness <dir> \
+        [--k 10] [--nprobe auto] [--max-queries 100000]
+                                                     # serving-path hubness audit
 
 Plugins: ``--plugins <dir>`` imports every ``*.py`` there; modules
 self-register via the ``@operator`` decorator.
@@ -51,6 +54,7 @@ def main(argv=None) -> int:
         choices=[
             "run", "simulate", "ops", "compact", "template", "query",
             "index-compact", "index-delete", "index-recluster",
+            "index-hubness",
         ],
     )
     ap.add_argument("root", nargs="?", help="directory tree to process / query name / index dir")
@@ -68,6 +72,9 @@ def main(argv=None) -> int:
     ap.add_argument("--id-col", default="vec_id", help="index-delete: id column name")
     ap.add_argument("--skew-threshold", type=float, default=4.0, help="index-recluster: rebuild when max-cell/mean-cell exceeds this")
     ap.add_argument("--force", action="store_true", help="index-recluster: rebuild regardless of skew")
+    ap.add_argument("--k", type=int, default=10, help="index-hubness: neighbors per query")
+    ap.add_argument("--nprobe", default="auto", help="index-hubness: cells probed per query (int or 'auto')")
+    ap.add_argument("--max-queries", type=int, default=100_000, help="index-hubness: query-side sample bound (0 = all vectors)")
     args = ap.parse_args(argv)
 
     import batch_process_spark.plans.builtin_ops  # noqa: F401  (registers built-ins)
@@ -119,6 +126,30 @@ def main(argv=None) -> int:
 
         tpl = generate_template(args.root)
         print(format_config_yaml(tpl), end="")
+        return 0
+
+    if args.command == "index-hubness":
+        # serving-path hubness audit: ONE histogram row per k-occurrence
+        # (at most k+1 rows) printed as JSON lines + a summary line
+        if not args.root:
+            ap.error("index-hubness needs the index <dir>")
+        from batch_process_spark.operators.similarity import stored_index_hubness
+        from batch_process_spark.session import get_spark
+
+        spark = get_spark("batch_process_spark.cli")
+        nprobe = args.nprobe if args.nprobe == "auto" else int(args.nprobe)
+        hist = stored_index_hubness(
+            spark, args.root, k=args.k, nprobe=nprobe,
+            max_queries=args.max_queries,
+        ).orderBy("k_occurrence").collect()
+        for r in hist:
+            print(json.dumps({"k_occurrence": r["k_occurrence"],
+                              "n_vectors": r["n_vectors"]}))
+        total = sum(r["n_vectors"] for r in hist)
+        antihubs = sum(r["n_vectors"] for r in hist if r["k_occurrence"] == 0)
+        print(json.dumps({"summary": {"n_vectors": total,
+                                      "antihubs": antihubs, "k": args.k}}),
+              file=sys.stderr)
         return 0
 
     if args.command in ("index-compact", "index-delete", "index-recluster"):

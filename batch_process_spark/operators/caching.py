@@ -60,9 +60,11 @@ class PersistMemo:
         del self._entries[key]
         return None
 
-    def put(self, key: tuple | None, session, df: DataFrame) -> DataFrame:
-        """Persist ``df``, record it under ``key``, evict LRU overflow."""
-        df = df.persist()
+    def put(self, key: tuple | None, session, df: DataFrame,
+            storage_level=None) -> DataFrame:
+        """Persist ``df`` (at ``storage_level`` when given, else the
+        engine default), record it under ``key``, evict LRU overflow."""
+        df = df.persist(storage_level) if storage_level is not None else df.persist()
         if key is not None:
             self._entries[key] = (weakref.ref(session), df)
             while len(self._entries) > self._max:

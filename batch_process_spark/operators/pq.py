@@ -534,6 +534,8 @@ def ivfpq_write(
     codebook: DataFrame,
     subdim: int,
     stats: dict | None = None,
+    file_plan: dict[int, int] | None = None,
+    id_col: str = "vec_id",
 ) -> None:
     """Persist the COMPLETE IVFPQ index: codes written
     ``partitionBy("centroid_id")`` (the ``ivf_write`` layout —
@@ -545,10 +547,22 @@ def ivfpq_write(
 
     ``stats`` should be ``ivf_index_stats(float_assigned, centroids)``
     computed at index-build time (the codes frame carries no
-    embeddings, so they cannot be derived later)."""
-    from batch_process_spark.operators.similarity import write_index_meta
+    embeddings, so they cannot be derived later).
 
-    assigned_codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    ``file_plan`` (``similarity.cell_file_plan``) pre-coalesces the
+    written layout — see ``ivf_write``; the recluster path passes it
+    so a rebuild lands at compact-level file counts directly."""
+    from batch_process_spark.operators.similarity import (
+        _compacted_cells,
+        write_index_meta,
+    )
+
+    out = (
+        _compacted_cells(assigned_codes, file_plan, id_col)
+        if file_plan
+        else assigned_codes
+    )
+    out.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     cb_rows = [
         [int(r["sub"]), int(r["cid"]), int(r["spos"]), float(r["c"])]
         for r in codebook.collect()  # bounded: m x k x subdim rows

@@ -553,12 +553,129 @@ def hubness_estimate(
     ).agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
+def stored_index_hubness(
+    spark,
+    path: str,
+    k: int = 10,
+    nprobe: int | str = "auto",
+    max_queries: int = 100_000,
+    seed: int = 42,
+    max_fraction: float = 0.125,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The hubness audit as a one-call serving-path operation over a
+    STORED float-IVF index (``ivf_write`` layout): self-query the
+    index with its own vectors through the production searcher
+    (``ivf_topk``, k+1 with the self-match dropped), estimate the
+    k-occurrence histogram (``hubness_estimate``, antihubs counted via
+    the corpus id join), and return (k_occurrence, n_vectors) ready
+    for a report sink. This is the audit the 100 TB story depends on,
+    runnable without writing a driver script — surfaced as the
+    ``hubness_report`` builtin pipeline stage and the
+    ``index-hubness`` CLI subcommand.
+
+    ``max_queries`` bounds the query side: above it, a deterministic
+    hash-sample of that size queries the index (|Q| x k cost, the
+    §5aa estimator contract) while corpus_ids still cover EVERY
+    vector, so the histogram stays corpus-wide with sampled
+    occurrence mass. 0/None disables sampling. Codes-only IVFPQ
+    indexes are rejected: they store no float vectors to self-query
+    with — audit those at build time from the float assignment."""
+    meta = read_index_meta(spark, path)
+    if "pq" in meta:
+        raise ValueError(
+            f"index at {path!r} is an IVFPQ codes index — it stores no "
+            "float vectors to self-query with; run the audit at build "
+            "time from the float assignment (hubness_estimate over "
+            "ivfpq_topk output) instead"
+        )
+    assigned = spark.read.parquet(path)
+    stats = meta.get("stats")  # cell_sizes keys already int-restored
+    queries = assigned.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col)
+    )
+    n_vectors = int((stats or {}).get("n_vectors", 0)) or assigned.count()
+    if max_queries and n_vectors > max_queries:
+        # deterministic hash-gate: stable across runs AND partitionings
+        # (sample() is seed+partition-layout dependent; xxhash is not)
+        bound = int((max_queries / n_vectors) * (1 << 31))
+        queries = queries.filter(
+            (F.abs(F.xxhash64("query_id", F.lit(seed))) % (1 << 31)) < bound
+        )
+    topk = ivf_topk(
+        assigned,
+        meta["centroids"],
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k + 1,  # self-match drops in the estimator's exclude_self trim
+        nprobe=nprobe,
+        stats=stats,
+        max_fraction=max_fraction,
+    )
+    return hubness_estimate(
+        topk,
+        corpus_ids=assigned.select(id_col),
+        k=k,
+        id_col=id_col,
+        exclude_self=True,
+    )
+
+
+def cell_file_plan(
+    stats: dict, bytes_per_vec: float, target_mb: int = 128
+) -> dict[int, int]:
+    """{centroid_id: output file count} targeting ~``target_mb`` per
+    file from the cell-occupancy stats and a measured bytes-per-vector
+    — the write-side twin of ``compact_index``'s per-cell coalesce.
+    Never below 1 file per cell; a 100 TB cell gets cell_bytes/target
+    files (parallel read), a 1k-vector cell gets exactly one."""
+    t = max(target_mb, 1) * 1024 * 1024
+    return {
+        int(c): max(1, round(n * bytes_per_vec / t))
+        for c, n in stats["cell_sizes"].items()
+    }
+
+
+def _index_bytes_per_vec(fs, base: str, n_vectors: int) -> float:
+    """Measured storage density of an existing index: total data bytes
+    under the cell directories / vectors. One listStatus per cell."""
+    total = 0
+    for d in fs.listdir(base):
+        if d.startswith("centroid_id=") and fs.is_dir(f"{base}/{d}"):
+            total += sum(fs.file_sizes(f"{base}/{d}").values())
+    return total / max(n_vectors, 1)
+
+
+def _compacted_cells(df: DataFrame, file_plan: dict[int, int], id_col: str) -> DataFrame:
+    """Repartition ``df`` so the partitioned write emits ~file_plan[c]
+    files for cell c: a per-cell salt (id hash mod the cell's file
+    count) spreads each big cell across exactly its target number of
+    write partitions while small cells stay whole — ONE shuffle sized
+    by the frame, no per-cell jobs."""
+    mapping = F.create_map(
+        *[F.lit(x) for c_n in sorted(file_plan.items()) for x in c_n]
+    )
+    n_total = max(sum(file_plan.values()), 1)
+    return (
+        df.withColumn(
+            "__f",
+            F.pmod(F.xxhash64(F.col(id_col)), mapping[F.col("centroid_id")]),
+        )
+        .repartition(n_total, F.col("centroid_id"), F.col("__f"))
+        .drop("__f")
+    )
+
+
 def ivf_write(
     assigned: DataFrame,
     path: str,
     centroids: list[list[float]] | None = None,
     stats: dict | None = None,
     vec_col: str = "embedding",
+    file_plan: dict[int, int] | None = None,
+    id_col: str = "vec_id",
 ) -> None:
     """Materialize an IVF index: vectors written partitioned by
     centroid — the layout that makes query-time probing read only
@@ -573,8 +690,14 @@ def ivf_write(
     assignment is guaranteed on hand (index build). The ``_``-prefixed
     subdir is invisible to ``spark.read.parquet(path)``, and the write
     goes through the DataFrame writer, so it lands on whatever Hadoop
-    filesystem ``path`` lives on (HDFS/S3/local alike)."""
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    filesystem ``path`` lives on (HDFS/S3/local alike).
+
+    ``file_plan`` (see ``cell_file_plan``) pre-coalesces the layout at
+    write time: each cell lands in ~its target number of files instead
+    of (task partitions x cells) fragments — the recluster path uses
+    this so a rebuild never needs a follow-up ``compact_index``."""
+    out = _compacted_cells(assigned, file_plan, id_col) if file_plan else assigned
+    out.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     if centroids is not None:
         import json
 
@@ -1106,6 +1229,7 @@ def ivf_recluster(
     vec_col: str = "embedding",
     force: bool = False,
     train_sample: int | None = None,
+    target_file_mb: int = 128,
 ) -> dict:
     """Offline re-cluster of a drifted stored index: when the persisted
     ``cell_sizes`` skew (``index_skew`` — largest cell / mean cell)
@@ -1173,6 +1297,13 @@ def ivf_recluster(
     old_version = int(meta.get("version", 0))
     n_vectors = int(meta["stats"].get("n_vectors", 0))
     tmp = base + ".__recluster__"
+    # measured storage density of the OLD index sizes the rebuilt
+    # layout (cell_file_plan): the rewrite emits compact-level cells
+    # directly — ~target_file_mb files per cell, never the fragmented
+    # (task partitions x cells) spray a follow-up compact_index would
+    # have to repay (r11 verdict item 5: recluster wall was dominated
+    # by rewriting a 5-file-set-per-cell index fragment for fragment)
+    bytes_per_vec = _index_bytes_per_vec(fs, base, n_vectors)
 
     def _train_assign(full: DataFrame):
         """Centroids from a bounded sample (if requested), assignment
@@ -1242,6 +1373,8 @@ def ivf_recluster(
         _pq.ivfpq_write(
             assigned_codes.select(id_col, "centroid_id", "codes"),
             tmp, cents, cb, subdim, stats=stats,
+            file_plan=cell_file_plan(stats, bytes_per_vec, target_file_mb),
+            id_col=id_col,
         )
         assigned.unpersist()
         assigned_codes.unpersist()
@@ -1257,7 +1390,14 @@ def ivf_recluster(
             )
         train = spark.read.parquet(base).select(id_col, vec_col)
         assigned, cents = _train_assign(train)
-        ivf_write(assigned, tmp, centroids=cents, vec_col=vec_col)
+        assigned = assigned.persist()  # stats + compacted write, one compute
+        stats = ivf_index_stats(assigned, cents, vec_col=vec_col)
+        ivf_write(
+            assigned, tmp, centroids=cents, stats=stats, vec_col=vec_col,
+            file_plan=cell_file_plan(stats, bytes_per_vec, target_file_mb),
+            id_col=id_col,
+        )
+        assigned.unpersist()
 
     # compare-and-swap: another writer committing between our initial
     # meta read and this point would have its update overwritten by the

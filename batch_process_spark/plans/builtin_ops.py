@@ -206,3 +206,51 @@ def dedup_report(
 
         write_csv(report, out)
     return report
+
+
+@operator(name="hubness_report", phase="post")
+def hubness_report(
+    df,
+    index_path=None,
+    k=10,
+    nprobe="auto",
+    max_queries=100_000,
+    seed=42,
+    out=None,
+    **cfg,
+):
+    """Serving-path hubness audit over a stored float-IVF index (the
+    ``dedup_report`` discipline for the embedding side): self-query
+    the index through the production searcher and report the
+    k-occurrence histogram — how many vectors appear in 0 (antihubs,
+    unreachable by kNN), 1, ..., many other vectors' neighbor lists.
+    A heavy high-k tail (hubs) degrades retrieval diversity; a fat
+    k_occ=0 bucket means dead corpus mass. Cost is |queries| x k, not
+    corpus² (``operators.similarity.stored_index_hubness``;
+    ``max_queries`` bounds the query side by deterministic sample).
+
+    The pipeline's frame passes through untouched semantics-wise: the
+    report is computed from ``index_path`` (required), sorted by
+    k_occurrence, optionally written as CSV via ``out=...``.
+
+    Example config::
+
+        post_process:
+          - name: hubness_report
+            config: {index_path: /data/ivf_index, k: 10,
+                     out: out/hubness.csv}
+    """
+    if not index_path:
+        raise ValueError("hubness_report: config needs index_path=<stored "
+                         "IVF index dir (ivf_write layout)>")
+    from batch_process_spark.operators.similarity import stored_index_hubness
+
+    report = stored_index_hubness(
+        df.sparkSession, index_path, k=k, nprobe=nprobe,
+        max_queries=max_queries, seed=seed,
+    ).orderBy("k_occurrence")
+    if out:
+        from batch_process_spark.sinks.writers import write_csv
+
+        write_csv(report, out)
+    return report

@@ -296,6 +296,61 @@ def release_span_caches() -> None:
     _SPAN_MEMO.release_all()
 
 
+# Self-sizing knobs for the occurrence exchange (r11 verdict item 2):
+# below the gate the session's static shuffle partitions are right
+# (tests/bench: tiny frames, fewer tasks win); above it the partition
+# count derives from the estimated span-row count so per-reducer
+# volume stays bounded as the corpus grows — §5ac measured the 1M-doc
+# near-cap fixture pushing 41M occurrence rows (and their ~90x pair
+# fan-out in q219) through 32 static reducers, all sort/GC pressure.
+_SPAN_SIZE_GATE_ROWS = 16_000_000  # ~500k rows/reducer at 32 parts
+_SPAN_TARGET_ROWS_PER_PART = 500_000
+
+
+def _span_occ_partitions(docs: DataFrame) -> int | None:
+    """Partition count for the memoized occurrence exchange, or None
+    to keep the session default. Estimate = doc count (parquet
+    metadata job, no text read) x avg spans/doc from a 2,048-doc
+    prefix sample (one small text read). Runs only on memo MISS —
+    once per corpus per session."""
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    if n_docs == 0:
+        return None
+    avg_w = (
+        docs.select(F.size(F.split("text", " ")).alias("w"))
+        .limit(2048)
+        .agg(F.avg("w"))
+        .first()[0]
+    ) or 0.0
+    est = int(n_docs * max(avg_w - _SPAN_WORDS + 1, 1.0))
+    if est <= _SPAN_SIZE_GATE_ROWS:
+        return None
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(2048, max(session_parts, -(-est // _SPAN_TARGET_ROWS_PER_PART)))
+
+
+def _span_memo_level(spark):
+    """Storage level for the memoized occurrence frame. SERIALIZED
+    memory+disk by default (PySpark's ``MEMORY_AND_DISK``): the frame
+    is two longs x tens of millions of rows whose on-heap deserialized
+    cache was measured as the q219 GC-variance driver (§5ad, 30-80 s
+    trial spread at 1M docs); the serialized form trades a cheap
+    decode on each of the 2-4 branch reads for a flat heap profile.
+    Override with spark.batchprocess.spanMemoLevel=MEMORY_AND_DISK_DESER
+    (DataFrame.persist()'s default) for the A/B."""
+    from pyspark import StorageLevel
+
+    # PySpark naming: MEMORY_AND_DISK is the SERIALIZED level;
+    # MEMORY_AND_DISK_DESER is DataFrame.persist()'s default
+    name = "MEMORY_AND_DISK"
+    try:
+        name = spark.conf.get("spark.batchprocess.spanMemoLevel", name)
+    except Exception:
+        pass
+    return getattr(StorageLevel, name)
+
+
 def _span_occ(docs: DataFrame) -> DataFrame:
     """The h-partitioned occurrence-level span frame, PERSISTED once
     per input plan (PersistMemo — the shingle-frame discipline from
@@ -307,15 +362,29 @@ def _span_occ(docs: DataFrame) -> DataFrame:
     materialize once and every branch reads the cache;
     ``.distinct()`` on top stays exchange-free (h ⊂ {doc_id, h}
     satisfies the clustering) and the within-partition dedup is
-    recomputed per branch, which is the cheap part. Memory: occurrence
-    rows are two longs (~41M rows/1M docs ≈ 1 GB cached,
-    MEMORY_AND_DISK via persist default)."""
-    base = _span_frame(docs).repartition(F.col("h"))
-    key = PersistMemo.plan_key(base)
+    recomputed per branch, which is the cheap part.
+
+    Round 12: the exchange SELF-SIZES above the small-corpus gate
+    (``_span_occ_partitions`` — estimated span rows / 500k per
+    reducer, capped at 2048) so the pair joins and windows downstream
+    inherit bounded per-task volume at any corpus size, and the cache
+    is stored SERIALIZED (``_span_memo_level``) to flatten the GC
+    profile the §5ad variance came from. Sizing jobs (a metadata count
+    + a 2,048-doc prefix scan) run on memo miss only."""
+    spans = _span_frame(docs)
+    key = PersistMemo.plan_key(spans, "h-occ")
     hit = _SPAN_MEMO.get(key, docs.sparkSession)
     if hit is not None:
         return hit
-    return _SPAN_MEMO.put(key, docs.sparkSession, base)
+    n = _span_occ_partitions(docs)
+    base = (
+        spans.repartition(n, F.col("h")) if n
+        else spans.repartition(F.col("h"))
+    )
+    return _SPAN_MEMO.put(
+        key, docs.sparkSession, base,
+        storage_level=_span_memo_level(docs.sparkSession),
+    )
 
 
 @_q(

@@ -209,8 +209,8 @@ def sampled_probe(spark, base_n: int, train_sample: int = 16_384) -> None:
     print(f"\n## sampled retrain: full vs train_sample={train_sample:,} "
           f"(drifted index, recall/probed-frac at nprobe=4)")
     print("| index vecs | retrain | recluster wall (s) | skew after | "
-          "recall@10 | probed frac |")
-    print("|---|---|---|---|---|---|")
+          "recall@10 | probed frac | files before -> after |")
+    print("|---|---|---|---|---|---|---|")
     for n in (base_n, base_n * 4):
         with tempfile.TemporaryDirectory() as td:
             path_a = td + "/full"
@@ -221,16 +221,19 @@ def sampled_probe(spark, base_n: int, train_sample: int = 16_384) -> None:
                 ("full", None, path_a),
                 (f"{train_sample // 1024}k sample", train_sample, path_b),
             ):
+                files0 = len(parquet_files(path))
                 t0 = time.time()
                 rep = ivf_recluster(
                     spark, path, skew_threshold=1.2, train_sample=ts
                 )
                 wall = time.time() - t0
                 assert rep["reclustered"], rep
+                files1 = len(parquet_files(path))
                 rec, frac = recall_and_cost(spark, path, queries, exact, nprobe=4)
                 print(
                     f"| {n + 4 * OOD_BATCH:,} | {label} | {wall:.1f} | "
-                    f"{rep['skew_after']:.2f} | {rec:.3f} | {frac:.3f} |"
+                    f"{rep['skew_after']:.2f} | {rec:.3f} | {frac:.3f} | "
+                    f"{files0} -> {files1} |"
                 )
 
 

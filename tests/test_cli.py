@@ -318,3 +318,79 @@ def test_cli_index_lifecycle_subcommands(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["files_after"] <= rep["files_before"]
     assert ivf_read_index(spark, path)[0].count() == 38
+
+
+def test_cli_index_hubness_and_builtin_op(spark, tmp_path, capsys):
+    """index-hubness prints the k-occurrence histogram of a stored
+    index (VERDICT r11 item 7: the serving-path audit runnable without
+    a driver script); the hubness_report builtin op returns the same
+    histogram through the pipeline registry, and both agree with
+    hubness_estimate invariants (histogram mass = corpus size,
+    occurrence mass = |Q| x k at full recall)."""
+    import json as _json
+
+    import numpy as np
+
+    from batch_process_spark.cli import main
+    from batch_process_spark.operators.similarity import (
+        ivf_index,
+        ivf_write,
+        stored_index_hubness,
+    )
+    from batch_process_spark.plans.registry import REGISTRY
+
+    rng = np.random.default_rng(77)
+    vecs = np.vstack([
+        rng.normal(loc=(5.0, 0.0, 0.0, 0.0), scale=0.3, size=(30, 4)),
+        rng.normal(loc=(-5.0, 0.0, 0.0, 0.0), scale=0.3, size=(30, 4)),
+    ])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(corpus, n_centroids=2)
+    path = str(tmp_path / "hub_idx")
+    ivf_write(assigned, path, centroids=cents)
+
+    K = 3
+    assert main(["index-hubness", path, "--k", str(K)]) == 0
+    out = capsys.readouterr()
+    hist = [_json.loads(line) for line in out.out.strip().splitlines()]
+    summary = _json.loads(out.err.strip().splitlines()[-1])["summary"]
+    # histogram mass covers the WHOLE corpus (antihubs included) and
+    # occurrence mass is |Q| x k (every query contributes k neighbors)
+    assert sum(r["n_vectors"] for r in hist) == 60 == summary["n_vectors"]
+    assert sum(r["k_occurrence"] * r["n_vectors"] for r in hist) == 60 * K
+
+    # builtin op: same histogram through the pipeline registry
+    op = REGISTRY.get("hubness_report")
+    out_csv = tmp_path / "hub.csv"
+    rep = op.fn(corpus, index_path=path, k=K, out=str(out_csv))
+    got = {r["k_occurrence"]: r["n_vectors"] for r in rep.collect()}
+    assert got == {r["k_occurrence"]: r["n_vectors"] for r in hist}
+    assert out_csv.exists()
+
+    # config error is loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="index_path"):
+        op.fn(corpus)
+
+    # max_queries sampling keeps the histogram corpus-wide: mass still
+    # equals corpus size, occurrence mass drops to ~|sample| x k
+    sampled = stored_index_hubness(spark, path, k=K, max_queries=20)
+    rows = sampled.collect()
+    assert sum(r["n_vectors"] for r in rows) == 60
+    occ = sum(r["k_occurrence"] * r["n_vectors"] for r in rows)
+    assert 0 < occ < 60 * K
+
+    # codes-only IVFPQ indexes are rejected with the build-time pointer
+    from batch_process_spark.operators import pq
+    from batch_process_spark.operators.similarity import ivf_index_stats
+    codes, pcents, cb = pq.ivfpq_index(corpus, subdim=2, k_code=4,
+                                       n_centroids=2)
+    floats = corpus.join(codes.select("vec_id", "centroid_id"), "vec_id")
+    pq_path = str(tmp_path / "hub_pq")
+    pq.ivfpq_write(codes, pq_path, pcents, cb, subdim=2,
+                   stats=ivf_index_stats(floats, pcents))
+    with _pytest.raises(ValueError, match="no float vectors"):
+        stored_index_hubness(spark, pq_path, k=K)

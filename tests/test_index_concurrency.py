@@ -477,3 +477,35 @@ def test_kmeans_degenerate_inputs(spark):
     empty = same.filter("vec_id < 0")
     with pytest.raises(ValueError, match="empty training sample"):
         kmeans_centroids(empty, n_centroids=3)
+
+
+def test_recluster_emits_compacted_cells(spark, tmp_path):
+    """r11 verdict item 5: the recluster rewrite lands at compact-level
+    file counts directly (cell_file_plan sizing from the old index's
+    measured bytes/vec) — no follow-up compact_index needed — with the
+    vector set and stats exactly preserved."""
+    path = _build_index(spark, tmp_path, "compactidx")
+    for j in range(3):  # fragment the index with small appends
+        ivf_append(spark, path, spark.createDataFrame(
+            [(900 + j * 10 + i, [5.0 + 0.01 * i, 0.0, 0.0, 0.0])
+             for i in range(4)],
+            "vec_id long, embedding array<double>",
+        ))
+
+    def cell_files(p):
+        return {
+            d: len([f for f in os.listdir(os.path.join(p, d))
+                    if f.endswith(".parquet")])
+            for d in os.listdir(p) if d.startswith("centroid_id=")
+        }
+
+    before = cell_files(path)
+    assert sum(before.values()) > len(before)  # fragmented by appends
+    rep = ivf_recluster(spark, path, force=True)
+    assert rep["reclustered"] is True
+    after = cell_files(path)
+    # tiny cells: exactly ONE file each (cell_file_plan floors at 1)
+    assert all(n == 1 for n in after.values()), after
+    df, _, stats = ivf_read_index(spark, path)
+    assert df.count() == 52 and stats["n_vectors"] == 52
+    assert df.select("vec_id").distinct().count() == 52
