@@ -688,8 +688,8 @@ def ivf_write(
     query time. ``stats=None`` computes them here — one n_centroids-row
     aggregation, the only extra job — at the one moment the float
     assignment is guaranteed on hand (index build). The ``_``-prefixed
-    subdir is invisible to ``spark.read.parquet(path)``, and the write
-    goes through the DataFrame writer, so it lands on whatever Hadoop
+    meta is invisible to ``spark.read.parquet(path)``, and the write
+    goes through the Hadoop FS API, so it lands on whatever Hadoop
     filesystem ``path`` lives on (HDFS/S3/local alike).
 
     ``file_plan`` (see ``cell_file_plan``) pre-coalesces the layout at
@@ -727,11 +727,12 @@ class ConcurrentIndexMutation(RuntimeError):
 
 def write_index_meta(spark, path: str, meta: dict,
                      expected_version: int | None = None) -> None:
-    """Persist an index metadata dict as ONE tiny JSON text file under
-    ``path/_ivf_meta`` — through the DataFrame writer, so it lands on
-    whatever Hadoop filesystem the index lives on; the ``_`` prefix
-    keeps it invisible to ``spark.read.parquet(path)``. Shared by
-    ``ivf_write`` and ``pq.ivfpq_write`` (which adds the codebook).
+    """Persist an index metadata dict as ONE tiny JSON text file at
+    ``path/_ivf_meta`` — through the Hadoop FS stream API (driver-side,
+    no Spark job), so it lands on whatever Hadoop filesystem the index
+    lives on; the ``_`` prefix keeps it invisible to
+    ``spark.read.parquet(path)``. Shared by ``ivf_write`` and
+    ``pq.ivfpq_write`` (which adds the codebook).
 
     Concurrency contract: index mutation (``ivf_write`` / ``*_append``
     / ``ivf_delete`` / ``ivf_recluster``) is SINGLE-WRITER — appends
@@ -781,13 +782,12 @@ def write_index_meta(spark, path: str, meta: dict,
             "stats update NOT applied, re-read the index and retry"
         )
     meta["version"] = max(stored, int(meta.get("version", 0))) + 1
+    # direct FS stream write — the meta is ~1 kB of JSON; a Spark job
+    # (createDataFrame + write.text) cost ~2 s of pure overhead on
+    # EVERY lifecycle commit (phase-probed r12). The stored form is now
+    # a plain file; read_utf8 still reads the legacy part-file dirs.
     tmp = f"{base}/_ivf_meta_tmp_{uuid.uuid4().hex[:12]}"
-    (
-        spark.createDataFrame([(json.dumps(meta),)], "value string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(tmp)
-    )
+    fs.write_utf8(tmp, json.dumps(meta))
     fs.delete(old)  # clear a stale aside from an earlier completed write
     if fs.exists(final):
         fs.rename(final, old)  # prior meta stays recoverable, never deleted
@@ -802,28 +802,30 @@ def read_index_meta(spark, path: str) -> dict:
     yet in place) falls back to ``_ivf_meta.__old__`` — the prior
     committed state, which is exactly what the swap protocol guarantees
     is still complete. Raises the explanatory error ONLY when BOTH are
-    genuinely absent (AnalysisException / path-not-found) — permission
-    errors, corrupt JSON, and transient FS failures propagate unchanged
-    so they aren't misdiagnosed as a meta-less index."""
+    genuinely absent — permission errors, corrupt JSON, and transient
+    FS failures propagate unchanged so they aren't misdiagnosed as a
+    meta-less index. Reads through the FS stream (no Spark job — this
+    runs per micro-batch in the serving scorer); both the current
+    plain-file form and the legacy part-file directory form load."""
     import json
 
-    from pyspark.errors import AnalysisException
+    from batch_process_spark.sinks.hadoopfs import HadoopFS
 
-    try:
-        rows = spark.read.text(path.rstrip("/") + "/_ivf_meta").collect()
-    except AnalysisException as exc:  # missing meta dir only
-        try:
-            rows = spark.read.text(
-                path.rstrip("/") + "/_ivf_meta.__old__"
-            ).collect()
-        except AnalysisException:
-            raise ValueError(
-                f"no _ivf_meta under {path!r} — the index was written "
-                "without centroids. Re-write it with ivf_write(assigned, "
-                "path, centroids=...) (or pq.ivfpq_write) to persist the "
-                "metadata."
-            ) from exc
-    meta = json.loads("".join(r["value"] for r in rows))
+    base = path.rstrip("/")
+    fs = HadoopFS(spark, base)
+    final, old = base + "/_ivf_meta", base + "/_ivf_meta.__old__"
+    if fs.exists(final):
+        text = fs.read_utf8(final)
+    elif fs.exists(old):
+        text = fs.read_utf8(old)
+    else:
+        raise ValueError(
+            f"no _ivf_meta under {path!r} — the index was written "
+            "without centroids. Re-write it with ivf_write(assigned, "
+            "path, centroids=...) (or pq.ivfpq_write) to persist the "
+            "metadata."
+        )
+    meta = json.loads(text)
     if "stats" in meta and "cell_sizes" in meta["stats"]:
         meta["stats"]["cell_sizes"] = {
             int(k): v for k, v in meta["stats"]["cell_sizes"].items()

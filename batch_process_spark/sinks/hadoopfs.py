@@ -57,6 +57,35 @@ class HadoopFS:
         if not self._fs.rename(self.jpath(src), self.jpath(dst)):
             raise IOError(f"rename {src!r} -> {dst!r} failed")
 
+    def read_utf8(self, path: str) -> str:
+        """Whole-file UTF-8 read through the FS stream — driver-side,
+        NO Spark job (a tiny meta file does not need a distributed
+        scan). For a directory (the legacy ``df.write.text`` meta
+        layout) the part files concatenate in name order."""
+        p = self.jpath(path)
+        if self._fs.getFileStatus(p).isDirectory():
+            return "".join(
+                self.read_utf8(f"{path}/{n}")
+                for n in sorted(self.listdir(path))
+                if n.startswith("part-")
+            )
+        stream = self._fs.open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_utf8(self, path: str, text: str) -> None:
+        """Create/overwrite ``path`` with UTF-8 ``text`` through the FS
+        stream — driver-side, no Spark job."""
+        out = self._fs.create(self.jpath(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
     def mkdirs(self, path: str) -> None:
         """Create ``path`` (and parents); no-op when already present."""
         if not self._fs.mkdirs(self.jpath(path)):
