@@ -534,8 +534,9 @@ def ivfpq_write(
     codebook: DataFrame,
     subdim: int,
     stats: dict | None = None,
-    file_plan: dict[int, int] | None = None,
+    file_plan: dict[int, int] | str | None = "auto",
     id_col: str = "vec_id",
+    target_file_mb: int = 128,
 ) -> None:
     """Persist the COMPLETE IVFPQ index: codes written
     ``partitionBy("centroid_id")`` (the ``ivf_write`` layout —
@@ -550,13 +551,24 @@ def ivfpq_write(
     embeddings, so they cannot be derived later).
 
     ``file_plan`` (``similarity.cell_file_plan``) pre-coalesces the
-    written layout — see ``ivf_write``; the recluster path passes it
-    so a rebuild lands at compact-level file counts directly."""
+    written layout — see ``ivf_write``. The default ``"auto"`` derives
+    it from the stats (codes row ≈ id + m longs); the recluster path
+    passes an explicit plan from the old index's measured density;
+    ``None`` keeps the raw map-output layout."""
     from batch_process_spark.operators.similarity import (
         _compacted_cells,
+        cell_file_plan,
         write_index_meta,
     )
 
+    if file_plan == "auto":
+        if stats is not None and id_col in assigned_codes.columns:
+            dim = len(centroids[0]) if centroids else subdim
+            m = max(dim // max(subdim, 1), 1)
+            est = (16 + 8 * m) * 1.1  # codes are array<long>, m entries
+            file_plan = cell_file_plan(stats, est, target_file_mb)
+        else:
+            file_plan = None
     out = (
         _compacted_cells(assigned_codes, file_plan, id_col)
         if file_plan

@@ -674,8 +674,9 @@ def ivf_write(
     centroids: list[list[float]] | None = None,
     stats: dict | None = None,
     vec_col: str = "embedding",
-    file_plan: dict[int, int] | None = None,
+    file_plan: dict[int, int] | str | None = "auto",
     id_col: str = "vec_id",
+    target_file_mb: int = 128,
 ) -> None:
     """Materialize an IVF index: vectors written partitioned by
     centroid — the layout that makes query-time probing read only
@@ -694,15 +695,30 @@ def ivf_write(
 
     ``file_plan`` (see ``cell_file_plan``) pre-coalesces the layout at
     write time: each cell lands in ~its target number of files instead
-    of (task partitions x cells) fragments — the recluster path uses
-    this so a rebuild never needs a follow-up ``compact_index``."""
+    of (task partitions x cells) fragments. The default ``"auto"``
+    derives the plan from the stats whenever centroids are on hand
+    (row bytes estimated from the vector dimension) — a serving index
+    is BORN at compact-level file counts, at the cost of one
+    corpus-sized shuffle the fragmented layout would otherwise repay
+    many times over in per-file open/footer reads and a follow-up
+    ``compact_index`` rewrite. Pass ``file_plan=None`` for the raw
+    map-output layout (no shuffle), or an explicit dict (the recluster
+    path passes one computed from the OLD index's measured density)."""
+    if centroids is not None and stats is None:
+        stats = ivf_index_stats(assigned, centroids, vec_col=vec_col)
+    if file_plan == "auto":
+        if stats is not None and id_col in assigned.columns:
+            # estimated parquet bytes/vec: id + dim doubles (random
+            # floats compress ~not at all) + ~10% structure overhead
+            est = (16 + 8 * len(centroids[0])) * 1.1
+            file_plan = cell_file_plan(stats, est, target_file_mb)
+        else:
+            file_plan = None
     out = _compacted_cells(assigned, file_plan, id_col) if file_plan else assigned
     out.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     if centroids is not None:
         import json
 
-        if stats is None:
-            stats = ivf_index_stats(assigned, centroids, vec_col=vec_col)
         meta = {
             "centroids": [[float(x) for x in c] for c in centroids],
             "stats": {
