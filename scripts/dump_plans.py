@@ -103,7 +103,7 @@ NOTES = {
     "q221_tokenizer_fertility": "map-side length + token count per doc into a slice-sized partial agg",
     "q222_quality_dup_calibration": "map-side unrounded quality score joined to q207's per-doc span frame; the aggregate is 5 quintile buckets",
     "q223_join_fanout_audit": "two key-grained partial aggs + a key-sized full outer join — the forecast costs key cardinality, never the output cardinality it predicts",
-    "q224_ingest_dedup_delta": "r11 single-pass shape: ONE text scan computing the 16-byte hash, ONE exchange of (hash, n_batch, in_corpus) conditional partials, single-row unpivot — no distinct, no joins (the old corpus/batch branches scanned+hashed text twice)",
+    "q224_ingest_dedup_delta": "r11 single-pass shape: ONE text scan computing the 16-byte hash, ONE exchange of (hash, n_batch, in_corpus) conditional partials, single-row unpivot — no distinct, no joins (the old corpus/batch branches scanned+hashed text twice); r12: NULL-hash docs filtered (isnotnull pushed into the scan) to mirror the oracle's null-unsafe inner join; plan-pinned one-scan/one-exchange in test_plans.py",
     "q225_embedding_health": "position-explode into per-vector norm partials, then a (label, pos) mean agg (labels x dims exchange rows, the q209 shape) and a labels-sized reduce",
     "q226_effective_tokens": "one content-hash partial agg + a hash-keyed join; tokens counted map-side — the mixture planner's budget costs one pass",
     "q227_pii_incidence": "map-side regex booleans (RE2/Java-portable q59 patterns) into a source-sized agg",
