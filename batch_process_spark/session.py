@@ -43,6 +43,14 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # NOTE (measured r12, q219 at 2M near-cap docs): when a
+        # row-heavy workload outgrows the static shuffle partition
+        # count, raise spark.sql.shuffle.partitions — 32 static cost
+        # 152.7 s steady where 164 ran 63 s. Raising ONLY the AQE
+        # initialPartitionNum does NOT substitute (212/112 s): AQE
+        # coalesces by shuffle BYTES and is blind to downstream
+        # per-row CPU (window sorts, pair fan-out), so it collapses
+        # wide exchanges right back. BASELINE §5ah.
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         # lenient semantics (reference is errors-as-data; also aligns
