@@ -147,9 +147,16 @@ def main(argv=None) -> int:
                               "n_vectors": r["n_vectors"]}))
         total = sum(r["n_vectors"] for r in hist)
         antihubs = sum(r["n_vectors"] for r in hist if r["k_occurrence"] == 0)
-        print(json.dumps({"summary": {"n_vectors": total,
-                                      "antihubs": antihubs, "k": args.k}}),
-              file=sys.stderr)
+        # when max_queries sampling is active, unsampled query mass
+        # counts reachable vectors as k_occurrence 0 — qualify the
+        # antihub count so it can be interpreted (the estimator
+        # docstring documents the bias; the output must too)
+        sampled = bool(args.max_queries) and total > args.max_queries
+        summary = {"n_vectors": total, "antihubs": antihubs, "k": args.k,
+                   "sampled": sampled}
+        if sampled:
+            summary["max_queries"] = args.max_queries
+        print(json.dumps({"summary": summary}), file=sys.stderr)
         return 0
 
     if args.command in ("index-compact", "index-delete", "index-recluster"):

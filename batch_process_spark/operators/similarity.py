@@ -648,22 +648,53 @@ def _index_bytes_per_vec(fs, base: str, n_vectors: int) -> float:
     return total / max(n_vectors, 1)
 
 
+# Above this many cells the per-cell file counts travel as a broadcast
+# frame instead of an inline literal map: a create_map of 2 x n_cells
+# expressions bloats the plan linearly and can trip Janino's 64KB
+# codegen limit (interpreted fallback + slow driver planning) at the
+# tens-of-thousands-of-centroids scale a 100 TB index runs at.
+_CELL_MAP_LITERAL_CAP = 2048
+
+
 def _compacted_cells(df: DataFrame, file_plan: dict[int, int], id_col: str) -> DataFrame:
     """Repartition ``df`` so the partitioned write emits ~file_plan[c]
     files for cell c: a per-cell salt (id hash mod the cell's file
     count) spreads each big cell across exactly its target number of
     write partitions while small cells stay whole — ONE shuffle sized
-    by the frame, no per-cell jobs."""
-    mapping = F.create_map(
-        *[F.lit(x) for c_n in sorted(file_plan.items()) for x in c_n]
-    )
+    by the frame, no per-cell jobs. Small plans inline the counts as a
+    literal map (zero extra plan nodes); past ``_CELL_MAP_LITERAL_CAP``
+    cells the counts ride a broadcast join instead (constant plan
+    size; a cell missing from the plan salts to NULL either way)."""
     n_total = max(sum(file_plan.values()), 1)
-    return (
-        df.withColumn(
+    cols = df.columns
+    if len(file_plan) <= _CELL_MAP_LITERAL_CAP:
+        mapping = F.create_map(
+            *[F.lit(x) for c_n in sorted(file_plan.items()) for x in c_n]
+        )
+        df = df.withColumn(
             "__f",
             F.pmod(F.xxhash64(F.col(id_col)), mapping[F.col("centroid_id")]),
         )
-        .repartition(n_total, F.col("centroid_id"), F.col("__f"))
+    else:
+        plan_df = df.sparkSession.createDataFrame(
+            sorted((int(c), int(n)) for c, n in file_plan.items()),
+            "centroid_id long, __nf int",
+        )
+        df = (
+            df.withColumn("__cid", F.col("centroid_id").cast("long"))
+            .join(
+                F.broadcast(plan_df.withColumnRenamed("centroid_id", "__cid")),
+                "__cid",
+                "left",
+            )
+            .withColumn("__f", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nf")))
+            .drop("__cid", "__nf")
+        )
+        # the join reorders columns (join key first) — restore the
+        # caller's layout so both code paths write identical schemas
+        df = df.select(*cols, "__f")
+    return (
+        df.repartition(n_total, F.col("centroid_id"), F.col("__f"))
         .drop("__f")
     )
 
@@ -707,7 +738,10 @@ def ivf_write(
     if centroids is not None and stats is None:
         stats = ivf_index_stats(assigned, centroids, vec_col=vec_col)
     if file_plan == "auto":
-        if stats is not None and id_col in assigned.columns:
+        # centroids gate mirrors pq.ivfpq_write: stats may be passed
+        # without centroids (a no-meta write), and the density estimate
+        # needs the vector dimension from centroids[0]
+        if stats is not None and centroids is not None and id_col in assigned.columns:
             # estimated parquet bytes/vec: id + dim doubles (random
             # floats compress ~not at all) + ~10% structure overhead
             est = (16 + 8 * len(centroids[0])) * 1.1
@@ -1432,21 +1466,32 @@ def ivf_recluster(
     # re-stamp version continuity: the fresh meta started at 1 in tmp;
     # the restamp passes that as expected_version so a writer landing
     # in the swap→restamp window trips the version check rather than
-    # being silently overwritten
+    # being silently overwritten. The swap above already COMMITTED the
+    # rebuilt index, so a restamp trip is NOT a recluster failure: the
+    # racing writer's fresher meta stands (overwriting it with our
+    # stale copy would lose its update) and the report says so instead
+    # of raising for work that landed.
+    restamp_lost = False
     new_meta = read_index_meta(spark, base)
     fresh_version = int(new_meta.get("version", 0))
     new_meta["version"] = old_version  # write bumps to old_version + 1
-    write_index_meta(spark, base, new_meta, expected_version=fresh_version)
+    try:
+        write_index_meta(spark, base, new_meta, expected_version=fresh_version)
+    except ConcurrentIndexMutation:
+        restamp_lost = True
     from batch_process_spark.queries import invalidate_tables
 
     invalidate_tables(base)
-    return {
+    report = {
         "reclustered": True,
         "skew": skew,
         "skew_after": index_skew(read_index_meta(spark, base)["stats"]),
         "n_centroids": k,
         "train_sample": train_sample,
     }
+    if restamp_lost:
+        report["restamp_lost"] = True
+    return report
 
 
 def make_stored_ivf_scorer(

@@ -49,7 +49,11 @@ from batch_process_spark.operators import text
 from batch_process_spark.operators.dedup import tokens_col
 from batch_process_spark.queries import ORACLES, _q, _t
 from batch_process_spark.queries_ext import DUCK_TOKENS
-from batch_process_spark.queries_ext15 import _SPAN_SQL_CTES, _span_occ
+from batch_process_spark.queries_ext15 import (
+    _SPAN_SQL_CTES,
+    _span_occ,
+    _span_scale_parts,
+)
 
 import batch_process_spark.queries_ext15  # noqa: F401  (registers q207/q79 deps)
 import batch_process_spark.queries_ext3  # noqa: F401  (registers q79's oracle)
@@ -216,6 +220,11 @@ def q240_span_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = _span_occ(docs).distinct()
     first = F.min("doc_id").over(Window.partitionBy("h"))
     f = occ.select("doc_id", (F.col("doc_id") == first).cast("long").alias("novel"))
+    # gated self-sizing of the per-doc exchange (occ-grain input) —
+    # see _span_occ round-13 note; below the gate the plan is unchanged
+    n = _span_scale_parts(docs)
+    if n:
+        f = f.repartition(n, "doc_id")
     per = f.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"), F.sum("novel").alias("n_novel")
     )
@@ -700,7 +709,15 @@ def q247_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals join at pair grain."""
     docs = _t(spark, sf_dir, "documents")
     spans = _span_occ(docs).distinct()
-    tot = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    # gated self-sizing (see _span_occ round-13 note): the per-doc
+    # totals exchange carries occ-grain rows, and ONE explicit
+    # contained-keyed exchange serves the pair aggregate (contained ⊂
+    # {contained, container}), the containment join (both sides land
+    # n-partitioned on the join key), and nothing else re-shuffles the
+    # pair stream. Below the gate the plan is unchanged.
+    n = _span_scale_parts(docs)
+    t_in = spans.repartition(n, "doc_id") if n else spans
+    tot = t_in.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
     keep = (
         spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -710,11 +727,11 @@ def q247_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = spans.join(keep, "h")
     a = kept.select(F.col("h"), F.col("doc_id").alias("contained"))
     b = kept.select(F.col("h"), F.col("doc_id").alias("container"))
-    pairs = (
-        a.join(b, "h")
-        .filter(F.col("contained") != F.col("container"))
-        .groupBy("contained", "container")
-        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    raw = a.join(b, "h").filter(F.col("contained") != F.col("container"))
+    if n:
+        raw = raw.repartition(n, "contained")
+    pairs = raw.groupBy("contained", "container").agg(
+        F.count(F.lit(1)).alias("shared_spans")
     )
     j = pairs.join(tot.withColumnRenamed("doc_id", "contained"), "contained")
     frac = F.col("shared_spans") / F.col("n_spans")

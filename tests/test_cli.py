@@ -375,6 +375,10 @@ def test_cli_index_hubness_and_builtin_op(spark, tmp_path, capsys):
     with _pytest.raises(ValueError, match="index_path"):
         op.fn(corpus)
 
+    # unsampled run says so in the summary (advisor r12: the antihub
+    # count is only interpretable with the sampling state attached)
+    assert summary["sampled"] is False
+
     # max_queries sampling keeps the histogram corpus-wide: mass still
     # equals corpus size, occurrence mass drops to ~|sample| x k
     sampled = stored_index_hubness(spark, path, k=K, max_queries=20)
@@ -382,6 +386,13 @@ def test_cli_index_hubness_and_builtin_op(spark, tmp_path, capsys):
     assert sum(r["n_vectors"] for r in rows) == 60
     occ = sum(r["k_occurrence"] * r["n_vectors"] for r in rows)
     assert 0 < occ < 60 * K
+
+    # the CLI summary qualifies a sampled antihub count
+    assert main(["index-hubness", path, "--k", str(K),
+                 "--max-queries", "20"]) == 0
+    out2 = capsys.readouterr()
+    summary2 = _json.loads(out2.err.strip().splitlines()[-1])["summary"]
+    assert summary2["sampled"] is True and summary2["max_queries"] == 20
 
     # codes-only IVFPQ indexes are rejected with the build-time pointer
     from batch_process_spark.operators import pq

@@ -509,3 +509,82 @@ def test_recluster_emits_compacted_cells(spark, tmp_path):
     df, _, stats = ivf_read_index(spark, path)
     assert df.count() == 52 and stats["n_vectors"] == 52
     assert df.select("vec_id").distinct().count() == 52
+
+
+def test_ivf_write_stats_without_centroids(spark, tmp_path):
+    """Advisor r12: ivf_write(assigned, path, stats=...) with
+    centroids=None is a plain no-meta write — the auto file_plan
+    branch must not dereference centroids[0]."""
+    corpus = _two_blob_corpus(spark)
+    assigned, cents = ivf_index(corpus, n_centroids=2)
+    from batch_process_spark.operators.similarity import ivf_index_stats
+
+    stats = ivf_index_stats(assigned, cents)
+    path = str(tmp_path / "nometa")
+    ivf_write(assigned, path, stats=stats)  # no TypeError
+    assert spark.read.parquet(path).count() == 40
+    assert not os.path.isdir(os.path.join(path, "_ivf_meta"))
+
+
+def test_compacted_cells_broadcast_path_matches_literal(spark):
+    """Advisor r12: past _CELL_MAP_LITERAL_CAP cells the per-cell file
+    counts ride a broadcast join instead of an inline literal map (plan
+    bloat / Janino 64KB ceiling at 10k+ centroids). Both paths must
+    assign identical salts, hence identical per-cell write layouts."""
+    corpus = _two_blob_corpus(spark)
+    assigned, _ = ivf_index(corpus, n_centroids=2)
+    plan = {0: 3, 1: 2}
+
+    def layout(df):
+        from pyspark.sql import functions as F
+
+        out = similarity._compacted_cells(df, plan, "vec_id")
+        return sorted(
+            out.withColumn("p", F.spark_partition_id())
+            .groupBy("centroid_id", "p").count().collect()
+        )
+
+    lit_layout = layout(assigned)
+    orig_cap = similarity._CELL_MAP_LITERAL_CAP
+    similarity._CELL_MAP_LITERAL_CAP = 0  # force the broadcast path
+    try:
+        bc_layout = layout(assigned)
+    finally:
+        similarity._CELL_MAP_LITERAL_CAP = orig_cap
+    assert lit_layout == bc_layout
+    # every cell spread over at most its planned file count
+    from collections import Counter
+
+    per_cell = Counter(r["centroid_id"] for r in bc_layout)
+    assert all(per_cell[c] <= n for c, n in plan.items())
+
+
+def test_recluster_restamp_trip_is_partial_success(spark, tmp_path):
+    """Advisor r12: a writer landing in the swap->restamp window trips
+    the restamp CAS, but the rebuilt index already COMMITTED — the
+    caller gets a partial-success report (restamp_lost), not an
+    exception for a recluster that landed, and the racing writer's
+    fresher meta stands."""
+    from batch_process_spark.sinks import hadoopfs
+
+    path = _build_index(spark, tmp_path, "restampidx")
+    real_swap = hadoopfs.swap_directory_fs
+
+    def racing_swap(fs, tmp, base):
+        real_swap(fs, tmp, base)
+        # racing writer commits right after the swap: bump the meta
+        meta = read_index_meta(spark, base)
+        write_index_meta(spark, base, meta,
+                         expected_version=int(meta.get("version", 0)))
+
+    orig = hadoopfs.swap_directory_fs
+    hadoopfs.swap_directory_fs = racing_swap
+    try:
+        rep = ivf_recluster(spark, path, force=True)
+    finally:
+        hadoopfs.swap_directory_fs = orig
+    assert rep["reclustered"] is True
+    assert rep.get("restamp_lost") is True
+    # index is live and complete despite the lost restamp
+    df, _, stats = ivf_read_index(spark, path)
+    assert df.count() == 40 and stats["n_vectors"] == 40

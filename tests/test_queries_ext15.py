@@ -574,3 +574,155 @@ def test_span_occ_exchange_self_sizing(spark, monkeypatch):
         assert lvl == StorageLevel.MEMORY_AND_DISK_DESER
     finally:
         spark.conf.unset("spark.batchprocess.spanMemoLevel")
+
+
+def test_span_width_estimator_debiased(spark, tmp_path):
+    """VERDICT r12 What's wrong #2: the r12 width estimate sampled a
+    non-random prefix (limit 2048) — on a corpus stored sorted by
+    length the estimate is off by the skew factor. The per-partition-
+    heads sample (_span_avg_width) must land within ~20% of the true
+    average on exactly that fixture, where the prefix sample is ~2x+
+    off."""
+    from pyspark.sql import functions as F
+
+    from batch_process_spark import queries_ext15 as q15
+
+    # 8 length bands, stored in doc_id (== length) order: widths
+    # 10, 50, 90, ..., 290; true avg 150. The prefix sample sees only
+    # the shortest band (width 10) — 15x off.
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(10 + (i // 1000) * 40)))
+        for i in range(8000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "sorted_corpus")
+    df.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id").write.parquet(d)
+
+    # force one scan partition per file (the tiny fixture would
+    # otherwise coalesce into one split and the heads sample would
+    # degenerate to a prefix; at the >=16M-span scale the gate admits,
+    # partitions are file chunks and the spread is automatic)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        docs = spark.read.parquet(d)
+        true_avg = docs.select(
+            F.avg(F.size(F.split("text", " ")))
+        ).first()[0]
+        est = q15._span_avg_width(docs)
+        prefix = (
+            docs.select(F.size(F.split("text", " ")).alias("w"))
+            .limit(2048)
+            .agg(F.avg("w"))
+            .first()[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
+    assert abs(prefix - true_avg) / true_avg > 0.5  # fixture exercises the bias
+    assert abs(est - true_avg) / true_avg < 0.2, (est, true_avg)
+
+
+def test_span_scale_parts_memoized_and_released(spark, monkeypatch, tmp_path):
+    """Round-13: the sizing estimate is memoized next to the occurrence
+    memo (one set of sizing jobs per corpus per session) and dropped by
+    release_span_caches."""
+    from batch_process_spark import queries_ext15 as q15
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "memo_corpus")
+    df.write.parquet(d)
+    docs = spark.read.parquet(d)
+
+    q15.release_span_caches()
+    monkeypatch.setattr(q15, "_SPAN_SIZE_GATE_ROWS", 1000)
+    monkeypatch.setattr(q15, "_SPAN_TARGET_ROWS_PER_PART", 10)
+    n = q15._span_scale_parts(docs)
+    assert n == q15._span_occ_partitions(docs) == 130
+    assert n in q15._SPAN_PARTS.values()
+    # memo hit: monkeypatch the underlying estimator to prove no recompute
+    monkeypatch.setattr(
+        q15, "_span_occ_partitions",
+        lambda *_: (_ for _ in ()).throw(AssertionError("sizing re-ran")),
+    )
+    assert q15._span_scale_parts(docs) == 130
+    q15.release_span_caches()
+    assert not q15._SPAN_PARTS
+
+
+def test_span_memo_level_bad_value_names_the_conf(spark):
+    """Advisor r12: a typo'd spark.batchprocess.spanMemoLevel must fail
+    with a message naming the conf key and the accepted values, not a
+    bare AttributeError."""
+    import pytest as _pytest
+
+    from batch_process_spark import queries_ext15 as q15
+
+    spark.conf.set("spark.batchprocess.spanMemoLevel", "MEMORY_AND_DSIK")
+    try:
+        with _pytest.raises(ValueError, match="spanMemoLevel.*MEMORY_AND_DISK"):
+            q15._span_memo_level(spark)
+    finally:
+        spark.conf.unset("spark.batchprocess.spanMemoLevel")
+
+
+def test_span_family_gated_sizing_preserves_results(spark, monkeypatch, tmp_path):
+    """Round-13 (VERDICT r12 item 1): above the gate the span family
+    sizes its downstream exchanges itself — q219's pair aggregate and
+    rn window ride ONE explicit doc_a exchange, q207/q240's per-doc
+    aggregates and q247's pair/totals exchanges get the same count.
+    Results must be IDENTICAL to the below-gate (session default)
+    plans, and the sized q219 plan must carry the doc_a exchange."""
+    from batch_process_spark import queries_ext15 as q15
+    from batch_process_spark import queries_ext17 as q17
+
+    # overlapping docs so every query has non-trivial output: 5 groups
+    # of 3 identical 20-word docs + 15 unique docs
+    rows = []
+    for i in range(45):
+        g = i // 3
+        words = (
+            [f"g{g}w{j}" for j in range(20)]
+            if g < 5
+            else [f"u{i}w{j}" for j in range(20)]
+        )
+        rows.append((i, " ".join(words)))
+    d = str(tmp_path / "gate_corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+
+    names = (
+        "q207_sliding_span_dedup",
+        "q219_span_attribution",
+        "q240_span_novelty_curve",
+        "q247_span_containment",
+    )
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    q15.release_span_caches()
+    baseline = {n: sorted(map(tuple, qs[n](spark, d).collect())) for n in names}
+    assert any(baseline.values())
+
+    # flip the gate so the 45-doc corpus sizes itself
+    monkeypatch.setattr(q15, "_SPAN_SIZE_GATE_ROWS", 10)
+    monkeypatch.setattr(q15, "_SPAN_TARGET_ROWS_PER_PART", 100)
+    q15.release_span_caches()
+    sized = {n: sorted(map(tuple, qs[n](spark, d).collect())) for n in names}
+    assert sized == baseline
+
+    n_parts = q15._span_scale_parts(spark.read.parquet(f"{d}/documents.parquet"))
+    assert n_parts and n_parts >= int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plan = (
+        qs["q219_span_attribution"](spark, d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert f"hashpartitioning(doc_a#" in plan or "hashpartitioning(doc_a" in plan
+    q15.release_span_caches()
