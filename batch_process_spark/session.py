@@ -50,7 +50,12 @@ def get_spark(
         # initialPartitionNum does NOT substitute (212/112 s): AQE
         # coalesces by shuffle BYTES and is blind to downstream
         # per-row CPU (window sorts, pair fan-out), so it collapses
-        # wide exchanges right back. BASELINE §5ah.
+        # wide exchanges right back. BASELINE §5ah. Round 13: the
+        # span family (q207/q219/q240/q247) no longer needs this knob
+        # — its wide exchanges self-size from the corpus estimate
+        # (queries_ext15._span_scale_parts, gated explicit
+        # repartitions; BASELINE §5ai). The note stays for OTHER
+        # row-heavy workloads a deployment may add.
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         # lenient semantics (reference is errors-as-data; also aligns

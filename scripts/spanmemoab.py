@@ -10,7 +10,8 @@ Usage:
     python scripts/spanmemoab.py <level> [n_docs] [path] [query]
       level: MEMORY_AND_DISK (serialized, new default) |
              MEMORY_AND_DISK_DESER (DataFrame.persist default, the old
-             behavior) | NONE_GATE (no persist — memo bypassed)
+             behavior) | NONE (persist with StorageLevel.NONE — the
+             cache is a no-op, every trial recomputes)
 Run each level in its OWN process (fresh JVM/heap) on an idle host.
 Prints one markdown row: level | trials | min | max | max/min.
 """
