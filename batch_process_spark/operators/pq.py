@@ -467,12 +467,23 @@ def _exact_rerank(
     join the bounded (query, candidate-id) frame back to the float
     corpus, score by exact cosine (rounded to 6, the q25 idiom), keep
     the top ``k`` per query with ties to the lowest id. Output is the
-    ``brute_force_topk`` schema: (query_id, vec_id, score, rank)."""
+    ``brute_force_topk`` schema: (query_id, vec_id, score, rank).
+
+    ``cand`` is EXPLICITLY broadcast: every caller bounds it at
+    queries x rerank-depth rows by construction (a top-k output), but
+    Catalyst's size estimate for it derives from the corpus-sized
+    codes frame it was selected from — past the auto-broadcast
+    threshold the corpus join silently flips to a sort-merge that
+    shuffles the float corpus (measured: 1.6 MB -> 525 MB per serving
+    batch between 262k and 1M vectors; servingprobe r13). The hint
+    pins the map-only corpus scan at any corpus size. Degenerate
+    callers (rerank depth >= |corpus|) inherit the broadcast cap as a
+    hard error rather than a silent corpus shuffle."""
     from batch_process_spark.operators.similarity import cosine
 
     q = queries.select(query_id_col, F.col(vec_col).alias("__qe"))
     scored = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
+        F.broadcast(cand).join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(q), query_id_col)
         .select(
             query_id_col,

@@ -564,25 +564,44 @@ def test_recluster_restamp_trip_is_partial_success(spark, tmp_path):
     the restamp CAS, but the rebuilt index already COMMITTED — the
     caller gets a partial-success report (restamp_lost), not an
     exception for a recluster that landed, and the racing writer's
-    fresher meta stands."""
+    fresher meta stands.
+
+    The race is injected BETWEEN recluster's post-swap meta read and
+    its restamp write (the actual CAS window): a bump during the swap
+    itself would be observed by the subsequent read and the restamp
+    would legitimately succeed against the fresher version."""
+    from batch_process_spark.operators import similarity as sim
     from batch_process_spark.sinks import hadoopfs
 
     path = _build_index(spark, tmp_path, "restampidx")
     real_swap = hadoopfs.swap_directory_fs
+    real_read = sim.read_index_meta
+    armed = {"swap_done": False, "raced": False}
 
-    def racing_swap(fs, tmp, base):
+    def arming_swap(fs, tmp, base):
         real_swap(fs, tmp, base)
-        # racing writer commits right after the swap: bump the meta
-        meta = read_index_meta(spark, base)
-        write_index_meta(spark, base, meta,
-                         expected_version=int(meta.get("version", 0)))
+        armed["swap_done"] = True
 
-    orig = hadoopfs.swap_directory_fs
-    hadoopfs.swap_directory_fs = racing_swap
+    def racing_read(spark_, p):
+        meta = real_read(spark_, p)
+        if armed["swap_done"] and not armed["raced"]:
+            # racing writer lands AFTER recluster's read, BEFORE its
+            # restamp write: bump the stored meta so recluster's
+            # expected_version is stale
+            armed["raced"] = True
+            bump = real_read(spark_, p)
+            write_index_meta(spark_, p, bump,
+                             expected_version=int(bump.get("version", 0)))
+        return meta
+
+    orig_swap, orig_read = hadoopfs.swap_directory_fs, sim.read_index_meta
+    hadoopfs.swap_directory_fs = arming_swap
+    sim.read_index_meta = racing_read
     try:
         rep = ivf_recluster(spark, path, force=True)
     finally:
-        hadoopfs.swap_directory_fs = orig
+        hadoopfs.swap_directory_fs = orig_swap
+        sim.read_index_meta = orig_read
     assert rep["reclustered"] is True
     assert rep.get("restamp_lost") is True
     # index is live and complete despite the lost restamp
