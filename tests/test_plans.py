@@ -662,12 +662,21 @@ def test_q234_total_is_broadcast(spark, qs):
 
 
 def test_rerank_against_bucketed_corpus_never_shuffles_corpus(spark):
-    """BASELINE 5u's production fix, plan-pinned: with the float corpus
-    stored BUCKETED on vec_id, the exact-rerank id-join is
-    exchange-free on the corpus side even with broadcasts disabled —
-    only the bounded candidate frame moves (the at-scale serving shape;
-    without bucketing the no-bcast rerank reshuffles the whole float
-    corpus per micro-batch, measured linear in §5u)."""
+    """BASELINE 5u's production property, plan-pinned: the exact-rerank
+    id-join must be exchange-free on the corpus side even with
+    broadcasts disabled — only the bounded candidate frame moves.
+
+    r13 update: §5u originally achieved this only for a BUCKETED
+    corpus (the plain path degraded to an SMJ reshuffling the float
+    corpus once auto-broadcast was off, so this test pinned
+    n_ex_bucketed < n_ex_plain). The r13 explicit `F.broadcast(cand)`
+    in _exact_rerank (BASELINE §5aj serving cliff) lifts the PLAIN
+    path to the same corpus-shuffle-free shape at any corpus size, so
+    the pin is now direct and holds for both variants: no sort-merge /
+    shuffled-hash anywhere, the corpus enters through a
+    BroadcastHashJoin stream side, and bucketing no longer buys the
+    rerank join anything (it remains load-bearing for other id-keyed
+    ops)."""
     from batch_process_spark.operators.pq import _exact_rerank
     from batch_process_spark.sinks.writers import write_bucketed
 
@@ -687,23 +696,22 @@ def test_rerank_against_bucketed_corpus_never_shuffles_corpus(spark):
         saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            out = _exact_rerank(cand, corpus, queries, k=5)
-            plan = plan_of(out)
-            tree = plan.split("\n\n")[0]
-            # corpus side: scan feeds the join through at most a sort —
-            # assert no Exchange between the bucketed scan and the join
-            # by counting: the only exchanges allowed are on the
-            # candidate side and the window (query partitioning)
-            scan_idx = tree.find("rerank_corpus_bkt")
-            assert scan_idx != -1
-            # walk up: in formatted explain the scan is a leaf; assert
-            # the plan has fewer exchanges than the unbucketed variant
-            n_ex_bucketed = tree.count("Exchange")
-            plain = _exact_rerank(cand, emb, queries, k=5)
-            n_ex_plain = plan_of(plain).split("\n\n")[0].count("Exchange")
-            assert n_ex_bucketed < n_ex_plain, (n_ex_bucketed, n_ex_plain)
+            for variant in (corpus, emb):
+                out = _exact_rerank(cand, variant, queries, k=5)
+                tree = plan_of(out).split("\n\n")[0]
+                # the corpus side must stream through a broadcast join:
+                # no shuffle join strategy may appear even with
+                # auto-broadcast off (the at-scale serving shape)
+                assert "SortMergeJoin" not in tree
+                assert "ShuffledHashJoin" not in tree
+                assert "BroadcastHashJoin" in tree
+                # the only exchanges allowed are the two broadcast
+                # builds (cand, queries) and the window's query
+                # partitioning — nothing corpus-keyed
+                assert tree.count("Exchange") <= 3, tree.count("Exchange")
+                assert "hashpartitioning(vec_id" not in tree
             # and the answer is intact: 5 rows, k ties broken on id
-            rows = out.collect()
+            rows = _exact_rerank(cand, corpus, queries, k=5).collect()
             assert len(rows) == 5 and all(r["query_id"] == 0 for r in rows)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
