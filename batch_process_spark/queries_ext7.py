@@ -560,6 +560,15 @@ def q116_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q117 — prefix-filtering similarity self-join (AllPairs/PPJoin shape)
 
 _PF_THRESHOLD = 0.95
+# Exact rational form of the threshold for the PPJoin LENGTH filter:
+# J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|) (since
+# |A∩B| <= min and |A∪B| >= max). Checked in INTEGER arithmetic
+# (min*den >= num*max) so the t=0.95 boundary — reachable, e.g.
+# A ⊂ B with |A|=19, |B|=20, J exactly 19/20 — never falls to a
+# float rounding error.
+_PF_NUM, _PF_DEN = (
+    __import__("fractions").Fraction(str(_PF_THRESHOLD)).as_integer_ratio()
+)
 
 
 @_q(
@@ -631,15 +640,51 @@ def q117_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(joins.gated_broadcast(ranked), "tok")
         .withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") <= k)
-        .select("doc_id", "tok")
+        .select("doc_id", "n", "tok")
     )
+    # The candidate self-join fans out QUADRATICALLY per token while
+    # its input is a few KB, so AQE (which coalesces by shuffle BYTES)
+    # collapses the whole enumerate+distinct+verify pipeline into ONE
+    # task (measured: 90-126 s single-task, 125 s CPU, at sf0.1 on a
+    # 31-token vocabulary where the hottest prefix token appears in
+    # 3,789 documents). Spread the probe side over the session's cores
+    # with an explicit-width repartition — REPARTITION_BY_NUM is
+    # exempt from AQE coalescing; the width tracks the CLUSTER (total
+    # cores), not the data, because the fan-out is pure probe CPU
+    # against a broadcast/hash build.
+    par = spark.sparkContext.defaultParallelism
+    # keyed on (doc_id, tok), NOT doc_id alone: the prefix window's own
+    # ENSURE_REQUIREMENTS exchange already clusters by doc_id, so a
+    # doc_id-keyed repartition is optimized away and the enumeration
+    # stage stays behind an AQE-coalescible exchange; the composite key
+    # forces a real REPARTITION_BY_NUM exchange (a few KB) that pins
+    # the enumeration width.
+    pa = prefix.repartition(par, "doc_id", "tok").alias("pa")
     cand = (
-        prefix.alias("pa")
-        .join(prefix.alias("pb"), "tok")
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        pa.join(
+            prefix.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # PPJoin LENGTH filter (lossless, see _PF_NUM/_PF_DEN):
+            # J >= t is impossible unless min(n)*den >= num*max(n) —
+            # drops size-incompatible pairs inside the join probe,
+            # before the distinct and the array-carrying verify
+            # (measured 9.74M -> 2.14M candidates at sf0.1, result
+            # rows byte-identical).
+            & (
+                F.least("pa.n", "pb.n") * _PF_DEN
+                >= F.greatest("pa.n", "pb.n") * _PF_NUM
+            ),
+        )
         .select(
             F.col("pa.doc_id").alias("doc_i"), F.col("pb.doc_id").alias("doc_j")
         )
+        # explicit-width exchange for the same AQE-blindness reason:
+        # the verify stage downstream computes an array intersection
+        # per pair — per-row CPU that byte-based coalescing cannot
+        # see. hashpartitioning(doc_i, doc_j, par) already satisfies
+        # the distinct's clustering, so this adds no extra exchange.
+        .repartition(par, "doc_i", "doc_j")
         .distinct()
     )
     sa = a.select(F.col("doc_id").alias("doc_i"), F.col("toks").alias("toks_i"))

@@ -403,6 +403,26 @@ def test_round7_gated_sites_both_shapes(spark, qs, monkeypatch):
         invalidate_tables()
 
 
+def test_q117_enumeration_width_pinned_and_length_filtered(spark, qs):
+    """r13 catalog-sweep fix, plan-pinned: q117's candidate self-join
+    fans out quadratically per token from a few-KB input, so AQE
+    (byte-based coalescing) collapsed enumerate+distinct+verify into
+    ONE task (measured 90-126 s single-task at sf0.1; 2.7 s after).
+    The plan must carry BOTH explicit-width exchanges — the
+    (doc_id, tok) repartition that pins the enumeration width and the
+    (doc_i, doc_j) repartition the distinct+verify ride — and the
+    join condition must include the lossless PPJoin length filter
+    (least(n)*den >= greatest(n)*num) so size-incompatible pairs die
+    inside the probe, before the array-carrying verify."""
+    tree = plan_of(qs["q117_prefix_filter_join"](spark, SF))
+    assert tree.count("REPARTITION_BY_NUM") == 2, tree.count("REPARTITION_BY_NUM")
+    assert "hashpartitioning(doc_id" in tree
+    assert "hashpartitioning(doc_i" in tree
+    # the length filter lives in the join condition (least/greatest
+    # over the two size columns, integer-exact)
+    assert "least(" in tree and "greatest(" in tree
+
+
 def test_q161_grid_join_is_hash_not_nested_loop(spark, qs):
     """The grid-bucketed radius join must compile to a hash equi-join
     on the cell id — the raw distance predicate has no equi-key and
