@@ -57,6 +57,18 @@ def get_spark(
         # repartitions; BASELINE §5ai). The note stays for OTHER
         # row-heavy workloads a deployment may add.
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Let AQE re-optimize CACHED plans too (off by default in
+        # Spark 3.2+/4.x): persisted frames otherwise materialize at
+        # the STATIC shuffle partition count, and every downstream map
+        # stage over the cache inherits that width — the memoized edge
+        # frame in the iterative graph queries landed at 64 partitions
+        # for 33k rows, so each power-iteration round paid 64 task
+        # launches per map stage (measured q169 at sf0.1: 6.2 s steady
+        # -> 1.8-2.4 s with this on; cold 21.5 -> 10.9 s). Explicitly
+        # sized memo exchanges (REPARTITION_BY_NUM, e.g. the span
+        # family's) are exempt from AQE coalescing and keep their
+        # width; results are partitioning-independent either way.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.session.timeZone": "UTC",
         # lenient semantics (reference is errors-as-data; also aligns
         # element_at/cast out-of-range with DuckDB NULL behavior)
