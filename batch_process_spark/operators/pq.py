@@ -321,6 +321,7 @@ def pq_adc_topk_fused(
     round_scores: bool = False,
     probe_map: dict | None = None,
     what: str = "pq_adc_topk_fused",
+    n_queries_out: dict | None = None,
 ) -> DataFrame:
     """ADC top-k over a fused codes frame (id, codes): per-partition
     top-k per query via LUT lookups (m additions per vector), then an
@@ -345,6 +346,10 @@ def pq_adc_topk_fused(
     m, sorted_cids, qids, luts = _query_luts(
         queries, codebook, subdim, query_id_col, vec_col, what=what
     )
+    if n_queries_out is not None:
+        # exact batch size for the caller's rerank broadcast gate —
+        # the guarded collect above already paid for it
+        n_queries_out["n"] = int(len(qids))
     if luts is None:
         return codes_df.sparkSession.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, adc double"
@@ -441,17 +446,24 @@ def make_adc_scorer(codebook: DataFrame, codes: DataFrame, subdim: int,
     ) -> DataFrame:
         # rounded candidate cut: the serving answer becomes fully
         # engine-replicable (q214's oracle re-derives the exact set)
+        nq: dict = {}
         cand = pq_adc_topk_fused(
             codes, queries, codebook, subdim, k=rerank_factor * k,
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-            round_scores=True, what="make_adc_scorer",
+            round_scores=True, what="make_adc_scorer", n_queries_out=nq,
         ).select(query_id_col, id_col)
         return _exact_rerank(
             cand, corpus, queries, k,
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+            cand_rows_bound=nq.get("n", MAX_PQ_QUERIES) * rerank_factor * k,
         )
 
     return scorer
+
+
+#: Conservative broadcast-relation bytes per (query_id, vec_id)
+#: candidate row: 16 B of longs + hash-relation overhead.
+_CAND_ROW_BYTES = 64
 
 
 def _exact_rerank(
@@ -462,6 +474,7 @@ def _exact_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    cand_rows_bound: int | None = None,
 ) -> DataFrame:
     """The shared float-rerank tail of every compressed retrieval path:
     join the bounded (query, candidate-id) frame back to the float
@@ -476,14 +489,33 @@ def _exact_rerank(
     threshold the corpus join silently flips to a sort-merge that
     shuffles the float corpus (measured: 1.6 MB -> 525 MB per serving
     batch between 262k and 1M vectors; servingprobe r13). The hint
-    pins the map-only corpus scan at any corpus size. Degenerate
-    callers (rerank depth >= |corpus|) inherit the broadcast cap as a
-    hard error rather than a silent corpus shuffle."""
+    pins the map-only corpus scan at any corpus size.
+
+    ``cand_rows_bound`` (VERDICT r13 item 4): callers that know a hard
+    row bound for ``cand`` (|Q| x rerank depth — both pq entry points
+    do, their query collects are MAX_PQ_QUERIES-guarded) pass it so a
+    DEGENERATE batch (huge query set x rerank depth ~ |corpus|) falls
+    back to a shuffled-hash join keyed on ``id_col`` instead of dying
+    at the 8 GB broadcast cap. Plan-stat gating (joins.gated_broadcast)
+    is the WRONG tool here: cand's Catalyst estimate is corpus-sized
+    (the r13 cliff), so a stats gate would push every big-corpus batch
+    onto the shuffle path — exactly the regression the broadcast
+    fixes. The bound gate fails OPEN to broadcast when no bound is
+    known (current callers always pass one)."""
+    from batch_process_spark.operators import joins
     from batch_process_spark.operators.similarity import cosine
 
+    cand_side = F.broadcast(cand)
+    if (
+        cand_rows_bound is not None
+        and cand_rows_bound * _CAND_ROW_BYTES > joins.broadcast_cap_bytes()
+    ):
+        # degenerate regime: correctness over speed — shuffle both
+        # sides on id and build the hash on the (still smaller) cand
+        cand_side = cand.hint("shuffle_hash")
     q = queries.select(query_id_col, F.col(vec_col).alias("__qe"))
     scored = (
-        F.broadcast(cand).join(corpus.select(id_col, vec_col), id_col)
+        cand_side.join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(q), query_id_col)
         .select(
             query_id_col,
@@ -811,6 +843,9 @@ def ivfpq_topk(
     return _exact_rerank(
         cand, corpus, queries, k,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        # probe_map keys = the queries that probe at least one cell —
+        # only they can emit candidates, so this bound is exact
+        cand_rows_bound=len(probe_map) * rerank_factor * k,
     )
 
 

@@ -658,7 +658,14 @@ def q117_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id-keyed repartition is optimized away and the enumeration
     # stage stays behind an AQE-coalescible exchange; the composite key
     # forces a real REPARTITION_BY_NUM exchange (a few KB) that pins
-    # the enumeration width.
+    # the enumeration width. ASSUMPTION (ADVICE r13): this pin only
+    # spreads the probe while the pb side is BROADCAST (the prefix
+    # frame is (doc_id, n, tok) rows — a few bytes per doc — far under
+    # the session auto-broadcast threshold at any measured sf); if pb
+    # ever outgrew it, the tok-equi join would insert its own tok-hash
+    # exchanges on both sides and this repartition would become one
+    # wasted extra shuffle — acceptable (one small exchange), not a
+    # correctness or blow-up risk.
     pa = prefix.repartition(par, "doc_id", "tok").alias("pa")
     cand = (
         pa.join(

@@ -27,7 +27,9 @@ _os.environ.setdefault("SPARK_GRAFT_LAYOUT_CACHE", "1")
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # ADVICE r13: guard trials >= 1 so min(runs[1:]) never sees an
+    # empty slice (steady falls back to the cold run at trials=0).
+    trials = max(1, int(sys.argv[2])) if len(sys.argv) > 2 else 2
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/catalogtime.json"
 
     import __spark_entry__ as entrymod

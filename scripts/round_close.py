@@ -40,6 +40,10 @@ ARTIFACT_GLOBS = [
     "selfcheck_r*.log",
     "ROTATION.json",
     "COVERAGE.md",
+    # round gates added r14 (VERDICT r13 items 1 and 5): the whole-
+    # catalog timing sweep and the volume-tier span regression cell
+    "catalogtime_r*.json",
+    "spantier_r*.json",
 ]
 
 

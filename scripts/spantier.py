@@ -1,11 +1,16 @@
-"""Slow-tier span regression cell (VERDICT r12 item 8).
+"""Slow-tier span regression cell (VERDICT r12 item 8; protocol
+hardened r14 per VERDICT r13 item 5).
 
 The 1M-doc span-family numbers (§5af/§5ah) live above the sf0.1 bench's
 radar: a memo / exchange-sizing regression would not show in BENCH_rN.
-This runner executes the spanmemoab 4-trial protocol (one warm run that
-builds the memo, then 4 timed steady trials through the noop sink) for
-the given queries on the near-cap fixture and writes ONE committed JSON
-(spantier_r<N>.json) so round-over-round drift is diffable.
+This runner executes a WARM-FIRST protocol: TWO warm runs (the first
+builds the memo, the second retires the C2-JIT warm-up that r13
+measured as a 4-5x per-stage effect on first executions — per-stage
+task-seconds fell 7535 -> 5985 -> 1445 across identical runs), then
+SIX timed steady trials through the noop sink, and writes ONE
+committed JSON (spantier_r<N>.json) so round-over-round drift is
+diffable. The r13 2.6x trial band made regressions mushy; the
+warm-first 6-trial min is the gate number, band target < 1.5.
 
 Usage:
     python scripts/spantier.py <out.json> [n_docs] [query ...]
@@ -44,27 +49,31 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    report: dict = {"n_docs": n, "trials": 4, "queries": {}}
+    report: dict = {"n_docs": n, "trials": 6, "warm_runs": 2, "queries": {}}
     for name in names:
         q = qs[name]
-        spark.sparkContext.setJobDescription(f"spantier {name} warm")
-        t0 = time.time()
-        q(spark, path).write.format("noop").mode("overwrite").save()
-        warm = time.time() - t0
+        warms = []
+        # two warm runs: #1 builds the memo, #2 retires C2-JIT warm-up
+        # (r13: 4-5x per-stage effect on the first executions)
+        for i in range(2):
+            spark.sparkContext.setJobDescription(f"spantier {name} warm {i}")
+            t0 = time.time()
+            q(spark, path).write.format("noop").mode("overwrite").save()
+            warms.append(round(time.time() - t0, 1))
         walls = []
-        for i in range(4):
+        for i in range(6):
             spark.sparkContext.setJobDescription(f"spantier {name} trial {i}")
             t0 = time.time()
             q(spark, path).write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t0, 1))
         report["queries"][name] = {
-            "warm": round(warm, 1),
+            "warm": warms,
             "steady": walls,
             "min": min(walls),
             "max": max(walls),
             "band": round(max(walls) / min(walls), 2),
         }
-        print(f"# {name}: warm {warm:.1f}s steady {walls}", file=sys.stderr)
+        print(f"# {name}: warm {warms} steady {walls}", file=sys.stderr)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

@@ -23,8 +23,18 @@ _os.environ.setdefault("SPARK_GRAFT_LAYOUT_CACHE", "1")
 
 
 def read_events(app_id: str):
+    # rolling event-log layout (Spark 4 default); fall back to the
+    # single-file layout when rolling is disabled (ADVICE r13)
     base = f"/tmp/spark-events/eventlog_v2_{app_id}"
-    path = glob.glob(f"{base}/events_*")[0]
+    candidates = glob.glob(f"{base}/events_*") or glob.glob(
+        f"/tmp/spark-events/{app_id}*"
+    )
+    if not candidates:
+        raise FileNotFoundError(
+            f"no event log for {app_id}: neither {base}/events_* nor "
+            f"/tmp/spark-events/{app_id}* exists"
+        )
+    path = candidates[0]
     if path.endswith(".zstd"):
         import subprocess
 

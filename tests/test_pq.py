@@ -533,3 +533,31 @@ def test_exact_rerank_broadcasts_candidates(spark):
         assert out.count() == 2  # still answers
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_exact_rerank_degenerate_batch_shuffles_instead_of_erroring(
+    spark, monkeypatch
+):
+    """VERDICT r13 item 4: a degenerate serving batch (|Q| x rerank
+    depth past the broadcast cap) must fall back to a shuffled-hash
+    join keyed on vec_id — same rows, no broadcast-cap hard error.
+    The cap is forced to 1 byte so the bound gate trips at any size;
+    the result must match the normal broadcast-path answer exactly."""
+    emb = _emb(spark)
+    cb = pq.pq_train(emb, subdim=2, k=2, iters=1)
+    codes = pq.pq_encode_fused(emb, cb, subdim=2)
+    scorer = pq.make_adc_scorer(cb, codes, subdim=2, rerank_factor=3)
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    want = sorted(
+        tuple(r) for r in scorer(emb.select("vec_id", "embedding"), queries, k=2).collect()
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_CAP_BYTES", "1")
+    out = scorer(emb.select("vec_id", "embedding"), queries, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cand-side corpus join is shuffled now; only the tiny query
+    # frame still rides a broadcast
+    assert "ShuffledHashJoin" in plan
+    assert sorted(tuple(r) for r in out.collect()) == want

@@ -655,6 +655,48 @@ def test_span_scale_parts_memoized_and_released(spark, monkeypatch, tmp_path):
     assert not q15._SPAN_PARTS
 
 
+def test_span_occ_eager_materialization_above_gate(spark, monkeypatch, tmp_path):
+    """Round 14 (VERDICT r13 item 6): ABOVE the sizing gate the memo is
+    materialized eagerly at build time, so even the FIRST execution of
+    a downstream `.distinct()` sees the InMemoryRelation's
+    h-partitioning and plans NO redundant ENSURE_REQUIREMENTS exchange
+    (the r13 cold-plan artifact). Below the gate the memo stays lazy
+    (no extra job) and the cold distinct still pays the exchange —
+    both sides asserted so the gate boundary is pinned."""
+    from batch_process_spark import queries_ext15 as q15
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "eager_corpus")
+    df.write.parquet(d)
+    docs = spark.read.parquet(d)
+
+    def above_cache(df):
+        # the plan segment ABOVE the InMemoryTableScan — the cached
+        # child plan below it legitimately contains the memo's own
+        # sized h-exchange, which is not what this pin is about
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        return plan.split("InMemoryTableScan")[0]
+
+    # below the gate: lazy memo -> the first distinct plan re-shuffles
+    q15.release_span_caches()
+    occ_lazy = q15._span_occ(docs)
+    lazy_head = above_cache(occ_lazy.distinct())
+    assert "Exchange" in lazy_head  # unmaterialized cache hides partitioning
+
+    # above the (monkeypatched) gate: eager count -> first plan is clean
+    q15.release_span_caches()
+    monkeypatch.setattr(q15, "_SPAN_SIZE_GATE_ROWS", 1000)
+    monkeypatch.setattr(q15, "_SPAN_TARGET_ROWS_PER_PART", 10)
+    occ_eager = q15._span_occ(docs)
+    eager_head = above_cache(occ_eager.distinct())
+    assert "Exchange" not in eager_head, eager_head
+    q15.release_span_caches()
+
+
 def test_span_memo_level_bad_value_names_the_conf(spark):
     """Advisor r12: a typo'd spark.batchprocess.spanMemoLevel must fail
     with a message naming the conf key and the accepted values, not a
