@@ -139,15 +139,22 @@ def ancestor_closure(
     headcounts: group the closure by ``anc`` and aggregate node
     payloads).
 
-    Closure-by-doubling: C_{r+1} = C_r UNION (C_r composed with C_r),
-    so ``rounds`` rounds cover distances up to 2**rounds — ceil(log2(
-    depth)) SELF-joins instead of depth-many edge joins. Tree paths
-    are unique, so composition can rediscover a pair only at the SAME
-    dist; the per-round distinct dedupes exactly. Output size is
-    O(N x avg depth) — the price of closure vs flatten, paid by any
-    formulation of subtree rollup. Same plan-doubling caveat as the
-    module doc (``checkpoint=True`` for real scale) and the same
-    dangling-pointer drop contract (``validate=True`` to fail loudly).
+    Closure-by-doubling with the EXACT-DECOMPOSITION pivot (r14):
+    round r composes C_r (all pairs, dist <= 2**r) with ONLY the pairs
+    at dist == 2**r, restricting the left side to dist >= 1 — every
+    pair at dist in (2**r, 2**(r+1)] has exactly one such split
+    (d = d1 + 2**r with the intermediate vertex unique because tree
+    paths are unique), and no pair at dist <= 2**r is re-derived, so
+    the union is DISJOINT and the per-round ``distinct`` the r10 form
+    needed — a full shuffle + hash-dedup of the whole accumulated
+    closure, 4x per call — disappears outright (guide §2.4).
+    ``rounds`` rounds still cover distances up to 2**rounds —
+    ceil(log2(depth)) SELF-joins instead of depth-many edge joins.
+    Output size is O(N x avg depth) — the price of closure vs flatten,
+    paid by any formulation of subtree rollup. Same plan-doubling
+    caveat as the module doc (``checkpoint=True`` for real scale) and
+    the same dangling-pointer drop contract (``validate=True`` to fail
+    loudly).
     """
     if validate:
         assert_closed(parents)
@@ -158,18 +165,18 @@ def ancestor_closure(
         "node", F.col("node").alias("anc"), F.lit(0).cast("long").alias("dist")
     )
     clo = self_rows.unionByName(edges)
-    for _ in range(rounds):
+    for r in range(rounds):
         if checkpoint:
             clo = clo.localCheckpoint(eager=True)
-        hop = clo.filter(F.col("dist") > 0).select(
+        hop = clo.filter(F.col("dist") == F.lit(2 ** r)).select(
             F.col("node").alias("anc"),
             F.col("anc").alias("anc2"),
             F.col("dist").alias("dist2"),
         )
-        composed = clo.join(hop, "anc").select(
+        composed = clo.filter(F.col("dist") > 0).join(hop, "anc").select(
             "node",
             F.col("anc2").alias("anc"),
             (F.col("dist") + F.col("dist2")).alias("dist"),
         )
-        clo = clo.unionByName(composed).distinct()
+        clo = clo.unionByName(composed)
     return clo

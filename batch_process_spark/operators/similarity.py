@@ -1610,14 +1610,29 @@ def embedding_near_dup_pairs(
     survive. (High-cosine pairs collide with high probability; raise
     recall by unioning several seeds.)"""
     planes = _seeded_hyperplanes(dim, n_bits, seed)
+    # Hoist each side's L2 norm out of the pair loop (r14, guide §1.2
+    # "per-task work"): cosine(l, r) previously re-folded BOTH
+    # self-dot aggregates per candidate pair — 3 interpreted
+    # higher-order folds x dim per pair, measured as the whole 1.9 s
+    # single-task wall of q26 at sf0.1. Computed once per VECTOR the
+    # pair loop folds only the cross dot. sqrt(l)·sqrt(r) over the
+    # same doubles is bit-identical to the inlined form.
     b = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("__nrm"),
     )
     l, r = b.alias("l"), b.alias("r")
+    score = F.round(
+        dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+        / (F.col("l.__nrm") * F.col("r.__nrm")),
+        6,
+    )
     return (
         l.join(r, "bucket")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .withColumn("score", F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6))
+        .withColumn("score", score)
         .filter(F.col("score") >= threshold)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),

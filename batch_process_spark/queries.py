@@ -122,6 +122,17 @@ def _layout_dir() -> str:
 # shapes).
 _BUCKET_KEYS = {"events": "user_id", "lineitem": "l_orderkey"}
 
+# Tables whose queries are dominated by per-row CPU (tokenization,
+# array HOFs, per-pair cosine fan-out), not IO: a 1-task scan of a
+# sub-2 MB file is the right plan for a DIMENSION read once, but the
+# r14 whole-catalog sweep measured ~10 text/vector queries running
+# their ENTIRE compute in that one task (q26 1.9 s, q94 1.4 s, q93
+# 1.3 s, q98 1.1 s ... single-task stages) because documents/
+# embeddings compress under the tiny-table gate at bench scale. These
+# two are respread regardless of byte size (still only when the scan
+# arrives under-parallel — the 100 TB case is untouched).
+_CPU_HEAVY_TABLES = {"documents", "embeddings"}
+
 
 import threading as _threading
 
@@ -202,7 +213,7 @@ def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Dat
         return df
     if nparts >= max(4, target // 2):
         return df  # already parallel enough (the 100 TB case)
-    if st.st_size < 2 * 1024 * 1024:
+    if st.st_size < 2 * 1024 * 1024 and name not in _CPU_HEAVY_TABLES:
         return df  # tiny dims: a 1-task scan is the right plan
     path = os.path.join(_layout_dir(), f"{name}-{key}")
     # Atomic publish: write to a staging dir and rename into place only
@@ -231,7 +242,14 @@ def _respread(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Dat
     return spark.read.parquet(path)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, respread: bool = True
+) -> DataFrame:
+    """Read table ``name`` with runtime-conf pinning and (opt-in via
+    SPARK_GRAFT_LAYOUT_CACHE) the scan-layout repair. ``respread=False``
+    serves the ORIGINAL file set — required by provenance queries
+    (q78), whose results must reflect the true source files, not the
+    engine's internal layout copy."""
     try:
         memo = _SESSION_MEMO.setdefault(spark, {})
     except TypeError:  # non-weakref-able session stand-in (test fakes)
@@ -252,7 +270,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events/orders/lineitem timestamps from NANOS to MICROS.
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         memo["pinned"] = True
-    key = (sf_dir, name)
+    key = (sf_dir, name, respread)
     if key not in memo:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -262,7 +280,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         import os
 
-        if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE") == "1":
+        if respread and os.environ.get("SPARK_GRAFT_LAYOUT_CACHE") == "1":
             df = _respread(spark, sf_dir, name, df)
         # MICROS-variant timestamps arrive as session-TZ TIMESTAMP via the
         # inferTimestampNTZ=false pin above (UTC session == DuckDB's naive

@@ -1253,7 +1253,20 @@ def q174_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(F.col("p_partkey") / 10).cast("long"))
         .alias("parent"),
     )
-    clo = ancestor_closure(parents, rounds=4)
+    # rounds derived from the key range (r14): the digit hierarchy's
+    # depth is (#digits - 1), and doubling needs ceil(log2(depth))
+    # rounds — the old constant 4 covered depth 16, so at sf0.1 (max
+    # key 19999, depth 4) two of the four rounds composed NOTHING new
+    # but still paid a self-join + union over the full closure, and
+    # the plan tripled per round. One tiny max() job at plan
+    # construction (memoized with the plan); closure completeness is
+    # unchanged (extra rounds were idempotent, fewer-but-sufficient
+    # rounds produce the identical pair set).
+    import math
+
+    max_key = part.agg(F.max("p_partkey")).first()[0] or 1
+    depth = max(1, len(str(int(max_key))) - 1)
+    clo = ancestor_closure(parents, rounds=max(1, math.ceil(math.log2(depth))))
     # ancestors that are real part keys only (digit prefixes of a key
     # need not themselves be keys; the parents frame guarantees the
     # semi-join is the same filter the oracle's IN applies)

@@ -129,6 +129,69 @@ def q93_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _max_multiplicity(arr) -> F.Column:
+    """EXACT count of the most frequent element of a string array, via
+    one pass over ``array_sort(arr)`` (max run length of equal adjacent
+    elements). Replaces the r5 ``transform(array_distinct(x), g ->
+    size(filter(x, == g)))`` form — O(distinct x total) interpreted
+    HOF work per row, measured as q94's whole single-task wall at
+    sf0.1 — with O(n log n) sort + O(n) fold. Integer-exact: the max
+    multiplicity of a multiset does not depend on scan order."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), acc0, merge, lambda acc: acc["best"])
+
+
+def _entropy_nats(arr) -> F.Column:
+    """Shannon entropy (nats) of a string array's element distribution
+    in ONE pass over ``array_sort(arr)``: fold run lengths, add each
+    run's p·ln(p) term when the run closes. Same O(distinct x total) ->
+    O(n log n) move as ``_max_multiplicity``. The sum visits distinct
+    elements in SORTED order where the r5 form visited first-occurrence
+    order — a double-addition reorder bounded ~1e-15, absorbed by the
+    4-decimal rounding both engines apply (verified vs the oracle at
+    all three SFs)."""
+    n = F.size(arr).cast("double")
+
+    def term(run):
+        p = run.cast("double") / n
+        return F.when(run > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0.0).alias("ent"),
+    )
+
+    def merge(acc, x):
+        closes = x != acc["prev"]  # null-safe: first element -> null -> new run
+        return F.struct(
+            x.alias("prev"),
+            F.when(closes | acc["prev"].isNull(), F.lit(1))
+            .otherwise(acc["run"] + 1)
+            .alias("run"),
+            F.when(closes | acc["prev"].isNull(), acc["ent"] + term(acc["run"]))
+            .otherwise(acc["ent"])
+            .alias("ent"),
+        )
+
+    return -F.aggregate(
+        F.array_sort(arr), acc0, merge, lambda acc: acc["ent"] + term(acc["run"])
+    )
+
+
 @_q(
     "q94_repetition_quality",
     f"""
@@ -178,15 +241,11 @@ def q94_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w") > 0,
         F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"),
     ).otherwise(F.lit(0.0))
+    # r14: sorted-run-length max multiplicity (integer-exact, see
+    # _max_multiplicity) replaces the O(distinct x total) HOF scan
     top_bi_frac = F.when(
         F.size("b") > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct("b"),
-                lambda g: F.size(F.filter("b", lambda x: x == g)),
-            )
-        )
-        / F.size("b"),
+        _max_multiplicity(F.col("b")) / F.size("b"),
     ).otherwise(F.lit(0.0))
     feats = docs.select(
         "source", dup_frac.alias("dup_frac"), top_bi_frac.alias("top_bi_frac")
@@ -456,16 +515,9 @@ def q98_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("source", tokens_col("text").alias("w"))
     n = F.size("w")
-    cnt = lambda g: F.size(F.filter("w", lambda x: x == g))  # noqa: E731
-    p = lambda g: cnt(g) * F.lit(1.0) / n  # noqa: E731
-    ent = F.when(
-        n > 0,
-        -F.aggregate(
-            F.transform(F.array_distinct("w"), lambda g: p(g) * F.log(p(g))),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    ).otherwise(F.lit(0.0))
+    # r14: sorted-run-length single-pass entropy (see _entropy_nats)
+    # replaces the O(distinct x total) per-doc HOF scan
+    ent = F.when(n > 0, _entropy_nats(F.col("w"))).otherwise(F.lit(0.0))
     feats = docs.select("source", ent.alias("e"))
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
