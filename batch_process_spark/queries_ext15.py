@@ -390,7 +390,13 @@ def _span_memo_level(spark):
     trial spread at 1M docs); the serialized form trades a cheap
     decode on each of the 2-4 branch reads for a flat heap profile.
     Override with spark.batchprocess.spanMemoLevel=MEMORY_AND_DISK_DESER
-    (DataFrame.persist()'s default) for the A/B."""
+    (DataFrame.persist()'s default) for the A/B.
+
+    r14 same-host 4-trial pair (VERDICT r13 item 8, q219 at 1M docs,
+    fresh JVM per side): MEMORY_AND_DISK min 15.4 s band 1.58;
+    MEMORY_AND_DISK_DESER min 15.5 s band 2.12 — mins tie, the
+    serialized default keeps the tighter band (the §5ad GC-variance
+    rationale), so the default stands."""
     from pyspark import StorageLevel
 
     # PySpark naming: MEMORY_AND_DISK is the SERIALIZED level;

@@ -759,3 +759,32 @@ def test_q224_single_scan_single_data_exchange(spark, qs):
     assert len(hash_ex) == 1, f"expected ONE h exchange:\n{exchanges}"
     assert len(exchanges) == len(hash_ex) + len(single_ex)
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_cached_plan_aqe_conf_right_sizes_memoized_frames(spark):
+    """VERDICT r13 item 2 (evidence for the session default
+    spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true):
+    without it a persisted frame materializes its shuffle at the
+    STATIC partition count, and every downstream map stage over the
+    cache inherits that width — the iterative graph queries paid
+    static-count task launches per power-iteration round (committed
+    A/B: aqecache_r14.json). Pin the conf AND the behavior: a tiny
+    persisted aggregate must land coalesced below the static count."""
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        )
+        == "true"
+    )
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        df.count()
+        static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert df.rdd.getNumPartitions() < static
+    finally:
+        df.unpersist()
