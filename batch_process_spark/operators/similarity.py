@@ -1623,7 +1623,14 @@ def embedding_near_dup_pairs(
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
         l2_norm(F.col(vec_col)).alias("__nrm"),
     )
-    l, r = b.alias("l"), b.alias("r")
+    # Spread the PROBE side across cores (r14, guide §2.5 input skew):
+    # the bucket join's quadratic fan-out is pure per-pair CPU against
+    # a broadcast build, and a small corpus arrives as a 1-split scan —
+    # the whole pair loop then runs in one task (q26's measured shape).
+    # No-op when the scan is already parallel (the 100 TB case).
+    from batch_process_spark.operators.dedup import ensure_parallelism
+
+    l, r = ensure_parallelism(b).alias("l"), b.alias("r")
     score = F.round(
         dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
         / (F.col("l.__nrm") * F.col("r.__nrm")),

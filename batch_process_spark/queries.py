@@ -123,15 +123,20 @@ def _layout_dir() -> str:
 _BUCKET_KEYS = {"events": "user_id", "lineitem": "l_orderkey"}
 
 # Tables whose queries are dominated by per-row CPU (tokenization,
-# array HOFs, per-pair cosine fan-out), not IO: a 1-task scan of a
-# sub-2 MB file is the right plan for a DIMENSION read once, but the
-# r14 whole-catalog sweep measured ~10 text/vector queries running
-# their ENTIRE compute in that one task (q26 1.9 s, q94 1.4 s, q93
-# 1.3 s, q98 1.1 s ... single-task stages) because documents/
-# embeddings compress under the tiny-table gate at bench scale. These
-# two are respread regardless of byte size (still only when the scan
-# arrives under-parallel — the 100 TB case is untouched).
-_CPU_HEAVY_TABLES = {"documents", "embeddings"}
+# array HOFs, regex extraction), not IO: a 1-task scan of a sub-2 MB
+# file is the right plan for a DIMENSION read once, but the r14
+# whole-catalog sweep measured ~10 text queries running their ENTIRE
+# compute in that one task (q94 1.4 s, q93 1.3 s, q98 1.1 s ...
+# single-task stages) because documents compresses under the
+# tiny-table gate at bench scale. Respread regardless of byte size
+# (still only when the scan arrives under-parallel — the 100 TB case
+# is untouched). embeddings is deliberately NOT here: its heavy-CPU
+# consumers are the bounded pair fan-outs, which spread themselves at
+# the operator (ensure_parallelism in embedding_near_dup_pairs /
+# q245 / q236), while its trivial-matmul consumers (q25/q225/q232)
+# measurably prefer the 1-split scan (respreading embeddings cost
+# q25 +0.09 s from a 7:1 openCost split-packing skew).
+_CPU_HEAVY_TABLES = {"documents"}
 
 
 import threading as _threading

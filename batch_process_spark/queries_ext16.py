@@ -677,9 +677,11 @@ def q236_lsh_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot). The q211 audit asks this for the text-MinHash path; this is
     its embedding twin. Same seeded hyperplanes as q26, replicated as
     SQL literals in the oracle."""
+    from batch_process_spark.operators.dedup import ensure_parallelism
     from batch_process_spark.operators.similarity import (
         _seeded_hyperplanes,
-        cosine,
+        dot,
+        l2_norm,
         lsh_bucket,
     )
 
@@ -688,11 +690,21 @@ def q236_lsh_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _Q236_SAMPLE)
         .select(
-            "vec_id", "embedding", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+            "vec_id",
+            "embedding",
+            lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+            # r14: per-vector norm hoisted out of the O(sample^2)
+            # referee loop; probe side spread (q245's rationale —
+            # bit-identical score, same-single-task wall removed)
+            l2_norm(F.col("embedding")).alias("__nrm"),
         )
     )
-    a, b = s.alias("a"), s.alias("b")
-    score = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    a, b = ensure_parallelism(s).alias("a"), s.alias("b")
+    score = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.__nrm") * F.col("b.__nrm")),
+        6,
+    )
     exact = (
         a.crossJoin(b)
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))

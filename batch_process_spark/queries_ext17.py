@@ -539,15 +539,35 @@ def q245_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivfpq_topk`` output (|Q| x k rows, no all-pairs join) —
     agreement vs this exact referee is measured in BASELINE.md §5."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _HUB_SAMPLE)
-    from batch_process_spark.operators.similarity import cosine
+    from batch_process_spark.operators.dedup import ensure_parallelism
+    from batch_process_spark.operators.similarity import dot, l2_norm
 
-    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    # r14 (guide §1.2/§2.5): hoist each side's L2 norm out of the
+    # O(sample^2) referee loop (the inlined cosine re-folded both
+    # self-dots per pair — 3 interpreted folds x 64 dims x 90k pairs,
+    # the query's whole single-task wall) and spread the probe side —
+    # the sample arrives as one scan split, so the pair loop otherwise
+    # runs on one core. sqrt(a)*sqrt(b) over the same doubles is
+    # bit-identical to the inlined form.
+    a = ensure_parallelism(
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("ea"),
+            l2_norm(F.col("embedding")).alias("__na"),
+        )
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("__nb"),
+    )
     scored = (
         a.join(b, F.col("qid") != F.col("nid"))
         .select(
             "qid", "nid",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("score"),
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
