@@ -327,7 +327,7 @@ def invalidate_tables(path: str | None = None) -> int:
                 del memo[key]
                 dropped += 1
                 continue
-            sf_dir, name = key  # table entry: (sf_dir, table)
+            sf_dir, name = key[0], key[1]  # table entry: (sf_dir, table[, respread])
             if (
                 path is None
                 or os.path.abspath(sf_dir) == os.path.abspath(path)

@@ -640,7 +640,10 @@ def q117_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(joins.gated_broadcast(ranked), "tok")
         .withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") <= k)
-        .select("doc_id", "n", "tok")
+        # rn (the token's 1-based position in the doc's full
+        # rarity-sorted list) rides into the join for the PPJoin
+        # POSITION filter below
+        .select("doc_id", "n", "tok", "rn")
     )
     # The candidate self-join fans out QUADRATICALLY per token while
     # its input is a few KB, so AQE (which coalesces by shuffle BYTES)
@@ -681,6 +684,29 @@ def q117_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least("pa.n", "pb.n") * _PF_DEN
                 >= F.greatest("pa.n", "pb.n") * _PF_NUM
+            )
+            # PPJoin POSITION filter (r14, lossless): tokens at
+            # positions >= rn (1-based, rarity order shared by both
+            # docs) number n - rn + 1 per side, so the intersection is
+            # at most min(na - ia, nb - jb) + 1 — and J >= t needs
+            # inter*(den+num) >= num*(na+nb) (inter >= t/(1+t)*union
+            # bound, exact integers). A qualifying pair always
+            # survives via its FIRST common token: that token sits
+            # inside both prefixes (the prefix-filter completeness
+            # argument) and its positions realize the tightest bound
+            # >= the true intersection. Measured at sf0.1: candidate
+            # rows 3.43M -> 1.81M, verify pairs 2.14M -> 1.81M,
+            # result rows byte-identical.
+            & (
+                (
+                    F.least(
+                        F.col("pa.n") - F.col("pa.rn"),
+                        F.col("pb.n") - F.col("pb.rn"),
+                    )
+                    + 1
+                )
+                * (_PF_DEN + _PF_NUM)
+                >= _PF_NUM * (F.col("pa.n") + F.col("pb.n"))
             ),
         )
         .select(
